@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch word count — the reference's entire batch surface re-expressed
+  * Spark-first (reference: stock Hadoop WordCount invoked at
+  * cluster/tools/run_fault_tests.py:25-30; counter evidence in
+  * cluster/shared/reports/fault_test_20251115-181926.job.log).
+  *
+  * Physical shape Catalyst produces: FileScan -> Project/Generate (explode)
+  * -> partial HashAggregate (the "combiner") -> Exchange(hash word) ->
+  * final HashAggregate -> Sort. Identical dataflow to the reference's
+  * map/combine/shuffle/reduce, with whole-stage codegen fusing the map side.
+  */
+object WordCount {
+
+  /** StringTokenizer-equivalent tokenization: split on whitespace runs and
+    * drop empty tokens (SURVEY §2.2 P1/P3). `filter` on the array avoids
+    * exploding empty tokens at all — they never reach the shuffle.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** word -> count over a text column; sorted by word to match the
+    * reference's reducer output ordering (SURVEY §2.4: MapReduce sorts by
+    * key for free, Spark needs the explicit orderBy).
+    */
+  def wordCount(lines: DataFrame, textCol: String): DataFrame =
+    lines
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Streaming-pipeline normalization applied batch-side: uppercase before
+    * counting (docs/README.md:257 "convertidas para maiúsculas"), top-k by
+    * frequency (the word-cloud reading of the lab spec, SURVEY §2.4).
+    * Total order: count desc, then word asc (tie-break, SURVEY §7 risk 6).
+    */
+  def topWords(lines: DataFrame, textCol: String, k: Int): DataFrame =
+    lines
+      .select(explode(tokens(col(textCol))).as("w"))
+      .select(upper(col("w")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Queries over the `events` stream-shaped table — the batch analogues of
+  * the reference's streaming pipeline semantics (SURVEY §2.5: event-time
+  * windowed aggregation) plus JSON-props extraction (§1.3 telemetry shapes).
+  */
+object Events {
+
+  /** Exact decimal accumulation surfaced as DOUBLE (see queries.Relational). */
+  private def sum2(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Tumbling event-time window aggregation, batch form. date_trunc is the
+    * oracle-friendly spelling of window(ts, '1 hour') for tumbling windows.
+    */
+  def hourlyByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("sum_value"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** JSON extraction from the props column (get_json_object), grouped. */
+  def propsByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** lag() analytic: inter-event gap per user, averaged. Gaps in exact
+    * milliseconds (unix_millis), avg = exact long sum / count in both
+    * engines -> identical doubles.
+    */
+  def userGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("gap_ms", unix_millis(col("ts")) - col("prev_ms"))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+           sum(col("gap_ms")).as("sum_gap_ms"),
+           max(col("gap_ms")).as("max_gap_ms"))
+      .withColumn("avg_gap_ms", col("sum_gap_ms").cast("double") / col("n_gaps"))
+      .orderBy("user_id")
+  }
+
+  /** Daily active users + event mix: distinct agg over a time bucket. */
+  def dailyActive(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"),
+           sum2(col("value")).as("sum_value"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_users"), col("n_events"), col("sum_value"))
+      .orderBy("day")
+}

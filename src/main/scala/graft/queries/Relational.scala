@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational query pack over the driver star schema (SURVEY §7 step 3).
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares our parquet
+  * output against DuckDB running SparkEntry.oracleSql):
+  *  - Every floating-point aggregate goes through an exact DECIMAL sum.
+  *    Double summation is order-dependent and Spark's partial-aggregate merge
+  *    order is not deterministic across runs, so raw double sums can differ
+  *    between runs AND between engines. Decimal sums are exact and
+  *    order-independent; both engines then agree bit-for-bit.
+  *  - Averages are computed as cast(exact_sum AS DOUBLE) / count — a single
+  *    deterministic IEEE division, identical in both engines.
+  *  - Every query ends in a total ordering (explicit tie-breaks) so row
+  *    order cannot differ.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  // Exact decimal sum, surfaced as DOUBLE: the decimal accumulation is
+  // order-independent (so the value is stable across engines and runs) and
+  // the final decimal->double conversion is correctly rounded in both Spark
+  // and DuckDB. Plain double output avoids decimal-type comparison hazards.
+  private def sum2(c: Column): Column = sum(dec2(c)).cast("double")
+  private def sum4(c: Column): Column = sum(dec4(c)).cast("double")
+  private def avgOf(sumCol: Column, cnt: Column): Column =
+    sumCol.cast("double") / cnt
+
+  /** TPC-H Q1-shaped pricing summary: scan -> filter -> partial/final agg.
+    * Exercises S1/P5/A1/A2 at relational scale; the filter + column pruning
+    * reach the parquet scan (PushedFilters/ReadSchema).
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).as("dsum_qty"),
+        sum(dec2(col("l_extendedprice"))).as("dsum_base_price"),
+        sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("sum_qty", col("dsum_qty").cast("double"))
+      .withColumn("sum_base_price", col("dsum_base_price").cast("double"))
+      .withColumn("avg_qty", avgOf(col("sum_qty"), col("count_order")))
+      .withColumn("avg_price", avgOf(col("sum_base_price"), col("count_order")))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_qty", "avg_price", "count_order")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q6-shaped forecast revenue: pure scan + pushed filters + single
+    * global aggregate — no shuffle of any width beyond the 1-row final agg.
+    */
+  def q6RevenueFilter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum4(col("l_extendedprice") * col("l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q3-shaped shipping priority: 3-way join + grouped agg + top-k.
+    * customer and orders filters push to their scans; Catalyst broadcasts
+    * the filtered customer side.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+  }
+
+  /** TPC-H Q5-shaped regional revenue: 4-way star join (lineitem ->
+    * supplier -> nation -> region), dims broadcast, grouped by nation.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Broadcast-join brand rollup: fact x small dim, explicitly broadcast. */
+  def qBrandVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum2(col("l_quantity")).as("sum_qty"),
+           sum2(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Global top-k by sort+limit (Spark plans TakeOrderedAndProject — no full
+    * sort materialization at scale).
+    */
+  def qTopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+
+  /** Ranking window function: top-3 suppliers by balance per nation.
+    * row_number over a total order (acctbal desc, suppkey) — ties impossible.
+    */
+  def qTopSuppliersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.load(spark, dir, "supplier")
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    sup.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("s_nationkey"), col("rnk"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"))
+      .orderBy("s_nationkey", "rnk")
+  }
+
+  /** Analytic window function: running order total per customer over time.
+    * Decimal running sum keeps both engines exact at every prefix.
+    */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.withColumn("running_total",
+        sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Anti join: customers that never ordered (SURVEY §2.4 joins note). */
+  def qCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: customers with at least one high-value order. */
+  def qBigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val big = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+    cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Distinct aggregation: distinct customers + order count per priority. */
+  def qPriorityCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"),
+           sum2(col("o_totalprice")).as("sum_price"))
+      .select("o_orderpriority", "n_customers", "n_orders", "sum_price")
+      .orderBy("o_orderpriority")
+
+  /** ROLLUP grouping sets; subtotal NULLs coalesced to 'ALL' so the output
+    * (and its ordering) is null-free and engine-agnostic.
+    */
+  def qRollupReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"), sum2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Set operation: nations present among BOTH customers and suppliers. */
+  def qNationsBothSides(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    cn.intersect(sn).orderBy("nationkey")
+  }
+}

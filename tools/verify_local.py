@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against DuckDB executing SparkEntry.oracleSql on the same parquet tables.
+Usage: tools/verify_local.py <sfDir> <verifyOutDir>
+(Dev-only; duckdb/pandas are driver-side tools, not library deps.)"""
+import sys, os, json, glob
+import duckdb, pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.reset_index(drop=True)
+
+fails = 0
+for name in sorted(oracle):
+    spark_path = os.path.join(out_dir, name)
+    if not os.path.isdir(spark_path):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    got = canon(pd.read_parquet(spark_path))
+    try:
+        exp = canon(con.execute(oracle[name]).fetchdf())
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    ok_rows = len(got) == len(exp)
+    ok_cols = list(got.columns) == list(exp.columns)
+    ok_vals = False
+    if ok_rows and ok_cols:
+        try:
+            gs = got.astype(str)
+            es = exp.astype(str)
+            ok_vals = gs.equals(es)
+        except Exception as e:
+            print(f"  compare error {name}: {e}")
+    if ok_rows and ok_cols and ok_vals:
+        print(f"OK   {name} ({len(got)} rows)")
+    else:
+        fails += 1
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}, cols {list(got.columns)} vs {list(exp.columns)}")
+        if ok_rows and ok_cols:
+            gs, es = got.astype(str), exp.astype(str)
+            diff = (gs != es).any(axis=1)
+            idx = diff[diff].index[:5]
+            for i in idx:
+                print(f"  row {i}:\n   spark: {gs.loc[i].to_dict()}\n   duck:  {es.loc[i].to_dict()}")
+print(("ALL OK" if fails == 0 else f"{fails} FAILURES"))
+sys.exit(1 if fails else 0)
