@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.WordCount
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.queries.{Events, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -46,7 +48,211 @@ object SparkEntry {
     "q_events_props" -> (Events.propsByType _),
     "q_events_user_gaps" -> (Events.userGaps _),
     "q_events_daily_active" -> (Events.dailyActive _),
+    // -- Dedup pack (documents) --
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
+    "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents"))),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.load(s, d, "documents"))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"))),
+    // -- Similarity search (embeddings) --
+    "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"))),
+    "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.load(s, d, "embeddings"))),
+    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"))),
+    "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
+    // -- Text analysis (documents) --
+    "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"))),
+    // -- Multimodal plumbing (binary payload + stubbed decode) --
+    "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.load(s, d, "documents"))),
   )
+
+  // ---- generated oracle fragments (must mirror the Scala operators) ----
+
+  private val tokCte =
+    """tok AS (SELECT doc_id, source,
+      |  list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tokens
+      |  FROM documents)""".stripMargin
+
+  private val shCte =
+    tokCte + """,
+      |sh AS (SELECT doc_id, source, length(tokens) AS n_tok,
+      |  list_transform(generate_series(1, length(tokens) - 2), i -> array_to_string(tokens[i:i+2], ' ')) AS shingles
+      |  FROM tok WHERE length(tokens) >= 3)""".stripMargin
+
+  private val sigCte = {
+    val ms = (0 until 16)
+      .map(i => s"    list_min(list_transform(shingles, s -> md5('$i' || '|' || s))) AS m$i")
+      .mkString(",\n")
+    shCte + s""",
+      |sig AS (SELECT doc_id,
+      |$ms
+      |  FROM sh)""".stripMargin
+  }
+
+  private val bandSelects = (0 until 4).map { b =>
+    val parts = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")
+    s"md5($parts) AS band$b"
+  }
+
+  private val minhashSigSql =
+    s"""WITH $sigCte
+       |SELECT doc_id, ${bandSelects.mkString(", ")}
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  private val minhashPairsSql = {
+    val bandRows = (0 until 4).map { b =>
+      val parts = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $sigCte,
+       |bands AS (
+       |  $bandRows)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simhashSql = {
+    val sums = (0 until 16)
+      .map(b => s"    SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n")
+    val bits = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $tokCte,
+       |tk AS (SELECT doc_id, unnest(tokens) AS tok FROM tok),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS INT) AS h FROM tk),
+       |s AS (SELECT doc_id,
+       |$sums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS INT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH $shCte,
+       |ss AS (SELECT doc_id, source, CAST(n_tok // 8 AS INT) AS len_bucket,
+       |  list_distinct(shingles) AS shingle_set FROM sh)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS n_inter,
+       |  CAST(length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS DOUBLE)
+       |    / (length(a.shingle_set) + length(b.shingle_set)
+       |       - length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x)))) AS jaccard
+       |FROM ss a JOIN ss b
+       |  ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+       |WHERE CAST(length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS DOUBLE)
+       |    / (length(a.shingle_set) + length(b.shingle_set)
+       |       - length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x)))) >= 0.01
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val normCte =
+    """n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private val annTopkSql =
+    s"""WITH $normCte,
+       |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |      WHERE q.vec_id < 5),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  private def planeSql(i: Int): String =
+    s"CAST(list_transform(generate_series(0, 63), d -> (31 * $i + 17 * d) % 13 - 6) AS DOUBLE[])"
+
+  private val bucketExpr = (0 until Similarity.NumPlanes)
+    .map(i => s"(CASE WHEN list_inner_product(v, ${planeSql(i)}) > 0 THEN ${1 << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  private val lshBucketsSql =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id, CAST($bucketExpr AS INT) AS bucket FROM v ORDER BY vec_id""".stripMargin
+
+  private val lshTopkSql =
+    s"""WITH $normCte,
+       |b AS (SELECT vec_id, CAST($bucketExpr AS INT) AS bucket
+       |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) t),
+       |nb AS (SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN b ON n.vec_id = b.vec_id),
+       |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |      FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |      WHERE q.vec_id < 5),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  private val embTopPairsSql =
+    s"""WITH $normCte,
+       |f AS (SELECT * FROM n WHERE vec_id < 2000),
+       |s AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |        round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |      FROM f a JOIN f b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, id_a, id_b) AS rnk FROM s)
+       |SELECT label, rnk, id_a, id_b, cos FROM r WHERE rnk <= 10 ORDER BY label, rnk""".stripMargin
+
+  private def stopList(lang: String): String =
+    TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val langIdSql =
+    s"""WITH $tokCte,
+       |s AS (SELECT doc_id,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS s_en,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("es")}, t))) AS s_es,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("fr")}, t))) AS s_fr,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("de")}, t))) AS s_de
+       |  FROM tok)
+       |SELECT doc_id, s_en, s_es, s_fr, s_de,
+       |  CASE WHEN s_en > 0 AND s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+       |       WHEN s_es > 0 AND s_es >= greatest(s_fr, s_de) THEN 'es'
+       |       WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+       |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  private val qualitySql =
+    s"""WITH $tokCte,
+       |j AS (SELECT d.doc_id, d.text, t.tokens FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
+       |m AS (SELECT doc_id,
+       |  length(tokens) AS n_tokens,
+       |  length(text) AS n_chars_txt,
+       |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS stop_cnt,
+       |  CAST(length(array_to_string(tokens, '')) AS DOUBLE) / greatest(length(tokens), 1) AS avg_token_len
+       |  FROM j)
+       |SELECT doc_id, n_tokens, avg_token_len,
+       |  CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1) AS punct_ratio,
+       |  CAST(digit_cnt AS DOUBLE) / greatest(n_chars_txt, 1) AS digit_ratio,
+       |  CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+       |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+       |    + (1.0 - least(1.0, (CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 10.0)) * 0.3
+       |    + least(1.0, (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)) * 5.0) * 0.3 AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  private val tokenStatsSql =
+    s"""WITH $tokCte
+       |SELECT d.doc_id,
+       |  length(t.tokens) AS ws_tokens,
+       |  length(regexp_extract_all(d.text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+       |  d.n_chars
+       |FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_transform(generate_series(1, length(text) - 7), i -> md5(text[i:i+7])))[1:4], '|')) AS fp
+      |FROM documents WHERE length(text) >= 8
+      |ORDER BY doc_id""".stripMargin
+
+  private val mediaMetaSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      |  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
+      |  CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle SQL, one per queries key (same columns, same ordering).
     * Numeric parity strategy documented at queries.Relational.
@@ -128,7 +334,7 @@ object SparkEntry {
     "q_customers_no_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin,
     "q_big_spenders" ->
       """SELECT c_custkey, c_name
@@ -178,5 +384,22 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+    "dedup_minhash_sig" -> minhashSigSql,
+    "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "ann_topk" -> annTopkSql,
+    "ann_lsh_buckets" -> lshBucketsSql,
+    "ann_lsh_topk" -> lshTopkSql,
+    "emb_top_pairs" -> embTopPairsSql,
+    "text_langid" -> langIdSql,
+    "text_quality" -> qualitySql,
+    "text_tokens" -> tokenStatsSql,
+    "text_fingerprint" -> fingerprintSql,
+    "mm_media_meta" -> mediaMetaSql,
   )
 }

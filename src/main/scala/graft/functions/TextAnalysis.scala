@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.WordCount
+
+/** Text-analysis operators for training-data curation: language ID
+  * (stopword-hit heuristic), quality scoring, token counting, and document
+  * fingerprinting. All are single-pass, per-row column expressions — no
+  * shuffle at all — so they scale linearly and stay inside whole-stage
+  * codegen.
+  */
+object TextAnalysis {
+
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
+
+  private def stopHits(lang: String): Column = {
+    val set = Stopwords(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(tokens, t -> array_contains(array($set), t)))")
+  }
+
+  /** n-gram/stopword-hit language ID. Deterministic argmax with a fixed
+    * preference order (en, es, fr, de) and 'und' when nothing matches.
+    */
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tokens", WordCount.tokens(col("text")))
+      .withColumn("s_en", stopHits("en").cast("long"))
+      .withColumn("s_es", stopHits("es").cast("long"))
+      .withColumn("s_fr", stopHits("fr").cast("long"))
+      .withColumn("s_de", stopHits("de").cast("long"))
+      .withColumn("pred_lang",
+        when(col("s_en") > 0 && col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")), "en")
+          .when(col("s_es") > 0 && col("s_es") >= greatest(col("s_fr"), col("s_de")), "es")
+          .when(col("s_fr") > 0 && col("s_fr") >= col("s_de"), "fr")
+          .when(col("s_de") > 0, "de")
+          .otherwise("und"))
+      .select("doc_id", "s_en", "s_es", "s_fr", "s_de", "pred_lang")
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/punctuation/stopword signals combined into a
+    * [0,1] score. All ratios are exact-int divisions -> deterministic
+    * doubles in any engine.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tokens", WordCount.tokens(col("text")))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn("n_chars_txt", length(col("text")))
+      .withColumn("punct_cnt",
+        length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+      .withColumn("digit_cnt",
+        length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+      .withColumn("stop_cnt",
+        expr("size(filter(tokens, t -> array_contains(array('the','a','of','and','to','in','is'), t)))"))
+      .withColumn("avg_token_len",
+        length(concat_ws("", col("tokens"))).cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("punct_ratio", col("punct_cnt").cast("double") / greatest(col("n_chars_txt"), lit(1)))
+      .withColumn("digit_ratio", col("digit_cnt").cast("double") / greatest(col("n_chars_txt"), lit(1)))
+      .withColumn("stop_ratio", col("stop_cnt").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.4 +
+        (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)) * 0.3 +
+        least(lit(1.0), col("stop_ratio") * 5.0) * 0.3)
+      .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "digit_ratio",
+        "stop_ratio", "quality")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens plus a BPE-ish sub-token count
+    * (alpha runs capped at 4 chars, digit runs at 3, single punct marks).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(WordCount.tokens(col("text"))).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars")
+      .orderBy("doc_id")
+
+  /** Document fingerprint (winnowing-style): md5 over the 4 lexicographically
+    * smallest md5'd char 8-gram shingles. Robust to local edits; one value
+    * per doc, linear cost.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 8)
+      .withColumn("fp",
+        expr("md5(concat_ws('|', slice(array_sort(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))), 1, 4)))"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an Array[Float] embedding column.
+  *
+  * Brute-force cosine top-k is the correctness baseline; the scale path is
+  * random-hyperplane LSH bucketing (`lshBuckets`), which turns the O(n*q)
+  * scan into a bucket-equi-join so only same-bucket vectors are compared.
+  * All arithmetic is double-precision with a fixed evaluation order
+  * (sequential fold over the 64 dims), so results are bit-stable and
+  * oracle-verifiable; cosines are rounded to 6 decimals before ranking to
+  * make the ordering robust across engines.
+  */
+object Similarity {
+
+  /** dot(u, v) as a sequential double fold (deterministic order). */
+  private def dot(u: String, v: String): Column =
+    expr(s"aggregate(zip_with($u, $v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** Vectors with precomputed L2 norm, embeddings cast to double. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot("v", "v")))
+
+  /** Brute-force cosine top-k: query vectors (vec_id < nQueries) against the
+    * full table. The query side is tiny -> Catalyst broadcasts it; the scan
+    * side streams once. cos rounded to 6 decimals; rank tie-broken by
+    * neighbor id for a total order.
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val vecs = withNorm(emb)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Number of LSH hyperplanes (bucket space = 2^nPlanes). */
+  val NumPlanes = 8
+
+  /** Deterministic integer hyperplane i: h_i[d] = (31*i + 17*d) % 13 - 6.
+    * Integer-derived components make the projection exactly reproducible in
+    * any engine (no platform-dependent trig/PRNG).
+    */
+  private def planeExpr(i: Int): String =
+    s"transform(sequence(0, 63), d -> cast((31 * $i + 17 * d) % 13 - 6 as double))"
+
+  /** Random-hyperplane LSH bucket per vector: bit i = sign(dot(v, h_i)).
+    * Linear scan, no shuffle; at 100 TB this is the partitioning key that
+    * makes ANN a bucket-local problem.
+    */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bucket = (0 until NumPlanes)
+      .map(i => when(expr(s"aggregate(zip_with(v, ${planeExpr(i)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+        lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    vecs.select(col("vec_id"), bucket.cast("int").as("bucket")).orderBy("vec_id")
+  }
+
+  /** LSH-accelerated top-k: queries join candidates on bucket equality only.
+    * Recall is approximate (single probe); the win is that the join shuffles
+    * on `bucket`, so each task compares ~n/2^8 of the table.
+    */
+  def lshTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val vecs = withNorm(emb)
+    val buckets = lshBuckets(emb)
+    val wb = vecs.join(buckets, "vec_id")
+    val q = wb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val cc = wb.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"),
+      col("bucket").as("n_bucket"))
+    val scored = q.join(cc, col("bucket") === col("n_bucket") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Embedding-cosine near-dup audit: top pairs per label over a bounded
+    * id sample (both ids < sampleCap keeps the pairwise audit O(cap^2)
+    * regardless of table size; full-scale dedup goes through lshBuckets).
+    */
+  def topPairsPerLabel(emb: DataFrame, k: Int = 10, sampleCap: Int = 2000): DataFrame = {
+    val vecs = withNorm(emb).filter(col("vec_id") < sampleCap)
+    val a = vecs.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = vecs.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val scored = a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot("va", "vb") / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy(col("label")).orderBy(col("cos").desc, col("id_a"), col("id_b"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("label", "rnk", "id_a", "id_b", "cos")
+      .orderBy("label", "rnk")
+  }
+}

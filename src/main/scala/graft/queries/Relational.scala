@@ -160,10 +160,11 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** Anti join: customers that never ordered (SURVEY §2.4 joins note). */
+  /** Anti join: customers with no recent order (SURVEY §2.4 joins note). */
   def qCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
     val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
     cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
