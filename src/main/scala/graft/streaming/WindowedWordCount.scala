@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+import graft.core.WordCount
+
+/** Streaming windowed word count — the reference's Kafka pipeline
+  * (docs/README.md:257: Kafka `canalinput` -> cast value to string -> split
+  * -> explode -> uppercase -> event-time tumbling window group-count with
+  * late-data handling -> to_json -> Kafka `canaloutput`), re-expressed as
+  * Structured Streaming transformations over any source.
+  *
+  * The transform is source/sink-agnostic (SURVEY §7 step 4): production
+  * wires `fromKafka`/`toKafka`; tests drive it with MemoryStream and
+  * explicit event times. Watermark + append mode emit each window exactly
+  * once, after it can no longer receive late rows; the windowed-aggregation
+  * state store handles out-of-order arrivals within the watermark.
+  */
+object WindowedWordCount {
+
+  /** Core incremental plan: (value: string-castable, timestamp) ->
+    * (window struct, word, count). Works identically on batch DataFrames
+    * (for oracle checks) and streaming ones.
+    */
+  def transform(records: DataFrame,
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame =
+    records
+      .select(col("value").cast("string").as("line"), col("timestamp"))
+      .select(explode(WordCount.tokens(col("line"))).as("w"), col("timestamp"))
+      .select(upper(col("w")).as("word"), col("timestamp"))
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowDuration), col("word"))
+      .count()
+
+  /** Output formatting: one JSON string per (window, word, count), the shape
+    * the reference publishes to `canaloutput`.
+    */
+  def toJsonRecords(counts: DataFrame): DataFrame =
+    counts.select(to_json(struct(col("window"), col("word"), col("count"))).as("value"))
+
+  /** Kafka source wiring (config-only here: no broker in the test env;
+    * SURVEY §7 risk 5 keeps Kafka behind this seam).
+    */
+  def fromKafka(spark: SparkSession, bootstrapServers: String,
+      topic: String = "canalinput"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load()
+
+  /** Kafka sink wiring with required checkpoint (exactly-once offsets). */
+  def toKafka(counts: DataFrame, bootstrapServers: String, topic: String,
+      checkpointLocation: String): DataStreamWriter[Row] =
+    toJsonRecords(counts).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("source", org.apache.spark.sql.functions.lit("s"))
+
+  test("exact dedup groups normalized duplicates") {
+    val d = docs(
+      (1L, "Hello  World"), (2L, "  hello world "), (3L, "other text"))
+    val out = Dedup.exact(d).select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs share all bands; disjoint docs share none") {
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "x y z w q r s t"))
+    val pairs = Dedup.minhashCandidatePairs(d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 4L)))
+  }
+
+  test("simhash: identical texts agree, fingerprint within 16 bits") {
+    val d = docs((1L, "spark scala data"), (2L, "spark scala data"), (3L, "completely different words"))
+    val sims = Dedup.simhash(d).as[(Long, Int)].collect().toMap
+    assert(sims(1L) === sims(2L))
+    assert(sims.values.forall(s => s >= 0 && s < 65536))
+  }
+
+  test("ngram jaccard finds high-overlap pair within block") {
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g z"), (3L, "p q r s t u v w"))
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("brute-force topk ranks an identical vector first with cos 1.0") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (7L, Array(1.0f, 0.0f, 0.0f), 0),   // identical to query 0
+      (8L, Array(0.0f, 1.0f, 0.0f), 1),   // orthogonal
+      (9L, Array(0.9f, 0.1f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb, nQueries = 1, k = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(top.head === ((0L, 1, 7L, 1.0)))
+    assert(top(1)._3 === 9L)
+  }
+
+  test("lsh buckets put identical vectors together") {
+    val emb = (0L to 3L).map(i =>
+      (i, Array.tabulate(64)(d => if (i % 2 == 0) 0.5f else -0.5f + 0.01f * d), i.toInt))
+      .toDF("vec_id", "embedding", "label")
+    val buckets = Similarity.lshBuckets(emb).as[(Long, Int)].collect().toMap
+    assert(buckets(0L) === buckets(2L))
+    assert(buckets(1L) === buckets(3L))
+  }
+
+  test("langId detects english stopwords and falls back to und") {
+    val d = docs((1L, "the cat and the dog"), (2L, "zzz qqq www"))
+    val out = TextAnalysis.langId(d).select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "en", 2L -> "und"))
+  }
+
+  test("quality score stays in [0,1] and rewards stopword-rich text") {
+    val d = docs((1L, "the a of and to in is the a of"), (2L, "!!! ??? ###"))
+    val q = TextAnalysis.qualityScore(d).select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+
+  test("token stats: ws vs bpe-ish counts") {
+    val d = docs((1L, "hello world123 ok")).withColumn("n_chars",
+      org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val (ws, bpe) = TextAnalysis.tokenStats(d).select("ws_tokens", "bpe_tokens")
+      .as[(Long, Long)].collect().head
+    assert(ws === 3L)
+    // hell+o, worl+d+123, ok -> 6 bpe-ish tokens
+    assert(bpe === 6L)
+  }
+
+  test("fingerprint is stable and edit-sensitive") {
+    val d = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "a totally different sentence"))
+    val fps = TextAnalysis.fingerprint(d).as[(Long, String)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("multimodal metadata matches the stub decoder on byte payloads") {
+    val d = docs((5L, "x" * 100))
+    val meta = Multimodal.mediaMeta(spark, d)
+      .as[(Long, Int, Int, Int, Int)].collect().head
+    val (w, h, f) = Multimodal.decodeStub("x".repeat(100).getBytes("UTF-8"))
+    assert(meta === ((5L, 100, w, h, f)))
+  }
+}

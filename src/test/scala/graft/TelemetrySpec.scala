@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.observability.Telemetry
+
+class TelemetrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("batch listener writes reference-shaped sample JSONL") {
+    val path = Files.createTempFile("telemetry", ".jsonl").toString
+    val listener = new Telemetry.JsonlRunListener(path)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      // listener bus is async; give the queued stage events time to drain
+      Thread.sleep(1500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val lines = Files.readAllLines(Paths.get(path)).asScala.filter(_.nonEmpty)
+    assert(lines.nonEmpty)
+    // same field names as run_fault_tests.py sample records
+    assert(lines.exists(l => l.contains(""""type": "sample"""") &&
+      l.contains(""""progress":""") && l.contains(""""state": "RUNNING"""") &&
+      l.contains(""""elapsed_s":""") && l.contains(""""timestamp":""")))
+    // every line parses as a standalone JSON object
+    lines.foreach(l => assert(l.startsWith("{") && l.endsWith("}"), l))
+  }
+
+  test("jsonObj escapes control characters and quotes") {
+    val s = Telemetry.jsonObj("k" -> "a\"b\\c\nd\te\u0001f")
+    assert(s === """{"k": "a\"b\\c\nd\te\u0001f"}""".replace("\n", "\\n").replace("\t", "\\t")
+      .replace("\u0001", "\\u0001"))
+  }
+}
