@@ -6,6 +6,7 @@ import graft.core.WordCount
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.queries.{Events, Relational}
+import graft.streaming.WindowedWordCount
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,6 +30,10 @@ object SparkEntry {
     // -- WordCount family (reference batch + streaming normalization) --
     "wordcount" -> ((s, d) => WordCount.wordCount(Tables.load(s, d, "documents"), "text")),
     "wordcount_topk" -> ((s, d) => WordCount.topWords(Tables.load(s, d, "documents"), "text", 50)),
+    // Streaming plan verified batch-side: same transform, bounded input
+    // (the reference's windowed pipeline, docs/README.md:257).
+    "wordcount_windowed" -> ((s, d) => WindowedWordCount.windowedCounts(
+      Tables.load(s, d, "events").selectExpr("event_type AS value", "ts AS timestamp"))),
     // -- Relational pack (star schema) --
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q6_revenue_filter" -> (Relational.q6RevenueFilter _),
@@ -50,7 +55,7 @@ object SparkEntry {
     "q_events_daily_active" -> (Events.dailyActive _),
     // -- Dedup pack (documents) --
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
-    "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents"))),
+    "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.load(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"))),
@@ -58,12 +63,14 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"))),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.load(s, d, "embeddings"))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"))),
+    "ann_lsh_multiprobe" -> ((s, d) => Similarity.multiProbeTopK(Tables.load(s, d, "embeddings"))),
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     // -- Text analysis (documents) --
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"))),
+    "text_fingerprint_rolling" -> ((s, d) => TextAnalysis.fingerprintRolling(Tables.load(s, d, "documents"))),
     // -- Multimodal plumbing (binary payload + stubbed decode) --
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.load(s, d, "documents"))),
   )
@@ -101,19 +108,29 @@ object SparkEntry {
        |SELECT doc_id, ${bandSelects.mkString(", ")}
        |FROM sig ORDER BY doc_id""".stripMargin
 
-  private val minhashPairsSql = {
+  /** bands CTE mirroring Dedup.minhashBandBuckets incl. the MaxBandBucket
+    * skew cap (QUALIFY = Spark's window-count filter).
+    */
+  private val bandsCte = {
     val bandRows = (0 until 4).map { b =>
       val parts = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $sigCte,
-       |bands AS (
-       |  $bandRows)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-       |FROM bands a JOIN bands b
-       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    s"""bands AS (
+       |  SELECT * FROM ($bandRows)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBandBucket})""".stripMargin
   }
+
+  private val candPairsSelect =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+      |FROM bands a JOIN bands b
+      |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
+  private val minhashPairsSql =
+    s"""WITH $sigCte,
+       |$bandsCte
+       |$candPairsSelect ORDER BY doc_a, doc_b""".stripMargin
 
   private val simhashSql = {
     val sums = (0 until 16)
@@ -131,20 +148,23 @@ object SparkEntry {
        |SELECT doc_id, CAST($bits AS INT) AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // MinHash candidates -> exact-Jaccard verify, mirroring Dedup.ngramJaccardPairs.
   private val ngramJaccardSql =
-    s"""WITH $shCte,
-       |ss AS (SELECT doc_id, source, CAST(n_tok // 8 AS INT) AS len_bucket,
-       |  list_distinct(shingles) AS shingle_set FROM sh)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS n_inter,
-       |  CAST(length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS DOUBLE)
-       |    / (length(a.shingle_set) + length(b.shingle_set)
-       |       - length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x)))) AS jaccard
-       |FROM ss a JOIN ss b
-       |  ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-       |WHERE CAST(length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x))) AS DOUBLE)
-       |    / (length(a.shingle_set) + length(b.shingle_set)
-       |       - length(list_filter(a.shingle_set, x -> list_contains(b.shingle_set, x)))) >= 0.01
+    s"""WITH $sigCte,
+       |$bandsCte,
+       |cand AS ($candPairsSelect),
+       |ss AS (SELECT doc_id, list_distinct(shingles) AS shingle_set FROM sh),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    length(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
+       |    length(sa.shingle_set) + length(sb.shingle_set) AS sz_sum
+       |  FROM cand c
+       |  JOIN ss sa ON c.doc_a = sa.doc_id
+       |  JOIN ss sb ON c.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, n_inter,
+       |  CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) AS jaccard
+       |FROM scored
+       |WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.01
        |ORDER BY doc_a, doc_b""".stripMargin
 
   private val normCte =
@@ -183,6 +203,26 @@ object SparkEntry {
        |      WHERE q.vec_id < 5),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  private val MultiProbePlanes = 16
+
+  private val bucketExpr16 = (0 until MultiProbePlanes)
+    .map(i => s"(CASE WHEN list_inner_product(v, ${planeSql(i)}) > 0 THEN ${1 << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  private val multiProbeSql = {
+    val probeList = ("bucket" +: (0 until MultiProbePlanes).map(i => s"xor(bucket, ${1 << i})"))
+      .mkString("[", ", ", "]")
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, nrm, CAST($bucketExpr16 AS INT) AS bucket FROM n),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, unnest($probeList) AS probe
+       |      FROM nb WHERE vec_id < 5),
+       |s AS (SELECT q.q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+       |      FROM q JOIN nb c ON q.probe = c.bucket AND q.q_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
 
   private val embTopPairsSql =
     s"""WITH $normCte,
@@ -246,6 +286,20 @@ object SparkEntry {
       |FROM documents WHERE length(text) >= 8
       |ORDER BY doc_id""".stripMargin
 
+  // Mirrors TextAnalysis.fingerprintRolling: 8-gram polynomial hash over a
+  // precomputed codepoint list (DuckDB lists are 1-indexed like element_at).
+  private val fingerprintRollingSql = {
+    val terms = TextAnalysis.RollingPows.zipWithIndex
+      .map { case (p, j) => s"codes[i + $j] * $p" }.mkString(" + ")
+    s"""WITH cs AS (
+       |  SELECT doc_id, list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS codes
+       |  FROM documents WHERE length(text) >= 8)
+       |SELECT doc_id,
+       |  array_to_string(list_sort(list_transform(generate_series(1, length(codes) - 7), i ->
+       |    $terms))[1:4], '|') AS fp
+       |FROM cs ORDER BY doc_id""".stripMargin
+  }
+
   private val mediaMetaSql =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
@@ -268,6 +322,10 @@ object SparkEntry {
         |FROM (SELECT upper(unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))) AS word
         |      FROM documents) t
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "wordcount_windowed" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  upper(event_type) AS word, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, word""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -395,11 +453,13 @@ object SparkEntry {
     "ann_topk" -> annTopkSql,
     "ann_lsh_buckets" -> lshBucketsSql,
     "ann_lsh_topk" -> lshTopkSql,
+    "ann_lsh_multiprobe" -> multiProbeSql,
     "emb_top_pairs" -> embTopPairsSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokenStatsSql,
     "text_fingerprint" -> fingerprintSql,
+    "text_fingerprint_rolling" -> fingerprintRollingSql,
     "mm_media_meta" -> mediaMetaSql,
   )
 }

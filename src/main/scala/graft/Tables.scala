@@ -14,15 +14,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Sessions reading `events` must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see `configure`):
+    * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; with the flag it arrives as raw nanos and is floor-converted
+    * here to Spark's microsecond TimestampType (identical to DuckDB's
+    * ns->us floor). The flag lives at session build, not here — a loader
+    * mutating global session state per call is a correctness hazard under
+    * concurrent queries.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read it as raw nanos and floor-convert to Spark's
-      // microsecond TimestampType (identical to DuckDB's ns->us floor).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The session settings every graft entry point builds with. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch word count — the reference's entire batch surface re-expressed
@@ -46,4 +46,28 @@ object WordCount {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
+
+  /** Recursive text scan (SURVEY §2.1 S1): every text file under `dir`,
+    * any nesting depth, one record per line — the reference's
+    * `mapreduce.input.fileinputformat.input.dir.recursive=true` scan
+    * (cluster/tools/run_fault_tests.py:28).
+    */
+  def readTextDir(spark: SparkSession, dir: String): Dataset[String] =
+    spark.read.option("recursiveFileLookup", "true").textFile(dir)
+
+  /** Sorted tab-separated text sink (SURVEY §2.1 S2): `word\tcount` lines,
+    * the reference's TextOutputFormat contract
+    * (…fault_test_20251115-181926.job.log:176). `counts` ends in
+    * `orderBy("word")`, so the write range-partitions on word and part files
+    * are globally sorted in file-name order — same contract as the
+    * reference's single sorted reduce output, without forcing one task.
+    * Default mode errors if the path exists (S3 output-exists guard, the
+    * reference's FileAlreadyExistsException behavior); pass
+    * overwrite = true for the harness's pre-delete semantics.
+    */
+  def writeTsv(counts: DataFrame, path: String, overwrite: Boolean = false): Unit =
+    counts
+      .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
+      .write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .text(path)
 }

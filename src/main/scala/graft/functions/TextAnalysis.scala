@@ -94,4 +94,29 @@ object TextAnalysis {
         expr("md5(concat_ws('|', slice(array_sort(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))), 1, 4)))"))
       .select("doc_id", "fp")
       .orderBy("doc_id")
+
+  /** Exact powers of 31 for the 8-gram polynomial hash (31^7 down to 31^0);
+    * max hash value ≈ 2.8e13, safely inside int64 in both engines.
+    */
+  val RollingPows: Seq[Long] =
+    (0 until 8).map(j => (0 until 7 - j).foldLeft(1L)((a, _) => a * 31L))
+
+  /** Scale-path fingerprint: same winnowing shape as `fingerprint` (4
+    * smallest 8-gram hashes, sorted, joined) but the per-position hash is a
+    * polynomial Karp–Rabin-style hash — 8 integer multiply-adds over a
+    * precomputed codepoint array instead of an md5 per character position
+    * (~10^13 md5 calls at 100 TB). Codepoints are materialized once per doc
+    * so each position is O(8) array reads, not O(len) substring scans.
+    */
+  def fingerprintRolling(docs: DataFrame): DataFrame = {
+    val terms = RollingPows.zipWithIndex
+      .map { case (p, j) => s"element_at(cs, i + $j) * ${p}L" }.mkString(" + ")
+    docs
+      .filter(length(col("text")) >= 8)
+      .withColumn("cs", expr("transform(split(text, ''), c -> bigint(ascii(c)))"))
+      .withColumn("fp", expr(
+        s"concat_ws('|', transform(slice(array_sort(transform(sequence(1, size(cs) - 7), i -> $terms)), 1, 4), x -> string(x)))"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
 }

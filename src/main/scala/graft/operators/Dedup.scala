@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.WordCount
@@ -42,6 +43,10 @@ object Dedup {
     * k hash functions h_i(s) = md5(i || '|' || s); signature element i is
     * the min over shingles; `bands` band buckets of k/bands rows each are
     * md5-compressed. Docs sharing any band bucket are near-dup candidates.
+    *
+    * Returns UNSORTED rows — ordering belongs at the output edge only
+    * (query-surface wrappers add it); a mid-pipeline global sort would
+    * insert a needless range-partition exchange under downstream joins.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val sigCols = (0 until k).map(i =>
@@ -52,19 +57,48 @@ object Dedup {
       val parts = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
       md5(concat_ws("|", parts: _*)).as(s"band$b")
     }
-    sig.select((col("doc_id") +: bandCols): _*).orderBy("doc_id")
+    sig.select((col("doc_id") +: bandCols): _*)
+  }
+
+  /** Skew guard: any band bucket holding more than this many docs is dropped
+    * before the pairwise join. One boilerplate-heavy bucket (empty doc, hot
+    * template) would otherwise go quadratic inside a single task at scale;
+    * the docs it contains are still caught by `exact` dedup. Must be
+    * mirrored verbatim in the SQL oracle (QUALIFY clause).
+    */
+  val MaxBandBucket = 64
+
+  /** One row per (doc_id, band_idx, band_hash), capped at `MaxBandBucket`
+    * docs per bucket. The cap is computed with a window count partitioned by
+    * the same keys the downstream self-join uses, so the join consumes the
+    * window's hash partitioning without an extra exchange, and exchange
+    * reuse makes the signature pipeline compute once for both join sides.
+    */
+  def minhashBandBuckets(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, k, bands)
+    val bandArr = array((0 until bands).map(b => col(s"band$b")): _*)
+    val w = Window.partitionBy("band_idx", "band_hash")
+    sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= MaxBandBucket)
+      .drop("bucket_n")
   }
 
   /** LSH candidate pairs: docs sharing >= 1 minhash band. The join key is
     * (band_idx, band_hash) — at scale this is the step that replaces the
-    * O(n^2) cross join with a shuffle that only co-locates likely dups.
+    * O(n^2) cross join with a shuffle that only co-locates likely dups;
+    * `MaxBandBucket` bounds the per-bucket pair blowup.
     */
   def minhashCandidatePairs(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
-    val sig = minhashSignatures(docs, k, bands)
-    val bandArr = array((0 until bands).map(b => col(s"band$b")): _*)
-    val ex = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    val ex = minhashBandBuckets(docs, k, bands)
+    // Self-join as a shuffle join, NOT broadcast: both sides then hash-
+    // partition on (band_idx, band_hash) — the exact exchange the window
+    // cap already created — so ReusedExchange computes the md5 signature
+    // pipeline once for both sides. A broadcast join would re-run the
+    // full signature scan to build the broadcast side (2x the bench cost)
+    // and would not survive a 100 TB corpus anyway.
     val a = ex.alias("a")
-    val b = ex.alias("b")
+    val b = ex.hint("shuffle_hash").alias("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -92,27 +126,26 @@ object Dedup {
     agg.select(col("doc_id"), sim.cast("int").as("simhash")).orderBy("doc_id")
   }
 
-  /** Blocked n-gram Jaccard near-dup pairs: candidate pairs are restricted
-    * to the same (source, token-length-bucket) block — the standard blocking
-    * trick that keeps the pairwise verify step sub-quadratic at scale — then
-    * exact Jaccard over distinct word 3-gram shingle sets.
+  /** Exact n-gram Jaccard verify over MinHash candidate pairs: candidates
+    * come from `minhashCandidatePairs` (bucketed LSH join, bounded by
+    * `MaxBandBucket`), then the exact Jaccard over distinct word 3-gram
+    * shingle sets is computed only for those pairs. This replaces data-
+    * dependent blocking keys (which degenerate quadratically when one block
+    * is hot) with a candidate set whose size is bounded by the LSH design —
+    * the standard candidate-generation -> verification split at scale.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.01): DataFrame = {
-    val sh = withShingles(docs)
-      .withColumn("shingle_set", array_distinct(col("shingles")))
-      .withColumn("len_bucket", (size(col("tokens")) / 8).cast("int"))
-      .select("doc_id", "source", "len_bucket", "shingle_set")
-    val a = sh.alias("a")
-    val b = sh.alias("b")
-    a.join(b,
-        col("a.source") === col("b.source") &&
-        col("a.len_bucket") === col("b.len_bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.01,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val cands = minhashCandidatePairs(docs, k, bands).select("doc_a", "doc_b")
+    val sets = withShingles(docs)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("shingle_set"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b")), "doc_b")
       .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.shingle_set"), col("b.shingle_set"))).cast("long").as("n_inter"),
-        (size(col("a.shingle_set")) + size(col("b.shingle_set"))).as("sz_sum"))
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
+        (size(col("set_a")) + size(col("set_b"))).as("sz_sum"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")))
       .filter(col("jaccard") >= threshold)

@@ -45,7 +45,12 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** Number of LSH hyperplanes (bucket space = 2^nPlanes). */
+  /** Number of LSH hyperplanes in the oracle-verified 8-plane variant
+    * (bucket space = 2^8). At scale, bucket count must grow with n — use
+    * `multiProbeTopK` with nPlanes sized so 2^nPlanes ≈ n / targetBucketSize
+    * (e.g. 24 planes for 10^9 vectors at ~60 vectors/bucket); multi-probe
+    * recovers the recall lost to the finer partitioning.
+    */
   val NumPlanes = 8
 
   /** Deterministic integer hyperplane i: h_i[d] = (31*i + 17*d) % 13 - 6.
@@ -55,32 +60,68 @@ object Similarity {
   private def planeExpr(i: Int): String =
     s"transform(sequence(0, 63), d -> cast((31 * $i + 17 * d) % 13 - 6 as double))"
 
+  /** Sign-bit bucket column over `v` for the given number of hyperplanes. */
+  private def bucketCol(nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map(i => when(expr(s"aggregate(zip_with(v, ${planeExpr(i)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+        lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+      .cast("int")
+
   /** Random-hyperplane LSH bucket per vector: bit i = sign(dot(v, h_i)).
     * Linear scan, no shuffle; at 100 TB this is the partitioning key that
     * makes ANN a bucket-local problem.
     */
-  def lshBuckets(emb: DataFrame): DataFrame = {
-    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val bucket = (0 until NumPlanes)
-      .map(i => when(expr(s"aggregate(zip_with(v, ${planeExpr(i)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
-        lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
-    vecs.select(col("vec_id"), bucket.cast("int").as("bucket")).orderBy("vec_id")
-  }
+  def lshBuckets(emb: DataFrame, nPlanes: Int = NumPlanes): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), bucketCol(nPlanes).as("bucket")).orderBy("vec_id")
+
+  /** Vectors with norm + LSH bucket computed inline (no separate bucket
+    * table to join back — one linear pass).
+    */
+  private def withBuckets(emb: DataFrame, nPlanes: Int): DataFrame =
+    withNorm(emb).withColumn("bucket", bucketCol(nPlanes))
 
   /** LSH-accelerated top-k: queries join candidates on bucket equality only.
     * Recall is approximate (single probe); the win is that the join shuffles
-    * on `bucket`, so each task compares ~n/2^8 of the table.
+    * on `bucket`, so each task compares ~n/2^nPlanes of the table.
     */
-  def lshTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
-    val vecs = withNorm(emb)
-    val buckets = lshBuckets(emb)
-    val wb = vecs.join(buckets, "vec_id")
+  def lshTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nPlanes: Int = NumPlanes): DataFrame = {
+    val wb = withBuckets(emb, nPlanes)
     val q = wb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val cc = wb.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"),
       col("bucket").as("n_bucket"))
-    val scored = q.join(cc, col("bucket") === col("n_bucket") && col("q_id") =!= col("n_id"))
+    rank(q.join(cc, col("bucket") === col("n_bucket") && col("q_id") =!= col("n_id")), k)
+  }
+
+  /** Multi-probe LSH top-k — the 100 TB design. More planes (default 16)
+    * shrink buckets so the bucket space grows with n; each query then probes
+    * its own bucket plus every bucket at Hamming distance 1 (nPlanes + 1
+    * probes), recovering the recall a single finer-grained probe would lose.
+    * A candidate lives in exactly one bucket, so probe buckets are distinct
+    * and no pair is scored twice. The join still shuffles on `bucket` only;
+    * probe fan-out multiplies the (tiny) query side, never the corpus side.
+    */
+  def multiProbeTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nPlanes: Int = 16): DataFrame = {
+    val wb = withBuckets(emb, nPlanes)
+    val probes = array((col("bucket") +:
+      (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i)))): _*)
+    val q = wb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probes).as("probe"))
+    val cc = wb.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"),
+      col("bucket").as("n_bucket"))
+    rank(q.join(cc, col("probe") === col("n_bucket") && col("q_id") =!= col("n_id")), k)
+  }
+
+  /** Shared scoring tail: cosine (6-decimal rounded), rank per query with a
+    * total tie-break, top k, output-edge ordering.
+    */
+  private def rank(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined
       .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))

@@ -36,6 +36,23 @@ object WindowedWordCount {
       .groupBy(window(col("timestamp"), windowDuration), col("word"))
       .count()
 
+  /** Batch-mode projection of the streaming plan for oracle verification:
+    * same transform over a bounded DataFrame (watermark is a no-op in
+    * batch), window struct flattened to a formatted start timestamp so the
+    * result is hash-comparable against a DuckDB date_trunc oracle. This is
+    * the CORRECTNESS surface for the reference's streaming pipeline
+    * semantics (docs/README.md:257) — window assignment, normalization,
+    * and grouped counting are byte-identical to the streaming plan.
+    */
+  def windowedCounts(records: DataFrame,
+      windowDuration: String = "1 minute"): DataFrame =
+    transform(records, windowDuration)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("word"),
+        col("count").as("cnt"))
+      .orderBy("win_start", "word")
+
   /** Output formatting: one JSON string per (window, word, count), the shape
     * the reference publishes to `canaloutput`.
     */
