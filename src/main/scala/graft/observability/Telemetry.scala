@@ -36,9 +36,13 @@ object Telemetry {
   /** Batch-job listener writing `sample` records on stage boundaries and
     * `event` records on executor membership changes, plus a final summary —
     * the local-mode analogue of the reference's 30 s YARN polling loop
-    * (SURVEY §2.7 O4-O6).
+    * (SURVEY §2.7 O4-O6). On application end the summary is persisted next
+    * to the timeline as `<path minus .jsonl>.summary.json`, mirroring the
+    * reference's per-run summary artifact (run_fault_tests.py:392-406).
     */
   final class JsonlRunListener(path: String) extends SparkListener {
+    /** Where the summary JSON lands (reference: `.summary.json` sibling). */
+    val summaryPath: String = path.stripSuffix(".jsonl") + ".summary.json"
     private val out = new BufferedWriter(new FileWriter(path))
     private val startMs = System.currentTimeMillis()
     private var totalTasks = 0
@@ -88,16 +92,32 @@ object Telemetry {
       writeLine(line)
     }
 
-    override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-      sample("FINISHED")
-      summaryJson = Some(jsonObj(
+    /** Build + persist the run summary (reference field names,
+      * run_fault_tests.py:392-406). Invoked on application end; callable
+      * directly for a terminal snapshot while the session is still up (the
+      * harness summarizes as soon as the job reaches a terminal state, not
+      * when the cluster dies).
+      */
+    def finish(endTimeMs: Long = System.currentTimeMillis()): String = {
+      val summary = jsonObj(
         "app_id" -> appId,
+        "job_id" -> appId.replace("application", "job"),
         "start_time_ms" -> startMs,
-        "finish_time_ms" -> e.time,
-        "duration_seconds" -> (e.time - startMs) / 1000.0,
+        "finish_time_ms" -> endTimeMs,
+        "duration_seconds" -> (endTimeMs - startMs) / 1000.0,
         "state" -> "FINISHED", "final_state" -> "SUCCEEDED",
         "aggregate" -> s"tasks=$doneTasks/$totalTasks",
-        "events" -> events.toSeq))
+        "events" -> events.toSeq,
+        "log_jsonl" -> path)
+      summaryJson = Some(summary)
+      val sw = new BufferedWriter(new FileWriter(summaryPath))
+      try sw.write(summary) finally sw.close()
+      summary
+    }
+
+    override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+      sample("FINISHED")
+      finish(e.time)
       synchronized { out.close() }
     }
 

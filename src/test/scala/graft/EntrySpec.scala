@@ -3,11 +3,53 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Regression net over the driver contract: every registered query runs on
-  * sf0.001 and the oracle map stays aligned with the query map.
+  * sf0.001 and returns EXACTLY its known row count (values are covered by
+  * the driver's DuckDB hash compare; the counts here make `sbt test` fail
+  * fast if a plan change perturbs results before the driver ever runs).
   */
 class EntrySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
+
+  /** Oracle-verified row counts at sf0.001 (from the DuckDB compare). */
+  private val expectedRows = Map(
+    "ann_lsh_buckets" -> 500L,
+    "ann_lsh_multiprobe" -> 13L,
+    "ann_lsh_topk" -> 17L,
+    "ann_topk" -> 25L,
+    "dedup_exact" -> 500L,
+    "dedup_minhash_pairs" -> 28L,
+    "dedup_minhash_sig" -> 500L,
+    "dedup_ngram_jaccard" -> 28L,
+    "dedup_simhash" -> 500L,
+    "emb_top_pairs" -> 100L,
+    "mm_media_meta" -> 500L,
+    "q1_pricing_summary" -> 6L,
+    "q3_shipping_priority" -> 10L,
+    "q5_region_revenue" -> 1L,
+    "q6_revenue_filter" -> 1L,
+    "q_big_spenders" -> 130L,
+    "q_brand_volume" -> 25L,
+    "q_customers_no_orders" -> 14L,
+    "q_events_daily_active" -> 30L,
+    "q_events_hourly" -> 868L,
+    "q_events_props" -> 5L,
+    "q_events_user_gaps" -> 15L,
+    "q_nations_both_sides" -> 10L,
+    "q_priority_customers" -> 5L,
+    "q_rollup_returns" -> 10L,
+    "q_running_total" -> 1500L,
+    "q_top_orders" -> 20L,
+    "q_top_suppliers_per_nation" -> 10L,
+    "text_fingerprint" -> 500L,
+    "text_fingerprint_rolling" -> 500L,
+    "text_langid" -> 500L,
+    "text_quality" -> 500L,
+    "text_tokens" -> 500L,
+    "wordcount" -> 31L,
+    "wordcount_topk" -> 31L,
+    "wordcount_windowed" -> 1000L,
+  )
 
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -17,11 +59,15 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
   }
 
+  test("every query has an expected row count (and vice versa)") {
+    assert(expectedRows.keySet === SparkEntry.queries.keySet)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"query $name runs on sf0.001 with a non-degenerate schema") {
+    test(s"query $name returns exactly ${expectedRows.getOrElse(name, -1L)} rows on sf0.001") {
       val df = fn(spark, dir)
       assert(df.schema.fields.nonEmpty)
-      assert(df.count() >= 0)
+      assert(df.count() === expectedRows(name))
     }
   }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.CountDownLatch
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.observability.{FaultScenario, JobRunner}
+import graft.sources.Staging
+
+class ObservabilitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ---- O5: fault-scenario event timeline ----
+
+  test("fault scenario: parse accepts target:offset:downtime, rejects garbage") {
+    assert(FaultScenario.parse("hadoop-slave1:120:60") ===
+      FaultScenario.FaultEvent("hadoop-slave1", 120, 60))
+    intercept[IllegalArgumentException] { FaultScenario.parse("nope") }
+  }
+
+  test("fault scenario runner emits reference-shaped stop/start records in virtual time") {
+    val path = Files.createTempFile("scenario", ".jsonl").toString
+    // virtual clock: sleeper advances it, nothing really sleeps
+    var now = 1700000000000L
+    val stopped = collection.mutable.Buffer[String]()
+    val started = collection.mutable.Buffer[String]()
+    val runner = new FaultScenario.Runner(
+      FaultScenario.DefaultSchedule, path,
+      clock = () => now, sleeper = ms => now += ms,
+      onStop = stopped += _, onStart = started += _)
+    val lines = runner.run()
+
+    // 3 faults -> 6 events, stop/start alternating, schedule order
+    assert(lines.size === 6)
+    assert(stopped.toSeq === Seq("hadoop-slave1", "hadoop-slave2", "hadoop-master"))
+    assert(started.toSeq === stopped.toSeq)
+    val stops = lines.filter(_.contains(""""event": "stop""""))
+    assert(stops.size === 3)
+    // reference record shape: type/timestamp/event/target/downtime_s/elapsed_s
+    assert(stops.forall(l => l.contains(""""type": "event"""") &&
+      l.contains(""""target":""") && l.contains(""""downtime_s": 60""") &&
+      l.contains(""""elapsed_s":""")))
+    // virtual-time offsets honored: first stop at 120s, start 60s later
+    assert(stops.head.contains(""""elapsed_s": 120.0"""))
+    assert(lines(1).contains(""""event": "start"""") &&
+      lines(1).contains(""""elapsed_s": 180.0"""))
+    // the file matches what run() returned
+    val onDisk = Files.readAllLines(Paths.get(path)).asScala.filter(_.nonEmpty)
+    assert(onDisk.toSeq === lines)
+  }
+
+  // ---- O3: async job launch + handle ----
+
+  test("job runner handle reports RUNNING then FINISHED/SUCCEEDED") {
+    val release = new CountDownLatch(1)
+    val h = JobRunner.launch("ok") { release.await() }
+    assert(h.isRunning)
+    release.countDown()
+    assert(h.await() === "SUCCEEDED")
+    assert(h.state === "FINISHED")
+    assert(!h.isRunning)
+    assert(h.error.isEmpty)
+    assert(h.durationSeconds >= 0.0)
+  }
+
+  test("job runner handle reports FAILED with the causing error") {
+    val h = JobRunner.launch("boom") { throw new RuntimeException("expected failure") }
+    assert(h.await() === "FAILED")
+    assert(h.error.exists(_.getMessage === "expected failure"))
+  }
+
+  test("job runner drives a real Spark action to completion") {
+    @volatile var rows = -1L
+    val h = JobRunner.launch("spark-count") {
+      rows = spark.range(10000).selectExpr("sum(id)").collect().head.getLong(0)
+    }
+    assert(h.await() === "SUCCEEDED")
+    assert(rows === 10000L * 9999 / 2)
+  }
+
+  // ---- S8: staging / file management ----
+
+  test("staging mirrors mkdir/test/put/ls/rm semantics on the local FS") {
+    val tmp = Files.createTempDirectory("graft-staging")
+    val src = tmp.resolve("src")
+    Files.createDirectories(src)
+    Files.write(src.resolve("data1.txt"), "a b c".getBytes)
+    Files.write(src.resolve("data2.txt"), "d e".getBytes)
+    val dest = tmp.resolve("dest/datasets").toString
+
+    assert(!Staging.exists(spark, dest))
+    assert(Staging.ensureDir(spark, dest))
+    assert(Staging.exists(spark, dest))
+
+    // idempotent prep: first call copies, second is a no-op
+    val destData = tmp.resolve("dest/wordcount").toString
+    assert(Staging.prepDataset(spark, src.toString, destData))
+    assert(!Staging.prepDataset(spark, src.toString, destData))
+    assert(Staging.list(spark, destData) === Seq("data1.txt", "data2.txt"))
+
+    // staged data is readable by the engine
+    val counts = graft.core.WordCount.wordCount(
+      graft.core.WordCount.readTextDir(spark, destData).toDF("text"), "text")
+    assert(counts.count() === 5)
+
+    assert(Staging.clear(spark, destData))
+    assert(!Staging.exists(spark, destData))
+  }
+}

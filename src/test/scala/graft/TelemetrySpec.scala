@@ -30,6 +30,27 @@ class TelemetrySpec extends AnyFunSuite {
     lines.foreach(l => assert(l.startsWith("{") && l.endsWith("}"), l))
   }
 
+  test("run summary persists as .summary.json with reference field names (O6)") {
+    val path = Files.createTempFile("telemetry-sum", ".jsonl").toString
+    val listener = new Telemetry.JsonlRunListener(path)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.range(100).selectExpr("sum(id)").collect()
+      Thread.sleep(1000) // async listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    listener.finish()
+    assert(listener.summaryPath === path.stripSuffix(".jsonl") + ".summary.json")
+    val summary = Files.readString(Paths.get(listener.summaryPath))
+    // run_fault_tests.py:392-406 summary field names
+    for (f <- Seq("app_id", "job_id", "start_time_ms", "finish_time_ms",
+        "duration_seconds", "state", "final_state", "aggregate", "events", "log_jsonl"))
+      assert(summary.contains("\"" + f + "\":"), s"missing field $f in $summary")
+    assert(summary.startsWith("{") && summary.endsWith("}"))
+    assert(summary.contains(""""final_state": "SUCCEEDED""""))
+    // events array carries the jsonl path for joining timeline to summary
+    assert(summary.contains(path))
+  }
+
   test("jsonObj escapes control characters and quotes") {
     val s = Telemetry.jsonObj("k" -> "a\"b\\c\nd\te\u0001f")
     assert(s === """{"k": "a\"b\\c\nd\te\u0001f"}""".replace("\n", "\\n").replace("\t", "\\t")

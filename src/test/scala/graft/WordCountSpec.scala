@@ -1,8 +1,10 @@
 package graft
 
+import java.nio.file.Files
 import java.util.StringTokenizer
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 import org.apache.spark.sql.functions._
@@ -44,5 +46,65 @@ class WordCountSpec extends AnyFunSuite {
     val df = Seq("b a", "B A", "c").toDF("text")
     val top = WordCount.topWords(df, "text", 10).as[(String, Long)].collect().toSeq
     assert(top === Seq(("A", 2L), ("B", 2L), ("C", 1L)))
+  }
+
+  /** Single-threaded reference count via StringTokenizer — the stock
+    * WordCount's exact tokenizer semantics — for differential testing.
+    */
+  private def referenceCounts(lines: Seq[String]): Map[String, Long] = {
+    val m = mutable.Map[String, Long]().withDefaultValue(0L)
+    for (l <- lines) {
+      val st = new StringTokenizer(l)
+      while (st.hasMoreTokens) m(st.nextToken()) += 1L
+    }
+    m.toMap
+  }
+
+  test("natural-text fixture: Spark counts match a StringTokenizer reference count") {
+    val url = getClass.getResource("/natural_corpus.txt")
+    assert(url != null, "natural_corpus.txt fixture missing from test resources")
+    val lines = scala.io.Source.fromURL(url).getLines().toSeq
+    assert(lines.size === 27)
+    val expected = referenceCounts(lines)
+    val got = WordCount.wordCount(lines.toDF("text"), "text")
+      .as[(String, Long)].collect().toMap
+    assert(got === expected)
+    // natural-text distribution sanity: a Zipf-ish head exists
+    assert(expected("the") > 20L)
+  }
+
+  test("readTextDir scans nested directories recursively (S1)") {
+    val root = Files.createTempDirectory("graft-scan")
+    Files.createDirectories(root.resolve("a/b"))
+    Files.write(root.resolve("top.txt"), "alpha beta".getBytes)
+    Files.write(root.resolve("a/mid.txt"), "beta gamma".getBytes)
+    Files.write(root.resolve("a/b/deep.txt"), "gamma delta".getBytes)
+    val counts = WordCount.wordCount(
+      WordCount.readTextDir(spark, root.toString).toDF("text"), "text")
+      .as[(String, Long)].collect().toMap
+    assert(counts === Map("alpha" -> 1L, "beta" -> 2L, "gamma" -> 2L, "delta" -> 1L))
+  }
+
+  test("writeTsv round-trips sorted word\\tcount lines and guards existing output (S2/S3)") {
+    val out = Files.createTempDirectory("graft-tsv").resolve("wc-out").toString
+    val corpus = CorpusGenerator.referenceCorpus(spark, 2, 50).toDF("text")
+    WordCount.writeTsv(WordCount.wordCount(corpus, "text"), out)
+    // round-trip: parse word\tcount back and compare with closed form
+    val back = WordCount.readTextDir(spark, out).collect()
+      .map { l => val Array(w, c) = l.split("\t"); w -> c.toLong }.toMap
+    assert(back === CorpusGenerator.expectedCounts(2, 50))
+    // file contents are sorted within each part file (range-partitioned sort)
+    val files = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    for (f <- files) {
+      val words = Files.readAllLines(f).asScala.map(_.split("\t")(0)).toSeq
+      assert(words === words.sorted, s"unsorted part file $f")
+    }
+    // S3: default mode refuses to clobber existing output
+    intercept[Exception] {
+      WordCount.writeTsv(WordCount.wordCount(corpus, "text"), out)
+    }
+    // harness-style overwrite succeeds
+    WordCount.writeTsv(WordCount.wordCount(corpus, "text"), out, overwrite = true)
   }
 }
