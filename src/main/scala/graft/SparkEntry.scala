@@ -53,6 +53,7 @@ object SparkEntry {
     "q_events_props" -> (Events.propsByType _),
     "q_events_user_gaps" -> (Events.userGaps _),
     "q_events_daily_active" -> (Events.dailyActive _),
+    "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
     // -- Dedup pack (documents) --
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents")).orderBy("doc_id")),
@@ -73,6 +74,7 @@ object SparkEntry {
     "text_fingerprint_rolling" -> ((s, d) => TextAnalysis.fingerprintRolling(Tables.load(s, d, "documents"))),
     // -- Multimodal plumbing (binary payload + stubbed decode) --
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.load(s, d, "documents"))),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.load(s, d, "documents"))),
   )
 
   // ---- generated oracle fragments (must mirror the Scala operators) ----
@@ -442,6 +444,29 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_events_sessions" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |           FROM events),
+        |s AS (SELECT user_id, ms,
+        |        SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ms, event_id) AS sess_id
+        |      FROM g),
+        |per AS (SELECT user_id, sess_id, COUNT(*) AS n_ev, MAX(ms) - MIN(ms) AS dur_ms
+        |        FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  MAX(dur_ms) AS max_session_ms
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |f AS (SELECT doc_id, text, len, 1 + len % 16 AS n_frames FROM m),
+        |s AS (SELECT doc_id, text, len, n_frames,
+        |        unnest(range(least(n_frames, 4))) AS fi FROM f)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(fi * (len // n_frames) AS INT) AS frame_off,
+        |  ord(substr(text, CAST(fi * (len // n_frames) AS INT) + 1, 1)) AS frame_sig
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

@@ -102,13 +102,24 @@ object TextAnalysis {
     (0 until 8).map(j => (0 until 7 - j).foldLeft(1L)((a, _) => a * 31L))
 
   /** Scale-path fingerprint: same winnowing shape as `fingerprint` (4
-    * smallest 8-gram hashes, sorted, joined) but the per-position hash is a
-    * polynomial Karp–Rabin-style hash — 8 integer multiply-adds over a
-    * precomputed codepoint array instead of an md5 per character position
-    * (~10^13 md5 calls at 100 TB). Codepoints are materialized once per doc
-    * so each position is O(8) array reads, not O(len) substring scans.
+    * smallest 8-gram hashes, sorted, joined) but computed by the native
+    * `RollingFingerprint` Catalyst expression — a true Karp–Rabin rolling
+    * hash, O(1) per position, zero per-row allocation, inside whole-stage
+    * codegen — instead of an md5 per character position (~10^13 md5 calls
+    * at 100 TB). Oracle SQL mirrors the polynomial hash exactly.
     */
-  def fingerprintRolling(docs: DataFrame): DataFrame = {
+  def fingerprintRolling(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Built-ins-only formulation of `fingerprintRolling` (identical output):
+    * materializes the codepoint array and all position hashes with
+    * transform/array_sort. Kept as the no-custom-code fallback and as the
+    * differential check for the native expression.
+    */
+  def fingerprintRollingBuiltins(docs: DataFrame): DataFrame = {
     val terms = RollingPows.zipWithIndex
       .map { case (p, j) => s"element_at(cs, i + $j) * ${p}L" }.mkString(" + ")
     docs

@@ -54,4 +54,39 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int, frame_sig: Int)
+
+  /** Frame sampling: up to `maxFrames` evenly-strided frames per payload.
+    * Frame count comes from the (stubbed) container decode; each sampled
+    * frame row carries its byte offset and a 1-byte signature read there —
+    * a real pipeline decodes the frame tensor at that offset instead. One
+    * input row fans out to at most `maxFrames` small rows and nothing
+    * shuffles until the output-edge sort, so the fan-out cost is linear in
+    * input bytes at any scale.
+    */
+  def frameSample(spark: SparkSession, docs: DataFrame, maxFrames: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.flatMap { case (id, payload) =>
+            val len = payload.length
+            if (len == 0) Seq.empty[Frame]
+            else {
+              val (_, _, nFrames) = decodeStub(payload)
+              val stride = len / nFrames
+              (0 until math.min(nFrames, maxFrames)).map { f =>
+                val off = f * stride
+                Frame(id, f, off, payload(off) & 0xff)
+              }
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
 }

@@ -57,6 +57,33 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Sessionization, batch form: split each user's event stream into
+    * sessions separated by more than `gapMs` of inactivity (lag -> session-
+    * start flags, running sum -> session ids — two stacked windows over ONE
+    * user_id partitioning), then per-user session stats. The session-id
+    * aggregation groups on (user_id, sess_id), which the window's
+    * hash(user_id) partitioning already satisfies — no extra shuffle.
+    * Streaming twin: graft.streaming.Sessionize (flatMapGroupsWithState).
+    */
+  def sessionize(spark: SparkSession, dir: String,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_ev"), (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(col("n_ev")).as("n_events"),
+           max(col("dur_ms")).as("max_session_ms"))
+      .orderBy("user_id")
+  }
+
   /** Daily active users + event mix: distinct agg over a time bucket. */
   def dailyActive(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization via custom keyed state
+  * (`flatMapGroupsWithState`) — the stateful-operator surface the built-in
+  * windowed aggregation cannot express: session boundaries depend on the
+  * DATA (inactivity gaps), not on fixed wall-clock buckets.
+  *
+  * Semantics match the batch twin `queries.Events.sessionize`: a session is
+  * a maximal run of a user's events with no gap above `gapMs`. A session
+  * closes either when a later event proves the gap (emitted immediately)
+  * or when the event-time watermark passes last+gap (event-time timeout).
+  * State per key is one in-flight session (start, last, count) — constant
+  * size, so 10^9 users cost ~tens of GB of state store, partitioned by the
+  * group key across executors.
+  */
+object Sessionize {
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessState(start: Long, last: Long, n: Long)
+  final case class SessionSummary(user_id: Long, n_events: Long, duration_ms: Long)
+
+  /** Append-mode session summaries over a (streaming or batch) dataset of
+    * per-user timestamped events. `watermarkDelay` bounds how late events
+    * may arrive; `gapMs` is the inactivity threshold.
+    */
+  def sessions(events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process(gapMs))
+  }
+
+  private def process(gapMs: Long)(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[SessState]): Iterator[SessionSummary] = {
+    if (state.hasTimedOut) {
+      // watermark passed last+gap with no new events: close the session
+      val s = state.get
+      state.remove()
+      Iterator.single(SessionSummary(userId, s.n, s.last - s.start))
+    } else {
+      val sorted = events.toArray.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionSummary]
+      var cur = state.getOption
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(s) if t - s.last > gapMs =>
+            closed ::= SessionSummary(userId, s.n, s.last - s.start)
+            Some(SessState(t, t, 1L))
+          case Some(s) =>
+            Some(SessState(s.start, math.max(s.last, t), s.n + 1L))
+          case None =>
+            Some(SessState(t, t, 1L))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      closed.reverse.iterator
+    }
+  }
+}

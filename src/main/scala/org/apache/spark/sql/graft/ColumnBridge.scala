@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column <-> Expression converters — the
+  * standard idiom for extension libraries that attach custom Catalyst
+  * expressions to the public DataFrame API (the converters are public at
+  * the JVM level; only Scala access control hides them outside the sql
+  * package tree).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -34,6 +34,8 @@ class EntrySpec extends AnyFunSuite {
     "q_events_daily_active" -> 30L,
     "q_events_hourly" -> 868L,
     "q_events_props" -> 5L,
+    "q_events_sessions" -> 15L,
+    "mm_frame_sample" -> 1837L,
     "q_events_user_gaps" -> 15L,
     "q_nations_both_sides" -> 10L,
     "q_priority_customers" -> 5L,

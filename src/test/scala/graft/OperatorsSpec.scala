@@ -103,4 +103,28 @@ class OperatorsSpec extends AnyFunSuite {
     val (w, h, f) = Multimodal.decodeStub("x".repeat(100).getBytes("UTF-8"))
     assert(meta === ((5L, 100, w, h, f)))
   }
+
+  test("native RollingFingerprint expression matches the built-ins formulation") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val url = getClass.getResource("/natural_corpus.txt")
+    val fixture = scala.io.Source.fromURL(url).getLines().toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val edge = Seq((9000L, "exactly8"), (9001L, "ninechars"), (9002L, "short"),
+      (9003L, "x" * 11)) // 1, 2, 0, 4 hash positions
+    for (d <- Seq(real, docs(fixture ++ edge: _*))) {
+      val native = TextAnalysis.fingerprintRolling(d).as[(Long, String)].collect().toSeq
+      val builtins = TextAnalysis.fingerprintRollingBuiltins(d).as[(Long, String)].collect().toSeq
+      assert(native === builtins)
+      assert(native.nonEmpty)
+    }
+  }
+
+  test("frame sampling strides evenly and reads the signature byte at each offset") {
+    val text = ('a' to 'z').mkString * 4 // 104 bytes -> n_frames = 1 + 104%16 = 9
+    val frames = Multimodal.frameSample(spark, docs((7L, text)))
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    val bytes = text.getBytes("UTF-8")
+    val stride = bytes.length / 9
+    assert(frames === (0 until 4).map(f => (7L, f, f * stride, bytes(f * stride) & 0xff)))
+  }
 }

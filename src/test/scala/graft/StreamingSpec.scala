@@ -5,7 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.WindowedWordCount
+import graft.streaming.{Sessionize, WindowedWordCount}
+import graft.streaming.Sessionize.{SessionEvent, SessionSummary}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -43,6 +44,38 @@ class StreamingSpec extends AnyFunSuite {
       val words = spark.table("wwc").select("word").as[String].collect().toSet
       assert(!words.contains("LATE"), "late row must be dropped by the watermark")
       assert(words.contains("ADVANCE"), "the 10:05 window closes once watermark passes 10:06")
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-proved close emits immediately, trailing session closes on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = Sessionize.sessions(input.toDS(), gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: three events inside one session (max gap 20 min < 30 min)
+      input.addData(SessionEvent(1L, ts("10:00:00")),
+        SessionEvent(1L, ts("10:20:00")), SessionEvent(1L, ts("10:25:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0, "open session must not emit")
+
+      // 12:00 event is >30 min after 10:25 -> proves the first session closed
+      input.addData(SessionEvent(1L, ts("12:00:00")))
+      q.processAllAvailable()
+      val first = spark.table("sessions").as[SessionSummary].collect().toSet
+      assert(first === Set(SessionSummary(1L, 3L, 25 * 60 * 1000L)))
+
+      // another user's far-future event advances the watermark past
+      // 12:00+30min+delay -> user 1's trailing session times out
+      input.addData(SessionEvent(2L, ts("14:00:00")))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, ts("14:00:05")))
+      q.processAllAvailable()
+      val after = spark.table("sessions").as[SessionSummary].collect().toSet
+      assert(after.contains(SessionSummary(1L, 1L, 0L)),
+        s"trailing single-event session should time out; got $after")
     } finally q.stop()
   }
 
