@@ -90,19 +90,29 @@ object SparkEntry {
       |  list_transform(generate_series(1, length(tokens) - 2), i -> array_to_string(tokens[i:i+2], ' ')) AS shingles
       |  FROM tok WHERE length(tokens) >= 3)""".stripMargin
 
+  // Mirrors Dedup.minhashSignatures: per-shingle base hash via the same
+  // polynomial fold PolyHash computes, then the affine minhash family.
+  private val M = graft.functions.PolyHash.Mod
+
   private val sigCte = {
     val ms = (0 until 16)
-      .map(i => s"    list_min(list_transform(shingles, s -> md5('$i' || '|' || s))) AS m$i")
+      .map(i => s"    list_min(list_transform(hs, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % $M)) AS m$i")
       .mkString(",\n")
     shCte + s""",
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % $M)) AS hs
+      |  FROM sh),
       |sig AS (SELECT doc_id,
       |$ms
-      |  FROM sh)""".stripMargin
+      |  FROM hs)""".stripMargin
   }
 
   private val bandSelects = (0 until 4).map { b =>
-    val parts = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")
-    s"md5($parts) AS band$b"
+    val fold = (b * 4 until b * 4 + 4)
+      .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + m$i) % $M")
+    s"$fold AS band$b"
   }
 
   private val minhashSigSql =
@@ -115,8 +125,9 @@ object SparkEntry {
     */
   private val bandsCte = {
     val bandRows = (0 until 4).map { b =>
-      val parts = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sig"
+      val fold = (b * 4 until b * 4 + 4)
+        .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + m$i) % $M")
+      s"SELECT doc_id, $b AS band_idx, $fold AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""bands AS (
        |  SELECT * FROM ($bandRows)

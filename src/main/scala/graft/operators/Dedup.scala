@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.WordCount
+import graft.functions.PolyHash
 
 /** Document deduplication operators for large-scale training-data pipelines:
   * exact (hash), MinHash+LSH banding, SimHash, and blocked n-gram Jaccard.
@@ -39,23 +40,38 @@ object Dedup {
       .withColumn("shingles",
         expr(s"transform(sequence(1, size(tokens) - ${n - 1}), i -> concat_ws(' ', slice(tokens, i, $n)))"))
 
-  /** MinHash signatures over word 3-gram shingles, banded for LSH.
-    * k hash functions h_i(s) = md5(i || '|' || s); signature element i is
-    * the min over shingles; `bands` band buckets of k/bands rows each are
-    * md5-compressed. Docs sharing any band bucket are near-dup candidates.
+  /** Affine-family multiplier/offset for minhash function i (odd multiplier
+    * -> universal-ish family; all arithmetic stays under 2^37 so both
+    * engines compute it exactly in int64).
+    */
+  def hashA(i: Int): Long = 2L * i + 1
+  def hashB(i: Int): Long = (i.toLong * 1000003L) % PolyHash.Mod
+
+  /** MinHash signatures over word 3-gram shingles, banded for LSH, using
+    * the standard one-base-hash + affine-family construction: each shingle
+    * is hashed ONCE with the native `PolyHash` expression (one string pass,
+    * no allocation), then h_i(s) = (a_i*H(s) + b_i) mod 2^31-1 gives the k
+    * functions as integer folds over the cached hash array — versus k
+    * separate md5 calls per shingle (the r1 design, ~6s of the bench at
+    * sf0.1 and ~10^14 md5 calls at 100 TB). The identical arithmetic runs
+    * in the SQL oracle via list_reduce, so parity is preserved.
     *
     * Returns UNSORTED rows — ordering belongs at the output edge only
     * (query-surface wrappers add it); a mid-pipeline global sort would
     * insert a needless range-partition exchange under downstream joins.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    val M = PolyHash.Mod
     val sigCols = (0 until k).map(i =>
-      expr(s"array_min(transform(shingles, s -> md5(concat('$i', '|', s))))").as(s"m$i"))
-    val sig = withShingles(docs).select((col("doc_id") +: sigCols): _*)
+      expr(s"array_min(transform(hs, h -> (${hashA(i)} * h + ${hashB(i)}) % $M))").as(s"m$i"))
+    val sig = withShingles(docs)
+      .withColumn("hs", expr("transform(shingles, s -> graft_poly_hash(s))"))
+      .select((col("doc_id") +: sigCols): _*)
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       val parts = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
-      md5(concat_ws("|", parts: _*)).as(s"band$b")
+      parts.foldLeft(lit(0L))((acc, m) => (acc * 31 + m) % M).as(s"band$b")
     }
     sig.select((col("doc_id") +: bandCols): _*)
   }

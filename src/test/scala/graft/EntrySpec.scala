@@ -18,9 +18,9 @@ class EntrySpec extends AnyFunSuite {
     "ann_lsh_topk" -> 17L,
     "ann_topk" -> 25L,
     "dedup_exact" -> 500L,
-    "dedup_minhash_pairs" -> 28L,
+    "dedup_minhash_pairs" -> 30L,
     "dedup_minhash_sig" -> 500L,
-    "dedup_ngram_jaccard" -> 28L,
+    "dedup_ngram_jaccard" -> 30L,
     "dedup_simhash" -> 500L,
     "emb_top_pairs" -> 100L,
     "mm_media_meta" -> 500L,
