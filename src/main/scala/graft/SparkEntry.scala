@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.WordCount
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 import graft.queries.{Events, Relational}
 import graft.streaming.WindowedWordCount
 
@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.load(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.load(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"))),
     // -- Similarity search (embeddings) --
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"))),
@@ -66,6 +67,8 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"))),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.multiProbeTopK(Tables.load(s, d, "embeddings"))),
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
+    "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
+    "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
     // -- Text analysis (documents) --
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
@@ -145,21 +148,40 @@ object SparkEntry {
        |$bandsCte
        |$candPairsSelect ORDER BY doc_a, doc_b""".stripMargin
 
-  private val simhashSql = {
+  private val simCte = {
     val sums = (0 until 16)
       .map(b => s"    SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
       .mkString(",\n")
     val bits = (0 until 16)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH $tokCte,
+    s"""$tokCte,
        |tk AS (SELECT doc_id, unnest(tokens) AS tok FROM tok),
        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS INT) AS h FROM tk),
        |s AS (SELECT doc_id,
        |$sums
-       |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($bits AS INT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+       |  FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($bits AS INT) AS simhash FROM s)""".stripMargin
   }
+
+  private val simhashSql =
+    s"""WITH $simCte
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  // Mirrors Dedup.simhashPairs: 4-nibble banding + xor/popcount verify.
+  private val simhashPairsSql =
+    s"""WITH $simCte,
+       |bands AS (SELECT doc_id, simhash, CAST(t.b AS INT) AS band_idx,
+       |    (simhash >> (4 * t.b)) & 15 AS nib
+       |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS b) t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+       |  COUNT(*) AS n_shared_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.nib = b.nib AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2, 3
+       |HAVING hamming <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // MinHash candidates -> exact-Jaccard verify, mirroring Dedup.ngramJaccardPairs.
   private val ngramJaccardSql =
@@ -237,6 +259,16 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  // Mirrors Similarity.embeddingNearDupPairs: LSH-bucket candidates + cosine verify.
+  private val embNearDupSql =
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, v, nrm, CAST($bucketExpr AS INT) AS bucket FROM n)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val embTopPairsSql =
     s"""WITH $normCte,
        |f AS (SELECT * FROM n WHERE vec_id < 2000),
@@ -283,6 +315,42 @@ object SparkEntry {
        |    + (1.0 - least(1.0, (CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 10.0)) * 0.3
        |    + least(1.0, (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)) * 5.0) * 0.3 AS quality
        |FROM m ORDER BY doc_id""".stripMargin
+
+  // Mirrors operators.Curation.curate: lang + quality signals on one token
+  // pass, exact-dedup keeper semi-filter, en-only, quality >= 0.5.
+  private val curationSql =
+    s"""WITH $tokCte,
+       |ls AS (SELECT doc_id,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS s_en,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("es")}, t))) AS s_es,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("fr")}, t))) AS s_fr,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("de")}, t))) AS s_de
+       |  FROM tok),
+       |lp AS (SELECT doc_id,
+       |  CASE WHEN s_en > 0 AND s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+       |       WHEN s_es > 0 AND s_es >= greatest(s_fr, s_de) THEN 'es'
+       |       WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+       |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred_lang
+       |  FROM ls),
+       |j AS (SELECT d.doc_id, d.text, t.tokens FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
+       |m AS (SELECT doc_id,
+       |  length(tokens) AS n_tokens,
+       |  length(text) AS n_chars_txt,
+       |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+       |  length(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS stop_cnt
+       |  FROM j),
+       |q AS (SELECT doc_id,
+       |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+       |    + (1.0 - least(1.0, (CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 10.0)) * 0.3
+       |    + least(1.0, (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)) * 5.0) * 0.3 AS quality
+       |  FROM m),
+       |keeps AS (SELECT MIN(doc_id) AS keep_id FROM documents
+       |          GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+       |SELECT q.doc_id, lp.pred_lang, q.quality
+       |FROM q JOIN lp ON q.doc_id = lp.doc_id
+       |WHERE q.quality >= 0.5 AND lp.pred_lang = 'en'
+       |  AND q.doc_id IN (SELECT keep_id FROM keeps)
+       |ORDER BY q.doc_id""".stripMargin
 
   private val tokenStatsSql =
     s"""WITH $tokCte
@@ -485,6 +553,9 @@ object SparkEntry {
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_embedding" -> embNearDupSql,
+    "pipeline_curation" -> curationSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh_buckets" -> lshBucketsSql,

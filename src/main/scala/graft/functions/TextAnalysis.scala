@@ -24,12 +24,13 @@ object TextAnalysis {
     expr(s"size(filter(tokens, t -> array_contains(array($set), t)))")
   }
 
-  /** n-gram/stopword-hit language ID. Deterministic argmax with a fixed
-    * preference order (en, es, fr, de) and 'und' when nothing matches.
+  /** Add language-ID signal columns (s_en..s_de, pred_lang) to a frame
+    * that already carries a `tokens` array column. Pure per-row
+    * expressions — composable with other signal stages on ONE scan
+    * (see operators.Curation).
     */
-  def langId(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("tokens", WordCount.tokens(col("text")))
+  def withLangSignals(df: DataFrame): DataFrame =
+    df
       .withColumn("s_en", stopHits("en").cast("long"))
       .withColumn("s_es", stopHits("es").cast("long"))
       .withColumn("s_fr", stopHits("fr").cast("long"))
@@ -40,16 +41,20 @@ object TextAnalysis {
           .when(col("s_fr") > 0 && col("s_fr") >= col("s_de"), "fr")
           .when(col("s_de") > 0, "de")
           .otherwise("und"))
+
+  /** n-gram/stopword-hit language ID. Deterministic argmax with a fixed
+    * preference order (en, es, fr, de) and 'und' when nothing matches.
+    */
+  def langId(docs: DataFrame): DataFrame =
+    withLangSignals(docs.withColumn("tokens", WordCount.tokens(col("text"))))
       .select("doc_id", "s_en", "s_es", "s_fr", "s_de", "pred_lang")
       .orderBy("doc_id")
 
-  /** Quality scoring: length/punctuation/stopword signals combined into a
-    * [0,1] score. All ratios are exact-int divisions -> deterministic
-    * doubles in any engine.
+  /** Add quality signal columns (n_tokens .. quality) to a frame carrying
+    * `text` + `tokens`. Per-row only, like `withLangSignals`.
     */
-  def qualityScore(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("tokens", WordCount.tokens(col("text")))
+  def withQualitySignals(df: DataFrame): DataFrame =
+    df
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
       .withColumn("n_chars_txt", length(col("text")))
       .withColumn("punct_cnt",
@@ -67,6 +72,13 @@ object TextAnalysis {
         least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.4 +
         (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)) * 0.3 +
         least(lit(1.0), col("stop_ratio") * 5.0) * 0.3)
+
+  /** Quality scoring: length/punctuation/stopword signals combined into a
+    * [0,1] score. All ratios are exact-int divisions -> deterministic
+    * doubles in any engine.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQualitySignals(docs.withColumn("tokens", WordCount.tokens(col("text"))))
       .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "digit_ratio",
         "stop_ratio", "quality")
       .orderBy("doc_id")

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.WordCount
+import graft.functions.TextAnalysis
+
+/** End-to-end training-data curation pipeline: the composition the
+  * individual operators exist for. Keep a document iff
+  *   (1) quality score clears a threshold,
+  *   (2) predicted language is in the allow-list,
+  *   (3) it is the canonical representative of its exact-dup group.
+  *
+  * Plan shape at scale: signals (1) and (2) are pure per-row expressions
+  * stacked on ONE scan of documents (withLangSignals/withQualitySignals
+  * compose on the same `tokens` column — no join between signal stages);
+  * exact dedup is one hash aggregation; membership is a left-semi join on
+  * doc_id. Total: one scan + one aggregation + one semi join, all keyed so
+  * AQE can broadcast the (much smaller) keeper set when it fits.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en")): DataFrame = {
+    val signals = TextAnalysis.withQualitySignals(
+      TextAnalysis.withLangSignals(
+        docs.withColumn("tokens", WordCount.tokens(col("text")))))
+    val keepers = Dedup.exactRaw(docs).select(col("keep_id").as("doc_id"))
+    signals
+      .filter(col("quality") >= minQuality && col("pred_lang").isin(langs: _*))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id", "pred_lang", "quality")
+      .orderBy("doc_id")
+  }
+}

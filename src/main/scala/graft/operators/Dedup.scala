@@ -13,11 +13,10 @@ import graft.functions.PolyHash
   * Scale design (100 TB): every operator here is shuffle-bounded by design —
   * exact dedup is one hash-partitioned aggregation; MinHash candidate
   * generation joins on (band_idx, band_hash), i.e. only near-duplicates
-  * co-locate; n-gram Jaccard uses blocking keys (source, length bucket) so
-  * the quadratic verify step runs inside small buckets instead of a global
-  * cross join. Hash functions are md5-based so results are verifiable
-  * against a SQL oracle; swap in xxhash64 for ~4x cheaper signatures when
-  * oracle parity is not needed.
+  * co-locate; n-gram Jaccard and SimHash pairing verify exact similarity
+  * only on banded candidates, never all pairs. Hash functions are either
+  * engine-portable integer arithmetic (PolyHash family) or md5 — both
+  * reproducible in the SQL oracle.
   */
 object Dedup {
 
@@ -26,12 +25,18 @@ object Dedup {
     * and duplicate count. Single hash aggregation; fully distributed.
     */
   def exact(docs: DataFrame): DataFrame =
+    exactRaw(docs).orderBy("norm_hash")
+
+  /** `exact` without the output-edge sort — for composition under joins
+    * (operators.Curation), where a mid-pipeline global sort would insert a
+    * useless range exchange.
+    */
+  def exactRaw(docs: DataFrame): DataFrame =
     docs
       .withColumn("norm_hash",
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       .groupBy("norm_hash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-      .orderBy("norm_hash")
 
   private def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
@@ -109,7 +114,7 @@ object Dedup {
     val ex = minhashBandBuckets(docs, k, bands)
     // Self-join as a shuffle join, NOT broadcast: both sides then hash-
     // partition on (band_idx, band_hash) — the exact exchange the window
-    // cap already created — so ReusedExchange computes the md5 signature
+    // cap already created — so ReusedExchange computes the signature
     // pipeline once for both sides. A broadcast join would re-run the
     // full signature scan to build the broadcast side (2x the bench cost)
     // and would not survive a 100 TB corpus anyway.
@@ -129,7 +134,7 @@ object Dedup {
     * the per-bit sum forms the fingerprint. One explode + one aggregation —
     * linear, no pairwise work.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  private def simhashRaw(docs: DataFrame): DataFrame = {
     val ex = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
@@ -139,7 +144,40 @@ object Dedup {
     val sim = (0 until 16)
       .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
       .reduce(_ + _)
-    agg.select(col("doc_id"), sim.cast("int").as("simhash")).orderBy("doc_id")
+    agg.select(col("doc_id"), sim.cast("int").as("simhash"))
+  }
+
+  def simhash(docs: DataFrame): DataFrame =
+    simhashRaw(docs).orderBy("doc_id")
+
+  /** SimHash near-dup pairs by banded Hamming search: the 16-bit
+    * fingerprint splits into 4 nibbles; by pigeonhole, any pair within
+    * Hamming distance 3 shares at least one intact nibble, so the
+    * (band_idx, nibble) equi-join finds ALL pairs within `maxHamming` <= 3
+    * without an O(n^2) scan — the same candidate-generation -> verify split
+    * as MinHash, with the verify being one xor+popcount. Same shuffle-join/
+    * exchange-reuse shape as `minhashCandidatePairs`. Default threshold 1
+    * keeps "near-dup" strict for a 16-bit fingerprint (3 of 16 bits differing
+    * is already a weak match).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
+    val bandArr = array((0 until 4).map(b =>
+      shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15))): _*)
+    val ex = simhashRaw(docs)
+      .select(col("doc_id"), col("simhash"), posexplode(bandArr).as(Seq("band_idx", "nib")))
+    val a = ex.alias("a")
+    val b = ex.hint("shuffle_hash").alias("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.nib") === col("b.nib") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .groupBy("doc_a", "doc_b", "hamming")
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard verify over MinHash candidate pairs: candidates

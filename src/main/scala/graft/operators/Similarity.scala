@@ -130,6 +130,26 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding
+    * operator: candidate pairs come from LSH bucket equality (the linear
+    * partitioning step), the cosine threshold is the verify. At scale the
+    * pair blowup is bounded by bucket size, which `nPlanes` controls
+    * (see `NumPlanes` doc for sizing); no all-pairs scan ever happens.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.3,
+      nPlanes: Int = NumPlanes): DataFrame = {
+    val wb = withBuckets(emb, nPlanes)
+    val a = wb.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = wb.hint("shuffle_hash").select(col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot("va", "vb") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-dup audit: top pairs per label over a bounded
     * id sample (both ids < sampleCap keeps the pairwise audit O(cap^2)
     * regardless of table size; full-scale dedup goes through lshBuckets).

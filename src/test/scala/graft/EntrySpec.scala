@@ -22,6 +22,9 @@ class EntrySpec extends AnyFunSuite {
     "dedup_minhash_sig" -> 500L,
     "dedup_ngram_jaccard" -> 30L,
     "dedup_simhash" -> 500L,
+    "dedup_simhash_pairs" -> 1537L,
+    "dedup_embedding" -> 35L,
+    "pipeline_curation" -> 466L,
     "emb_top_pairs" -> 100L,
     "mm_media_meta" -> 500L,
     "q1_pricing_summary" -> 6L,
