@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Salting
+
+/** Scale-mechanics regression tests: the partitioning/shuffle behaviors the
+  * 100 TB design depends on, asserted against real plans on small data.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the join: no shuffle exchange between scans and join") {
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    try {
+      orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_bucketed")
+      lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_bucketed")
+      // merge hint: at sf0.001 the planner would broadcast instead (and
+      // skip the bucketed scan entirely); at real scale the join IS a
+      // sort-merge join, which is what the bucketing must de-shuffle.
+      val joined = spark.table("lineitem_bucketed").hint("merge")
+        .join(spark.table("orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_custkey", "l_quantity")
+      val rows = joined.collect()
+      assert(rows.length === lineitem.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle, plan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join over bucketed scans, plan:\n$plan")
+      // bucket pruning metadata visible on the scan
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+    }
+  }
+
+  test("salted join returns exactly the plain join's result") {
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+      .withColumnRenamed("n_nationkey", "c_nationkey")
+    val plain = customer.join(nation, Seq("c_nationkey"))
+      .groupBy("n_name").count().as[(String, Long)].collect().toMap
+    val salted = Salting.saltedEquiJoin(customer, nation, "c_nationkey", factor = 8)
+      .groupBy("n_name").count().as[(String, Long)].collect().toMap
+    assert(salted === plain)
+    assert(salted.values.sum === customer.count())
+  }
+
+  test("salted join spreads a pathologically hot key across salt partitions") {
+    // one key carries 10k rows; factor 8 must split it into >1 task group
+    val hot = spark.range(10000).select(lit(7L).as("k"), col("id"))
+    val dim = Seq((7L, "seven")).toDF("k", "v")
+    val out = Salting.saltedEquiJoin(hot, dim, "k", factor = 8)
+    assert(out.count() === 10000L)
+    // the salt column spread rows across all 8 sub-keys before the join
+    val saltSpread = hot
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .groupBy("__salt").count().collect()
+    assert(saltSpread.length === 8)
+  }
+}

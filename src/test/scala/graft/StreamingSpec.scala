@@ -79,6 +79,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file source end-to-end: arriving files stream through the windowed plan with checkpoint") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-stream-in")
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes)
+
+    writeFile("f1.txt", Seq("2024-01-01 10:00:10,hello world", "2024-01-01 10:00:50,world"))
+    val raw = spark.readStream.text(dir.toString)
+    val parsed = raw.select(
+      org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("value"), 1, 19)).as("timestamp"),
+      org.apache.spark.sql.functions.expr("substring(value, 21)").as("value"))
+    val q = WindowedWordCount.transform(parsed)
+      .writeStream.format("memory").queryName("filewwc")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("filewwc").count() === 0, "no window closed yet")
+      // a later file advances the watermark past the 10:00 window
+      writeFile("f2.txt", Seq("2024-01-01 10:05:00,flush"))
+      q.processAllAvailable()
+      val emitted = spark.table("filewwc")
+        .selectExpr("word", "count").as[(String, Long)].collect().toSet
+      assert(emitted === Set(("HELLO", 1L), ("WORLD", 2L)))
+    } finally q.stop()
+  }
+
   test("JSON output shape matches the reference's (window, word, count) record") {
     val batch = Seq((ts("10:00:10"), "abc"))
       .toDF("timestamp", "value")
