@@ -47,6 +47,7 @@ object SparkEntry {
     "q_big_spenders" -> (Relational.qBigSpenders _),
     "q_priority_customers" -> (Relational.qPriorityCustomers _),
     "q_rollup_returns" -> (Relational.qRollupReturns _),
+    "q_cube_returns" -> (Relational.qCubeReturns _),
     "q_nations_both_sides" -> (Relational.qNationsBothSides _),
     // -- Events (stream-shaped table) --
     "q_events_hourly" -> (Events.hourlyByType _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.load(s, d, "embeddings"))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"))),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.multiProbeTopK(Tables.load(s, d, "embeddings"))),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"))),
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
@@ -268,6 +270,28 @@ object SparkEntry {
        |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  // Mirrors Similarity.ivfTopK: deterministic centroids, argmin cell
+  // assignment, top-2 probe on the query side.
+  private val ivfTopkSql = {
+    def cexpr(j: Int) =
+      s"list_transform(generate_series(0, 63), d -> ((7 * $j + 13 * d) % 21 - 10) / 4.0)"
+    val scoreList = (0 until 16).map { j =>
+      s"${Similarity.centroidNorm2(j)} - 2 * list_inner_product(v, ${cexpr(j)})"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH $normCte,
+       |sc AS (SELECT vec_id, v, nrm, $scoreList AS scores FROM n),
+       |wb AS (SELECT vec_id, v, nrm, scores,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |        unnest([cell, CAST(list_position(scores, list_sort(scores)[2]) AS INT)]) AS probe
+       |      FROM wb WHERE vec_id < 5),
+       |s AS (SELECT q.q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+       |      FROM q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
 
   private val embTopPairsSql =
     s"""WITH $normCte,
@@ -494,6 +518,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_cube_returns" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q_nations_both_sides" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT
@@ -561,6 +593,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> lshBucketsSql,
     "ann_lsh_topk" -> lshTopkSql,
     "ann_lsh_multiprobe" -> multiProbeSql,
+    "ann_ivf_topk" -> ivfTopkSql,
     "emb_top_pairs" -> embTopPairsSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,

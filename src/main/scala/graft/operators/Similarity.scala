@@ -16,9 +16,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(u, v) as a sequential double fold (deterministic order). */
+  /** dot(u, v) — native codegen expression, strict sequential fold
+    * (deterministic order, identical to the built-in aggregate/zip_with
+    * spelling and DuckDB's list_inner_product).
+    */
   private def dot(u: String, v: String): Column =
-    expr(s"aggregate(zip_with($u, $v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    graft.functions.VectorDot(col(u), col(v))
 
   /** Vectors with precomputed L2 norm, embeddings cast to double. */
   private def withNorm(emb: DataFrame): DataFrame =
@@ -55,15 +58,18 @@ object Similarity {
 
   /** Deterministic integer hyperplane i: h_i[d] = (31*i + 17*d) % 13 - 6.
     * Integer-derived components make the projection exactly reproducible in
-    * any engine (no platform-dependent trig/PRNG).
+    * any engine (no platform-dependent trig/PRNG). Built as an array of
+    * literals so ConstantFolding collapses it to one constant array at plan
+    * time (a transform-over-sequence spelling re-evaluates per row — HOFs
+    * are not constant-folded).
     */
-  private def planeExpr(i: Int): String =
-    s"transform(sequence(0, 63), d -> cast((31 * $i + 17 * d) % 13 - 6 as double))"
+  private def planeCol(i: Int): Column =
+    array((0 until 64).map(d => lit(((31 * i + 17 * d) % 13 - 6).toDouble)): _*)
 
   /** Sign-bit bucket column over `v` for the given number of hyperplanes. */
   private def bucketCol(nPlanes: Int): Column =
     (0 until nPlanes)
-      .map(i => when(expr(s"aggregate(zip_with(v, ${planeExpr(i)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+      .map(i => when(graft.functions.VectorDot(col("v"), planeCol(i)) > 0,
         lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
       .cast("int")
@@ -128,6 +134,57 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "n_id", "cos")
       .orderBy("q_id", "rnk")
+  }
+
+  /** Deterministic IVF centroid j over 64 dims:
+    * c_j[d] = ((7j + 13d) % 21 - 10) / 4 — integer-derived doubles,
+    * exactly reproducible in any engine (same rationale as `planeCol`).
+    */
+  private def centroidCol(j: Int): Column =
+    array((0 until 64).map(d => lit(((7 * j + 13 * d) % 21 - 10) / 4.0)): _*)
+
+  /** |c_j|^2 precomputed host-side with the same sequential fold both
+    * engines would use (higher-order-function expressions are NOT constant-
+    * folded by Catalyst, so leaving it symbolic costs a 64-term fold per
+    * row per centroid). The literal round-trips to the identical double in
+    * Spark and DuckDB, preserving oracle parity.
+    */
+  def centroidNorm2(j: Int): Double =
+    (0 until 64).map(d => ((7 * j + 13 * d) % 21 - 10) / 4.0)
+      .foldLeft(0.0)((acc, x) => acc + x * x)
+
+  /** Negated-score for nearest-centroid assignment: dist_j ∝ |c_j|^2 - 2<v,c_j>
+    * (the |v|^2 term is constant per row and drops out of the argmin).
+    */
+  private def ivfScore(j: Int): Column =
+    lit(centroidNorm2(j)) -
+      lit(2.0) * graft.functions.VectorDot(col("v"), centroidCol(j))
+
+  /** IVF-style ANN — the coarse-quantizer alternative to LSH: vectors are
+    * assigned to their nearest of `nCentroids` fixed centroids (one linear
+    * scan; the cell id is the partitioning key), queries probe their
+    * `nProbe` nearest cells. Versus LSH, cells follow the data's coarse
+    * geometry instead of random cuts; at scale the centroids come from a
+    * sampled k-means fit, and cell count scales with n just like planes
+    * do (see `NumPlanes`). Probing 2 cells ~doubles recall at the
+    * boundary for 2x query-side fan-out — the corpus side still shuffles
+    * once on `cell`.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCentroids: Int = 16): DataFrame = {
+    val scores = array((0 until nCentroids).map(ivfScore): _*)
+    val wb = withNorm(emb)
+      .withColumn("scores", scores)
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+    val q = wb.filter(col("vec_id") < nQueries)
+      // probe the nearest and second-nearest cell (top-2 argmin)
+      .withColumn("probe", explode(array(
+        col("cell"),
+        expr("cast(array_position(scores, element_at(array_sort(scores), 2)) as int)"))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
+    val cc = wb.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"),
+      col("cell").as("n_cell"))
+    rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding

@@ -203,6 +203,21 @@ object Relational {
         col("n_items"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
+  /** Full grouping-sets lattice (CUBE): every (returnflag x linestatus)
+    * combination incl. both partial totals — one pass, Spark expands the
+    * grouping sets before the partial aggregate so the shuffle still
+    * carries pre-aggregated rows.
+    */
+  def qCubeReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"), sum2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
   /** Set operation: nations present among BOTH customers and suppliers. */
   def qNationsBothSides(spark: SparkSession, dir: String): DataFrame = {
     val cn = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))

@@ -15,6 +15,8 @@ class EntrySpec extends AnyFunSuite {
   private val expectedRows = Map(
     "ann_lsh_buckets" -> 500L,
     "ann_lsh_multiprobe" -> 13L,
+    "ann_ivf_topk" -> 25L,
+    "q_cube_returns" -> 12L,
     "ann_lsh_topk" -> 17L,
     "ann_topk" -> 25L,
     "dedup_exact" -> 500L,
