@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{PolyHash, RollingFingerprint, VectorDot}
+
+/** Direct unit tests of the native expressions' compute kernels (the same
+  * code both the interpreted eval path and generated code dispatch to),
+  * pinned against independently computed values.
+  */
+class FunctionsSpec extends AnyFunSuite {
+
+  test("PolyHash matches the DuckDB list_reduce fold on a known string") {
+    // SELECT list_reduce(list_prepend(0::BIGINT, [codepoints of 'hello world']),
+    //   (h, c) -> (h*31 + c) % 2147483647)  => 1835087470
+    assert(PolyHash.compute(UTF8String.fromString("hello world")) === 1835087470L)
+    assert(PolyHash.compute(UTF8String.fromString("")) === 0L)
+    // single char: the codepoint itself
+    assert(PolyHash.compute(UTF8String.fromString("a")) === 'a'.toLong)
+    // stays inside [0, 2^31-1) for long input
+    val big = PolyHash.compute(UTF8String.fromString("x" * 10000))
+    assert(big >= 0L && big < PolyHash.Mod)
+  }
+
+  test("RollingFingerprint matches a direct polynomial computation") {
+    def direct(s: String): String = {
+      val pows = (0 until 8).map(j => (0 until 7 - j).foldLeft(1L)((a, _) => a * 31L))
+      val hashes = (0 to s.length - 8).map { i =>
+        (0 until 8).map(j => s.charAt(i + j).toLong * pows(j)).sum
+      }
+      hashes.sorted.take(4).mkString("|")
+    }
+    for (s <- Seq("exactly8", "ninechars", "the quick brown fox", "aaaaaaaaaa")) {
+      assert(RollingFingerprint.compute(UTF8String.fromString(s)).toString === direct(s), s)
+    }
+    assert(RollingFingerprint.compute(UTF8String.fromString("short")).toString === "")
+  }
+
+  test("VectorDot is the strict sequential fold") {
+    def arr(xs: Double*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    assert(VectorDot.compute(arr(1, 2, 3), arr(4, 5, 6)) === 32.0)
+    assert(VectorDot.compute(arr(), arr()) === 0.0)
+    // non-associative float order: ((a+b)+c), not a pairwise tree
+    val u = arr(1e16, 1.0, -1e16)
+    val v = arr(1.0, 1.0, 1.0)
+    assert(VectorDot.compute(u, v) === ((1e16 + 1.0) + -1e16))
+  }
+
+  test("native expressions evaluate identically through the SQL engine") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // whole-stage codegen path (DataFrame) vs direct kernel call
+    val strs = Seq("hello world", "the miller taps them off", "abc def ghi jkl")
+    val viaSql = strs.toDF("s").select(PolyHash(col("s"))).as[Long].collect().toSeq
+    assert(viaSql === strs.map(s => PolyHash.compute(UTF8String.fromString(s))))
+  }
+}

@@ -43,6 +43,21 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned parquet sink prunes partitions on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").resolve("docs").toString
+    Tables.load(spark, dir, "documents")
+      .write.partitionBy("lang").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the lang filter must land in PartitionFilters (pruned at file listing),
+    // not as a post-scan Filter over all partitions
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter not pushed:\n$plan")
+    val expected = Tables.load(spark, dir, "documents")
+      .filter(col("lang") === "en").count()
+    assert(pruned.count() === expected)
+  }
+
   test("salted join returns exactly the plain join's result") {
     val customer = Tables.load(spark, dir, "customer")
     val nation = Tables.load(spark, dir, "nation")
