@@ -1,0 +1,32 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Dev-only: sweep every SparkEntry query's optimized physical plan for
+  * scale anti-patterns (cartesian products, unintended nested-loop joins,
+  * scans that read all columns).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "false") // static plans show codegen spans
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CARTESIAN" -> plan.contains("CartesianProduct"),
+          "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
+          "FULLSCAN-DOC" -> (plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>")),
+          "FULLSCAN-LI" -> plan.contains("l_comment"),
+          "NO-CODEGEN" -> !plan.contains("*(")
+        ).filter(_._2).map(_._1)
+        println(f"$name%-28s ${if (flags.isEmpty) "ok" else flags.mkString(",")}")
+      } catch { case e: Throwable => println(f"$name%-28s ERROR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}

@@ -51,6 +51,29 @@ class TelemetrySpec extends AnyFunSuite {
     assert(summary.contains(path))
   }
 
+  test("streaming listener writes start/sample/stop records (O4 streaming)") {
+    val path = Files.createTempFile("telemetry-stream", ".jsonl").toString
+    val listener = new Telemetry.JsonlStreamingListener(path)
+    spark.streams.addListener(listener)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val q = input.toDF().writeStream.format("memory")
+        .queryName("tele_stream").start()
+      input.addData("a", "b")
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+      Thread.sleep(1000) // async listener bus drain
+    } finally spark.streams.removeListener(listener)
+    val lines = Files.readAllLines(Paths.get(path)).asScala.filter(_.nonEmpty)
+    assert(lines.exists(_.contains(""""event": "start"""")), lines.mkString("\n"))
+    assert(lines.exists(l => l.contains(""""type": "sample"""") &&
+      l.contains(""""state": "RUNNING"""")), lines.mkString("\n"))
+    assert(lines.exists(_.contains(""""event": "stop"""")), lines.mkString("\n"))
+  }
+
   test("jsonObj escapes control characters and quotes") {
     val s = Telemetry.jsonObj("k" -> "a\"b\\c\nd\te\u0001f")
     assert(s === """{"k": "a\"b\\c\nd\te\u0001f"}""".replace("\n", "\\n").replace("\t", "\\t")
