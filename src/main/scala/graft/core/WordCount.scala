@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object WordCount {
 
-  /** StringTokenizer-equivalent tokenization: split on whitespace runs and
-    * drop empty tokens (SURVEY §2.2 P1/P3). `filter` on the array avoids
-    * exploding empty tokens at all — they never reach the shuffle.
+  /** StringTokenizer-equivalent tokenization: maximal non-whitespace runs
+    * (SURVEY §2.2 P1/P3), via the native single-pass byte-scan expression
+    * (graft.functions.WhitespaceTokens) — semantically identical to
+    * `filter(split(text, "\\s+"), t -> length(t) > 0)` but with no regex
+    * engine and no empty tokens ever materialized; differential-tested
+    * against java.util.StringTokenizer and the split-based spelling.
     */
   def tokens(text: Column): Column =
+    graft.functions.WhitespaceTokens(text)
+
+  /** The built-ins-only spelling of `tokens` (identical output), kept as
+    * the no-custom-code fallback and differential check.
+    */
+  def tokensBuiltins(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** word -> count over a text column; sorted by word to match the

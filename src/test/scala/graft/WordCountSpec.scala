@@ -42,6 +42,17 @@ class WordCountSpec extends AnyFunSuite {
     }
   }
 
+  test("native tokenizer matches the split-based spelling incl. vertical tab") {
+    val rnd = new Random(7)
+    val alphabet = "xy \t\n\u000b\f\r z"
+    val samples = Seq("", " ", "", "ab", " a ", "a  b\tc\nd") ++
+      (1 to 300).map(_ => (1 to rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = samples.toDF("text")
+    val native = df.select(WordCount.tokens(col("text"))).as[Seq[String]].collect().toSeq
+    val builtins = df.select(WordCount.tokensBuiltins(col("text"))).as[Seq[String]].collect().toSeq
+    assert(native === builtins)
+  }
+
   test("topWords uppercases and tie-breaks by word after count desc") {
     val df = Seq("b a", "B A", "c").toDF("text")
     val top = WordCount.topWords(df, "text", 10).as[(String, Long)].collect().toSeq
