@@ -34,6 +34,8 @@ object SparkEntry {
     // (the reference's windowed pipeline, docs/README.md:257).
     "wordcount_windowed" -> ((s, d) => WindowedWordCount.windowedCounts(
       Tables.load(s, d, "events").selectExpr("event_type AS value", "ts AS timestamp"))),
+    "wordcount_windowed_sliding" -> ((s, d) => WindowedWordCount.slidingCounts(
+      Tables.load(s, d, "events").selectExpr("event_type AS value", "ts AS timestamp"))),
     // -- Relational pack (star schema) --
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q6_revenue_filter" -> (Relational.q6RevenueFilter _),
@@ -55,6 +57,7 @@ object SparkEntry {
     "q_events_user_gaps" -> (Events.userGaps _),
     "q_events_daily_active" -> (Events.dailyActive _),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
+    "q_events_retention" -> (Events.retention _),
     // -- Dedup pack (documents) --
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents")).orderBy("doc_id")),
@@ -431,6 +434,15 @@ object SparkEntry {
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |  upper(event_type) AS word, COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY win_start, word""".stripMargin,
+    // sliding 2m/1m: every event belongs to exactly the windows starting at
+    // trunc(minute) and trunc(minute) - 1min
+    "wordcount_windowed_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  upper(event_type) AS word, COUNT(*) AS cnt
+        |FROM (SELECT unnest([date_trunc('minute', ts) - INTERVAL 1 MINUTE,
+        |                     date_trunc('minute', ts)]) AS ws, event_type
+        |      FROM events) t
+        |GROUP BY 1, 2 ORDER BY win_start, word""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -568,6 +580,17 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events,
         |  MAX(dur_ms) AS max_session_ms
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+        |j AS (SELECT ev.user_id, c.cohort_day,
+        |        date_diff('day', c.cohort_day, ev.day) AS day_offset
+        |      FROM ev JOIN c ON ev.user_id = c.user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+        |  COUNT(DISTINCT user_id) AS cohort_size,
+        |  COUNT(DISTINCT CASE WHEN day_offset = 1 THEN user_id END) AS d1_retained,
+        |  COUNT(DISTINCT CASE WHEN day_offset = 7 THEN user_id END) AS d7_retained
+        |FROM j GROUP BY cohort_day ORDER BY cohort""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS len
         |           FROM documents WHERE octet_length(encode(text)) > 0),

@@ -84,6 +84,30 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Cohort retention: users grouped by their first active day; for each
+    * cohort, how many returned exactly 1 day and exactly 7 days later.
+    * Two aggregations over the same user_id clustering (first-day cohort,
+    * then cohort-day join back to activity) — the canonical event-analytics
+    * shape, all shuffles on user_id/day keys.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val joined = ev.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+    joined
+      .groupBy("cohort_day")
+      .agg(
+        countDistinct(col("user_id")).as("cohort_size"),
+        countDistinct(when(col("day_offset") === 1, col("user_id"))).as("d1_retained"),
+        countDistinct(when(col("day_offset") === 7, col("user_id"))).as("d7_retained"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        col("cohort_size"), col("d1_retained"), col("d7_retained"))
+      .orderBy("cohort")
+  }
+
   /** Daily active users + event mix: distinct agg over a time bucket. */
   def dailyActive(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

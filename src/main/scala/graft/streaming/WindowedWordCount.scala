@@ -53,6 +53,26 @@ object WindowedWordCount {
         col("count").as("cnt"))
       .orderBy("win_start", "word")
 
+  /** Sliding-window batch projection: same plan as `windowedCounts` but
+    * each record lands in windowDuration/slide overlapping windows
+    * (SURVEY §2.5: "sliding = add slide arg"). Output flattened like
+    * `windowedCounts` for oracle comparison.
+    */
+  def slidingCounts(records: DataFrame,
+      windowDuration: String = "2 minutes",
+      slide: String = "1 minute"): DataFrame =
+    records
+      .select(col("value").cast("string").as("line"), col("timestamp"))
+      .select(explode(WordCount.tokens(col("line"))).as("w"), col("timestamp"))
+      .select(upper(col("w")).as("word"), col("timestamp"))
+      .groupBy(window(col("timestamp"), windowDuration, slide), col("word"))
+      .count()
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("word"),
+        col("count").as("cnt"))
+      .orderBy("win_start", "word")
+
   /** Output formatting: one JSON string per (window, word, count), the shape
     * the reference publishes to `canaloutput`.
     */

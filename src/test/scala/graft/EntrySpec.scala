@@ -40,6 +40,8 @@ class EntrySpec extends AnyFunSuite {
     "q_events_hourly" -> 868L,
     "q_events_props" -> 5L,
     "q_events_sessions" -> 15L,
+    "q_events_retention" -> 1L,
+    "wordcount_windowed_sliding" -> 1996L,
     "mm_frame_sample" -> 1837L,
     "q_events_user_gaps" -> 15L,
     "q_nations_both_sides" -> 10L,

@@ -58,6 +58,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() === expected)
   }
 
+  test("tuning heuristics size shuffles by data volume with a core floor") {
+    import graft.Tuning
+    // small shuffle: floor at total cores so no slot idles
+    assert(Tuning.shufflePartitions(1L << 30, totalCores = 256) === 256)
+    // 1 TB shuffle: sized by the 128 MB target, not the core count
+    assert(Tuning.shufflePartitions(1L << 40, totalCores = 256) === 8192)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Tuning.configure(spark, expectedShuffleBytes = 1L << 40)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt >= 8192)
+      assert(spark.conf.get("spark.sql.files.maxPartitionBytes").toLong ===
+        Tuning.TargetPartitionBytes)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("salted join returns exactly the plain join's result") {
     val customer = Tables.load(spark, dir, "customer")
     val nation = Tables.load(spark, dir, "nation")
