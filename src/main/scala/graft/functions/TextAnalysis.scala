@@ -97,9 +97,20 @@ object TextAnalysis {
 
   /** Document fingerprint (winnowing-style): md5 over the 4 lexicographically
     * smallest md5'd char 8-gram shingles. Robust to local edits; one value
-    * per doc, linear cost.
+    * per doc. Computed by the native `WinnowFingerprint` kernel (one text
+    * walk, one reused digest, no per-window hex) — the built-ins spelling
+    * below pays O(len) substring scans per position.
     */
   def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), WinnowFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Built-ins-only spelling of `fingerprint` (identical output), kept as
+    * the no-custom-code fallback and differential check.
+    */
+  def fingerprintBuiltins(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= 8)
       .withColumn("fp",

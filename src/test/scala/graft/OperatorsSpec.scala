@@ -104,6 +104,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(meta === ((5L, 100, w, h, f)))
   }
 
+  test("native WinnowFingerprint expression matches the built-ins formulation") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val edge = docs((9000L, "exactly8"), (9001L, "ninechars"), (9002L, "x" * 11),
+      (9003L, "the quick brown fox jumps over the lazy dog"))
+    for (d <- Seq(real, edge)) {
+      val native = TextAnalysis.fingerprint(d).as[(Long, String)].collect().toSeq
+      val builtins = TextAnalysis.fingerprintBuiltins(d).as[(Long, String)].collect().toSeq
+      assert(native === builtins)
+      assert(native.nonEmpty)
+    }
+  }
+
   test("native RollingFingerprint expression matches the built-ins formulation") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val url = getClass.getResource("/natural_corpus.txt")
