@@ -109,6 +109,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize agrees with the batch sessionize on real event data") {
+    implicit val sqlCtx = spark.sqlContext
+    // real events at sf0.001, in event-time order (the happy-path arrival
+    // order); the streaming state machine must reproduce the batch
+    // two-window sessionization exactly
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .selectExpr("user_id", "ts").orderBy("ts")
+      .as[(Long, Timestamp)].collect()
+      .map { case (u, t) => SessionEvent(u, t) }
+    val input = MemoryStream[SessionEvent]
+    val out = Sessionize.sessions(input.toDS())
+    val q = out.writeStream.format("memory").queryName("sess_diff")
+      .outputMode("append").start()
+    try {
+      events.grouped(200).foreach { batch => input.addData(batch.toSeq); q.processAllAvailable() }
+      // flush user advances the watermark far past every trailing session
+      val flushTs = new Timestamp(events.last.ts.getTime + 100L * 24 * 3600 * 1000)
+      input.addData(SessionEvent(-1L, flushTs))
+      q.processAllAvailable()
+      input.addData(SessionEvent(-1L, new Timestamp(flushTs.getTime + 1000)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_diff").as[SessionSummary].collect()
+        .filter(_.user_id >= 0)
+        .groupBy(_.user_id)
+        .map { case (u, ss) =>
+          (u, ss.length.toLong, ss.map(_.n_events).sum, ss.map(_.duration_ms).max)
+        }.toSet
+      val batchExpected = graft.queries.Events.sessionize(spark, "/root/testdata/sf0.001")
+        .selectExpr("user_id", "n_sessions", "n_events", "max_session_ms")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batchExpected)
+    } finally q.stop()
+  }
+
   test("JSON output shape matches the reference's (window, word, count) record") {
     val batch = Seq((ts("10:00:10"), "abc"))
       .toDF("timestamp", "value")
