@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{PolyHash, RollingFingerprint, VectorDot, WhitespaceTokens, WinnowFingerprint}
+
+/** Spark extension point: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) registers every graft native
+  * expression as a SQL function, so `spark.sql` users and higher-order-
+  * function lambdas get them without touching the Scala API — the idiomatic
+  * deployment route for custom Catalyst expressions on a shared cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, clazz: Class[_], builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_poly_hash", classOf[PolyHash],
+      exprs => PolyHash(exprs.head)))
+    ext.injectFunction(fn("graft_tokens", classOf[WhitespaceTokens],
+      exprs => WhitespaceTokens(exprs.head)))
+    ext.injectFunction(fn("graft_rolling_fp", classOf[RollingFingerprint],
+      exprs => RollingFingerprint(exprs.head)))
+    ext.injectFunction(fn("graft_winnow_fp", classOf[WinnowFingerprint],
+      exprs => WinnowFingerprint(exprs.head)))
+    ext.injectFunction(fn("graft_vector_dot", classOf[VectorDot],
+      exprs => VectorDot(exprs(0), exprs(1))))
+  }
+}

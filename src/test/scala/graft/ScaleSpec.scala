@@ -58,6 +58,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() === expected)
   }
 
+  test("q6 predicates reach the parquet scan as pushed filters") {
+    val plan = graft.queries.Relational.q6RevenueFilter(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the FileScan string truncates the list; the leading entries suffice
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"),
+      s"filters not pushed to the scan:\n$plan")
+  }
+
+  test("GraftExtensions registers the native functions for pure-SQL sessions") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force TestSpark init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // programmatic route: spark.sql.extensions is a STATIC conf, read
+      // from the SparkContext at its creation — on a shared test context
+      // only withExtensions applies (prod clusters set the conf at submit)
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      val row = s2.sql(
+        """SELECT graft_poly_hash('hello world') AS h,
+          |       graft_vector_dot(array(1D, 2D), array(3D, 4D)) AS d,
+          |       size(graft_tokens('  a b  c ')) AS n""".stripMargin).collect().head
+      assert(row.getLong(0) === 1835087470L)
+      assert(row.getDouble(1) === 11.0)
+      assert(row.getInt(2) === 3)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("tuning heuristics size shuffles by data volume with a core floor") {
     import graft.Tuning
     // small shuffle: floor at total cores so no slot idles
