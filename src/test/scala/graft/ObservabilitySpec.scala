@@ -81,6 +81,30 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(rows === 10000L * 9999 / 2)
   }
 
+  // ---- compaction ----
+
+  test("compaction rewrites a many-small-files directory to size-targeted files") {
+    import graft.sources.Compaction
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+    val in = tmp.resolve("in").toString
+    val out = tmp.resolve("out").toString
+    // 64 tiny files
+    Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .repartition(64).write.parquet(in)
+    def parquetFiles(dir: String) =
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parquetFiles(in) === 64)
+    val n = Compaction.compact(spark, in, out)
+    assert(n === 1, "tiny input compacts to a single file")
+    assert(parquetFiles(out) === 1)
+    // content survives byte-for-byte (row-wise)
+    assert(spark.read.parquet(out).count() ===
+      Tables.load(spark, "/root/testdata/sf0.001", "orders").count())
+    // sizing math: 1 TB at 128 MB target -> 8192 files
+    assert(Compaction.targetFileCount(1L << 40) === 8192)
+  }
+
   // ---- S8: staging / file management ----
 
   test("staging mirrors mkdir/test/put/ls/rm semantics on the local FS") {
