@@ -80,6 +80,8 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"))),
     "text_fingerprint_rolling" -> ((s, d) => TextAnalysis.fingerprintRolling(Tables.load(s, d, "documents"))),
+    "text_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"))),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
     // -- Multimodal plumbing (binary payload + stubbed decode) --
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.load(s, d, "documents"))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.load(s, d, "documents"))),
@@ -408,6 +410,33 @@ object SparkEntry {
        |FROM cs ORDER BY doc_id""".stripMargin
   }
 
+  // Mirrors TextAnalysis.chunk (32-token windows, 8-token overlap, stride 24);
+  // DuckDB zips parallel unnests, giving posexplode's 0-based index via range().
+  private val chunksSql =
+    s"""WITH $tokCte,
+       |t AS (SELECT doc_id, tokens,
+       |        list_transform(generate_series(1, greatest(length(tokens) - 8, 1), 24),
+       |          i -> array_to_string(tokens[i:i+31], ' ')) AS chs,
+       |        list_transform(generate_series(1, greatest(length(tokens) - 8, 1), 24),
+       |          i -> least(32, length(tokens) - i + 1)) AS ns
+       |      FROM tok WHERE length(tokens) > 0)
+       |SELECT doc_id, CAST(unnest(range(length(chs))) AS INT) AS chunk_idx,
+       |  unnest(chs) AS chunk_text, CAST(unnest(ns) AS INT) AS n_tokens
+       |FROM t ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // Mirrors TextAnalysis.tfIdf: tf per (doc, term), idf = ln(N/df), top 3.
+  private val tfidfSql =
+    s"""WITH $tokCte,
+       |tk AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tk),
+       |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+       |        round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+       |      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
+       |SELECT doc_id, rnk, term, tf, tfidf FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   private val mediaMetaSql =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
@@ -623,6 +652,8 @@ object SparkEntry {
     "text_tokens" -> tokenStatsSql,
     "text_fingerprint" -> fingerprintSql,
     "text_fingerprint_rolling" -> fingerprintRollingSql,
+    "text_chunks" -> chunksSql,
+    "text_tfidf" -> tfidfSql,
     "mm_media_meta" -> mediaMetaSql,
   )
 }

@@ -137,6 +137,53 @@ object TextAnalysis {
       .select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Document chunking for training pipelines: overlapping token windows of
+    * `chunkSize` tokens with `overlap` tokens shared between neighbors
+    * (stride = chunkSize - overlap). One row per (doc, chunk) with the
+    * chunk text and its exact token count. Pure per-row fan-out — rows
+    * multiply by ~n_tok/stride but bytes only by size/stride; no shuffle
+    * until the output edge.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .withColumn("tokens", WordCount.tokens(col("text")))
+      .filter(size(col("tokens")) > 0)
+      .withColumn("starts",
+        expr(s"sequence(1, greatest(size(tokens) - $overlap, 1), $stride)"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(starts, i -> struct(concat_ws(' ', slice(tokens, i, $chunkSize)) AS t, least($chunkSize, size(tokens) - i + 1) AS n))"))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.t").as("chunk_text"), col("c.n").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** TF-IDF top terms per document: term frequency per (doc, term), inverse
+    * document frequency ln(N/df), top `k` terms per doc by score. Standard
+    * IR shape — one explode, two aggregations (per-(doc,term), per-term),
+    * the corpus size joined back as a single broadcast row, one ranking
+    * window. Scores rounded to 6 decimals for a total cross-engine order.
+    */
+  def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tf", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Built-ins-only formulation of `fingerprintRolling` (identical output):
     * materializes the codepoint array and all position hashes with
     * transform/array_sort. Kept as the no-custom-code fallback and as the

@@ -52,6 +52,8 @@ class EntrySpec extends AnyFunSuite {
     "q_top_suppliers_per_nation" -> 10L,
     "text_fingerprint" -> 500L,
     "text_fingerprint_rolling" -> 500L,
+    "text_chunks" -> 1249L,
+    "text_tfidf" -> 1500L,
     "text_langid" -> 500L,
     "text_quality" -> 500L,
     "text_tokens" -> 500L,
