@@ -50,6 +50,8 @@ object SparkEntry {
     "q_priority_customers" -> (Relational.qPriorityCustomers _),
     "q_rollup_returns" -> (Relational.qRollupReturns _),
     "q_cube_returns" -> (Relational.qCubeReturns _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q_nations_both_sides" -> (Relational.qNationsBothSides _),
     // -- Events (stream-shaped table) --
     "q_events_hourly" -> (Events.hourlyByType _),
@@ -559,6 +561,27 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT promo_revenue, total_revenue,
+        |  round(promo_revenue / total_revenue, 6) AS promo_share FROM s""".stripMargin,
     "q_cube_returns" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -203,6 +203,45 @@ object Relational {
         col("n_items"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+    * The returnflag filter reaches the lineitem scan; customer/nation are
+    * the broadcast side; TakeOrderedAndProject caps the result.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape: share of revenue from promo parts in one month.
+    * Two conditional exact-decimal sums over one scan; part is broadcast.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+    val part = Tables.load(spark, dir, "part")
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum4(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        sum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      .withColumn("promo_share",
+        round(col("promo_revenue") / col("total_revenue"), 6))
+  }
+
   /** Full grouping-sets lattice (CUBE): every (returnflag x linestatus)
     * combination incl. both partial totals — one pass, Spark expands the
     * grouping sets before the partial aggregate so the shuffle still

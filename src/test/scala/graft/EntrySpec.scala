@@ -17,6 +17,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_lsh_multiprobe" -> 13L,
     "ann_ivf_topk" -> 25L,
     "q_cube_returns" -> 12L,
+    "q10_returned_items" -> 20L,
+    "q14_promo_revenue" -> 1L,
     "ann_lsh_topk" -> 17L,
     "ann_topk" -> 25L,
     "dedup_exact" -> 500L,

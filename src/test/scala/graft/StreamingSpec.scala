@@ -144,6 +144,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops near-in-time duplicates and bounds state by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = graft.streaming.StreamDedup.withinWatermark(
+      input.toDF().toDF("ts", "text"), delay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // duplicate content with different whitespace/case inside the horizon
+      input.addData((ts("10:00:00"), "Hello  World"), (ts("10:00:30"), "hello world"),
+        (ts("10:01:00"), "other doc"))
+      q.processAllAvailable()
+      val first = spark.table("sdedup").selectExpr("text").as[String].collect().toSet
+      assert(first === Set("Hello  World", "other doc"),
+        "second copy inside the watermark horizon must be dropped")
+
+      // advance far past the watermark: the same content arriving again is
+      // NEW (state for it has been evicted) — the documented horizon contract
+      input.addData((ts("11:00:00"), "advance"))
+      q.processAllAvailable()
+      input.addData((ts("11:00:01"), "hello world"))
+      q.processAllAvailable()
+      val later = spark.table("sdedup").selectExpr("text").as[String].collect().toSeq
+      assert(later.count(t => t.toLowerCase.replaceAll("\\s+", " ") == "hello world") === 2,
+        s"content re-arriving after the horizon passes through; got $later")
+    } finally q.stop()
+  }
+
   test("JSON output shape matches the reference's (window, word, count) record") {
     val batch = Seq((ts("10:00:10"), "abc"))
       .toDF("timestamp", "value")
