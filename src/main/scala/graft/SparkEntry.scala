@@ -51,6 +51,7 @@ object SparkEntry {
     "q_rollup_returns" -> (Relational.qRollupReturns _),
     "q_cube_returns" -> (Relational.qCubeReturns _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q_order_percentiles" -> (Relational.qOrderPercentiles _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q_nations_both_sides" -> (Relational.qNationsBothSides _),
     // -- Events (stream-shaped table) --
@@ -561,6 +562,13 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_order_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -242,6 +242,23 @@ object Relational {
         round(col("promo_revenue") / col("total_revenue"), 6))
   }
 
+  /** Exact percentiles of order value per priority class: p50/p90/p99 via
+    * linear interpolation (Spark `percentile` == DuckDB `quantile_cont`
+    * semantics; rounded to 4 decimals for cross-engine hash stability).
+    * Exact percentile sorts per group — at 100 TB switch the consumer to
+    * `approx_percentile` (t-digest, mergeable sketch) and drop the oracle
+    * to a tolerance check; the exact form here is the correctness anchor.
+    */
+  def qOrderPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+        expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
+        expr("round(percentile(o_totalprice, 0.99), 4)").as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** Full grouping-sets lattice (CUBE): every (returnflag x linestatus)
     * combination incl. both partial totals — one pass, Spark expands the
     * grouping sets before the partial aggregate so the shuffle still

@@ -18,6 +18,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_topk" -> 25L,
     "q_cube_returns" -> 12L,
     "q10_returned_items" -> 20L,
+    "q_order_percentiles" -> 5L,
     "q14_promo_revenue" -> 1L,
     "ann_lsh_topk" -> 17L,
     "ann_topk" -> 25L,
