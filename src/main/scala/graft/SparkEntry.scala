@@ -227,7 +227,7 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   private def planeSql(i: Int): String =
-    s"CAST(list_transform(generate_series(0, 63), d -> (31 * $i + 17 * d) % 13 - 6) AS DOUBLE[])"
+    s"CAST(list_transform(generate_series(0, 63), d -> (19 * $i + 11 * d) % 29 - 14) AS DOUBLE[])"
 
   private val bucketExpr = (0 until Similarity.NumPlanes)
     .map(i => s"(CASE WHEN list_inner_product(v, ${planeSql(i)}) > 0 THEN ${1 << i} ELSE 0 END)")
@@ -283,7 +283,7 @@ object SparkEntry {
   // assignment, top-2 probe on the query side.
   private val ivfTopkSql = {
     def cexpr(j: Int) =
-      s"list_transform(generate_series(0, 63), d -> ((7 * $j + 13 * d) % 21 - 10) / 4.0)"
+      s"list_transform(generate_series(0, 63), d -> ((5 * $j + 13 * d) % 23 - 11) / 4.0)"
     val scoreList = (0 until 16).map { j =>
       s"${Similarity.centroidNorm2(j)} - 2 * list_inner_product(v, ${cexpr(j)})"
     }.mkString("[", ",\n      ", "]")
@@ -628,12 +628,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q_events_sessions" ->
-      """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      """WITH g AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
         |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
         |           FROM events),
         |s AS (SELECT user_id, ms,
         |        SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
-        |          OVER (PARTITION BY user_id ORDER BY ms, event_id) AS sess_id
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
         |      FROM g),
         |per AS (SELECT user_id, sess_id, COUNT(*) AS n_ev, MAX(ms) - MIN(ms) AS dur_ms
         |        FROM s GROUP BY 1, 2)
@@ -651,15 +651,18 @@ object SparkEntry {
         |  COUNT(DISTINCT CASE WHEN day_offset = 1 THEN user_id END) AS d1_retained,
         |  COUNT(DISTINCT CASE WHEN day_offset = 7 THEN user_id END) AS d7_retained
         |FROM j GROUP BY cohort_day ORDER BY cohort""".stripMargin,
+    // frame_sig reads the UTF-8 BYTE at the byte offset (matching the
+    // Scala payload(off) & 0xff), extracted via the hex dump — a char-based
+    // ord() would diverge on any non-ASCII document.
     "mm_frame_sample" ->
-      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
         |           FROM documents WHERE octet_length(encode(text)) > 0),
-        |f AS (SELECT doc_id, text, len, 1 + len % 16 AS n_frames FROM m),
-        |s AS (SELECT doc_id, text, len, n_frames,
+        |f AS (SELECT doc_id, hx, len, 1 + len % 16 AS n_frames FROM m),
+        |s AS (SELECT doc_id, hx, len, n_frames,
         |        unnest(range(least(n_frames, 4))) AS fi FROM f)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
         |  CAST(fi * (len // n_frames) AS INT) AS frame_off,
-        |  ord(substr(text, CAST(fi * (len // n_frames) AS INT) + 1, 1)) AS frame_sig
+        |  CAST(('0x' || substr(hx, CAST(fi * (len // n_frames) AS INT) * 2 + 1, 2)) AS INT) AS frame_sig
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,

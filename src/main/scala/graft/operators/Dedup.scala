@@ -110,7 +110,14 @@ object Dedup {
     * O(n^2) cross join with a shuffle that only co-locates likely dups;
     * `MaxBandBucket` bounds the per-bucket pair blowup.
     */
-  def minhashCandidatePairs(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+    minhashCandidatePairsRaw(docs, k, bands).orderBy("doc_a", "doc_b")
+
+  /** `minhashCandidatePairs` without the output-edge sort — for composition
+    * under further joins (ngramJaccardPairs), where the sort would insert a
+    * needless range exchange mid-pipeline.
+    */
+  def minhashCandidatePairsRaw(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val ex = minhashBandBuckets(docs, k, bands)
     // Self-join as a shuffle join, NOT broadcast: both sides then hash-
     // partition on (band_idx, band_hash) — the exact exchange the window
@@ -126,7 +133,6 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** 16-bit SimHash over tokens (weighted by occurrence count): per token,
@@ -190,7 +196,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.01,
       k: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minhashCandidatePairs(docs, k, bands).select("doc_a", "doc_b")
+    val cands = minhashCandidatePairsRaw(docs, k, bands).select("doc_a", "doc_b")
     val sets = withShingles(docs)
       .select(col("doc_id"), array_distinct(col("shingles")).as("shingle_set"))
     cands

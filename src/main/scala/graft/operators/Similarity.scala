@@ -56,15 +56,18 @@ object Similarity {
     */
   val NumPlanes = 8
 
-  /** Deterministic integer hyperplane i: h_i[d] = (31*i + 17*d) % 13 - 6.
+  /** Deterministic integer hyperplane i: h_i[d] = (19*i + 11*d) % 29 - 14.
     * Integer-derived components make the projection exactly reproducible in
-    * any engine (no platform-dependent trig/PRNG). Built as an array of
+    * any engine (no platform-dependent trig/PRNG). The modulus must exceed
+    * the largest nPlanes in use and be coprime with the i-multiplier, else
+    * planes repeat (19 mod 29 has period 29 > 16; the earlier %13 formula
+    * silently duplicated planes 13-15 onto 0-2). Built as an array of
     * literals so ConstantFolding collapses it to one constant array at plan
     * time (a transform-over-sequence spelling re-evaluates per row — HOFs
     * are not constant-folded).
     */
   private def planeCol(i: Int): Column =
-    array((0 until 64).map(d => lit(((31 * i + 17 * d) % 13 - 6).toDouble)): _*)
+    array((0 until 64).map(d => lit(((19 * i + 11 * d) % 29 - 14).toDouble)): _*)
 
   /** Sign-bit bucket column over `v` for the given number of hyperplanes. */
   private def bucketCol(nPlanes: Int): Column =
@@ -137,11 +140,11 @@ object Similarity {
   }
 
   /** Deterministic IVF centroid j over 64 dims:
-    * c_j[d] = ((7j + 13d) % 21 - 10) / 4 — integer-derived doubles,
+    * c_j[d] = ((5j + 13d) % 23 - 11) / 4 — integer-derived doubles,
     * exactly reproducible in any engine (same rationale as `planeCol`).
     */
   private def centroidCol(j: Int): Column =
-    array((0 until 64).map(d => lit(((7 * j + 13 * d) % 21 - 10) / 4.0)): _*)
+    array((0 until 64).map(d => lit(((5 * j + 13 * d) % 23 - 11) / 4.0)): _*)
 
   /** |c_j|^2 precomputed host-side with the same sequential fold both
     * engines would use (higher-order-function expressions are NOT constant-
@@ -150,7 +153,7 @@ object Similarity {
     * Spark and DuckDB, preserving oracle parity.
     */
   def centroidNorm2(j: Int): Double =
-    (0 until 64).map(d => ((7 * j + 13 * d) % 21 - 10) / 4.0)
+    (0 until 64).map(d => ((5 * j + 13 * d) % 23 - 11) / 4.0)
       .foldLeft(0.0)((acc, x) => acc + x * x)
 
   /** Negated-score for nearest-centroid assignment: dist_j ∝ |c_j|^2 - 2<v,c_j>

@@ -14,6 +14,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * a maximal run of a user's events with no gap above `gapMs`. A session
   * closes either when a later event proves the gap (emitted immediately)
   * or when the event-time watermark passes last+gap (event-time timeout).
+  * Out-of-order arrivals within gapMs of the open session's start are
+  * merged exactly (the window widens backwards); disorder beyond the gap
+  * closes the straggler as a singleton — batch parity is exact when
+  * arrival disorder is bounded by the gap.
   * State per key is one in-flight session (start, last, count) — constant
   * size, so 10^9 users cost ~tens of GB of state store, partitioned by the
   * group key across executors.
@@ -56,11 +60,21 @@ object Sessionize {
       for (e <- sorted) {
         val t = e.ts.getTime
         cur = cur match {
-          case Some(s) if t - s.last > gapMs =>
+          case Some(s) if t > s.last + gapMs =>
+            // future gap proved: close the session, start a new one
             closed ::= SessionSummary(userId, s.n, s.last - s.start)
             Some(SessState(t, t, 1L))
+          case Some(s) if t < s.start - gapMs =>
+            // arrival disorder beyond the gap: the event cannot belong to
+            // the open session nor to any future one — close it alone.
+            // (Its true neighbors, if any, were finalized in earlier
+            // batches; exact batch parity holds when arrival disorder is
+            // bounded by gapMs, which watermarkDelay <= gap enforces.)
+            closed ::= SessionSummary(userId, 1L, 0L)
+            Some(s)
           case Some(s) =>
-            Some(SessState(s.start, math.max(s.last, t), s.n + 1L))
+            // in-range (possibly earlier than start): widen both ends
+            Some(SessState(math.min(s.start, t), math.max(s.last, t), s.n + 1L))
           case None =>
             Some(SessState(t, t, 1L))
         }

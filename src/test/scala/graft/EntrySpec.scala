@@ -14,13 +14,13 @@ class EntrySpec extends AnyFunSuite {
   /** Oracle-verified row counts at sf0.001 (from the DuckDB compare). */
   private val expectedRows = Map(
     "ann_lsh_buckets" -> 500L,
-    "ann_lsh_multiprobe" -> 13L,
+    "ann_lsh_multiprobe" -> 10L,
     "ann_ivf_topk" -> 25L,
     "q_cube_returns" -> 12L,
     "q10_returned_items" -> 20L,
     "q_order_percentiles" -> 5L,
     "q14_promo_revenue" -> 1L,
-    "ann_lsh_topk" -> 17L,
+    "ann_lsh_topk" -> 22L,
     "ann_topk" -> 25L,
     "dedup_exact" -> 500L,
     "dedup_minhash_pairs" -> 30L,
@@ -28,7 +28,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_ngram_jaccard" -> 30L,
     "dedup_simhash" -> 500L,
     "dedup_simhash_pairs" -> 1537L,
-    "dedup_embedding" -> 35L,
+    "dedup_embedding" -> 59L,
     "pipeline_curation" -> 466L,
     "emb_top_pairs" -> 100L,
     "mm_media_meta" -> 500L,

@@ -116,6 +116,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN variants return k DISTINCT neighbors per query (formula injectivity guard)") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    for ((name, df) <- Seq(
+        "ivf" -> Similarity.ivfTopK(emb),
+        "multiprobe" -> Similarity.multiProbeTopK(emb),
+        "lsh" -> Similarity.lshTopK(emb))) {
+      val rows = df.select("q_id", "n_id").as[(Long, Long)].collect()
+      val perQuery = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+      for ((q, ns) <- perQuery)
+        assert(ns.distinct.size === ns.size,
+          s"$name query $q returned duplicate neighbors: $ns")
+    }
+  }
+
   test("native RollingFingerprint expression matches the built-ins formulation") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val url = getClass.getResource("/natural_corpus.txt")

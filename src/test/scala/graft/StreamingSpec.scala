@@ -109,6 +109,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize merges bounded-disorder arrivals by widening the session window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // watermarkDelay bounds how much disorder ever REACHES the operator
+    // (later rows are dropped by the pre-stateful late filter), so it is
+    // set to the gap: disorder within the gap must merge exactly
+    val q = Sessionize.sessions(input.toDS(), gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    try {
+      // batch 1 establishes (10:20 .. 10:25); batch 2 delivers an EARLIER
+      // event at 10:05 (within gap of start, within watermark) — must
+      // widen, not distort
+      input.addData(SessionEvent(1L, ts("10:20:00")), SessionEvent(1L, ts("10:25:00")))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts("10:05:00")))
+      q.processAllAvailable()
+      // close by future gap
+      input.addData(SessionEvent(1L, ts("12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo").as[SessionSummary].collect().toSet
+      assert(got === Set(SessionSummary(1L, 3L, 20 * 60 * 1000L)),
+        s"expected one widened session 10:05..10:25, got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the batch sessionize on real event data") {
     implicit val sqlCtx = spark.sqlContext
     // real events at sf0.001, in event-time order (the happy-path arrival
@@ -169,6 +195,32 @@ class StreamingSpec extends AnyFunSuite {
       val later = spark.table("sdedup").selectExpr("text").as[String].collect().toSeq
       assert(later.count(t => t.toLowerCase.replaceAll("\\s+", " ") == "hello world") === 2,
         s"content re-arriving after the horizon passes through; got $later")
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches a stream with a broadcast dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // static side: the real nation dim; stream side: (nationkey, amount)
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val input = MemoryStream[(Int, Double)]
+    val enriched = input.toDF().toDF("n_key", "amount")
+      .join(org.apache.spark.sql.functions.broadcast(nation),
+        $"n_key" === $"n_nationkey")
+      .groupBy("n_name").sum("amount")
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try {
+      input.addData((0, 10.0), (0, 5.0), (1, 2.5))
+      q.processAllAvailable()
+      val byName = spark.table("enrich").as[(String, Double)].collect().toMap
+      val n0 = nation.filter($"n_nationkey" === 0).select("n_name").as[String].head()
+      val n1 = nation.filter($"n_nationkey" === 1).select("n_name").as[String].head()
+      assert(byName(n0) === 15.0)
+      assert(byName(n1) === 2.5)
+      // late-arriving batch re-aggregates in complete mode
+      input.addData((1, 7.5))
+      q.processAllAvailable()
+      assert(spark.table("enrich").as[(String, Double)].collect().toMap.apply(n1) === 10.0)
     } finally q.stop()
   }
 

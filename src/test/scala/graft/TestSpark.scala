@@ -6,14 +6,12 @@ import org.apache.spark.sql.SparkSession
   * lazy val; sbt runs suites in one forked JVM so this is one per run).
   */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = graft.Tables.configure(SparkSession.builder())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
