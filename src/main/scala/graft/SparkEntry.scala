@@ -61,6 +61,7 @@ object SparkEntry {
     "q_events_daily_active" -> (Events.dailyActive _),
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
     "q_events_retention" -> (Events.retention _),
+    "q_events_funnel" -> ((s, d) => Events.funnel(s, d)),
     // -- Dedup pack (documents) --
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents")).orderBy("doc_id")),
@@ -640,6 +641,15 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events,
         |  MAX(dur_ms) AS max_session_ms
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_funnel" ->
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS click_ms FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, epoch_ms(ts) AS buy_ms FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, COUNT(*) AS n_pairs,
+        |  MIN(b.buy_ms - c.click_ms) AS min_delay_ms,
+        |  MAX(b.buy_ms - c.click_ms) AS max_delay_ms
+        |FROM c JOIN b ON c.user_id = b.user_id
+        |  AND b.buy_ms >= c.click_ms AND b.buy_ms - c.click_ms <= 3600000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q_events_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),

@@ -108,6 +108,31 @@ object Events {
       .orderBy("cohort")
   }
 
+  /** Conversion funnel: click -> purchase pairs within one hour, per user.
+    * An equi-join on user_id carrying a time-range predicate — the batch
+    * twin of a stream-stream interval join (see StreamingSpec): the
+    * shuffle is on user_id only, the range condition filters inside each
+    * task, so the plan survives any event volume as long as per-user
+    * activity is bounded.
+    */
+  def funnel(spark: SparkSession, dir: String,
+      withinMs: Long = 3600 * 1000L): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("click_ms"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), unix_millis(col("ts")).as("buy_ms"))
+    clicks
+      .join(buys, col("user_id") === col("buy_user") &&
+        col("buy_ms") >= col("click_ms") &&
+        col("buy_ms") - col("click_ms") <= withinMs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           min(col("buy_ms") - col("click_ms")).as("min_delay_ms"),
+           max(col("buy_ms") - col("click_ms")).as("max_delay_ms"))
+      .orderBy("user_id")
+  }
+
   /** Daily active users + event mix: distinct agg over a time bucket. */
   def dailyActive(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -44,6 +44,7 @@ class EntrySpec extends AnyFunSuite {
     "q_events_props" -> 5L,
     "q_events_sessions" -> 15L,
     "q_events_retention" -> 1L,
+    "q_events_funnel" -> 5L,
     "wordcount_windowed_sliding" -> 1996L,
     "mm_frame_sample" -> 1837L,
     "q_events_user_gaps" -> 15L,

@@ -198,6 +198,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with purchases within the hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = clicks.toDF().toDF("c_user", "click_ts").withWatermark("click_ts", "2 hours")
+      .join(
+        buys.toDF().toDF("b_user", "buy_ts").withWatermark("buy_ts", "2 hours"),
+        expr("c_user = b_user AND buy_ts >= click_ts AND buy_ts <= click_ts + interval 1 hour"))
+      .selectExpr("c_user", "date_format(click_ts, 'HH:mm') AS c",
+        "date_format(buy_ts, 'HH:mm') AS b")
+    val q = joined.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("10:00:00")), (2L, ts("10:00:00")))
+      buys.addData((1L, ts("10:30:00")),   // within the hour -> pair
+        (2L, ts("11:30:00")),              // outside the hour -> no pair
+        (1L, ts("10:45:00")))              // second purchase, same click -> pair
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").as[(Long, String, String)].collect().toSet
+      assert(got === Set((1L, "10:00", "10:30"), (1L, "10:00", "10:45")))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream with a broadcast dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     // static side: the real nation dim; stream side: (nationkey, amount)
