@@ -62,6 +62,9 @@ object SparkEntry {
     "q_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
     "q_events_retention" -> (Events.retention _),
     "q_events_funnel" -> ((s, d) => Events.funnel(s, d)),
+    // no oracleSql: HLL sketches differ across engines by construction ->
+    // driver records a rows-only check; the exact twin is the anchor.
+    "q_events_daily_active_approx" -> (Events.dailyActiveApprox _),
     // -- Dedup pack (documents) --
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents")).orderBy("doc_id")),

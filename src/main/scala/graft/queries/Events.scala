@@ -133,6 +133,24 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Sketch-based daily active users: approx_count_distinct (HyperLogLog++,
+    * rsd 1%) — the 100 TB form of `dailyActive`'s exact countDistinct,
+    * whose per-group distinct sets stop fitting once users number in the
+    * billions; HLL sketches are fixed-size and mergeable, so the partial
+    * aggregation stays map-side. No SQL oracle (DuckDB's approx sketch
+    * differs by construction) — the driver records a rows-only check; the
+    * exact twin `q_events_daily_active` anchors correctness, and the spec
+    * asserts the approximation error bound against it.
+    */
+  def dailyActiveApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"),
+           count(lit(1)).as("n_events"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_users_approx"), col("n_events"))
+      .orderBy("day")
+
   /** Daily active users + event mix: distinct agg over a time bucket. */
   def dailyActive(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

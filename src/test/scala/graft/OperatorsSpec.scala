@@ -116,6 +116,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx daily actives stay within the HLL error bound of the exact query") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.queries.Events.dailyActive(spark, dir)
+      .select("day", "n_users").as[(String, Long)].collect().toMap
+    val approx = graft.queries.Events.dailyActiveApprox(spark, dir)
+      .select("day", "n_users_approx").as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    for ((day, a) <- approx) {
+      val e = exact(day)
+      assert(math.abs(a - e) <= math.max(2L, (e * 0.05).toLong),
+        s"day $day: approx $a vs exact $e exceeds 5%")
+    }
+  }
+
   test("ANN variants return k DISTINCT neighbors per query (formula injectivity guard)") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     for ((name, df) <- Seq(
