@@ -29,16 +29,25 @@ object Sessionize {
   final case class SessionSummary(user_id: Long, n_events: Long, duration_ms: Long)
 
   /** Append-mode session summaries over a (streaming or batch) dataset of
-    * per-user timestamped events. `watermarkDelay` bounds how late events
-    * may arrive; `gapMs` is the inactivity threshold.
+    * per-user timestamped events. `watermarkDelayMs` bounds how late events
+    * may arrive (must not exceed `gapMs` — see require below); `gapMs` is the inactivity threshold.
     */
   def sessions(events: Dataset[SessionEvent],
       gapMs: Long = 30 * 60 * 1000L,
-      watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
+      watermarkDelayMs: Long = 10 * 60 * 1000L): Dataset[SessionSummary] = {
+    // The exact-merge semantics rely on this: with delay <= gap, any event
+    // passing the watermark is within gap of everything still open, so the
+    // defensive straggler-singleton branch in process() is unreachable and
+    // disorder bounded by the watermark merges exactly. A larger delay
+    // would admit events older than open-session.start - gap, whose true
+    // session membership was already finalized — no consistent answer
+    // exists, so the API refuses the configuration.
+    require(watermarkDelayMs <= gapMs,
+      s"watermarkDelayMs ($watermarkDelayMs) must be <= gapMs ($gapMs) for exact sessionization")
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark("ts", s"$watermarkDelayMs milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process(gapMs))

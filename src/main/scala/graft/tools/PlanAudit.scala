@@ -1,16 +1,11 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 /** Dev-only: sweep every SparkEntry query's optimized physical plan for
   * scale anti-patterns (cartesian products, unintended nested-loop joins,
   * scans that read all columns).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = graft.Tables.configure(SparkSession.builder()).master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "false") // static plans show codegen spans
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ToolSession.staticPlans()
     val dir = "/root/testdata/sf0.01"
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {

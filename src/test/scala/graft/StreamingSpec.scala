@@ -51,7 +51,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
     val out = Sessionize.sessions(input.toDS(), gapMs = 30 * 60 * 1000L,
-      watermarkDelay = "10 minutes")
+      watermarkDelayMs = 10 * 60 * 1000L)
     val q = out.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
@@ -116,7 +116,7 @@ class StreamingSpec extends AnyFunSuite {
     // (later rows are dropped by the pre-stateful late filter), so it is
     // set to the gap: disorder within the gap must merge exactly
     val q = Sessionize.sessions(input.toDS(), gapMs = 30 * 60 * 1000L,
-      watermarkDelay = "30 minutes")
+      watermarkDelayMs = 30 * 60 * 1000L)
       .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
     try {
       // batch 1 establishes (10:20 .. 10:25); batch 2 delivers an EARLIER
