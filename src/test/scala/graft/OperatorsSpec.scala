@@ -116,6 +116,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("native kernels match built-ins on unicode: multi-byte, combining, astral") {
+    val uni = docs(
+      (1L, "héllo wörld  — ünïcode test"),
+      (2L, "漢字 と ひらがな mixed with ascii"),
+      (3L, "emoji 🙂 pair 🚀 and accents café résumé"),
+      (4L, "tabs\tand\nnewlines\r mixed ßharp"))
+    // tokenizer: byte-scan vs regex split
+    val tokNative = uni.select(graft.core.WordCount.tokens(org.apache.spark.sql.functions.col("text"))).as[Seq[String]].collect().toSeq
+    val tokBuiltins = uni.select(graft.core.WordCount.tokensBuiltins(org.apache.spark.sql.functions.col("text"))).as[Seq[String]].collect().toSeq
+    assert(tokNative === tokBuiltins)
+    // fingerprints: codepoint windows vs substring/split spellings
+    assert(TextAnalysis.fingerprint(uni).collect().toSeq ===
+      TextAnalysis.fingerprintBuiltins(uni).collect().toSeq)
+    assert(TextAnalysis.fingerprintRolling(uni).collect().toSeq ===
+      TextAnalysis.fingerprintRollingBuiltins(uni).collect().toSeq)
+  }
+
+  test("operators return empty results on empty input (no crashes, no phantom rows)") {
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.exact(emptyDocs).count() === 0)
+    assert(Dedup.minhashCandidatePairs(emptyDocs).count() === 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() === 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs).count() === 0)
+    assert(TextAnalysis.fingerprint(emptyDocs).count() === 0)
+    assert(TextAnalysis.chunk(emptyDocs).count() === 0)
+    assert(TextAnalysis.tfIdf(emptyDocs).count() === 0)
+    assert(graft.operators.Curation.curate(emptyDocs).count() === 0)
+    assert(Multimodal.frameSample(spark, emptyDocs).count() === 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Similarity.bruteForceTopK(emptyEmb).count() === 0)
+    assert(Similarity.multiProbeTopK(emptyEmb).count() === 0)
+    assert(Similarity.ivfTopK(emptyEmb).count() === 0)
+    assert(Similarity.embeddingNearDupPairs(emptyEmb).count() === 0)
+  }
+
   test("approx daily actives stay within the HLL error bound of the exact query") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.queries.Events.dailyActive(spark, dir)
