@@ -11,14 +11,22 @@ import graft.observability.Telemetry
 class TelemetrySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** Bounded poll instead of a fixed sleep: the listener bus is async and
+    * drain time varies with machine load — a fixed sleep either flakes or
+    * wastes time.
+    */
+  private def awaitListener(cond: => Boolean, timeoutMs: Long = 15000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!cond && System.currentTimeMillis() - t0 < timeoutMs) Thread.sleep(100)
+  }
+
   test("batch listener writes reference-shaped sample JSONL") {
     val path = Files.createTempFile("telemetry", ".jsonl").toString
     val listener = new Telemetry.JsonlRunListener(path)
     spark.sparkContext.addSparkListener(listener)
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      // listener bus is async; give the queued stage events time to drain
-      Thread.sleep(1500)
+      awaitListener(Files.readAllLines(Paths.get(path)).asScala.exists(_.contains(""""type": "sample"""")))
     } finally spark.sparkContext.removeSparkListener(listener)
     val lines = Files.readAllLines(Paths.get(path)).asScala.filter(_.nonEmpty)
     assert(lines.nonEmpty)
@@ -36,7 +44,7 @@ class TelemetrySpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       spark.range(100).selectExpr("sum(id)").collect()
-      Thread.sleep(1000) // async listener bus drain
+      awaitListener(Files.readAllLines(Paths.get(path)).asScala.nonEmpty)
     } finally spark.sparkContext.removeSparkListener(listener)
     listener.finish()
     assert(listener.summaryPath === path.stripSuffix(".jsonl") + ".summary.json")
@@ -65,7 +73,7 @@ class TelemetrySpec extends AnyFunSuite {
       q.processAllAvailable()
       q.stop()
       q.awaitTermination()
-      Thread.sleep(1000) // async listener bus drain
+      awaitListener(Files.readAllLines(Paths.get(path)).asScala.exists(_.contains(""""event": "stop""""))) 
     } finally spark.streams.removeListener(listener)
     val lines = Files.readAllLines(Paths.get(path)).asScala.filter(_.nonEmpty)
     assert(lines.exists(_.contains(""""event": "start"""")), lines.mkString("\n"))

@@ -42,6 +42,31 @@ class WordCountSpec extends AnyFunSuite {
     }
   }
 
+  test("property: tokenizer invariants hold for arbitrary strings (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{check, Parameters}
+    // strings over a hostile alphabet: ascii, all six \s chars, multi-byte,
+    // astral — the byte-scan kernel must agree with the regex spelling and
+    // never emit empty or whitespace-containing tokens
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(4)),
+      Gen.oneOf(" ", "\t", "\n", "\u000b", "\f", "\r"),
+      Gen.oneOf("\u00e9", "\u00df", "\u6f22\u5b57", "\ud83d\ude42"))
+    val hostile = Gen.listOf(frag).map(_.mkString)
+    val prop: Prop = forAll(hostile) { s =>
+      val toks = Seq(s).toDF("text")
+        .select(WordCount.tokens(col("text"))).as[Seq[String]].head()
+      val ref = Seq(s).toDF("text")
+        .select(WordCount.tokensBuiltins(col("text"))).as[Seq[String]].head()
+      toks == ref &&
+        toks.forall(t => t.nonEmpty && !t.exists(" \t\n\u000b\f\r".contains(_))) &&
+        toks.map(_.length).sum <= s.length
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("native tokenizer matches the split-based spelling incl. vertical tab") {
     val rnd = new Random(7)
     val alphabet = "xy \t\n\u000b\f\r z"
