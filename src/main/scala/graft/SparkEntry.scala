@@ -67,6 +67,10 @@ object SparkEntry {
     "q_events_daily_active_approx" -> (Events.dailyActiveApprox _),
     // -- Dedup pack (documents) --
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
+    "dedup_apply_exact" -> ((s, d) => Dedup.dropExactDuplicates(Tables.load(s, d, "documents"))
+      .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+    "dedup_apply_near" -> ((s, d) => Dedup.dropNearDuplicates(Tables.load(s, d, "documents"))
+      .select("doc_id", "source", "n_chars").orderBy("doc_id")),
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.load(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
@@ -681,6 +685,28 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+    "dedup_apply_exact" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
+        |                 GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_apply_near" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |cand AS ($candPairsSelect),
+         |ss AS (SELECT doc_id, list_distinct(shingles) AS shingle_set FROM sh),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    length(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
+         |    length(sa.shingle_set) + length(sb.shingle_set) AS sz_sum
+         |  FROM cand c
+         |  JOIN ss sa ON c.doc_a = sa.doc_id
+         |  JOIN ss sb ON c.doc_b = sb.doc_id),
+         |drops AS (SELECT DISTINCT doc_b FROM scored
+         |          WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.01)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_simhash" -> simhashSql,

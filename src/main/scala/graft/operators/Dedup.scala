@@ -186,6 +186,24 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** APPLY exact dedup: the deduplicated corpus itself — each normalized-
+    * text group keeps only its representative (min doc_id) row. One
+    * aggregation + one left-semi join on doc_id; the identify step
+    * (`exact`) and this apply step together are the full operator.
+    */
+  def dropExactDuplicates(docs: DataFrame): DataFrame =
+    docs.join(exactRaw(docs).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** APPLY near-dedup: drop every document that appears as the higher-id
+    * member of a verified near-dup pair (MinHash candidates -> exact
+    * Jaccard >= threshold). Left-anti join against the pair list; the
+    * lower-id member survives as the representative.
+    */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.01): DataFrame =
+    docs.join(ngramJaccardPairsRaw(docs, threshold).select(col("doc_b").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Exact n-gram Jaccard verify over MinHash candidate pairs: candidates
     * come from `minhashCandidatePairs` (bucketed LSH join, bounded by
     * `MaxBandBucket`), then the exact Jaccard over distinct word 3-gram
@@ -195,6 +213,13 @@ object Dedup {
     * the standard candidate-generation -> verification split at scale.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.01,
+      k: Int = 16, bands: Int = 4): DataFrame =
+    ngramJaccardPairsRaw(docs, threshold, k, bands).orderBy("doc_a", "doc_b")
+
+  /** `ngramJaccardPairs` without the output-edge sort (for apply-step
+    * joins).
+    */
+  def ngramJaccardPairsRaw(docs: DataFrame, threshold: Double = 0.01,
       k: Int = 16, bands: Int = 4): DataFrame = {
     val cands = minhashCandidatePairsRaw(docs, k, bands).select("doc_a", "doc_b")
     val sets = withShingles(docs)
@@ -210,6 +235,5 @@ object Dedup {
         col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 }

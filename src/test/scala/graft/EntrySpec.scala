@@ -23,6 +23,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_lsh_topk" -> 22L,
     "ann_topk" -> 25L,
     "dedup_exact" -> 500L,
+    "dedup_apply_exact" -> 500L,
+    "dedup_apply_near" -> 474L,
     "dedup_minhash_pairs" -> 30L,
     "dedup_minhash_sig" -> 500L,
     "dedup_ngram_jaccard" -> 30L,
