@@ -85,6 +85,11 @@ object SparkEntry {
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
+    "pipeline_split" -> ((s, d) => Curation.assignSplits(Tables.load(s, d, "documents"))
+      .groupBy("split", "source")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .orderBy("split", "source")),
     // -- Text analysis (documents) --
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
@@ -685,6 +690,16 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+    "pipeline_split" ->
+      s"""WITH h AS (SELECT source,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % $M) % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |  source, COUNT(*) AS n_docs
+         |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
     "dedup_apply_exact" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents

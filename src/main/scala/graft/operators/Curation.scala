@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.WordCount
-import graft.functions.TextAnalysis
+import graft.functions.{PolyHash, TextAnalysis}
 
 /** End-to-end training-data curation pipeline: the composition the
   * individual operators exist for. Keep a document iff
@@ -20,6 +20,22 @@ import graft.functions.TextAnalysis
   * AQE can broadcast the (much smaller) keeper set when it fits.
   */
 object Curation {
+
+  /** Deterministic train/val/test assignment by CONTENT hash: bucket =
+    * PolyHash(text) mod 100, train < trainPct <= val < trainPct+valPct <=
+    * test. Content-keyed (not id-keyed) so the same document lands in the
+    * same split across re-ingestions and id reshuffles — the property that
+    * prevents train/test leakage when a corpus is rebuilt. Pure per-row
+    * expression; no shuffle.
+    */
+  def assignSplits(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = pmod(PolyHash(col("text")), lit(100L))
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
 
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en")): DataFrame = {

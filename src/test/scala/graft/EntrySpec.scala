@@ -32,6 +32,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_simhash_pairs" -> 1537L,
     "dedup_embedding" -> 59L,
     "pipeline_curation" -> 466L,
+    "pipeline_split" -> 54L,
     "emb_top_pairs" -> 100L,
     "mm_media_meta" -> 500L,
     "q1_pricing_summary" -> 6L,
