@@ -171,40 +171,60 @@ object SparkEntry {
        |$bandsCte
        |$candPairsSelect ORDER BY doc_a, doc_b""".stripMargin
 
+  // Mirrors Dedup.simhashRaw: 64-bit fingerprint as four 16-bit parts,
+  // each from its own md5 slice, sign-aggregated per bit.
   private val simCte = {
-    val sums = (0 until 16)
-      .map(b => s"    SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+    val parts = (0 until 4)
+      .map(p => s"    CAST(concat('0x', substr(md5(tok), ${1 + 4 * p}, 4)) AS INT) AS h$p")
       .mkString(",\n")
-    val bits = (0 until 16)
-      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
-      .mkString(" + ")
+    val sums = (for { p <- 0 until 4; b <- 0 until 16 } yield
+        s"    SUM(CASE WHEN (h$p >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s${p}_$b")
+      .mkString(",\n")
+    val simCols = (0 until 4).map { p =>
+      val bits = (0 until 16)
+        .map(b => s"(CASE WHEN s${p}_$b > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"CAST($bits AS INT) AS sim$p"
+    }.mkString(",\n  ")
     s"""$tokCte,
        |tk AS (SELECT doc_id, unnest(tokens) AS tok FROM tok),
-       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS INT) AS h FROM tk),
+       |h AS (SELECT doc_id,
+       |$parts
+       |  FROM tk),
        |s AS (SELECT doc_id,
        |$sums
        |  FROM h GROUP BY doc_id),
-       |sim AS (SELECT doc_id, CAST($bits AS INT) AS simhash FROM s)""".stripMargin
+       |sim AS (SELECT doc_id,
+       |  $simCols
+       |  FROM s)""".stripMargin
   }
 
   private val simhashSql =
     s"""WITH $simCte
-       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, sim0, sim1, sim2, sim3 FROM sim ORDER BY doc_id""".stripMargin
 
-  // Mirrors Dedup.simhashPairs: 4-nibble banding + xor/popcount verify.
-  private val simhashPairsSql =
+  // Mirrors Dedup.simhashPairs: 16-bit-part banding (+ MaxBandBucket skew
+  // cap) + four xor/popcount verifies.
+  private val simhashPairsSql = {
+    val bandRows = (0 until 4)
+      .map(p => s"SELECT doc_id, sim0, sim1, sim2, sim3, $p AS band_idx, sim$p AS band FROM sim")
+      .mkString("\n  UNION ALL ")
+    val hamming = (0 until 4)
+      .map(p => s"bit_count(xor(a.sim$p, b.sim$p))")
+      .mkString(" + ")
     s"""WITH $simCte,
-       |bands AS (SELECT doc_id, simhash, CAST(t.b AS INT) AS band_idx,
-       |    (simhash >> (4 * t.b)) & 15 AS nib
-       |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS b) t)
+       |bands AS (
+       |  SELECT * FROM ($bandRows)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band) <= ${Dedup.MaxBandBucket})
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+       |  CAST($hamming AS INT) AS hamming,
        |  COUNT(*) AS n_shared_bands
        |FROM bands a JOIN bands b
-       |  ON a.band_idx = b.band_idx AND a.nib = b.nib AND a.doc_id < b.doc_id
+       |  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
        |GROUP BY 1, 2, 3
-       |HAVING hamming <= 1
+       |HAVING hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // MinHash candidates -> exact-Jaccard verify, mirroring Dedup.ngramJaccardPairs.
   private val ngramJaccardSql =

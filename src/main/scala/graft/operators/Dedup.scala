@@ -135,51 +135,71 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** 16-bit SimHash over tokens (weighted by occurrence count): per token,
-    * hash = first 16 bits of md5; each bit contributes +1/-1; the sign of
-    * the per-bit sum forms the fingerprint. One explode + one aggregation —
+  /** 64-bit SimHash over tokens (weighted by occurrence count): per token,
+    * hash = first 64 bits of md5, carried as four 16-bit parts; each bit
+    * contributes +1/-1; the sign of the per-bit sum forms the fingerprint.
+    * The fingerprint stays as four 16-bit ints (`sim0..sim3`) rather than
+    * one packed int64 — part 3's top bit would collide with the sign bit
+    * in both engines, and the parts ARE the LSH bands downstream, so
+    * packing would only add an unpack step. One explode + one aggregation —
     * linear, no pairwise work.
     */
   private def simhashRaw(docs: DataFrame): DataFrame = {
     val ex = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-    val sums = (0 until 16).map(b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1)") === 1, 1).otherwise(-1)).as(s"s$b"))
+      .withColumn("hx", md5(col("tok")))
+      .select(col("doc_id") +:
+        (0 until 4).map(p =>
+          conv(substring(col("hx"), 1 + 4 * p, 4), 16, 10).cast("int").as(s"h$p")): _*)
+    val sums = for { p <- 0 until 4; b <- 0 until 16 } yield
+      sum(when(expr(s"(shiftright(h$p, $b) & 1)") === 1, 1).otherwise(-1)).as(s"s${p}_$b")
     val agg = ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val sim = (0 until 16)
-      .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sim.cast("int").as("simhash"))
+    val simCols = (0 until 4).map { p =>
+      (0 until 16)
+        .map(b => when(col(s"s${p}_$b") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"sim$p")
+    }
+    agg.select(col("doc_id") +: simCols: _*)
   }
 
   def simhash(docs: DataFrame): DataFrame =
     simhashRaw(docs).orderBy("doc_id")
 
-  /** SimHash near-dup pairs by banded Hamming search: the 16-bit
-    * fingerprint splits into 4 nibbles; by pigeonhole, any pair within
-    * Hamming distance 3 shares at least one intact nibble, so the
-    * (band_idx, nibble) equi-join finds ALL pairs within `maxHamming` <= 3
-    * without an O(n^2) scan — the same candidate-generation -> verify split
-    * as MinHash, with the verify being one xor+popcount. Same shuffle-join/
-    * exchange-reuse shape as `minhashCandidatePairs`. Default threshold 1
-    * keeps "near-dup" strict for a 16-bit fingerprint (3 of 16 bits differing
-    * is already a weak match).
+  /** SimHash near-dup pairs by banded Hamming search: the 64-bit
+    * fingerprint splits into its four 16-bit parts; by pigeonhole, any
+    * pair within Hamming distance 3 shares at least one intact part, so
+    * the (band_idx, band) equi-join finds ALL pairs within `maxHamming`
+    * <= 3 without an O(n^2) scan — the same candidate-generation -> verify
+    * split as MinHash, with the verify being four xor+popcounts.
+    *
+    * Scale design: the band space is 2^16 values per band (vs 16 in the
+    * r1/r2 nibble design, whose 64 total buckets made the self-join
+    * O(n^2/64)), so buckets keep shrinking as content diversifies, and
+    * `MaxBandBucket` caps the residual hot buckets (empty docs, boiler-
+    * plate) exactly as `minhashBandBuckets` does — capped docs are still
+    * caught by exact dedup. Same shuffle-join/exchange-reuse shape as
+    * `minhashCandidatePairs`.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
-    val bandArr = array((0 until 4).map(b =>
-      shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15))): _*)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sims = (0 until 4).map(p => col(s"sim$p"))
+    val w = Window.partitionBy("band_idx", "band")
     val ex = simhashRaw(docs)
-      .select(col("doc_id"), col("simhash"), posexplode(bandArr).as(Seq("band_idx", "nib")))
+      .select(col("doc_id") +: sims :+ posexplode(array(sims: _*)).as(Seq("band_idx", "band")): _*)
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= MaxBandBucket)
+      .drop("bucket_n")
     val a = ex.alias("a")
     val b = ex.hint("shuffle_hash").alias("b")
+    val hamming = (0 until 4)
+      .map(p => bit_count(col(s"a.sim$p").bitwiseXOR(col(s"b.sim$p"))))
+      .reduce(_ + _)
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
-        col("a.nib") === col("b.nib") &&
+        col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+        hamming.cast("int").as("hamming"))
       .groupBy("doc_a", "doc_b", "hamming")
       .agg(count(lit(1)).as("n_shared_bands"))
       .filter(col("hamming") <= maxHamming)

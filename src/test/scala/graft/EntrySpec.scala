@@ -29,7 +29,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_minhash_sig" -> 500L,
     "dedup_ngram_jaccard" -> 30L,
     "dedup_simhash" -> 500L,
-    "dedup_simhash_pairs" -> 1537L,
+    "dedup_simhash_pairs" -> 23L,
     "dedup_embedding" -> 59L,
     "pipeline_curation" -> 466L,
     "pipeline_split" -> 54L,

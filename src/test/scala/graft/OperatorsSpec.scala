@@ -28,11 +28,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L, 4L)))
   }
 
-  test("simhash: identical texts agree, fingerprint within 16 bits") {
+  test("simhash: identical texts agree, each fingerprint part within 16 bits") {
     val d = docs((1L, "spark scala data"), (2L, "spark scala data"), (3L, "completely different words"))
-    val sims = Dedup.simhash(d).as[(Long, Int)].collect().toMap
+    val sims = Dedup.simhash(d).as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
     assert(sims(1L) === sims(2L))
-    assert(sims.values.forall(s => s >= 0 && s < 65536))
+    assert(sims(1L) !== sims(3L))
+    for ((_, (s0, s1, s2, s3)) <- sims; s <- Seq(s0, s1, s2, s3))
+      assert(s >= 0 && s < 65536)
+  }
+
+  test("simhashPairs caps hot band buckets; small buckets still pair") {
+    // 70 identical docs (> MaxBandBucket = 64) saturate all four of their
+    // band buckets -> every band row is dropped, no O(n^2) blowup, no pairs.
+    // The distinct twin pair lives in buckets of size 2 and survives.
+    val hot = (1L to 70L).map(i => (i, "aaa bbb ccc aaa bbb ccc"))
+    val twins = Seq((900L, "unique sentence about spark executors"),
+                    (901L, "unique sentence about spark executors"))
+    val pairs = Dedup.simhashPairs(docs(hot ++ twins: _*))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((900L, 901L)))
   }
 
   test("ngram jaccard finds high-overlap pair within block") {
