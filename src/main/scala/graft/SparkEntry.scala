@@ -376,9 +376,10 @@ object SparkEntry {
        |  CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1) AS punct_ratio,
        |  CAST(digit_cnt AS DOUBLE) / greatest(n_chars_txt, 1) AS digit_ratio,
        |  CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
-       |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
-       |    + (1.0 - least(1.0, (CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 10.0)) * 0.3
-       |    + least(1.0, (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)) * 5.0) * 0.3 AS quality
+       |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.35
+       |    + (1.0 - least(1.0, (CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 10.0)) * 0.25
+       |    + least(1.0, (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)) * 5.0) * 0.25
+       |    + (1.0 - least(1.0, (CAST(digit_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 5.0)) * 0.15 AS quality
        |FROM m ORDER BY doc_id""".stripMargin
 
   // Mirrors operators.Curation.curate: lang + quality signals on one token
@@ -402,12 +403,14 @@ object SparkEntry {
        |  length(tokens) AS n_tokens,
        |  length(text) AS n_chars_txt,
        |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
        |  length(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS stop_cnt
        |  FROM j),
        |q AS (SELECT doc_id,
-       |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
-       |    + (1.0 - least(1.0, (CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 10.0)) * 0.3
-       |    + least(1.0, (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)) * 5.0) * 0.3 AS quality
+       |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.35
+       |    + (1.0 - least(1.0, (CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 10.0)) * 0.25
+       |    + least(1.0, (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)) * 5.0) * 0.25
+       |    + (1.0 - least(1.0, (CAST(digit_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 5.0)) * 0.15 AS quality
        |  FROM m),
        |keeps AS (SELECT MIN(doc_id) AS keep_id FROM documents
        |          GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))

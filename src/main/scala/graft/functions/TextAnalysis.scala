@@ -69,13 +69,15 @@ object TextAnalysis {
       .withColumn("digit_ratio", col("digit_cnt").cast("double") / greatest(col("n_chars_txt"), lit(1)))
       .withColumn("stop_ratio", col("stop_cnt").cast("double") / greatest(col("n_tokens"), lit(1)))
       .withColumn("quality",
-        least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.4 +
-        (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)) * 0.3 +
-        least(lit(1.0), col("stop_ratio") * 5.0) * 0.3)
+        least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.35 +
+        (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)) * 0.25 +
+        least(lit(1.0), col("stop_ratio") * 5.0) * 0.25 +
+        (lit(1.0) - least(lit(1.0), col("digit_ratio") * 5.0)) * 0.15)
 
-  /** Quality scoring: length/punctuation/stopword signals combined into a
-    * [0,1] score. All ratios are exact-int divisions -> deterministic
-    * doubles in any engine.
+  /** Quality scoring: length/punctuation/stopword/digit signals combined
+    * into a [0,1] score (digit-dense text — tables, logs, serial dumps —
+    * is penalized like punctuation-dense text). All ratios are exact-int
+    * divisions -> deterministic doubles in any engine.
     */
   def qualityScore(docs: DataFrame): DataFrame =
     withQualitySignals(docs.withColumn("tokens", WordCount.tokens(col("text"))))

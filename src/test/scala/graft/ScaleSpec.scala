@@ -126,8 +126,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.count() === 10000L)
     // the salt column spread rows across all 8 sub-keys before the join
     val saltSpread = hot
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .withColumn("__salt", Salting.saltCol("k", 8))
       .groupBy("__salt").count().collect()
     assert(saltSpread.length === 8)
+  }
+
+  test("salt spread is layout-independent: strided row ids still hit all salts") {
+    // Keeping every 8th row gives ids with stride 8 — the layout that
+    // collapses an id-modulo salt to ONE value per partition. The hashed
+    // salt must still reach all 8 values, reasonably balanced.
+    val strided = spark.range(80000).filter(col("id") % 8 === 0)
+      .select(lit(7L).as("k"), col("id"))
+    val counts = strided
+      .withColumn("__salt", Salting.saltCol("k", 8))
+      .groupBy("__salt").count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet === (0 until 8).toSet)
+    assert(counts.values.min > 500, s"unbalanced salt spread: $counts")
+    // and the join result over that layout still matches the plain join
+    val dim = Seq((7L, "seven")).toDF("k", "v")
+    assert(Salting.saltedEquiJoin(strided, dim, "k", factor = 8).count() === 10000L)
   }
 }
