@@ -82,6 +82,11 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"))),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.multiProbeTopK(Tables.load(s, d, "embeddings"))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"))),
+    // k-means-fitted IVF: the fit is deterministic (hash-gated sample,
+    // sorted-order sums), so the oracle re-states the fitted centroids as
+    // literals — see oracleSqlDynamic.
+    "ann_ivf_kmeans" -> ((s, d) =>
+      Similarity.ivfTopKWith(Tables.load(s, d, "embeddings"), kmeansCentroids(s, d))),
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
@@ -260,7 +265,7 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   private def planeSql(i: Int): String =
-    s"CAST(list_transform(generate_series(0, 63), d -> (19 * $i + 11 * d) % 29 - 14) AS DOUBLE[])"
+    s"CAST(list_transform(generate_series(0, 63), d -> (19 * $i + (11 + 7 * $i) * d) % 61 - 30) AS DOUBLE[])"
 
   private val bucketExpr = (0 until Similarity.NumPlanes)
     .map(i => s"(CASE WHEN list_inner_product(v, ${planeSql(i)}) > 0 THEN ${1 << i} ELSE 0 END)")
@@ -333,6 +338,49 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
+
+  /** Fitted IVF centroids per sf dir — memoized so the query run and the
+    * oracle render share one fit (it is deterministic either way; the
+    * cache only avoids repeating the Spark jobs).
+    */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def kmeansCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    kmeansCache.getOrElseUpdate(d,
+      Similarity.fitCentroids(Tables.load(s, d, "embeddings")))
+
+  /** ann_ivf_kmeans oracle: identical query shape to `ivfTopkSql`, with
+    * the fitted centroids exported as double literals (Double.toString is
+    * the shortest round-tripping form, so DuckDB parses back the exact
+    * same doubles and every score matches bit for bit).
+    */
+  private def ivfKmeansSqlFor(centroids: Array[Array[Double]]): String = {
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH $normCte,
+       |sc AS (SELECT vec_id, v, nrm, $scoreList AS scores FROM n),
+       |wb AS (SELECT vec_id, v, nrm, scores,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |        unnest(list_distinct(list_transform(generate_series(1, 2),
+       |          r -> CAST(list_position(scores, list_sort(scores)[r]) AS INT)))) AS probe
+       |      FROM wb WHERE vec_id < 5),
+       |s AS (SELECT q.q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+       |      FROM q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Oracle map including the entries that depend on the data (the
+    * k-means IVF centroids are fitted, then exported as literals). Verify
+    * dumps THIS map; the static `oracleSql` stays the data-independent
+    * subset.
+    */
+  def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql + ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir)))
 
   private val embTopPairsSql =
     s"""WITH $normCte,

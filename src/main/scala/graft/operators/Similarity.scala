@@ -56,18 +56,33 @@ object Similarity {
     */
   val NumPlanes = 8
 
-  /** Deterministic integer hyperplane i: h_i[d] = (19*i + 11*d) % 29 - 14.
+  /** The sizing rule, as code: planes for a corpus of `n` vectors so that
+    * expected bucket occupancy ≈ `targetBucketSize` (2^nPlanes ≈ n/target).
+    * Recall scales with occupancy, so honoring this rule is what the
+    * recall@5 spec measures; ignoring it (16 planes over 500 vectors =
+    * 65k buckets for 500 rows) drives recall toward zero.
+    */
+  def planesFor(n: Long, targetBucketSize: Int = 60): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(n, 2).toDouble / targetBucketSize) / math.log(2)).toInt)
+
+  /** Deterministic integer hyperplane i: h_i[d] = (19i + 11d + 7id) % 61 - 30.
     * Integer-derived components make the projection exactly reproducible in
-    * any engine (no platform-dependent trig/PRNG). The modulus must exceed
-    * the largest nPlanes in use and be coprime with the i-multiplier, else
-    * planes repeat (19 mod 29 has period 29 > 16; the earlier %13 formula
-    * silently duplicated planes 13-15 onto 0-2). Built as an array of
-    * literals so ConstantFolding collapses it to one constant array at plan
-    * time (a transform-over-sequence spelling re-evaluates per row — HOFs
-    * are not constant-folded).
+    * any engine (no platform-dependent trig/PRNG). The bilinear `7id` term
+    * decorrelates planes: without it, plane j is plane i's residue sequence
+    * shifted by a constant, so successive planes cut the space along
+    * near-parallel directions and bucket recall collapses (measured 0.04
+    * recall@5 before, see the recall spec). The per-d multiplier (11+7i)
+    * mod 61 must stay nonzero for every plane in use — zero first occurs at
+    * i = 42, far above the 16-plane maximum — and the modulus must exceed
+    * the largest nPlanes, else planes repeat (the r1 %13 formula silently
+    * duplicated planes 13-15 onto 0-2). Built as an array of literals so
+    * ConstantFolding collapses it to one constant array at plan time (a
+    * transform-over-sequence spelling re-evaluates per row — HOFs are not
+    * constant-folded).
     */
   private def planeCol(i: Int): Column =
-    array((0 until 64).map(d => lit(((19 * i + 11 * d) % 29 - 14).toDouble)): _*)
+    array((0 until 64).map(d => lit(((19 * i + 11 * d + 7 * i * d) % 61 - 30).toDouble)): _*)
 
   /** Sign-bit bucket column over `v` for the given number of hyperplanes. */
   private def bucketCol(nPlanes: Int): Column =
@@ -114,10 +129,19 @@ object Similarity {
     * probe fan-out multiplies the (tiny) query side, never the corpus side.
     */
   def multiProbeTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
-      nPlanes: Int = 16): DataFrame = {
+      nPlanes: Int = 16, probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 1 && probeHamming <= 2, "probeHamming must be 1 or 2")
     val wb = withBuckets(emb, nPlanes)
-    val probes = array((col("bucket") +:
-      (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i)))): _*)
+    // probe masks for every bucket within Hamming `probeHamming` of the
+    // query's bucket: 1 + nPlanes (+ nPlanes choose 2). The fan-out
+    // multiplies the query side only; recall for radius-2 probing follows
+    // P(Hamming(q, neighbor) <= 2), which is what lifts borderline-cosine
+    // neighbors over the 0.8 floor the recall spec asserts.
+    val masks = 0 +: ((0 until nPlanes).map(1 << _) ++
+      (if (probeHamming < 2) Seq.empty
+       else for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+         yield (1 << i) | (1 << j)))
+    val probes = array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)
     val q = wb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(probes).as("probe"))
@@ -174,21 +198,113 @@ object Similarity {
     * once on `cell`.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
-      nCentroids: Int = 16): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val scores = array((0 until nCentroids).map(ivfScore): _*)
+    // probe the nProbe nearest cells (rank-r argmin via the sorted score
+    // array); array_distinct guards the tied-score case where two ranks
+    // resolve to the same cell, which would double-score its candidates
+    val probeArr = expr(s"array_distinct(transform(sequence(1, $nProbe), " +
+      "r -> cast(array_position(scores, element_at(array_sort(scores), r)) as int)))")
     val wb = withNorm(emb)
       .withColumn("scores", scores)
       .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
     val q = wb.filter(col("vec_id") < nQueries)
-      // probe the nearest and second-nearest cell (top-2 argmin)
-      .withColumn("probe", explode(array(
-        col("cell"),
-        expr("cast(array_position(scores, element_at(array_sort(scores), 2)) as int)"))))
+      .withColumn("probe", explode(probeArr))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
     val cc = wb.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"),
       col("cell").as("n_cell"))
     rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
   }
+
+  /** |c|^2 for an explicit centroid, same sequential fold as
+    * `centroidNorm2` — the literal round-trips identically in both
+    * engines.
+    */
+  def norm2(c: Array[Double]): Double = c.foldLeft(0.0)((acc, x) => acc + x * x)
+
+  /** The fixed integer-lattice centroids as explicit vectors (the
+    * oracle-pinned variant of `ivfTopK`).
+    */
+  def latticeCentroids(nCentroids: Int = 16): Array[Array[Double]] =
+    Array.tabulate(nCentroids)(j =>
+      Array.tabulate(64)(d => ((5 * j + 13 * d) % 23 - 11) / 4.0))
+
+  /** Sampled k-means fit for IVF centroids — the real-scale path the
+    * lattice centroids stand in for. Deterministic end to end: the sample
+    * is hash-gated (`xxhash64(vec_id) % sampleMod == 0`, layout-
+    * independent), the init picks the `nCentroids` sample vectors with the
+    * smallest id hash (a deterministic pseudo-random spread), and each
+    * Lloyd's update sums coordinates in sorted vec_id order (a distributed
+    * `avg` would reduce in task-completion order and dither the last ulp
+    * run to run, breaking the exported-literal oracle). Per iteration the
+    * executors reduce the sample to nCentroids*dim (cell, dim, sum, count)
+    * rows; only that tiny aggregate reaches the driver, so the fit cost is
+    * one scan of the SAMPLE per iteration regardless of corpus size —
+    * exactly how a 100 TB fit must behave. Empty cells keep their previous
+    * centroid.
+    */
+  def fitCentroids(emb: DataFrame, nCentroids: Int = 16, iters: Int = 8,
+      sampleMod: Int = 2): Array[Array[Double]] = {
+    val sample = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0)
+    val init = sample
+      .orderBy(xxhash64(col("vec_id") + 1), col("vec_id"))
+      .limit(nCentroids)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var centroids = init
+    for (_ <- 0 until iters) {
+      val scores = array(centroids.map(c =>
+        lit(norm2(c)) - lit(2.0) * graft.functions.VectorDot(col("v"),
+          array(c.map(lit).toSeq: _*))).toSeq: _*)
+      val stats = sample
+        .withColumn("scores", scores)
+        .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+        .select(col("cell"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(vec_id, x))), cast(0.0 as double), (a, s) -> a + s.x)").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        // cell is 1-based (array_position); d is 0-based (posexplode)
+        next(r.getInt(0) - 1)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF top-k over explicit centroid vectors — shared by the lattice and
+    * k-means variants; same shape as `ivfTopK`.
+    */
+  def ivfTopKWith(emb: DataFrame, centroids: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val scores = array(centroids.map(c =>
+      lit(norm2(c)) - lit(2.0) * graft.functions.VectorDot(col("v"),
+        array(c.map(lit).toSeq: _*))).toSeq: _*)
+    val probeArr = expr(s"array_distinct(transform(sequence(1, $nProbe), " +
+      "r -> cast(array_position(scores, element_at(array_sort(scores), r)) as int)))")
+    val wb = withNorm(emb)
+      .withColumn("scores", scores)
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+    val q = wb.filter(col("vec_id") < nQueries)
+      .withColumn("probe", explode(probeArr))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
+    val cc = wb.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"),
+      col("cell").as("n_cell"))
+    rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
+  }
+
+  /** IVF top-k with centroids fitted by `fitCentroids` — completes the
+    * documented real-scale path: cells follow the data's coarse geometry,
+    * which is what lifts IVF recall over the fixed lattice (measured in
+    * the recall spec).
+    */
+  def ivfKmeansTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
+    ivfTopKWith(emb, fitCentroids(emb, nCentroids), nQueries, k, nProbe)
 
   /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding
     * operator: candidate pairs come from LSH bucket equality (the linear

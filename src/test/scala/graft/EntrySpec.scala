@@ -14,13 +14,14 @@ class EntrySpec extends AnyFunSuite {
   /** Oracle-verified row counts at sf0.001 (from the DuckDB compare). */
   private val expectedRows = Map(
     "ann_lsh_buckets" -> 500L,
-    "ann_lsh_multiprobe" -> 10L,
+    "ann_lsh_multiprobe" -> 2L,
     "ann_ivf_topk" -> 25L,
+    "ann_ivf_kmeans" -> 25L,
     "q_cube_returns" -> 12L,
     "q10_returned_items" -> 20L,
     "q_order_percentiles" -> 5L,
     "q14_promo_revenue" -> 1L,
-    "ann_lsh_topk" -> 22L,
+    "ann_lsh_topk" -> 9L,
     "ann_topk" -> 25L,
     "dedup_exact" -> 500L,
     "dedup_apply_exact" -> 500L,
@@ -30,7 +31,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_ngram_jaccard" -> 30L,
     "dedup_simhash" -> 500L,
     "dedup_simhash_pairs" -> 23L,
-    "dedup_embedding" -> 59L,
+    "dedup_embedding" -> 20L,
     "pipeline_curation" -> 466L,
     "pipeline_split" -> 54L,
     "emb_top_pairs" -> 100L,
@@ -79,9 +80,17 @@ class EntrySpec extends AnyFunSuite {
     */
   private val noOracle = Set("q_events_daily_active_approx")
 
+  /** Queries whose oracle is data-dependent (fitted centroids exported as
+    * literals) and therefore generated per sf dir by `oracleSqlDynamic`,
+    * not present in the static map.
+    */
+  private val dynamicOracle = Set("ann_ivf_kmeans")
+
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === noOracle)
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === noOracle ++ dynamicOracle)
+    assert(SparkEntry.oracleSqlDynamic(spark, dir).keySet ===
+      SparkEntry.queries.keySet -- noOracle)
   }
 
   test("every query has an expected row count (and vice versa)") {

@@ -181,6 +181,66 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallVs(truth: Map[Long, Set[Long]])(approx: Map[Long, Set[Long]]): Double =
+    truth.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+
+  test("ANN recall@5 vs brute force on the isotropic testdata (the adversarial case)") {
+    // Every sf0.01 vector is a query (500 of them), not just the 5 the
+    // oracle pins. NOTE this data is isotropic noise (mean within-label
+    // cosine ≈ 0.005, top-5 neighbor cosine ≈ 0.33): no partitioning can
+    // follow geometry that isn't there, so recall here is governed by
+    // COVERAGE — rule-sized planes (planesFor) + Hamming-2 probing is the
+    // configuration that clears the floor, and the measured numbers below
+    // are the evidence the sizing rule holds in the worst case.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count().toInt
+    val recall = recallVs(topSets(Similarity.bruteForceTopK(emb, nQueries = n))) _
+    val sized = Similarity.planesFor(n)
+    val multiProbe = recall(topSets(
+      Similarity.multiProbeTopK(emb, nQueries = n, nPlanes = sized, probeHamming = 2)))
+    val ivfKmeans = recall(topSets(Similarity.ivfKmeansTopK(emb, nQueries = n)))
+    val ivfLattice = recall(topSets(Similarity.ivfTopK(emb, nQueries = n)))
+    val singleProbe = recall(topSets(Similarity.lshTopK(emb, nQueries = n)))
+    info(f"recall@5 over $n queries: multiProbe($sized planes,h2)=$multiProbe%.3f " +
+      f"ivfKmeans=$ivfKmeans%.3f ivfLattice=$ivfLattice%.3f singleProbe(8-plane)=$singleProbe%.3f")
+    assert(multiProbe >= 0.8, f"multi-probe recall@5 $multiProbe%.3f below 0.8 floor")
+    // 2-probe IVF scans 2/16 cells; on structureless data recall tracks
+    // that coverage. The fit must at least not LOSE to the lattice here
+    // (floor asserted on clustered data below, where geometry exists).
+    assert(ivfKmeans >= ivfLattice,
+      f"fitted IVF $ivfKmeans%.3f should not lose to the lattice $ivfLattice%.3f")
+    assert(ivfKmeans >= 2.0 / 16, f"fitted IVF $ivfKmeans%.3f below its coverage bound")
+    // single probe against 16x finer buckets trades recall for locality —
+    // it must lose to multi-probe, which is the point of probing
+    assert(singleProbe <= multiProbe,
+      f"single-probe $singleProbe%.3f should not beat multi-probe $multiProbe%.3f")
+  }
+
+  test("k-means IVF clears the recall floor on clustered data (the case IVF exists for)") {
+    // Deterministic 10-cluster corpus: center[c] + small hash noise. Real
+    // embedding corpora are clustered; here cells CAN follow geometry, and
+    // the fitted centroids must deliver what the lattice can't promise.
+    val pts = (0 until 500).map { i =>
+      val c = i % 10
+      val v = Array.tabulate(64) { d =>
+        (((17 * c + 23 * d) % 19 - 9) / 3.0 + ((31 * i + 7 * d) % 11 - 5) * 0.08).toFloat
+      }
+      (i.toLong, v, c)
+    }
+    val emb = pts.toDF("vec_id", "embedding", "label")
+    val n = pts.size
+    val recall = recallVs(topSets(Similarity.bruteForceTopK(emb, nQueries = n))) _
+    val ivfKmeans = recall(topSets(Similarity.ivfKmeansTopK(emb, nQueries = n)))
+    info(f"clustered recall@5 over $n queries: ivfKmeans(2probe)=$ivfKmeans%.3f")
+    assert(ivfKmeans >= 0.8, f"k-means IVF recall@5 $ivfKmeans%.3f below 0.8 floor")
+  }
+
   test("ANN variants return k DISTINCT neighbors per query (formula injectivity guard)") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     for ((name, df) <- Seq(
