@@ -99,4 +99,19 @@ object WindowedWordCount {
       .option("topic", topic)
       .option("checkpointLocation", checkpointLocation)
       .outputMode("append")
+
+  /** The same pipeline as `toKafka` — identical payload frame (single
+    * string `value` column of JSON records), checkpoint, and append
+    * mode — delivered through foreachBatch so any store can stand in for
+    * the broker. This is the testable face of the Kafka sink seam: a spec
+    * drives it end to end and asserts the exact frame contract the broker
+    * would receive, which is everything about `toKafka` that is not the
+    * Kafka client itself.
+    */
+  def toSwappableSink(counts: DataFrame, checkpointLocation: String)(
+      deliver: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    toJsonRecords(counts).writeStream
+      .foreachBatch(deliver)
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
 }

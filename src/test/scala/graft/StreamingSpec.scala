@@ -298,6 +298,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("swappable sink delivers the exact Kafka payload contract, once per record") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = WindowedWordCount.transform(input.toDF().toDF("timestamp", "value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fb-ckpt")
+    // value -> delivery count: proves both contract shape and exactly-once
+    val delivered = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val schemas = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val q = WindowedWordCount.toSwappableSink(counts, ckpt.toString) { (batch, _) =>
+      schemas.put(batch.schema.map(f => s"${f.name}:${f.dataType.typeName}").mkString(","), 1)
+      batch.collect().foreach { r =>
+        val v = r.getString(0)
+        delivered.put(v, delivered.getOrElse(v, 0) + 1)
+      }
+    }.start()
+    try {
+      input.addData((ts("10:00:10"), "hello world"), (ts("10:00:50"), "world"))
+      q.processAllAvailable()
+      input.addData((ts("10:05:00"), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every non-empty batch carried exactly the broker frame: one string
+    // `value` column (what the Kafka sink consumes)
+    assert(schemas.keySet === Set("value:string"))
+    assert(delivered.values.forall(_ == 1), s"re-delivered records: $delivered")
+    val byWord = delivered.keys.map { v =>
+      val word = "\"word\":\"(\\w+)\"".r.findFirstMatchIn(v).get.group(1)
+      val count = "\"count\":(\\d+)".r.findFirstMatchIn(v).get.group(1).toLong
+      (word, count)
+    }.toSet
+    assert(byWord === Set(("HELLO", 1L), ("WORLD", 2L)))
+    assert(delivered.keys.forall(_.contains(""""window":{"start":"2024-01-01T10:00:00.000Z"""")))
+  }
+
   test("JSON output shape matches the reference's (window, word, count) record") {
     val batch = Seq((ts("10:00:10"), "abc"))
       .toDF("timestamp", "value")
