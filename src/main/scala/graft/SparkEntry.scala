@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.WordCount
 import graft.functions.TextAnalysis
-import graft.operators.{Curation, Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Scrub, Similarity}
 import graft.queries.{Events, Relational}
 import graft.streaming.WindowedWordCount
 
@@ -90,6 +90,10 @@ object SparkEntry {
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
+    "pipeline_pack" -> ((s, d) => Curation.packSequences(Tables.load(s, d, "documents"))),
+    "pipeline_contamination" -> ((s, d) =>
+      Dedup.benchmarkContamination(Tables.load(s, d, "documents"))),
+    "text_scrub" -> ((s, d) => Scrub.scrub(Tables.load(s, d, "documents"))),
     "pipeline_split" -> ((s, d) => Curation.assignSplits(Tables.load(s, d, "documents"))
       .groupBy("split", "source")
       .agg(org.apache.spark.sql.functions.count(
@@ -524,6 +528,47 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
        |SELECT doc_id, rnk, term, tf, tfidf FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // Mirrors operators.Scrub.scrub — same RE2 patterns, same replace order,
+  // 'g' flag because DuckDB's regexp_replace is first-match by default.
+  private val scrubSql = {
+    def esc(re: String): String = re.replace("\\", "\\\\").replace("'", "''")
+    val (u, e, p) = (esc(Scrub.UrlRe), esc(Scrub.EmailRe), esc(Scrub.PhoneRe))
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS clean_text,
+       |  CAST(length(regexp_extract_all(text, '$u')) AS BIGINT) AS n_urls,
+       |  CAST(length(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(length(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // Mirrors Dedup.benchmarkContamination (3-gram shingles come from the
+  // shared sh CTE; bench side = doc_id % 100 == 7).
+  private val contaminationSql =
+    s"""WITH $shCte,
+       |g AS (SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh),
+       |bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 100 = 7),
+       |bsz AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bench GROUP BY 1),
+       |ov AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_overlap
+       |       FROM (SELECT * FROM g WHERE doc_id % 100 <> 7) c
+       |       JOIN bench b ON c.gram = b.gram GROUP BY 1, 2)
+       |SELECT ov.doc_id, ov.bench_id, ov.n_overlap,
+       |  round(CAST(ov.n_overlap AS DOUBLE) / bsz.bench_grams, 6) AS coverage
+       |FROM ov JOIN bsz ON ov.bench_id = bsz.bench_id
+       |ORDER BY ov.doc_id, ov.bench_id""".stripMargin
+
+  // Mirrors Curation.packSequences (maxTokens = 512).
+  private val packSql =
+    s"""WITH $tokCte,
+       |t AS (SELECT doc_id, source, CAST(length(tokens) AS BIGINT) AS n_tokens FROM tok),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+       |      FROM t)
+       |SELECT source, CAST(floor(start_off / 512) AS BIGINT) AS seq_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
+
   private val mediaMetaSql =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
@@ -799,6 +844,9 @@ object SparkEntry {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_embedding" -> embNearDupSql,
     "pipeline_curation" -> curationSql,
+    "pipeline_pack" -> packSql,
+    "pipeline_contamination" -> contaminationSql,
+    "text_scrub" -> scrubSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh_buckets" -> lshBucketsSql,

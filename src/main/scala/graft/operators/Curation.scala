@@ -37,6 +37,29 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Sequence packing for training: documents are laid end to end per
+    * source in doc_id order, and each document joins the training sequence
+    * its cumulative start offset falls into (sequence capacity =
+    * `maxTokens`). Returns per-(source, seq_id) packing stats.
+    *
+    * Exact greedy packing is inherently sequential; this offset-bucket
+    * formulation is the distributed equivalent used at scale: one window
+    * cumsum per source partition (a single shuffle on `source`), fully
+    * deterministic, and each sequence overflows its capacity by at most
+    * one document tail (truncated at tokenization time downstream).
+    */
+  def packSequences(docs: DataFrame, maxTokens: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs
+      .withColumn("n_tokens", size(WordCount.tokens(col("text"))).cast("long"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("start_off") / maxTokens))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("source", "seq_id")
+  }
+
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en")): DataFrame = {
     val signals = TextAnalysis.withQualitySignals(

@@ -224,6 +224,37 @@ object Dedup {
     docs.join(ngramJaccardPairsRaw(docs, threshold).select(col("doc_b").as("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Benchmark-contamination check — the train/eval n-gram overlap audit a
+    * training pipeline runs before shipping a corpus: documents whose
+    * word n-grams appear in an evaluation set are flagged with the overlap
+    * count and the fraction of the eval doc they cover. The eval side here
+    * is designated deterministically (doc_id % benchMod == benchRem) as the
+    * stand-in for an external benchmark suite; production passes a real
+    * eval corpus through the same shape.
+    *
+    * Scale design: eval suites are small and bounded, so the distinct-
+    * n-gram eval side is broadcast — the corpus side streams once with no
+    * shuffle until the final aggregation on (doc_id, bench_id). Never
+    * pairwise over the corpus.
+    */
+  def benchmarkContamination(docs: DataFrame, benchMod: Int = 100,
+      benchRem: Int = 7, n: Int = 3): DataFrame = {
+    val grams = withShingles(docs, n)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("gram"))
+    val bench = grams.filter(pmod(col("doc_id"), lit(benchMod)) === benchRem)
+    val benchSized = bench
+      .groupBy(col("doc_id").as("bench_id")).agg(count(lit(1)).as("bench_grams"))
+    val corpus = grams.filter(pmod(col("doc_id"), lit(benchMod)) =!= benchRem)
+    corpus
+      .join(broadcast(bench.select(col("doc_id").as("bench_id"), col("gram"))), "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(broadcast(benchSized), "bench_id")
+      .select(col("doc_id"), col("bench_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("bench_grams"), 6).as("coverage"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Exact n-gram Jaccard verify over MinHash candidate pairs: candidates
     * come from `minhashCandidatePairs` (bucketed LSH join, bounded by
     * `MaxBandBucket`), then the exact Jaccard over distinct word 3-gram

@@ -34,6 +34,9 @@ class EntrySpec extends AnyFunSuite {
     "dedup_embedding" -> 20L,
     "pipeline_curation" -> 466L,
     "pipeline_split" -> 54L,
+    "pipeline_pack" -> 62L,
+    "pipeline_contamination" -> 177L,
+    "text_scrub" -> 500L,
     "emb_top_pairs" -> 100L,
     "mm_media_meta" -> 500L,
     "q1_pricing_summary" -> 6L,

@@ -133,4 +133,30 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(Staging.clear(spark, destData))
     assert(!Staging.exists(spark, destData))
   }
+
+  test("fetch with fallback: dead mirrors are skipped, failures recorded, torn files removed") {
+    import graft.sources.Fetch
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fetch")
+    val good = tmp.resolve("corpus.txt")
+    java.nio.file.Files.writeString(good, "hello fetch world")
+    val dest = tmp.resolve("downloaded.txt").toFile
+
+    // both dead -> Left with one failure per mirror, no file left behind
+    val allDead = Fetch.firstAvailable(
+      Seq(s"file://$tmp/missing1.txt", s"file://$tmp/missing2.txt"), dest)
+    assert(allDead.isLeft)
+    assert(allDead.left.toOption.get.map(_._1) ===
+      Seq(s"file://$tmp/missing1.txt", s"file://$tmp/missing2.txt"))
+    assert(!dest.exists())
+
+    // dead mirror first, live second -> fetched, failure recorded
+    val ok = Fetch.firstAvailable(
+      Seq(s"file://$tmp/missing1.txt", s"file://$good"), dest)
+    assert(ok.isRight)
+    val r = ok.toOption.get
+    assert(r.url === s"file://$good")
+    assert(r.bytes === 17L)
+    assert(r.failures.map(_._1) === Seq(s"file://$tmp/missing1.txt"))
+    assert(java.nio.file.Files.readString(dest.toPath) === "hello fetch world")
+  }
 }

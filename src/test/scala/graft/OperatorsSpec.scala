@@ -111,6 +111,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("scrub redacts urls, emails, and phone runs with typed placeholders") {
+    val d = docs(
+      (1L, "mail me at alice.smith+x@example.co.uk or see https://ex.com/a?b=1 soon"),
+      (2L, "call +1 (555) 123-4567 today"),
+      (3L, "nothing sensitive here"))
+    val out = graft.operators.Scrub.scrub(d)
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "mail me at <EMAIL> or see <URL> soon")
+    assert((out(1L)._3, out(1L)._4) === ((1L, 1L)))
+    assert(out(2L)._2 === "call <PHONE> today")
+    assert(out(2L)._5 === 1L)
+    assert(out(3L) === ((3L, "nothing sensitive here", 0L, 0L, 0L)))
+  }
+
+  test("contamination flags corpus docs sharing n-grams with the bench subset") {
+    // doc 107 is in the bench partition (107 % 100 == 7); doc 1 copies one
+    // of its trigrams, doc 2 shares nothing
+    val d = docs(
+      (107L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma something else entirely"),
+      (2L, "totally disjoint words here"))
+    val out = Dedup.benchmarkContamination(d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // bench doc has 2 distinct trigrams; doc 1 overlaps on exactly 1
+    assert(out === Seq((1L, 107L, 1L, 0.5)))
+  }
+
+  test("sequence packing buckets by cumulative start offset per source") {
+    val d = Seq(
+      (1L, Seq.fill(300)("w").mkString(" "), "s1"),
+      (2L, Seq.fill(300)("w").mkString(" "), "s1"), // starts at 300 -> seq 0 (spillover)
+      (3L, Seq.fill(100)("w").mkString(" "), "s1"), // starts at 600 -> seq 1
+      (4L, Seq.fill(10)("w").mkString(" "), "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Curation.packSequences(d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("s1", 0L, 2L, 600L), ("s1", 1L, 1L, 100L), ("s2", 0L, 1L, 10L)))
+  }
+
   test("multimodal metadata matches the stub decoder on byte payloads") {
     val d = docs((5L, "x" * 100))
     val meta = Multimodal.mediaMeta(spark, d)
