@@ -88,6 +88,8 @@ object SparkEntry {
     "ann_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopKWith(Tables.load(s, d, "embeddings"), kmeansCentroids(s, d))),
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
+    "emb_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))),
+    "ann_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(Tables.load(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
     "pipeline_pack" -> ((s, d) => Curation.packSequences(Tables.load(s, d, "documents"))),
@@ -385,6 +387,38 @@ object SparkEntry {
     */
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql + ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir)))
+
+  /** Shared int8-quantization CTE prefix (mirrors Similarity.withQuantized). */
+  private val quantCte =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-9) / 127.0 AS scale
+      |      FROM v),
+      |qq AS (SELECT vec_id, scale,
+      |        list_transform(v, x -> CAST(round(x / scale) AS INT)) AS q
+      |      FROM s)""".stripMargin
+
+  private val quantizeSql =
+    s"""WITH $quantCte
+       |SELECT vec_id, round(scale, 9) AS scale,
+       |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+       |  list_min(q) AS q_min, list_max(q) AS q_max,
+       |  CAST(length(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+       |FROM qq ORDER BY vec_id""".stripMargin
+
+  // Integer dot products are exact in both engines (64 terms of
+  // |x|,|y| <= 127 stay far inside double precision), so cos_q matches
+  // bit for bit.
+  private val quantizedTopkSql =
+    s"""WITH $quantCte,
+       |n AS (SELECT vec_id, q,
+       |        sqrt(list_inner_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))) AS qn
+       |      FROM qq),
+       |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |        round(list_inner_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[])) / (a.qn * b.qn), 6) AS cos_q
+       |      FROM n a JOIN n b ON a.vec_id <> b.vec_id WHERE a.vec_id < 5),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC, n_id) AS rnk FROM sc)
+       |SELECT q_id, rnk, n_id, cos_q FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   private val embTopPairsSql =
     s"""WITH $normCte,
@@ -854,6 +888,8 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> multiProbeSql,
     "ann_ivf_topk" -> ivfTopkSql,
     "emb_top_pairs" -> embTopPairsSql,
+    "emb_quantize" -> quantizeSql,
+    "ann_quantized_topk" -> quantizedTopkSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokenStatsSql,

@@ -306,6 +306,54 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
     ivfTopKWith(emb, fitCentroids(emb, nCentroids), nQueries, k, nProbe)
 
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127, q[d] =
+    * round(v[d]/scale). 4x memory reduction for the candidate store — at
+    * corpus scale the quantized vectors are what the ANN bucket join
+    * carries; full-precision vectors are fetched only for the final
+    * re-rank. Pure per-row projections.
+    */
+  private def withQuantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale",
+        expr("greatest(array_max(transform(v, x -> abs(x))), 1e-9d) / 127.0"))
+      .withColumn("q", expr("transform(v, x -> cast(round(x / scale) as int))"))
+
+  /** Quantization audit — one row per vector with the scale and scalar
+    * digests of the quantized vector (sum, min, max, saturation count).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    withQuantized(emb).select(
+      col("vec_id"),
+      round(col("scale"), 9).as("scale"),
+      expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+      expr("array_min(q)").as("q_min"),
+      expr("array_max(q)").as("q_max"),
+      expr("cast(size(filter(q, x -> abs(x) = 127)) as long)").as("n_sat"))
+      .orderBy("vec_id")
+
+  /** Brute-force top-k over the QUANTIZED vectors: integer dot products
+    * (exact in both engines — 64 terms of |x|,|y| <= 127 stay far inside
+    * double precision), cosine from the int dots, so the ranking shows
+    * what the 4x-smaller representation alone preserves. Same shape and
+    * tie-breaks as `bruteForceTopK`.
+    */
+  def quantizedTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val wq = withQuantized(emb)
+      .withColumn("qn", expr("sqrt(cast(aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, p) -> a + p) as double))"))
+    val q = wq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qa"), col("qn").as("na"))
+    val c = wq.select(col("vec_id").as("n_id"), col("q").as("qb"), col("qn").as("nb"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos_q", round(
+        expr("cast(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, p) -> a + p) as double)")
+          / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_q").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos_q")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding
     * operator: candidate pairs come from LSH bucket equality (the linear
     * partitioning step), the cosine threshold is the verify. At scale the

@@ -38,6 +38,8 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_contamination" -> 177L,
     "text_scrub" -> 500L,
     "emb_top_pairs" -> 100L,
+    "emb_quantize" -> 500L,
+    "ann_quantized_topk" -> 25L,
     "mm_media_meta" -> 500L,
     "q1_pricing_summary" -> 6L,
     "q3_shipping_priority" -> 10L,

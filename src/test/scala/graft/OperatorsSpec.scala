@@ -261,6 +261,27 @@ class OperatorsSpec extends AnyFunSuite {
       f"single-probe $singleProbe%.3f should not beat multi-probe $multiProbe%.3f")
   }
 
+  test("int8 quantization preserves cosine to ~1% and most of the exact top-5") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, nQueries = n)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect()
+    val quant = Similarity.quantizedTopK(emb, nQueries = n)
+      .select("q_id", "n_id", "cos_q").as[(Long, Long, Double)].collect()
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    // wherever the quantized ranking kept an exact-top-5 pair, its cosine
+    // must be within int8 quantization error of the true value
+    val diffs = quant.flatMap { case (q, nId, cq) =>
+      exactCos.get((q, nId)).map(c => math.abs(cq - c)) }
+    assert(diffs.nonEmpty)
+    assert(diffs.max < 0.02, f"max quantized-cosine error ${diffs.max}%.4f")
+    val recall = recallVs(
+      exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)(
+      quant.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    info(f"quantized recall@5 vs exact over $n queries: $recall%.3f")
+    assert(recall >= 0.6, f"int8 top-5 recall $recall%.3f collapsed")
+  }
+
   test("k-means IVF clears the recall floor on clustered data (the case IVF exists for)") {
     // Deterministic 10-cluster corpus: center[c] + small hash noise. Real
     // embedding corpora are clustered; here cells CAN follow geometry, and
