@@ -76,6 +76,16 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.load(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"))),
+    // incremental ingest stand-in: docs with id%10==3 arrive as the new
+    // batch, the rest are the existing corpus ledger
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val split = org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10L))
+      Dedup.dropIncrementalDuplicates(docs.filter(split === 3), docs.filter(split =!= 3))
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }),
     // -- Similarity search (embeddings) --
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"))),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.load(s, d, "embeddings"))),
@@ -872,6 +882,17 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)
          |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH nh AS (SELECT doc_id, source, n_chars,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |           FROM documents),
+        |inc AS (SELECT * FROM nh WHERE doc_id % 10 = 3),
+        |corp AS (SELECT DISTINCT h FROM nh WHERE doc_id % 10 <> 3),
+        |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM inc GROUP BY h)
+        |SELECT i.doc_id, i.source, i.n_chars FROM inc i
+        |WHERE i.h NOT IN (SELECT h FROM corp)
+        |  AND i.doc_id IN (SELECT keep_id FROM keep)
+        |ORDER BY i.doc_id""".stripMargin,
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_simhash" -> simhashSql,

@@ -20,6 +20,12 @@ import graft.functions.PolyHash
   */
 object Dedup {
 
+  /** Whitespace/case-normalized content hash — the identity every exact-
+    * dedup variant keys on.
+    */
+  def normHash: Column =
+    md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+
   /** Exact dedup: whitespace/case-normalized text -> md5 -> group.
     * One row per distinct normalized text, with representative (min doc_id)
     * and duplicate count. Single hash aggregation; fully distributed.
@@ -33,10 +39,30 @@ object Dedup {
     */
   def exactRaw(docs: DataFrame): DataFrame =
     docs
-      .withColumn("norm_hash",
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withColumn("norm_hash", normHash)
       .groupBy("norm_hash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Incremental-ingestion dedup: keep only the incoming documents whose
+    * normalized content neither exists in the corpus already nor repeats
+    * within the batch (batch-internal groups keep their min doc_id).
+    *
+    * Scale design: the corpus contributes only its DISTINCT content
+    * hashes (a 32-byte ledger per unique document, not the documents),
+    * so daily ingestion anti-joins a small batch against a hash ledger —
+    * one distinct aggregation + one anti join + one semi join, all
+    * hash-partitioned. This is the shape that lets a 100 TB corpus accept
+    * deltas without ever re-deduplicating itself.
+    */
+  def dropIncrementalDuplicates(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val inc = incoming.withColumn("__h", normHash)
+    val ledger = corpus.select(normHash.as("__h")).distinct()
+    val batchKeepers = inc.groupBy("__h").agg(min(col("doc_id")).as("doc_id"))
+    inc
+      .join(ledger, Seq("__h"), "left_anti")
+      .join(batchKeepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      .drop("__h")
+  }
 
   private def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs

@@ -24,6 +24,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_lsh_topk" -> 9L,
     "ann_topk" -> 25L,
     "dedup_exact" -> 500L,
+    "dedup_incremental" -> 50L,
     "dedup_apply_exact" -> 500L,
     "dedup_apply_near" -> 474L,
     "dedup_minhash_pairs" -> 30L,

@@ -50,6 +50,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((900L, 901L)))
   }
 
+  test("incremental dedup drops corpus-known and batch-internal duplicates") {
+    val corpus = docs((100L, "existing document one"), (101L, "existing document two"))
+    val batch = docs(
+      (1L, "Existing  DOCUMENT one"),     // normalizes to a corpus doc -> dropped
+      (2L, "brand new content"),          // survives
+      (3L, "brand  NEW content"),         // batch-internal dup of 2 -> dropped
+      (4L, "another fresh document"))     // survives
+    val kept = Dedup.dropIncrementalDuplicates(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+  }
+
   test("ngram jaccard finds high-overlap pair within block") {
     val d = docs(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g z"), (3L, "p q r s t u v w"))

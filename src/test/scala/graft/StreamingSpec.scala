@@ -332,6 +332,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(delivered.keys.forall(_.contains(""""window":{"start":"2024-01-01T10:00:00.000Z"""")))
   }
 
+  test("curation signals run unchanged on a stream (stateless per-row projections)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextAnalysis
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+      .withColumn("tokens", graft.core.WordCount.tokens($"text"))
+    val curated = TextAnalysis.withQualitySignals(TextAnalysis.withLangSignals(docs))
+      .filter($"quality" >= 0.5 && $"pred_lang" === "en")
+      .select("doc_id", "pred_lang")
+    val q = curated.writeStream.format("memory").queryName("stream_curation")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ("the data of a stream and a table is the same " * 3).trim), // en, long, stopword-rich
+        (2L, "!!! ### $$$"),                                              // junk -> filtered
+        (3L, "zz qq ww"))                                                 // no stopwords -> und
+      q.processAllAvailable()
+      val got = spark.table("stream_curation").as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "en")))
+    } finally q.stop()
+  }
+
   test("JSON output shape matches the reference's (window, word, count) record") {
     val batch = Seq((ts("10:00:10"), "abc"))
       .toDF("timestamp", "value")
