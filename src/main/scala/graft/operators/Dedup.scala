@@ -79,19 +79,32 @@ object Dedup {
   def hashB(i: Int): Long = (i.toLong * 1000003L) % PolyHash.Mod
 
   /** MinHash signatures over word 3-gram shingles, banded for LSH, using
-    * the standard one-base-hash + affine-family construction: each shingle
-    * is hashed ONCE with the native `PolyHash` expression (one string pass,
-    * no allocation), then h_i(s) = (a_i*H(s) + b_i) mod 2^31-1 gives the k
-    * functions as integer folds over the cached hash array — versus k
-    * separate md5 calls per shingle (the r1 design, ~6s of the bench at
-    * sf0.1 and ~10^14 md5 calls at 100 TB). The identical arithmetic runs
-    * in the SQL oracle via list_reduce, so parity is preserved.
+    * the standard one-base-hash + affine-family construction:
+    * h_i(s) = (a_i*PolyHash(s) + b_i) mod 2^31-1, folded per band — all
+    * computed by the fused native `MinHashBands` expression in one pass
+    * over the shingles with zero intermediate arrays (the built-ins twin
+    * below materializes k+1 arrays per row; the r1 design before it made
+    * k md5 calls PER SHINGLE, ~10^14 at 100 TB). The identical arithmetic
+    * runs in the SQL oracle via list_reduce, so parity is preserved.
     *
     * Returns UNSORTED rows — ordering belongs at the output edge only
     * (query-surface wrappers add it); a mid-pipeline global sort would
     * insert a needless range-partition exchange under downstream joins.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = withShingles(docs)
+      .withColumn("mhb", graft.functions.MinHashBands(col("shingles"), k, bands))
+    sig.select(col("doc_id") +:
+      (0 until bands).map(b => element_at(col("mhb"), b + 1).as(s"band$b")): _*)
+  }
+
+  /** Built-ins-only spelling of `minhashSignatures` (identical output):
+    * PolyHash per shingle via a registered SQL lambda, then k
+    * transform/array_min passes and a literal band fold. Kept as the
+    * no-custom-code fallback and the differential check for the fused
+    * expression.
+    */
+  def minhashSignaturesBuiltins(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     PolyHash.register(docs.sparkSession)
     val M = PolyHash.Mod
     val sigCols = (0 until k).map(i =>

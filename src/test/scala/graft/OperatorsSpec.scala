@@ -50,6 +50,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((900L, 901L)))
   }
 
+  test("fused MinHashBands expression matches the built-ins formulation") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val edge = docs(
+      (9000L, "a b c"),                   // exactly one shingle
+      (9001L, "x y"),                     // below shingle size -> filtered out
+      (9002L, ("tok " * 200).trim),       // repeated shingles
+      (9003L, "héllo wörld 漢字 mixed unicode tokens here"))
+    for (d <- Seq(real, edge)) {
+      val native = Dedup.minhashSignatures(d)
+        .orderBy("doc_id").collect().toSeq
+      val builtins = Dedup.minhashSignaturesBuiltins(d)
+        .orderBy("doc_id").collect().toSeq
+      assert(native === builtins)
+      assert(native.nonEmpty)
+    }
+  }
+
   test("incremental dedup drops corpus-known and batch-internal duplicates") {
     val corpus = docs((100L, "existing document one"), (101L, "existing document two"))
     val batch = docs(
