@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashBands, PolyHash, RollingFingerprint, VectorDot, WhitespaceTokens, WinnowFingerprint}
+import graft.functions.{MinHashBands, PolyHash, RollingFingerprint, SimHash64, VectorDot, WhitespaceTokens, WinnowFingerprint}
 
 /** Spark extension point: `--conf spark.sql.extensions=graft.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) registers every graft native
@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => WinnowFingerprint(exprs.head)))
     ext.injectFunction(fn("graft_vector_dot", classOf[VectorDot],
       exprs => VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction(fn("graft_simhash64", classOf[SimHash64],
+      exprs => SimHash64(exprs.head)))
     ext.injectFunction(fn("graft_minhash_bands", classOf[MinHashBands],
       exprs => MinHashBands(exprs(0),
         k = exprs(1).eval().asInstanceOf[Int],

@@ -180,10 +180,27 @@ object Dedup {
     * The fingerprint stays as four 16-bit ints (`sim0..sim3`) rather than
     * one packed int64 — part 3's top bit would collide with the sign bit
     * in both engines, and the parts ARE the LSH bands downstream, so
-    * packing would only add an unpack step. One explode + one aggregation —
-    * linear, no pairwise work.
+    * packing would only add an unpack step.
+    *
+    * Computed by the fused native `SimHash64` kernel: a pure per-row
+    * projection, so the explode + 64-column doc_id aggregation (a full
+    * shuffle of n_tokens rows in the built-ins twin below) never happens.
     */
   private def simhashRaw(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), WordCount.tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) > 0)
+      .withColumn("sh", graft.functions.SimHash64(col("tokens")))
+    sh.select(col("doc_id") +:
+      (0 until 4).map(p => element_at(col("sh"), p + 1).as(s"sim$p")): _*)
+  }
+
+  /** Built-ins-only spelling of the SimHash fingerprint (identical
+    * output): explode + md5/conv per token + 64 conditional sums. Kept as
+    * the no-custom-code fallback and the differential check for the
+    * fused kernel.
+    */
+  def simhashBuiltins(docs: DataFrame): DataFrame = {
     val ex = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("tok"))
       .withColumn("hx", md5(col("tok")))
@@ -198,7 +215,7 @@ object Dedup {
         .map(b => when(col(s"s${p}_$b") > 0, lit(1 << b)).otherwise(lit(0)))
         .reduce(_ + _).cast("int").as(s"sim$p")
     }
-    agg.select(col("doc_id") +: simCols: _*)
+    agg.select(col("doc_id") +: simCols: _*).orderBy("doc_id")
   }
 
   def simhash(docs: DataFrame): DataFrame =

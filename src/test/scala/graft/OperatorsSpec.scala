@@ -50,6 +50,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((900L, 901L)))
   }
 
+  test("fused SimHash64 kernel matches the built-ins explode/aggregate formulation") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val edge = docs(
+      (9000L, "single"),
+      (9001L, ("repeat token " * 50).trim),
+      (9002L, "héllo wörld 漢字 ünïcode 🙂 tokens"))
+    for (d <- Seq(real, edge)) {
+      val native = Dedup.simhash(d).collect().toSeq
+      val builtins = Dedup.simhashBuiltins(d).collect().toSeq
+      assert(native === builtins)
+      assert(native.nonEmpty)
+    }
+  }
+
   test("fused MinHashBands expression matches the built-ins formulation") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val edge = docs(
