@@ -119,6 +119,11 @@ object SparkEntry {
     "text_fingerprint_rolling" -> ((s, d) => TextAnalysis.fingerprintRolling(Tables.load(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
+    "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
+    // no oracleSql: percentile sketches differ across engines by
+    // construction -> rows-only check; the exact twin is the anchor and
+    // the error bound is asserted in OperatorsSpec.
+    "q_order_percentiles_approx" -> (Relational.qOrderPercentilesApprox _),
     // -- Multimodal plumbing (binary payload + stubbed decode) --
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.load(s, d, "documents"))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.load(s, d, "documents"))),
@@ -918,6 +923,12 @@ object SparkEntry {
     "text_fingerprint_rolling" -> fingerprintRollingSql,
     "text_chunks" -> chunksSql,
     "text_tfidf" -> tfidfSql,
+    "text_vocab" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT unnest(tokens) AS term FROM tok),
+         |c AS (SELECT term, COUNT(*) AS n FROM tk GROUP BY 1 HAVING COUNT(*) >= 2)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS term_id, term, n
+         |FROM c ORDER BY term_id""".stripMargin,
     "mm_media_meta" -> mediaMetaSql,
   )
 }

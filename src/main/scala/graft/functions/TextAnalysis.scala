@@ -186,6 +186,26 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Frequency-ranked vocabulary: term -> dense 1-based id by descending
+    * count (ties by term), with a `minCount` floor — the tokenizer-vocab
+    * step of a training pipeline. One explode + one aggregation; the
+    * ranking window is global but runs over the AGGREGATED term table,
+    * which is vocabulary-sized (bounded further by minCount), not
+    * corpus-sized — the standard shape for building a vocab at any corpus
+    * scale.
+    */
+  def vocabulary(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    val counts = docs
+      .select(explode(WordCount.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    counts.withColumn("term_id", row_number().over(w))
+      .select("term_id", "term", "n")
+      .orderBy("term_id")
+  }
+
   /** Built-ins-only formulation of `fingerprintRolling` (identical output):
     * materializes the codepoint array and all position hashes with
     * transform/array_sort. Kept as the no-custom-code fallback and as the

@@ -259,6 +259,22 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Sketch twin of `qOrderPercentiles`: approx_percentile's mergeable
+    * fixed-size summaries are the 100 TB swap for the exact sort-based
+    * percentile (same pattern as the HLL twin of daily actives). No SQL
+    * oracle — sketch internals differ across engines; the error bound is
+    * asserted against the exact twin in RelationalSpec.
+    */
+  def qOrderPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("round(approx_percentile(o_totalprice, 0.5, 1000), 4)").as("p50_approx"),
+        expr("round(approx_percentile(o_totalprice, 0.9, 1000), 4)").as("p90_approx"),
+        expr("round(approx_percentile(o_totalprice, 0.99, 1000), 4)").as("p99_approx"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** Full grouping-sets lattice (CUBE): every (returnflag x linestatus)
     * combination incl. both partial totals — one pass, Spark expands the
     * grouping sets before the partial aggregate so the shuffle still

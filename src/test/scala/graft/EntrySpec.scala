@@ -20,6 +20,7 @@ class EntrySpec extends AnyFunSuite {
     "q_cube_returns" -> 12L,
     "q10_returned_items" -> 20L,
     "q_order_percentiles" -> 5L,
+    "q_order_percentiles_approx" -> 5L,
     "q14_promo_revenue" -> 1L,
     "ann_lsh_topk" -> 9L,
     "ann_topk" -> 25L,
@@ -72,6 +73,7 @@ class EntrySpec extends AnyFunSuite {
     "text_langid" -> 500L,
     "text_quality" -> 500L,
     "text_tokens" -> 500L,
+    "text_vocab" -> 31L,
     "wordcount" -> 31L,
     "wordcount_topk" -> 31L,
     "wordcount_windowed" -> 1000L,
@@ -84,7 +86,7 @@ class EntrySpec extends AnyFunSuite {
   /** Queries deliberately lacking a SQL oracle (sketch results differ
     * across engines by construction) — driver does a rows-only check.
     */
-  private val noOracle = Set("q_events_daily_active_approx")
+  private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx")
 
   /** Queries whose oracle is data-dependent (fitted centroids exported as
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,

@@ -249,6 +249,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDupPairs(emptyEmb).count() === 0)
   }
 
+  test("approx percentiles stay within tolerance of the exact sort-based twin") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.queries.Relational.qOrderPercentiles(spark, dir)
+      .select("o_orderpriority", "p50", "p90", "p99")
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val approx = graft.queries.Relational.qOrderPercentilesApprox(spark, dir)
+      .select("o_orderpriority", "p50_approx", "p90_approx", "p99_approx")
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (_, a50, a90, a99)) <- approx) {
+      val (_, e50, e90, e99) = exact(k)
+      for ((a, e, nm) <- Seq((a50, e50, "p50"), (a90, e90, "p90"), (a99, e99, "p99")))
+        assert(math.abs(a - e) / e <= 0.05,
+          s"$k $nm: approx $a vs exact $e exceeds 5%")
+    }
+  }
+
   test("approx daily actives stay within the HLL error bound of the exact query") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.queries.Events.dailyActive(spark, dir)
