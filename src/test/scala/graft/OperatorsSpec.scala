@@ -50,6 +50,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((900L, 901L)))
   }
 
+  test("fused kernels match built-ins on a 300-doc hostile random corpus") {
+    // seeded-random docs over a hostile vocab (ascii, multi-byte, astral,
+    // empty docs, sub-shingle docs) — one wholesale differential per kernel
+    val rnd = new scala.util.Random(13)
+    val words = Seq("a", "bb", "ccc", "héllo", "漢字", "🙂", "the", "tok1", "x9")
+    val d = docs((1L to 300L).map(i =>
+      (i, Seq.fill(rnd.nextInt(60))(words(rnd.nextInt(words.length))).mkString(" "))): _*)
+    assert(Dedup.minhashSignatures(d).orderBy("doc_id").collect().toSeq ===
+      Dedup.minhashSignaturesBuiltins(d).orderBy("doc_id").collect().toSeq)
+    assert(Dedup.simhash(d).collect().toSeq ===
+      Dedup.simhashBuiltins(d).collect().toSeq)
+  }
+
   test("fused SimHash64 kernel matches the built-ins explode/aggregate formulation") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val edge = docs(
