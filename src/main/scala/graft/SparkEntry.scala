@@ -76,6 +76,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.load(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"))),
+    // no oracleSql: iterative fixpoint (connected components) is not
+    // single-statement SQL -> rows-only check; the union-find differential
+    // in OperatorsSpec is the correctness anchor.
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.load(s, d, "documents"))),
     // incremental ingest stand-in: docs with id%10==3 arrive as the new
     // batch, the rest are the existing corpus ledger
     "dedup_incremental" -> ((s, d) => {

@@ -280,6 +280,55 @@ object Dedup {
     docs.join(ngramJaccardPairsRaw(docs, threshold).select(col("doc_b").as("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Near-dup CLUSTERS: connected components over the verified pair graph,
+    * labeling every paired document with the min doc_id reachable through
+    * pairs — the canonical group id that a pair list alone cannot give
+    * when duplication is transitive (a~b, b~c => {a,b,c} one cluster).
+    *
+    * Distributed min-label propagation: per round, each node takes the min
+    * of its label and its neighbors' labels (two hash joins + an
+    * aggregate); rounds are bounded by the pair-graph diameter — for dedup
+    * graphs that is small (near-dup clusters are cliques-ish), and
+    * `maxIters` caps the worst case. Each round ends in an eager
+    * localCheckpoint: without it the join lineage doubles per round and
+    * the job re-executes the whole history each time — the standard
+    * iterative-algorithm discipline on Spark. Convergence is detected by
+    * an aggregate count of changed labels (never a data collect).
+    *
+    * No SQL oracle (iterative fixpoint); differential-tested against an
+    * in-memory union-find in OperatorsSpec, and the driver records a
+    * rows-only check.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.01,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairsRaw(docs, threshold).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("node"))
+        .groupBy(edges("doc_a").as("n2"))
+        .agg(min("label").as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"),
+          col("label").as("prev_label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("next_label") =!= col("prev_label")).count()
+      labels = next.select(col("node"), col("next_label").as("label"))
+      iters += 1
+    }
+    labels.select(col("label").as("cluster_id"), col("node").as("doc_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** Benchmark-contamination check — the train/eval n-gram overlap audit a
     * training pipeline runs before shipping a corpus: documents whose
     * word n-grams appear in an evaluation set are flagged with the overlap

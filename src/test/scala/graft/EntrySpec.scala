@@ -26,6 +26,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_topk" -> 25L,
     "dedup_exact" -> 500L,
     "dedup_incremental" -> 50L,
+    "dedup_clusters" -> 49L,
     "dedup_apply_exact" -> 500L,
     "dedup_apply_near" -> 474L,
     "dedup_minhash_pairs" -> 30L,
@@ -86,7 +87,7 @@ class EntrySpec extends AnyFunSuite {
   /** Queries deliberately lacking a SQL oracle (sketch results differ
     * across engines by construction) — driver does a rows-only check.
     */
-  private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx")
+  private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx", "dedup_clusters")
 
   /** Queries whose oracle is data-dependent (fitted centroids exported as
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,

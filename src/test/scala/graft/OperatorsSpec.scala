@@ -94,6 +94,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup clusters match an in-memory union-find over the same pairs") {
+    // transitive chain: 1~2 and 2~3 overlap pairwise -> one cluster {1,2,3};
+    // 4~5 a separate pair-cluster; 6 unpaired -> absent from output
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g z"), (3L, "a b c d e f g z q"),
+      (4L, "p q r s t u v w"), (5L, "p q r s t u v y"),
+      (6L, "totally unrelated content words here"))
+    val got = Dedup.nearDupClusters(d, threshold = 0.3)
+      .as[(Long, Long)].collect().toSet
+
+    // independent union-find over the same verified pair list, cluster id
+    // normalized to the component minimum (the operator's contract)
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) parent(find(a)) = find(b)
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expected = nodes.groupBy(find).values
+      .flatMap(ns => ns.map(n => (ns.min, n))).toSet
+    assert(got === expected)
+    // the transitive chain 1~2~3 collapsed into ONE cluster rooted at doc 1
+    assert(got.filter(_._2 <= 3L).map(_._1) === Set(1L))
+    assert(got.map(_._2).contains(3L), "chain member 3 must be clustered")
+  }
+
   test("incremental dedup drops corpus-known and batch-internal duplicates") {
     val corpus = docs((100L, "existing document one"), (101L, "existing document two"))
     val batch = docs(
