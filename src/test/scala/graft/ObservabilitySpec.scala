@@ -134,6 +134,37 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(!Staging.exists(spark, destData))
   }
 
+  test("jsonl round-trips the documents table and quarantines malformed lines") {
+    import graft.sources.JsonLines
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val out = tmp.resolve("docs.jsonl").toString
+    JsonLines.write(docs, out)
+
+    // exact round-trip through the explicit schema
+    val back = JsonLines.readClean(spark, out, docs.schema)
+    assert(back.count() === docs.count())
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      docs.select(back.columns.map(org.apache.spark.sql.functions.col): _*)
+        .orderBy("doc_id").collect().toSeq)
+
+    // corrupt line quarantines into the audit column, not a crash/drop
+    val dirty = tmp.resolve("dirty.jsonl")
+    java.nio.file.Files.writeString(dirty,
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}
+        |{"doc_id": oops not json
+        |""".stripMargin)
+    // cache: Spark disallows corrupt-column-only predicates on a raw scan
+    val readDirty = JsonLines.read(spark, dirty.toString, docs.schema).cache()
+    assert(readDirty.count() === 2)
+    assert(readDirty.filter($"_corrupt_record".isNotNull).count() === 1)
+    assert(JsonLines.readClean(spark, dirty.toString, docs.schema).count() === 1)
+
+    // exists-guard: a second write to the same path must refuse
+    intercept[Exception] { JsonLines.write(docs, out) }
+  }
+
   test("fetch with fallback: dead mirrors are skipped, failures recorded, torn files removed") {
     import graft.sources.Fetch
     val tmp = java.nio.file.Files.createTempDirectory("graft-fetch")
