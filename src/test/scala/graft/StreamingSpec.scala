@@ -298,6 +298,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k leaderboard re-ranks on every batch in complete mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, desc, explode, upper}
+    val input = MemoryStream[String]
+    val topk = input.toDF().toDF("line")
+      .select(explode(graft.core.WordCount.tokens(col("line"))).as("w"))
+      .select(upper(col("w")).as("word"))
+      .groupBy("word").count()
+      .orderBy(desc("count"), col("word"))
+      .limit(3)
+    val q = topk.writeStream.format("memory").queryName("stream_topk")
+      .outputMode("complete").start()
+    try {
+      input.addData("apple apple banana cherry")
+      q.processAllAvailable()
+      assert(spark.table("stream_topk").as[(String, Long)].collect().toSeq ===
+        Seq(("APPLE", 2L), ("BANANA", 1L), ("CHERRY", 1L)))
+      // new batch flips the leaders and pushes cherry off the board
+      // (ties break by ascending word)
+      input.addData("banana banana date date date")
+      q.processAllAvailable()
+      assert(spark.table("stream_topk").as[(String, Long)].collect().toSeq ===
+        Seq(("BANANA", 3L), ("DATE", 3L), ("APPLE", 2L)))
+    } finally q.stop()
+  }
+
   test("swappable sink delivers the exact Kafka payload contract, once per record") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
