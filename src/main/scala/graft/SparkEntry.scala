@@ -54,6 +54,7 @@ object SparkEntry {
     "q_order_percentiles" -> (Relational.qOrderPercentiles _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q_nations_both_sides" -> (Relational.qNationsBothSides _),
+    "q7_nation_volume" -> ((s, d) => Relational.q7NationVolume(s, d)),
     // -- Events (stream-shaped table) --
     "q_events_hourly" -> (Events.hourlyByType _),
     "q_events_props" -> (Events.propsByType _),
@@ -785,6 +786,20 @@ object SparkEntry {
         |INTERSECT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  COUNT(*) AS n_events,

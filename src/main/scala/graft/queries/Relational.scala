@@ -259,6 +259,36 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** TPC-H Q7-shaped volume shipping: the same dimension (nation) joined
+    * TWICE under different roles — supplier nation and customer nation —
+    * the aliased-dimension shape the rest of the pack lacks. Both nation
+    * sides broadcast; cross-nation flows only (ordered pairs, so each
+    * flow appears once per direction); one grouped aggregate by
+    * (supp_nation, cust_nation, year).
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val n1 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Sketch twin of `qOrderPercentiles`: approx_percentile's mergeable
     * fixed-size summaries are the 100 TB swap for the exact sort-based
     * percentile (same pattern as the HLL twin of daily actives). No SQL

@@ -62,6 +62,7 @@ class EntrySpec extends AnyFunSuite {
     "mm_frame_sample" -> 1837L,
     "q_events_user_gaps" -> 15L,
     "q_nations_both_sides" -> 10L,
+    "q7_nation_volume" -> 758L,
     "q_priority_customers" -> 5L,
     "q_rollup_returns" -> 10L,
     "q_running_total" -> 1500L,
