@@ -17,6 +17,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(name: String, clazz: Class[_], builder: Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
 
+  /** Evaluate a parameter that must be an integer literal (any integral
+    * width), with a clear analysis-time error instead of a raw
+    * ClassCastException on BIGINT literals or eval() failure on columns.
+    */
+  private def intLiteral(fun: String, param: String, e: Expression): Int = {
+    require(e.foldable, s"$fun: $param must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fun: $param must be an integer literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("graft_poly_hash", classOf[PolyHash],
       exprs => PolyHash(exprs.head)))
@@ -32,7 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SimHash64(exprs.head)))
     ext.injectFunction(fn("graft_minhash_bands", classOf[MinHashBands],
       exprs => MinHashBands(exprs(0),
-        k = exprs(1).eval().asInstanceOf[Int],
-        bands = exprs(2).eval().asInstanceOf[Int])))
+        k = intLiteral("graft_minhash_bands", "k", exprs(1)),
+        bands = intLiteral("graft_minhash_bands", "bands", exprs(2)))))
   }
 }

@@ -356,7 +356,7 @@ object SparkEntry {
        |wb AS (SELECT vec_id, v, nrm, scores,
        |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
-       |        unnest([cell, CAST(list_position(scores, list_sort(scores)[2]) AS INT)]) AS probe
+       |        unnest(list_distinct([cell, CAST(list_position(scores, list_sort(scores)[2]) AS INT)])) AS probe
        |      FROM wb WHERE vec_id < 5),
        |s AS (SELECT q.q_id, c.vec_id AS n_id,
        |        round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
@@ -584,8 +584,11 @@ object SparkEntry {
 
   // Mirrors operators.Scrub.scrub — same RE2 patterns, same replace order,
   // 'g' flag because DuckDB's regexp_replace is first-match by default.
+  // Only quotes are escaped: DuckDB single-quoted literals keep
+  // backslashes literal (doubling them would corrupt the patterns —
+  // '\s' would become a literal backslash + 's').
   private val scrubSql = {
-    def esc(re: String): String = re.replace("\\", "\\\\").replace("'", "''")
+    def esc(re: String): String = re.replace("'", "''")
     val (u, e, p) = (esc(Scrub.UrlRe), esc(Scrub.EmailRe), esc(Scrub.PhoneRe))
     s"""SELECT doc_id,
        |  regexp_replace(regexp_replace(regexp_replace(text,

@@ -24,6 +24,12 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // compute() returns null for an empty shingle array even when the child
+  // is non-nullable; without this override nullSafeCodeGen would emit
+  // `false = true;` for a non-nullable child (Janino error -> fallback)
+  // and the interpreted path would break the non-null schema promise.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     MinHashBands.compute(input.asInstanceOf[ArrayData], k, bands)
 

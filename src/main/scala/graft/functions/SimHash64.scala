@@ -41,11 +41,19 @@ object SimHash64 {
   def apply(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
 
+  /** One digest per task thread, not per row: getInstance does a JCA
+    * provider lookup and allocates; at corpus scale that is a per-document
+    * cost in the hot loop for an object reset() makes reusable.
+    */
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** Static so generated code dispatches with one monomorphic call. */
   def compute(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
     val counts = new Array[Int](64)
-    val md = MessageDigest.getInstance("MD5")
+    val md = digest.get()
     var t = 0
     while (t < n) {
       md.reset()

@@ -36,7 +36,11 @@ object Fetch {
         out = new FileOutputStream(dest)
         val bytes = in.transferTo(out)
         out.close(); out = null
-        in.close(); in = null
+        // the download is complete once the bytes are on disk — a failure
+        // tearing down the INPUT stream must not delete a valid file or
+        // mark the winning mirror as failed
+        try in.close() catch { case _: Exception => }
+        in = null
         return Right(Result(url, bytes, failures.result()))
       } catch {
         case e: Exception =>

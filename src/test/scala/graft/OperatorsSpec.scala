@@ -210,6 +210,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, "nothing sensitive here", 0L, 0L, 0L)))
   }
 
+  test("scrub oracle embeds RE2 patterns with single backslashes") {
+    // DuckDB single-quoted literals keep backslashes literal; doubling
+    // them corrupts every pattern ('\s' -> literal backslash + 's') while
+    // still passing on PII-free test corpora. Guard the escaping.
+    val sql = graft.SparkEntry.oracleSql("text_scrub")
+    assert(!sql.contains("\\\\"), "double-escaped backslash in scrub oracle")
+    assert(sql.contains("[^\\s]+"), "UrlRe must reach DuckDB verbatim")
+    assert(sql.contains("\\.[A-Za-z]{2,}"), "EmailRe must reach DuckDB verbatim")
+  }
+
   test("contamination flags corpus docs sharing n-grams with the bench subset") {
     // doc 107 is in the bench partition (107 % 100 == 7); doc 1 copies one
     // of its trigrams, doc 2 shares nothing
