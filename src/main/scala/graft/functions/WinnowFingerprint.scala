@@ -38,6 +38,14 @@ case class WinnowFingerprint(child: Expression) extends UnaryExpression {
 
 object WinnowFingerprint {
 
+  /** One digest per task thread (reset() per window), not per row — same
+    * rationale as SimHash64: getInstance is a provider lookup + allocation
+    * in the per-document hot path.
+    */
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** Column-level entry point. */
   def apply(c: Column): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(c)))
@@ -86,7 +94,7 @@ object WinnowFingerprint {
     starts(nCp) = len
     if (nCp < 8) return UTF8String.EMPTY_UTF8
 
-    val md = MessageDigest.getInstance("MD5")
+    val md = digest.get()
     // 4 smallest digests, ascending
     val mins = new Array[Array[Byte]](4)
     var i = 0
