@@ -55,6 +55,7 @@ object SparkEntry {
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q_nations_both_sides" -> (Relational.qNationsBothSides _),
     "q7_nation_volume" -> ((s, d) => Relational.q7NationVolume(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     // -- Events (stream-shaped table) --
     "q_events_hourly" -> (Events.hourlyByType _),
     "q_events_props" -> (Events.propsByType _),
@@ -789,6 +790,18 @@ object SparkEntry {
         |INTERSECT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,

@@ -289,6 +289,33 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q18-shaped large-volume orders: the qualifying set is derived
+    * from an AGGREGATE over the fact table itself (orders whose total
+    * lineitem quantity clears a threshold), then semi-joined back — the
+    * agg-derived-filter shape. The aggregate runs once; Catalyst plans
+    * the IN as a left-semi join on l_orderkey, reusing the fact scan's
+    * partitioning.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 250.0): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val bigOrders = li.groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_quantity"))).as("qsum"))
+      .filter(col("qsum") > minQty)
+      .select("l_orderkey")
+    li.join(bigOrders, Seq("l_orderkey"), "left_semi")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .agg(sum2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Sketch twin of `qOrderPercentiles`: approx_percentile's mergeable
     * fixed-size summaries are the 100 TB swap for the exact sort-based
     * percentile (same pattern as the HLL twin of daily actives). No SQL

@@ -63,6 +63,7 @@ class EntrySpec extends AnyFunSuite {
     "q_events_user_gaps" -> 15L,
     "q_nations_both_sides" -> 10L,
     "q7_nation_volume" -> 758L,
+    "q18_large_orders" -> 20L,
     "q_priority_customers" -> 5L,
     "q_rollup_returns" -> 10L,
     "q_running_total" -> 1500L,
