@@ -96,7 +96,14 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"))),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.load(s, d, "embeddings"))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"))),
-    "ann_lsh_multiprobe" -> ((s, d) => Similarity.multiProbeTopK(Tables.load(s, d, "embeddings"))),
+    // rule-sized multi-probe: planes from the corpus count (planesFor),
+    // Hamming-2 probing — the sizing rule running in the shipped query,
+    // not just the recall spec; oracle generated per sf dir to match.
+    "ann_lsh_multiprobe" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.multiProbeTopK(emb,
+        nPlanes = Similarity.planesFor(emb.count()), probeHamming = 2)
+    }),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"))),
     // k-means-fitted IVF: the fit is deterministic (hash-gated sample,
     // sorted-order sums), so the oracle re-states the fitted centroids as
@@ -314,17 +321,20 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  private val MultiProbePlanes = 16
-
-  private val bucketExpr16 = (0 until MultiProbePlanes)
-    .map(i => s"(CASE WHEN list_inner_product(v, ${planeSql(i)}) > 0 THEN ${1 << i} ELSE 0 END)")
-    .mkString(" + ")
-
-  private val multiProbeSql = {
-    val probeList = ("bucket" +: (0 until MultiProbePlanes).map(i => s"xor(bucket, ${1 << i})"))
-      .mkString("[", ", ", "]")
+  /** Mirrors Similarity.multiProbeTopK at a given plane count with
+    * Hamming-2 probing — generated per sf dir (the plane count follows
+    * `planesFor(n)`, which depends on the corpus size).
+    */
+  private def multiProbeSqlFor(nPlanes: Int): String = {
+    val bucketExprN = (0 until nPlanes)
+      .map(i => s"(CASE WHEN list_inner_product(v, ${planeSql(i)}) > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    val masks = 0 +: ((0 until nPlanes).map(1 << _) ++
+      (for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+        yield (1 << i) | (1 << j)))
+    val probeList = masks.map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
     s"""WITH $normCte,
-       |nb AS (SELECT vec_id, v, nrm, CAST($bucketExpr16 AS INT) AS bucket FROM n),
+       |nb AS (SELECT vec_id, v, nrm, CAST($bucketExprN AS INT) AS bucket FROM n),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, unnest($probeList) AS probe
        |      FROM nb WHERE vec_id < 5),
        |s AS (SELECT q.q_id, c.vec_id AS n_id,
@@ -407,7 +417,10 @@ object SparkEntry {
     * subset.
     */
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
-    oracleSql + ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir)))
+    oracleSql +
+      ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("ann_lsh_multiprobe" -> multiProbeSqlFor(
+        Similarity.planesFor(Tables.load(spark, sfDir, "embeddings").count())))
 
   /** Shared int8-quantization CTE prefix (mirrors Similarity.withQuantized). */
   private val quantCte =
@@ -946,7 +959,6 @@ object SparkEntry {
     "ann_topk" -> annTopkSql,
     "ann_lsh_buckets" -> lshBucketsSql,
     "ann_lsh_topk" -> lshTopkSql,
-    "ann_lsh_multiprobe" -> multiProbeSql,
     "ann_ivf_topk" -> ivfTopkSql,
     "emb_top_pairs" -> embTopPairsSql,
     "emb_quantize" -> quantizeSql,

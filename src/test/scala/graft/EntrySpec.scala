@@ -14,7 +14,7 @@ class EntrySpec extends AnyFunSuite {
   /** Oracle-verified row counts at sf0.001 (from the DuckDB compare). */
   private val expectedRows = Map(
     "ann_lsh_buckets" -> 500L,
-    "ann_lsh_multiprobe" -> 2L,
+    "ann_lsh_multiprobe" -> 25L,
     "ann_ivf_topk" -> 25L,
     "ann_ivf_kmeans" -> 25L,
     "q_cube_returns" -> 12L,
@@ -95,7 +95,7 @@ class EntrySpec extends AnyFunSuite {
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,
     * not present in the static map.
     */
-  private val dynamicOracle = Set("ann_ivf_kmeans")
+  private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
