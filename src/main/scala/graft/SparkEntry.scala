@@ -597,20 +597,27 @@ object SparkEntry {
        |SELECT doc_id, rnk, term, tf, tfidf FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
   // Mirrors operators.Scrub.scrub — same RE2 patterns, same replace order,
-  // 'g' flag because DuckDB's regexp_replace is first-match by default.
-  // Only quotes are escaped: DuckDB single-quoted literals keep
-  // backslashes literal (doubling them would corrupt the patterns —
-  // '\s' would become a literal backslash + 's').
+  // audit counts taken against the progressively-scrubbed text (so they
+  // equal the replacements actually made), 'g' flag because DuckDB's
+  // regexp_replace is first-match by default. Only quotes are escaped:
+  // DuckDB single-quoted literals keep backslashes literal (doubling them
+  // would corrupt the patterns — '\s' would become a literal backslash +
+  // 's').
   private val scrubSql = {
     def esc(re: String): String = re.replace("'", "''")
     val (u, e, p) = (esc(Scrub.UrlRe), esc(Scrub.EmailRe), esc(Scrub.PhoneRe))
-    s"""SELECT doc_id,
-       |  regexp_replace(regexp_replace(regexp_replace(text,
-       |    '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS clean_text,
+    s"""WITH st AS (SELECT doc_id, text,
+       |    regexp_replace(text, '$u', '<URL>', 'g') AS no_url
+       |  FROM documents),
+       |st2 AS (SELECT doc_id, text, no_url,
+       |    regexp_replace(no_url, '$e', '<EMAIL>', 'g') AS no_email
+       |  FROM st)
+       |SELECT doc_id,
+       |  regexp_replace(no_email, '$p', '<PHONE>', 'g') AS clean_text,
        |  CAST(length(regexp_extract_all(text, '$u')) AS BIGINT) AS n_urls,
-       |  CAST(length(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
-       |  CAST(length(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |  CAST(length(regexp_extract_all(no_url, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(length(regexp_extract_all(no_email, '$p')) AS BIGINT) AS n_phones
+       |FROM st2 ORDER BY doc_id""".stripMargin
   }
 
   // Mirrors Dedup.benchmarkContamination (3-gram shingles come from the
@@ -943,7 +950,7 @@ object SparkEntry {
         |corp AS (SELECT DISTINCT h FROM nh WHERE doc_id % 10 <> 3),
         |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM inc GROUP BY h)
         |SELECT i.doc_id, i.source, i.n_chars FROM inc i
-        |WHERE i.h NOT IN (SELECT h FROM corp)
+        |WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.h = i.h)
         |  AND i.doc_id IN (SELECT keep_id FROM keep)
         |ORDER BY i.doc_id""".stripMargin,
     "dedup_minhash_sig" -> minhashSigSql,

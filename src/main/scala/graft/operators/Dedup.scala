@@ -298,9 +298,18 @@ object Dedup {
     * No SQL oracle (iterative fixpoint); differential-tested against an
     * in-memory union-find in OperatorsSpec, and the driver records a
     * rows-only check.
+    *
+    * If the loop hits `maxIters` before converging (a pair-graph whose
+    * diameter exceeds the bound — a duplication CHAIN longer than the
+    * round count), the labels are only partially propagated and a long
+    * chain would be split into several clusters; that state throws rather
+    * than returning silently-wrong canonical ids. Each superseded round's
+    * checkpoint blocks are unpersisted as soon as the next round is
+    * materialized, so executor storage stays O(one round), not O(iters).
     */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.01,
       maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd
     val pairs = ngramJaccardPairsRaw(docs, threshold).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -322,9 +331,17 @@ object Dedup {
           col("label").as("prev_label"))
         .localCheckpoint(true)
       changed = next.filter(col("next_label") =!= col("prev_label")).count()
+      // `next` is materialized, so the previous round's blocks are dead.
+      checkpointedRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next.select(col("node"), col("next_label").as("label"))
       iters += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIters rounds " +
+          s"($changed labels still changing): the pair graph has a longer " +
+          "duplication chain than the round bound — raise maxIters")
+    checkpointedRdd(edges).foreach(_.unpersist(blocking = false))
     labels.select(col("label").as("cluster_id"), col("node").as("doc_id"))
       .orderBy("cluster_id", "doc_id")
   }
@@ -337,24 +354,31 @@ object Dedup {
     * stand-in for an external benchmark suite; production passes a real
     * eval corpus through the same shape.
     *
-    * Scale design: eval suites are small and bounded, so the distinct-
-    * n-gram eval side is broadcast — the corpus side streams once with no
-    * shuffle until the final aggregation on (doc_id, bench_id). Never
-    * pairwise over the corpus.
+    * Scale design: a REAL eval suite is small and bounded, and when the
+    * caller knows that it can say so (`evalIsBounded = true`) to force the
+    * eval side broadcast. The default makes no such claim — here the eval
+    * side is carved out of the corpus itself (doc_id % benchMod), i.e. it
+    * is corpus-PROPORTIONAL, and force-broadcasting a side that grows with
+    * the corpus would OOM the driver at scale — so the join is left to
+    * size-based planning (AQE broadcasts it exactly while it is actually
+    * small). Either way the corpus side streams once with no pre-join
+    * shuffle beyond the join's own, never pairwise.
     */
   def benchmarkContamination(docs: DataFrame, benchMod: Int = 100,
-      benchRem: Int = 7, n: Int = 3): DataFrame = {
+      benchRem: Int = 7, n: Int = 3, evalIsBounded: Boolean = false): DataFrame = {
     val grams = withShingles(docs, n)
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("gram"))
     val bench = grams.filter(pmod(col("doc_id"), lit(benchMod)) === benchRem)
     val benchSized = bench
       .groupBy(col("doc_id").as("bench_id")).agg(count(lit(1)).as("bench_grams"))
     val corpus = grams.filter(pmod(col("doc_id"), lit(benchMod)) =!= benchRem)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (evalIsBounded) broadcast(df) else df
     corpus
-      .join(broadcast(bench.select(col("doc_id").as("bench_id"), col("gram"))), "gram")
+      .join(maybeBroadcast(bench.select(col("doc_id").as("bench_id"), col("gram"))), "gram")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_overlap"))
-      .join(broadcast(benchSized), "bench_id")
+      .join(maybeBroadcast(benchSized), "bench_id")
       .select(col("doc_id"), col("bench_id"), col("n_overlap"),
         round(col("n_overlap").cast("double") / col("bench_grams"), 6).as("coverage"))
       .orderBy("doc_id", "bench_id")

@@ -22,4 +22,14 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** The RDD backing a `localCheckpoint`-ed Dataset (its plan is a single
+    * LogicalRDD). Lets iterative algorithms unpersist a superseded round's
+    * checkpoint blocks instead of leaking them until context shutdown.
+    */
+  def checkpointedRdd(ds: org.apache.spark.sql.Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
 }

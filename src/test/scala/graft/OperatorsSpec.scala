@@ -200,7 +200,9 @@ class OperatorsSpec extends AnyFunSuite {
     val d = docs(
       (1L, "mail me at alice.smith+x@example.co.uk or see https://ex.com/a?b=1 soon"),
       (2L, "call +1 (555) 123-4567 today"),
-      (3L, "nothing sensitive here"))
+      (3L, "nothing sensitive here"),
+      (4L, "order #12345 shipped in 2024"),
+      (5L, "url with digits https://ex.com/555-123-4567 stays one URL"))
     val out = graft.operators.Scrub.scrub(d)
       .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(out(1L)._2 === "mail me at <EMAIL> or see <URL> soon")
@@ -208,6 +210,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L)._2 === "call <PHONE> today")
     assert(out(2L)._5 === 1L)
     assert(out(3L) === ((3L, "nothing sensitive here", 0L, 0L, 0L)))
+    // digit-count bound: runs under 7 digits are NOT phone-shaped
+    assert(out(4L) === ((4L, "order #12345 shipped in 2024", 0L, 0L, 0L)))
+    // progressive counts: the phone-shaped run inside the URL was already
+    // scrubbed as a URL, so it is neither double-redacted nor counted
+    assert(out(5L)._2 === "url with digits <URL> stays one URL")
+    assert((out(5L)._3, out(5L)._5) === ((1L, 0L)))
   }
 
   test("scrub oracle embeds RE2 patterns with single backslashes") {
