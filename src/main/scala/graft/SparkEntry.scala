@@ -67,6 +67,9 @@ object SparkEntry {
     // no oracleSql: HLL sketches differ across engines by construction ->
     // driver records a rows-only check; the exact twin is the anchor.
     "q_events_daily_active_approx" -> (Events.dailyActiveApprox _),
+    "q_events_asof_purchase" -> ((s, d) => Events.asOfLastPurchase(s, d)),
+    "q_events_incident_window" -> ((s, d) => Events.incidentWindowCounts(s, d)),
+    "q_events_latest_state" -> (Events.latestState _),
     // -- Dedup pack (documents) --
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
     "dedup_apply_exact" -> ((s, d) => Dedup.dropExactDuplicates(Tables.load(s, d, "documents"))
@@ -124,6 +127,16 @@ object SparkEntry {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_docs"))
       .orderBy("split", "source")),
+    // mixture rebalancing: cap en/fr/es/de at their target rates, keep the
+    // rest (zh exercises the default) whole
+    "pipeline_sample" -> ((s, d) => Curation.stratifiedSample(
+        Tables.load(s, d, "documents"), SampleRates)
+      .select("doc_id", "lang", "source", "keep_pct").orderBy("doc_id")),
+    // SemDeDup-style semantic dedup over the fitted k-means cells; oracle
+    // re-states the fitted centroids as literals (see oracleSqlDynamic).
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticNearDupPairs(Tables.load(s, d, "embeddings"),
+        kmeansCentroids(s, d))),
     // -- Text analysis (documents) --
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
@@ -133,6 +146,7 @@ object SparkEntry {
     "text_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     // no oracleSql: percentile sketches differ across engines by
     // construction -> rows-only check; the exact twin is the anchor and
     // the error bound is asserted in OperatorsSpec.
@@ -411,6 +425,26 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** dedup_semantic oracle: same cell-assignment spelling as the k-means
+    * IVF oracle (fitted centroids as round-tripping double literals), then
+    * the within-cell pair join with the cosine-threshold verify.
+    */
+  private def semanticSqlFor(centroids: Array[Array[Double]]): String = {
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH $normCte,
+       |sc AS (SELECT vec_id, v, nrm, $scoreList AS scores FROM n),
+       |wb AS (SELECT vec_id, v, nrm,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc)
+       |SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |FROM wb a JOIN wb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Oracle map including the entries that depend on the data (the
     * k-means IVF centroids are fitted, then exported as literals). Verify
     * dumps THIS map; the static `oracleSql` stays the data-independent
@@ -419,6 +453,7 @@ object SparkEntry {
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql +
       ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_lsh_multiprobe" -> multiProbeSqlFor(
         Similarity.planesFor(Tables.load(spark, sfDir, "embeddings").count())))
 
@@ -646,6 +681,90 @@ object SparkEntry {
        |SELECT source, CAST(floor(start_off / 512) AS BIGINT) AS seq_id,
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
        |FROM c GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
+
+  /** Stratified-sampling rates for the shipped `pipeline_sample` query:
+    * caps per language; zh is deliberately absent to exercise the
+    * keep-everything default.
+    */
+  val SampleRates: Map[String, Int] =
+    Map("en" -> 40, "fr" -> 60, "es" -> 60, "de" -> 80)
+
+  // Mirrors Curation.stratifiedSample with SampleRates: salted content-hash
+  // bucket, per-lang keep threshold, default 100.
+  private val sampleSql = {
+    val cases = SampleRates.toSeq.sortBy(_._1)
+      .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, lang, source,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split('sample:' || text, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % $M) % 100 AS bucket,
+       |  CASE lang $cases ELSE 100 END AS keep_pct
+       |  FROM documents)
+       |SELECT doc_id, lang, source, keep_pct
+       |FROM h WHERE bucket < keep_pct
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // Mirrors Events.asOfLastPurchase: union stream + running struct-max
+  // window (strict as-of: left rows sort before right copies at equal ts).
+  private val asofPurchaseSql =
+    """WITH u AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, 0 AS side, event_id, event_type,
+      |         CAST(NULL AS BIGINT) AS p_ms, CAST(NULL AS DOUBLE) AS p_value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, epoch_ms(ts), 1, NULL, NULL, epoch_ms(ts), value
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (SELECT user_id, ms, side, event_id, event_type,
+      |        max(CASE WHEN side = 1 THEN {'ms': p_ms, 'v': p_value} END)
+      |          OVER win AS lastp,
+      |        count(CASE WHEN side = 1 THEN 1 END) OVER win AS n_prior
+      |      FROM u
+      |      WINDOW win AS (PARTITION BY user_id ORDER BY ms, side
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ms, event_type,
+      |  CAST(COALESCE(lastp.ms, -1) AS BIGINT) AS last_purchase_ms,
+      |  CAST(COALESCE(lastp.v, -1.0) AS DOUBLE) AS last_purchase_value,
+      |  CAST(n_prior AS BIGINT) AS n_prior_purchases
+      |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin
+
+  // Mirrors Events.incidentWindowCounts (the binned interval join reduces
+  // to the plain range predicate at oracle scale).
+  private val incidentWindowSql =
+    """SELECT i.event_id AS incident_id, COUNT(*) AS n_events,
+      |  CAST(COUNT(CASE WHEN e.event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors
+      |FROM events i JOIN events e
+      |  ON epoch_ms(e.ts) >= epoch_ms(i.ts)
+      | AND epoch_ms(e.ts) < epoch_ms(i.ts) + 3600000
+      | AND e.event_id <> i.event_id
+      |WHERE i.event_type = 'error'
+      |GROUP BY 1 ORDER BY incident_id""".stripMargin
+
+  // Mirrors Events.latestState: the row_number spelling of the max(struct)
+  // compaction (ties broken by event_id, matching the struct field order).
+  private val latestStateSql =
+    """SELECT user_id, ms AS last_ms, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value
+      |FROM (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // Mirrors TextAnalysis.repetition: bigram explode + two aggregations.
+  private val repetitionSql =
+    s"""WITH $tokCte,
+       |t2 AS (SELECT doc_id, tokens FROM tok WHERE length(tokens) >= 2),
+       |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(tokens) - 1),
+       |         i -> tokens[i] || ' ' || tokens[i+1])) AS bigram FROM t2),
+       |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |tp AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM bc GROUP BY 1),
+       |tt AS (SELECT doc_id, CAST(length(tokens) AS BIGINT) AS n_tokens,
+       |         CAST(length(list_distinct(tokens)) AS BIGINT) AS n_uniq FROM t2)
+       |SELECT t.doc_id, t.n_tokens,
+       |  round(CAST(t.n_uniq AS DOUBLE) / t.n_tokens, 6) AS uniq_token_ratio,
+       |  round(CAST(tp.top_c AS DOUBLE) / tp.n_bigrams, 6) AS top_bigram_frac
+       |FROM tt t JOIN tp ON t.doc_id = tp.doc_id ORDER BY t.doc_id""".stripMargin
 
   private val mediaMetaSql =
     """SELECT doc_id,
@@ -977,6 +1096,11 @@ object SparkEntry {
     "text_fingerprint_rolling" -> fingerprintRollingSql,
     "text_chunks" -> chunksSql,
     "text_tfidf" -> tfidfSql,
+    "text_repetition" -> repetitionSql,
+    "pipeline_sample" -> sampleSql,
+    "q_events_asof_purchase" -> asofPurchaseSql,
+    "q_events_incident_window" -> incidentWindowSql,
+    "q_events_latest_state" -> latestStateSql,
     "text_vocab" ->
       s"""WITH $tokCte,
          |tk AS (SELECT unnest(tokens) AS term FROM tok),

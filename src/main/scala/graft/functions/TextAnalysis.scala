@@ -169,6 +169,37 @@ object TextAnalysis {
     * the corpus size joined back as a single broadcast row, one ranking
     * window. Scores rounded to 6 decimals for a total cross-engine order.
     */
+  /** Repetition quality signals (the Gopher-rule family): how much of a
+    * document is the same content repeated. Per doc: token count, the
+    * distinct-token fraction, and the share of word bigrams taken by the
+    * single most frequent bigram — boilerplate, keyword stuffing, and
+    * generation loops all light these up long before an exact-dup hash
+    * would. Computed with explode + two hash aggregations keyed by
+    * (doc_id[, bigram]) — the honest distributed shape: per-row
+    * higher-order-function counting would be O(tokens^2) per document and
+    * blow up on exactly the long repetitive documents this filter exists
+    * to catch. Docs with < 2 tokens have no bigrams and are excluded.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), WordCount.tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) >= 2)
+    val bigrams = tok.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(tokens) - 1), " +
+          "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+    val toks = tok.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("n_tokens"),
+      size(array_distinct(col("tokens"))).cast("long").as("n_uniq"))
+    toks.join(bigrams, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_token_ratio"),
+        round(col("top_c").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))

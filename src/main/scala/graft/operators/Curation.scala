@@ -37,6 +37,33 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Deterministic stratified downsampling: each stratum (language here)
+    * keeps `pct`% of its documents, selected by CONTENT hash — the mixture
+    * rebalancing step of corpus assembly (cap the over-represented
+    * languages/sources, keep the rest whole). Selection is
+    * PolyHash('sample:' || text) mod 100 < pct: content-keyed so the same
+    * document survives across re-ingestions and id reshuffles, and SALTED
+    * (the 'sample:' prefix) so the sampling decision is independent of
+    * `assignSplits`' unsalted content buckets — an unsalted reuse would
+    * correlate "sampled in" with "lands in train". Rates arrive as a TABLE
+    * joined onto the corpus (broadcast — it is one row per stratum), not a
+    * baked-in CASE expression: at scale the mixture spec is config, and
+    * re-weighting must not mean recompiling. Per-row expressions + one
+    * broadcast join; no shuffle of the corpus.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF("lang", "keep_pct")
+    val bucket = pmod(PolyHash(concat(lit("sample:"), col("text"))), lit(100L))
+    docs
+      .join(broadcast(rateDf), Seq("lang"), "left")
+      .withColumn("keep_pct",
+        coalesce(col("keep_pct"), lit(defaultPct)))
+      .filter(bucket < col("keep_pct"))
+  }
+
   /** Sequence packing for training: documents are laid end to end per
     * source in doc_id order, and each document joins the training sequence
     * its cumulative start offset falls into (sequence capacity =

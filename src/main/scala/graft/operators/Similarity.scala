@@ -374,6 +374,42 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Semantic near-dup pairs over fitted k-means cells (the SemDeDup
+    * shape): assign every vector to its nearest centroid, compare pairs
+    * only WITHIN a cell, keep those above the cosine threshold. Versus the
+    * LSH variant (`embeddingNearDupPairs`), cells follow the corpus's own
+    * coarse geometry — semantically-close vectors co-locate because the
+    * fit put a centroid where they cluster, not because random cuts
+    * happened to agree — so the candidate set is denser in true
+    * duplicates for the same partition count. Pairs that straddle a cell
+    * boundary are missed by construction; that recall/cost trade is the
+    * documented contract of cluster-partitioned dedup (raise the cell
+    * count with corpus size via `fitCentroids(nCentroids)`, which also
+    * keeps per-cell pair work bounded: cells ~ n/target occupancy makes
+    * the within-cell join O(n * occupancy), linear in n).
+    */
+  def semanticNearDupPairs(emb: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double = 0.3): DataFrame = {
+    val scores = array(centroids.map(c =>
+      lit(norm2(c)) - lit(2.0) * graft.functions.VectorDot(col("v"),
+        array(c.map(lit).toSeq: _*))).toSeq: _*)
+    val wb = withNorm(emb)
+      .withColumn("scores", scores)
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("vec_id", "v", "nrm", "cell")
+    val a = wb.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    // shuffle join (not broadcast) so both sides reuse the cell-assignment
+    // exchange — same rationale as minhashCandidatePairsRaw.
+    val b = wb.hint("shuffle_hash").select(col("cell").as("cell_b"),
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot("va", "vb") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("cell", "id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-dup audit: top pairs per label over a bounded
     * id sample (both ids < sampleCap keeps the pairwise audit O(cap^2)
     * regardless of table size; full-scale dedup goes through lshBuckets).

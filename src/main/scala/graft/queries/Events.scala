@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -150,6 +151,141 @@ object Events {
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
         col("n_users_approx"), col("n_events"))
       .orderBy("day")
+
+  /** Backward as-of join, union+window formulation: every left row gets
+    * the payload of the LATEST right row with the same key whose timestamp
+    * is strictly earlier (`strict = true`) or at-or-earlier. `rightPayload`
+    * names right-side columns to carry; they come back in an `asof` struct
+    * (null when no right row precedes), led by the right timestamp so the
+    * running `max` is ordered by time first; remaining ties resolve by the
+    * payload values themselves, so the result is deterministic without a
+    * caller-supplied tiebreak.
+    *
+    * Scale design: a per-left-row subquery is unexecutable and a range
+    * join degenerates under hot keys; instead both sides union into ONE
+    * stream that shuffles once on the key, and a running
+    * max(struct(ts, payload)) over the (ts, side)-ordered window carries
+    * the latest right payload to every left row — one exchange + one sort,
+    * no join operator at all. This is the physical shape an ASOF JOIN
+    * keyword lowers to on engines that have one.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsMs: String,
+      rightPayload: Seq[String], strict: Boolean = true): DataFrame = {
+    // left rows sort before right rows at equal ts under strict semantics
+    // (the frame ends at the current row, so later right copies are
+    // excluded); inclusive semantics put right rows first.
+    val rightSide = if (strict) 1 else -1
+    val payload = struct((col(tsMs) +: rightPayload.map(col)): _*)
+    val rNorm = right.select(
+      left.columns.map {
+        case c if c == key => col(key)
+        case c if c == tsMs => col(tsMs)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ lit(rightSide).as("__side") :+ payload.as("__p"): _*)
+    val lNorm = left
+      .withColumn("__side", lit(0))
+      .withColumn("__p", lit(null).cast(rNorm.schema("__p").dataType))
+    val w = Window.partitionBy(key).orderBy(col(tsMs), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lNorm.unionByName(rNorm)
+      .withColumn("asof",
+        max(when(col("__side") === rightSide, col("__p"))).over(w))
+      .withColumn("n_asof",
+        count(when(col("__side") === rightSide, lit(1))).over(w))
+      .filter(col("__side") === 0)
+      .drop("__side", "__p")
+  }
+
+  /** Shipped as-of query: enrich every event with the user's most recent
+    * STRICTLY-prior purchase (its time and amount) and how many purchases
+    * preceded it. Orders in the star schema predate the events table by
+    * decades, so the demonstration joins events to their own purchase
+    * sub-stream — the operator is table-agnostic.
+    */
+  def asOfLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    // no-prior-purchase rows surface as -1 sentinels, not nulls: a
+    // nullable int64 round-trips through comparison frames as float and
+    // breaks hash parity, while the sentinel stays integral
+    asOfJoin(ev, purchases, "user_id", "ms", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("ms"), col("event_type"),
+        coalesce(col("asof.ms"), lit(-1L)).as("last_purchase_ms"),
+        coalesce(col("asof.value"), lit(-1.0d)).as("last_purchase_value"),
+        col("n_asof").as("n_prior_purchases"))
+      .orderBy("event_id")
+  }
+
+  /** Point-in-interval join by time binning: intervals of bounded length
+    * join points on a shared time-bin key, then the exact range predicate
+    * filters in-task. Without the bin key this is a nested-loop cross
+    * product (no equi condition); with it, each interval lands in at most
+    * ceil(len/bin)+1 bins, so the pairing is a plain shuffle hash join
+    * whose fan-out is bounded by design. `points` must carry `ms`,
+    * `intervals` must carry `start_ms`/`end_ms` (end exclusive) with
+    * end-start <= binMs assumed for the 2-bin bound (longer intervals
+    * still work — they just span more bins).
+    */
+  def binnedIntervalJoin(points: DataFrame, intervals: DataFrame,
+      binMs: Long): DataFrame = {
+    val binned = intervals.withColumn("bin",
+      explode(sequence(floor(col("start_ms") / binMs),
+        floor((col("end_ms") - 1) / binMs))))
+    val binnedPoints = points.withColumn("bin", floor(col("ms") / binMs))
+    binnedPoints.join(binned, Seq("bin"))
+      .filter(col("ms") >= col("start_ms") && col("ms") < col("end_ms"))
+      .drop("bin")
+  }
+
+  /** Shipped interval-join query: every `error` event opens a one-hour
+    * incident window; count the OTHER events landing inside it. The join
+    * key is the hour bin, not the user — incidents see cross-user impact —
+    * which is exactly the no-equi-key case the binning technique exists
+    * for.
+    */
+  def incidentWindowCounts(spark: SparkSession, dir: String,
+      windowMs: Long = 3600 * 1000L): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ms").as("start_ms"),
+        (col("ms") + windowMs).as("end_ms"))
+    binnedIntervalJoin(ev, incidents, binMs = windowMs)
+      .filter(col("event_id") =!= col("incident_id"))
+      .groupBy("incident_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"))
+      .orderBy("incident_id")
+  }
+
+  /** Latest-state snapshot (CDC/changelog compaction): collapse an event
+    * log to one row per key — the key's most recent event, ties broken by
+    * event_id. ONE partially-aggregable max(struct) per key: the struct
+    * leads with (ms, event_id), so the lexicographic max IS the latest
+    * event and the payload rides along. At 100 TB this beats the
+    * row_number()-window spelling because the combine happens map-side
+    * (no full sort of every partition, no carrying every superseded
+    * version through the shuffle) — compaction cost tracks the number of
+    * KEYS, not the number of versions.
+    */
+  def latestState(spark: SparkSession, dir: String): DataFrame =
+    latestStateOf(Tables.load(spark, dir, "events"))
+
+  /** `latestState` over an arbitrary changelog frame (user_id, ts,
+    * event_id, event_type, value).
+    */
+  def latestStateOf(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(max(struct(unix_millis(col("ts")).as("ms"), col("event_id"),
+        col("event_type"), col("value"))).as("last"))
+      .select(col("user_id"), col("last.ms").as("last_ms"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id")
 
   /** Daily active users + event mix: distinct agg over a time bucket. */
   def dailyActive(spark: SparkSession, dir: String): DataFrame =

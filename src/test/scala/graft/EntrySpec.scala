@@ -77,6 +77,12 @@ class EntrySpec extends AnyFunSuite {
     "text_quality" -> 500L,
     "text_tokens" -> 500L,
     "text_vocab" -> 31L,
+    "text_repetition" -> 500L,
+    "pipeline_sample" -> 302L,
+    "dedup_semantic" -> 246L,
+    "q_events_asof_purchase" -> 1000L,
+    "q_events_incident_window" -> 157L,
+    "q_events_latest_state" -> 15L,
     "wordcount" -> 31L,
     "wordcount_topk" -> 31L,
     "wordcount_windowed" -> 1000L,
@@ -95,7 +101,7 @@ class EntrySpec extends AnyFunSuite {
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,
     * not present in the static map.
     */
-  private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe")
+  private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

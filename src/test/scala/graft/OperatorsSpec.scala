@@ -458,4 +458,110 @@ class OperatorsSpec extends AnyFunSuite {
     val stride = bytes.length / 9
     assert(frames === (0 until 4).map(f => (7L, f, f * stride, bytes(f * stride) & 0xff)))
   }
+
+  test("as-of join: latest strictly-prior payload per key, inclusive opt-in") {
+    import graft.queries.Events
+    val left = Seq((1L, 10L, "A"), (1L, 25L, "B"), (2L, 30L, "C"))
+      .toDF("user_id", "ms", "tag")
+    val right = Seq((1L, 10L, 5.0), (1L, 20L, 7.0), (2L, 40L, 9.0))
+      .toDF("user_id", "ms", "value")
+
+    val strict = Events.asOfJoin(left, right, "user_id", "ms", Seq("value"))
+      .select($"tag", $"asof.ms", $"asof.value", $"n_asof")
+      .as[(String, Option[Long], Option[Double], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // A: the right row at the SAME ms is excluded under strict semantics
+    assert(strict("A") === ((None, None, 0L)))
+    // B: latest of the two prior right rows wins; both are counted
+    assert(strict("B") === ((Some(20L), Some(7.0), 2L)))
+    // C: user 2's only right row is later; user 1's rows are invisible
+    assert(strict("C") === ((None, None, 0L)))
+
+    val inclusive = Events.asOfJoin(left, right, "user_id", "ms", Seq("value"),
+        strict = false)
+      .select($"tag", $"asof.ms", $"n_asof")
+      .as[(String, Option[Long], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // at-or-before: the equal-ts right row now matches
+    assert(inclusive("A") === ((Some(10L), 1L)))
+  }
+
+  test("binned interval join honors [start, end) exactly across bin boundaries") {
+    import graft.queries.Events
+    val points = Seq((1L, 0L), (2L, 999L), (3L, 1000L), (4L, 1500L), (5L, 2000L))
+      .toDF("pid", "ms")
+    val intervals = Seq((10L, 1000L, 2000L), (20L, 500L, 1500L))
+      .toDF("iid", "start_ms", "end_ms")
+    val got = Events.binnedIntervalJoin(points, intervals, binMs = 1000L)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    // start inclusive, end exclusive; interval 20 spans two bins and still
+    // catches the point at 999 sitting in the earlier bin
+    assert(got === Set((10L, 3L), (10L, 4L), (20L, 2L), (20L, 3L)))
+  }
+
+  test("latest-state compaction keeps the max-(ts, event_id) row per key") {
+    import graft.queries.Events
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "b", 2.0),
+      // same key, same ts as row 2 -> event_id breaks the tie (3 wins)
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 3L, "c", 3.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 4L, "d", 4.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Events.latestStateOf(ev)
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._3, r._4)) === Seq((1L, 3L, "c"), (2L, 4L, "d")))
+  }
+
+  test("stratified sample keeps exactly the salted-hash-selected docs per stratum") {
+    import graft.operators.Curation
+    import org.apache.spark.unsafe.types.UTF8String
+    def ph(s: String): Long = graft.functions.PolyHash.compute(UTF8String.fromString(s))
+    val rows = (0 until 60).map(i =>
+      (i.toLong, s"document number $i with some content", if (i % 2 == 0) "en" else "xx"))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val rates = Map("en" -> 30)
+    val kept = Curation.stratifiedSample(d, rates, defaultPct = 100)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = rows.collect {
+      case (id, text, lang)
+        if ph("sample:" + text) % 100 <
+           rates.getOrElse(lang, 100) => id
+    }.toSet
+    assert(kept === expected)
+    // the unlisted stratum ('xx') is kept whole by the default rate
+    assert(rows.collect { case (id, _, "xx") => id }.forall(kept))
+    // and the sampling hash is SALTED: it must not equal the split bucket
+    // (otherwise sampled-in would correlate with landing in train)
+    val sampleBuckets = rows.map(r => ph("sample:" + r._2) % 100)
+    val splitBuckets = rows.map(r => ph(r._2) % 100)
+    assert(sampleBuckets !== splitBuckets)
+  }
+
+  test("repetition signals: loops score high, diverse text scores low") {
+    val d = docs(
+      (1L, "a a a a"),           // 4 tokens, 1 unique; bigram "a a" x3
+      (2L, "w x y z"),           // all unique; 3 distinct bigrams
+      (3L, "solo"))              // < 2 tokens -> excluded
+    val out = graft.functions.TextAnalysis.repetition(d)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 0.25, 1.0)))
+    assert(out(2L) === ((2L, 4L, 1.0, 0.333333)))
+    assert(!out.contains(3L))
+  }
+
+  test("semantic near-dup pairs only within a k-means cell") {
+    import graft.operators.Similarity
+    def unit(axis: Int, scale: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) scale else 0f)
+    val emb = Seq(
+      (1L, unit(0, 1f), 0), (2L, unit(0, 2f), 0), // same direction, cos 1
+      (3L, unit(1, 1f), 0))                       // orthogonal, other cell
+      .toDF("vec_id", "embedding", "label")
+    val centroids = Array(
+      Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+      Array.tabulate(64)(i => if (i == 1) 1.0 else 0.0))
+    val got = Similarity.semanticNearDupPairs(emb, centroids)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1, 1L, 2L, 1.0)))
+  }
 }
