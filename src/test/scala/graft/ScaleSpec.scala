@@ -43,6 +43,48 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The 100 TB pattern for selective joins Catalyst can inject with ZERO
+    // operator code: a bloom filter built from the filtered (small) join
+    // side is pushed into the big side's scan as a might_contain predicate,
+    // so fact rows that cannot match die before the shuffle instead of
+    // crossing the wire to be dropped by the join. Thresholds are lowered
+    // so the kB-scale test tables qualify; broadcast is disabled because
+    // the rewrite targets shuffle joins (a broadcast join already skips
+    // the fact-side shuffle).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtimeFilter.number.threshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val lineitem = Tables.load(spark, dir, "lineitem")
+      val bigOrders = Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+      val joined = lineitem.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$optimized")
+      val bloomed = joined.collect().toSet
+      // the filter is an overapproximation: results must equal the plain join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = lineitem.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+        .collect().toSet
+      assert(bloomed === plain)
+      assert(bloomed.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").resolve("docs").toString
     Tables.load(spark, dir, "documents")
