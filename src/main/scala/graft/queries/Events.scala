@@ -187,11 +187,12 @@ object Events {
       .withColumn("__p", lit(null).cast(rNorm.schema("__p").dataType))
     val w = Window.partitionBy(key).orderBy(col(tsMs), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both window columns in one select -> a single Window operator over
+    // the shared (ts, side) sort, not two stacked passes
     lNorm.unionByName(rNorm)
-      .withColumn("asof",
-        max(when(col("__side") === rightSide, col("__p"))).over(w))
-      .withColumn("n_asof",
-        count(when(col("__side") === rightSide, lit(1))).over(w))
+      .select(col("*"),
+        max(when(col("__side") === rightSide, col("__p"))).over(w).as("asof"),
+        count(when(col("__side") === rightSide, lit(1))).over(w).as("n_asof"))
       .filter(col("__side") === 0)
       .drop("__side", "__p")
   }
@@ -265,10 +266,14 @@ object Events {
     * event_id. ONE partially-aggregable max(struct) per key: the struct
     * leads with (ms, event_id), so the lexicographic max IS the latest
     * event and the payload rides along. At 100 TB this beats the
-    * row_number()-window spelling because the combine happens map-side
-    * (no full sort of every partition, no carrying every superseded
-    * version through the shuffle) — compaction cost tracks the number of
-    * KEYS, not the number of versions.
+    * row_number()-window spelling because the combine happens map-side:
+    * one surviving candidate per key per map partition crosses the wire,
+    * so shuffle volume tracks the number of KEYS — the window spelling
+    * ships every superseded version through the shuffle to discard it
+    * after a full per-partition sort. Trade-off, visible in the plan: a
+    * struct aggregation buffer is not hash-aggregable, so Catalyst plans
+    * SortAggregate (map-side sort by key) rather than HashAggregate; the
+    * shuffle-volume win dominates at version-heavy scale.
     */
   def latestState(spark: SparkSession, dir: String): DataFrame =
     latestStateOf(Tables.load(spark, dir, "events"))
