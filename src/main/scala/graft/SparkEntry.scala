@@ -147,6 +147,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
+    "text_oov" -> ((s, d) => TextAnalysis.oovRate(Tables.load(s, d, "documents"))),
     // no oracleSql: percentile sketches differ across engines by
     // construction -> rows-only check; the exact twin is the anchor and
     // the error bound is asserted in OperatorsSpec.
@@ -751,6 +752,19 @@ object SparkEntry {
       |      FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // Mirrors TextAnalysis.oovRate: vocab = terms with corpus count >= 2,
+  // per-doc share of tokens outside it.
+  private val oovSql =
+    s"""WITH $tokCte,
+       |tk AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+       |vocab AS (SELECT term FROM tk GROUP BY term HAVING COUNT(*) >= 2)
+       |SELECT tk.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(COUNT(CASE WHEN vocab.term IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+       |  round(CAST(COUNT(CASE WHEN vocab.term IS NULL THEN 1 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS oov_ratio
+       |FROM tk LEFT JOIN vocab ON tk.term = vocab.term
+       |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
+
   // Mirrors TextAnalysis.repetition: bigram explode + two aggregations.
   private val repetitionSql =
     s"""WITH $tokCte,
@@ -1097,6 +1111,7 @@ object SparkEntry {
     "text_chunks" -> chunksSql,
     "text_tfidf" -> tfidfSql,
     "text_repetition" -> repetitionSql,
+    "text_oov" -> oovSql,
     "pipeline_sample" -> sampleSql,
     "q_events_asof_purchase" -> asofPurchaseSql,
     "q_events_incident_window" -> incidentWindowSql,

@@ -225,6 +225,29 @@ object TextAnalysis {
     * corpus-sized — the standard shape for building a vocab at any corpus
     * scale.
     */
+  /** Out-of-vocabulary rate per document: tokens absent from the corpus
+    * vocabulary (terms seen >= minCount times), the coverage metric that
+    * decides whether a tokenizer/vocab fits a corpus before training on
+    * it. Token explode + a left-anti-shaped aggregation: each token row
+    * left-joins the vocab (bounded: vocab size tracks DISTINCT terms, so
+    * AQE broadcasts it when it fits) and per-doc counts follow — no
+    * quadratic term anywhere; the corpus streams once past the vocab.
+    */
+  def oovRate(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tok.join(vocab, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_ratio"))
+      .orderBy("doc_id")
+  }
+
   def vocabulary(docs: DataFrame, minCount: Long = 2): DataFrame = {
     val counts = docs
       .select(explode(WordCount.tokens(col("text"))).as("term"))

@@ -323,13 +323,21 @@ object Relational {
     * asserted against the exact twin in RelationalSpec.
     */
   def qOrderPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    // ONE sketch per group serving all three percentiles (the array form),
+    // not three independently-built summaries: every input row then feeds
+    // a single GK buffer. The 10x scaling curve caught the three-sketch
+    // spelling at 25x growth (worse than the exact sort!) — the sketch's
+    // value at scale only materializes if the insert path is shared.
     Tables.load(spark, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(
-        expr("round(approx_percentile(o_totalprice, 0.5, 1000), 4)").as("p50_approx"),
-        expr("round(approx_percentile(o_totalprice, 0.9, 1000), 4)").as("p90_approx"),
-        expr("round(approx_percentile(o_totalprice, 0.99, 1000), 4)").as("p99_approx"),
+        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 1000)").as("ps"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("ps"), 1), 4).as("p50_approx"),
+        round(element_at(col("ps"), 2), 4).as("p90_approx"),
+        round(element_at(col("ps"), 3), 4).as("p99_approx"),
+        col("n_orders"))
       .orderBy("o_orderpriority")
 
   /** Full grouping-sets lattice (CUBE): every (returnflag x linestatus)

@@ -110,7 +110,7 @@ object GenScale {
       col("id").as("event_id"),
       (lit(baseNanos) + (h(28) % (30L * 86400 * 1000)) * 1000000L).as("ts"),
       (h(29) % (150L * m)).as("user_id"),
-      pick(30, Seq("view", "click", "purchase", "scroll", "login")).as("event_type"),
+      pick(30, Seq("view", "click", "purchase", "scroll", "login", "error")).as("event_type"),
       money(31, 10000).as("value"),
       format_string("{\"k\": %d}", h(32) % 100).as("props"))))
 

@@ -78,6 +78,7 @@ class EntrySpec extends AnyFunSuite {
     "text_tokens" -> 500L,
     "text_vocab" -> 31L,
     "text_repetition" -> 500L,
+    "text_oov" -> 500L,
     "pipeline_sample" -> 302L,
     "dedup_semantic" -> 246L,
     "q_events_asof_purchase" -> 1000L,

@@ -498,6 +498,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Set((10L, 3L), (10L, 4L), (20L, 2L), (20L, 3L)))
   }
 
+  test("pre-aggregated incident counts equal the naive binned join exactly") {
+    import graft.queries.Events
+    // seeded random stream incl. bin-aligned timestamps (the edge-range
+    // degenerate cases) and windows extending past the last event
+    val rnd = new scala.util.Random(17)
+    val base = 1700000000000L
+    val rows = (1L to 400L).map { i =>
+      val ms = if (i % 37 == 0) base + (rnd.nextInt(200).toLong * 60000L) // aligned
+               else base + rnd.nextLong(12L * 3600 * 1000)
+      val tp = if (i % 5 == 0) "error" else Seq("view", "click", "purchase")(rnd.nextInt(3))
+      (i, tp, ms)
+    }
+    val ev = rows.toDF("event_id", "event_type", "ms")
+    val naive = Events.incidentWindowCountsNaive(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    val preagg = Events.incidentWindowCountsOf(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(preagg === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("latest-state compaction keeps the max-(ts, event_id) row per key") {
     import graft.queries.Events
     val ev = Seq(
