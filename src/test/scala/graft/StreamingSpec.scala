@@ -220,6 +220,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming latest-state view converges to the batch compaction on real events") {
+    import graft.streaming.StreamLatest
+    import graft.streaming.StreamLatest.{ChangeEvent, LatestRow}
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .selectExpr("user_id", "unix_millis(ts) AS ms", "event_id", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+      .map { case (u, ms, id, tp, v) => ChangeEvent(u, ms, id, tp, v) }
+      .sortBy(e => e.event_id % 13) // scrambled arrival: replay != event time
+    val input = MemoryStream[ChangeEvent]
+    val q = StreamLatest.latest(input.toDS())
+      .writeStream.format("memory").queryName("latest_diff")
+      .outputMode("update").start()
+    try {
+      // arrival order deliberately != event-time order (changelogs replay
+      // out of order); the per-key state must still converge
+      events.grouped(300).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      // the memory sink accumulates one updated row per (key, batch); the
+      // per-key final state is its newest (ms, event_id) emission
+      val streamed = spark.table("latest_diff").as[LatestRow].collect()
+        .groupBy(_.user_id)
+        .map { case (_, rows) =>
+          rows.maxBy(r => (r.last_ms, r.last_event_id))
+        }
+        .map(r => (r.user_id, r.last_ms, r.last_event_id, r.last_type, r.last_value))
+        .toSet
+      val batch = graft.queries.Events.latestState(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, String, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops near-in-time duplicates and bounds state by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
