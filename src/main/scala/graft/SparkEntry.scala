@@ -105,7 +105,7 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       Similarity.multiProbeTopK(emb,
-        nPlanes = Similarity.planesFor(emb.count()), probeHamming = 2)
+        nPlanes = Similarity.planesFor(embCount(s, d)), probeHamming = 2)
     }),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"))),
     // k-means-fitted IVF: the fit is deterministic (hash-gated sample,
@@ -132,11 +132,15 @@ object SparkEntry {
     "pipeline_sample" -> ((s, d) => Curation.stratifiedSample(
         Tables.load(s, d, "documents"), SampleRates)
       .select("doc_id", "lang", "source", "keep_pct").orderBy("doc_id")),
-    // SemDeDup-style semantic dedup over the fitted k-means cells; oracle
-    // re-states the fitted centroids as literals (see oracleSqlDynamic).
-    "dedup_semantic" -> ((s, d) =>
-      Similarity.semanticNearDupPairs(Tables.load(s, d, "embeddings"),
-        kmeansCentroids(s, d))),
+    // SemDeDup-style semantic dedup over the fitted k-means cells, with
+    // the cell count scaled by the cellsFor occupancy rule so the
+    // within-cell pair join stays linear in n; oracle re-states the
+    // fitted centroids as literals (see oracleSqlDynamic).
+    "dedup_semantic" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.semanticNearDupPairs(emb,
+        kmeansCentroids(s, d, Similarity.cellsFor(embCount(s, d))))
+    }),
     // -- Text analysis (documents) --
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
@@ -397,9 +401,19 @@ object SparkEntry {
     */
   private val kmeansCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-  private def kmeansCentroids(s: SparkSession, d: String): Array[Array[Double]] =
-    kmeansCache.getOrElseUpdate(d,
-      Similarity.fitCentroids(Tables.load(s, d, "embeddings")))
+  private def kmeansCentroids(s: SparkSession, d: String,
+      nCells: Int = 16): Array[Array[Double]] =
+    kmeansCache.getOrElseUpdate(s"$d#$nCells",
+      Similarity.fitCentroids(Tables.load(s, d, "embeddings"), nCells))
+
+  /** Embedding-corpus row count per sf dir — memoized; feeds the
+    * `planesFor`/`cellsFor` sizing rules in both the queries and their
+    * dynamically-rendered oracles.
+    */
+  private val embCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def embCount(s: SparkSession, d: String): Long =
+    embCountCache.getOrElseUpdate(d, Tables.load(s, d, "embeddings").count())
 
   /** ann_ivf_kmeans oracle: identical query shape to `ivfTopkSql`, with
     * the fitted centroids exported as double literals (Double.toString is
@@ -454,9 +468,10 @@ object SparkEntry {
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql +
       ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
-      ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,
+        Similarity.cellsFor(embCount(spark, sfDir))))) +
       ("ann_lsh_multiprobe" -> multiProbeSqlFor(
-        Similarity.planesFor(Tables.load(spark, sfDir, "embeddings").count())))
+        Similarity.planesFor(embCount(spark, sfDir))))
 
   /** Shared int8-quantization CTE prefix (mirrors Similarity.withQuantized). */
   private val quantCte =

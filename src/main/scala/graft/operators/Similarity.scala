@@ -66,6 +66,22 @@ object Similarity {
     math.max(1, math.ceil(
       math.log(math.max(n, 2).toDouble / targetBucketSize) / math.log(2)).toInt)
 
+  /** Cell count for a k-means partitioned dedup over `n` vectors: cells ≈
+    * n / targetOccupancy, so the within-cell pair join stays
+    * O(n · occupancy) — linear in n — instead of O(n²/cells) with a fixed
+    * cell count (the curve measured 6.5× at 10× data with 16 fixed cells).
+    * Floor of 16 keeps small corpora from degenerating to one-cell-per-
+    * vector; cap of 4096 bounds the constant-folded score-array plan the
+    * literal-centroid assignment compiles to. Past the cap (n ≳ 250k at
+    * occupancy 60) the assignment must become two-level — fit √cells
+    * coarse centroids, then sub-fit within each coarse cell — which keeps
+    * every per-row score array at √cells literals; the cap marks where
+    * that switch belongs, it is not a scale ceiling of the approach.
+    */
+  def cellsFor(n: Long, targetOccupancy: Int = 60): Int =
+    math.max(16, math.min(4096,
+      math.ceil(math.max(n, 1).toDouble / targetOccupancy).toInt))
+
   /** Deterministic integer hyperplane i: h_i[d] = (19i + 11d + 7id) % 61 - 30.
     * Integer-derived components make the projection exactly reproducible in
     * any engine (no platform-dependent trig/PRNG). The bilinear `7id` term

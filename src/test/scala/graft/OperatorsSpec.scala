@@ -585,4 +585,22 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Int, Long, Long, Double)].collect().toSeq
     assert(got === Seq((1, 1L, 2L, 1.0)))
   }
+
+  test("cellsFor keeps expected cell occupancy bounded as the corpus grows") {
+    import graft.operators.Similarity.cellsFor
+    // floor: tiny corpora still get the 16-cell minimum
+    assert(cellsFor(100) === 16)
+    assert(cellsFor(500) === 16)
+    // linear regime: expected occupancy n/cells stays at ~the target, so
+    // the within-cell pair join is O(n * occupancy) — this is the property
+    // the fixed-16-cell version violated (occupancy grew linearly with n)
+    for (n <- Seq(5000L, 50000L, 200000L)) {
+      val occ = n.toDouble / cellsFor(n)
+      assert(occ <= 60.0 + 1e-9, s"occupancy $occ at n=$n exceeds the target")
+      assert(occ >= 30.0, s"occupancy $occ at n=$n — cells overshot 2x")
+    }
+    // cap: past it the score-array plan would outgrow codegen; the
+    // documented switch to a two-level fit takes over there
+    assert(cellsFor(10_000_000L) === 4096)
+  }
 }
