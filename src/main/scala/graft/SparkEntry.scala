@@ -56,6 +56,12 @@ object SparkEntry {
     "q_nations_both_sides" -> (Relational.qNationsBothSides _),
     "q7_nation_volume" -> ((s, d) => Relational.q7NationVolume(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q4_late_orders" -> (Relational.q4LateOrders _),
+    "q13_customer_distribution" -> (Relational.q13CustomerDistribution _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q17_small_quantity" -> (Relational.q17SmallQuantity _),
+    "q19_disjunctive" -> (Relational.q19Disjunctive _),
+    "q22_global_opportunity" -> (Relational.q22GlobalOpportunity _),
     // -- Events (stream-shaped table) --
     "q_events_hourly" -> (Events.hourlyByType _),
     "q_events_props" -> (Events.propsByType _),
@@ -132,6 +138,9 @@ object SparkEntry {
     "pipeline_sample" -> ((s, d) => Curation.stratifiedSample(
         Tables.load(s, d, "documents"), SampleRates)
       .select("doc_id", "lang", "source", "keep_pct").orderBy("doc_id")),
+    // token-budget mixture fill: best documents per source until the
+    // per-source budget is spent
+    "pipeline_budget" -> ((s, d) => Curation.budgetSample(Tables.load(s, d, "documents"))),
     // SemDeDup-style semantic dedup over the fitted k-means cells, with
     // the cell count scaled by the cellsFor occupancy rule so the
     // within-cell pair join stays linear in n; oracle re-states the
@@ -532,7 +541,7 @@ object SparkEntry {
        |       WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred_lang
        |FROM s ORDER BY doc_id""".stripMargin
 
-  private val qualitySql =
+  private val qualityCore =
     s"""WITH $tokCte,
        |j AS (SELECT d.doc_id, d.text, t.tokens FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
        |m AS (SELECT doc_id,
@@ -551,7 +560,23 @@ object SparkEntry {
        |    + (1.0 - least(1.0, (CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 10.0)) * 0.25
        |    + least(1.0, (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)) * 5.0) * 0.25
        |    + (1.0 - least(1.0, (CAST(digit_cnt AS DOUBLE) / greatest(n_chars_txt, 1)) * 5.0)) * 0.15 AS quality
-       |FROM m ORDER BY doc_id""".stripMargin
+       |FROM m""".stripMargin
+
+  private val qualitySql = qualityCore + "\nORDER BY doc_id"
+
+  // Mirrors Curation.budgetSample: quality-ranked per-source token-budget
+  // fill. SUM(BIGINT) OVER returns HUGEINT in DuckDB — cast back; the
+  // window order (quality DESC, doc_id) is total, so the default RANGE
+  // frame equals ROWS in both engines.
+  private val budgetSql =
+    s"""WITH q AS ($qualityCore),
+       |b AS (SELECT d.source, q.doc_id, q.n_tokens, q.quality,
+       |        CAST(SUM(q.n_tokens) OVER (PARTITION BY d.source
+       |          ORDER BY q.quality DESC, q.doc_id) AS BIGINT) AS cum_tokens
+       |      FROM q JOIN documents d ON q.doc_id = d.doc_id)
+       |SELECT source, doc_id, n_tokens, cum_tokens, quality
+       |FROM b WHERE cum_tokens - n_tokens < 600
+       |ORDER BY source, doc_id""".stripMargin
 
   // Mirrors operators.Curation.curate: lang + quality signals on one token
   // pass, exact-dedup keeper semi-filter, en-only, quality >= 0.5.
@@ -984,6 +1009,66 @@ object SparkEntry {
         |WHERE n1.n_name < n2.n_name
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT MAX(rev) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH j AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |w AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM j)
+        |SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM w WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_global_opportunity" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  COUNT(*) AS n_events,
@@ -1128,6 +1213,7 @@ object SparkEntry {
     "text_repetition" -> repetitionSql,
     "text_oov" -> oovSql,
     "pipeline_sample" -> sampleSql,
+    "pipeline_budget" -> budgetSql,
     "q_events_asof_purchase" -> asofPurchaseSql,
     "q_events_incident_window" -> incidentWindowSql,
     "q_events_latest_state" -> latestStateSql,

@@ -87,6 +87,34 @@ object Curation {
       .orderBy("source", "seq_id")
   }
 
+  /** Token-budget selection per source: rank documents by quality (ties
+    * by doc_id), lay them end to end, and keep every document whose START
+    * offset falls inside the per-source token budget — i.e. greedily fill
+    * each source's budget with its best documents. This is the mixture-
+    * construction step of a training run ("x tokens of web, y of code"),
+    * downstream of curation and upstream of packing.
+    *
+    * One window cumsum per source partition (single shuffle on `source`);
+    * the quality signals are pure per-row projections on the same scan,
+    * so the whole operator is scan -> project -> one exchange -> filter.
+    * The start-offset convention (keep if cum - n_tokens < budget) is the
+    * same boundary rule as `packSequences`: the budget overflows by at
+    * most one document tail, and at least one document per source always
+    * qualifies.
+    */
+  def budgetSample(docs: DataFrame, budgetTokens: Long = 600L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    TextAnalysis.withQualitySignals(
+        docs.withColumn("tokens", WordCount.tokens(col("text"))))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("quality"))
+      .orderBy("source", "doc_id")
+  }
+
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en")): DataFrame = {
     // Keeper membership (doc_id == min(doc_id) of its exact-dup group) is

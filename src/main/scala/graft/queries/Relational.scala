@@ -361,4 +361,130 @@ object Relational {
     val sn = Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
     cn.intersect(sn).orderBy("nationkey")
   }
+
+  /** TPC-H Q4 shape (order priority checking, adapted to this schema's
+    * columns): orders from one half-year with at least one lineitem shipped
+    * more than 60 days after the order date — a correlated EXISTS whose
+    * predicate mixes the equi key with an INEQUALITY on columns from both
+    * sides. Catalyst plans it as a left-semi join with the non-equi
+    * conjunct evaluated inside the join, so the fact table is never
+    * widened; the orders date filter pushes to its scan.
+    */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-07-01").cast("timestamp"))
+    val li = Tables.load(spark, dir, "lineitem")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    * so zero-order customers survive with count 0, then a second
+    * aggregation over the first's result — the double-aggregation
+    * histogram shape. The orders-side predicate lives in the join (it must
+    * not drop customers), and count(o_orderkey) counts matches only.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    * the supplier(s) matching the GLOBAL max — a scalar-aggregate-derived
+    * filter. The max is a 1-row broadcast joined on exact DECIMAL equality
+    * (a double-equality join would be engine-dependent); supplier is the
+    * broadcast dim for the name lookup.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev"))
+    val top = rev.agg(max(col("rev")).as("max_rev"))
+    val sup = Tables.load(spark, dir, "supplier")
+    rev.join(broadcast(top), col("rev") === col("max_rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    * brand whose quantity is below 20% of that PART's average quantity —
+    * the correlated scalar subquery, decorrelated as a window average on
+    * the already-joined scan (one shuffle on l_partkey, no second
+    * lineitem scan; same window-over-the-scan shape that won in
+    * `Curation.curate`). The average is the exact-decimal-sum/count form
+    * so the 0.2*avg threshold is bit-identical across engines.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part").filter(col("p_brand") === "Brand#13")
+    val w = Window.partitionBy("l_partkey")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        sum(dec2(col("l_quantity"))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(sum2(col("l_extendedprice")).as("esum"), count(lit(1)).as("n_items"))
+      .select(round(col("esum") / 7.0, 4).as("avg_yearly"), col("n_items"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an OR
+    * of three brand/size/quantity conjunctions spanning BOTH join sides.
+    * Catalyst extracts the common l_quantity bounds and the per-side
+    * constraints as pushable filters beneath the join, then evaluates the
+    * full disjunction as the join's residual condition — the shape that
+    * breaks engines which only push conjunctions.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey") && cond)
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers whose balance
+    * beats the global average POSITIVE balance and who never ordered —
+    * a 1-row scalar broadcast feeding a filter, then an anti join,
+    * then a grouped rollup by nation. The scalar average is the
+    * exact-sum/count form shared by both engines.
+    */
+  def q22GlobalOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    // "lapsed" = no order in the trailing window (every customer in the
+    // generated data has SOME order, so the all-time variant is empty)
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum2(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
 }

@@ -64,6 +64,13 @@ class EntrySpec extends AnyFunSuite {
     "q_nations_both_sides" -> 10L,
     "q7_nation_volume" -> 758L,
     "q18_large_orders" -> 20L,
+    "q4_late_orders" -> 5L,
+    "q13_customer_distribution" -> 16L,
+    "q15_top_supplier" -> 1L,
+    "q17_small_quantity" -> 1L,
+    "q19_disjunctive" -> 1L,
+    "q22_global_opportunity" -> 2L,
+    "pipeline_budget" -> 176L,
     "q_priority_customers" -> 5L,
     "q_rollup_returns" -> 10L,
     "q_running_total" -> 1500L,
