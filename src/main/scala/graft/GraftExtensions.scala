@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashBands, PolyHash, RollingFingerprint, SimHash64, VectorDot, WhitespaceTokens, WinnowFingerprint}
+import graft.functions.{MinHashBands, MisraGries, PolyHash, RollingFingerprint, SimHash64, VectorDot, WhitespaceTokens, WinnowFingerprint}
 
 /** Spark extension point: `--conf spark.sql.extensions=graft.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) registers every graft native
@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashBands(exprs(0),
         k = intLiteral("graft_minhash_bands", "k", exprs(1)),
         bands = intLiteral("graft_minhash_bands", "bands", exprs(2)))))
+    // aggregate: the analyzer wraps the bare AggregateFunction
+    ext.injectFunction(fn("graft_misra_gries", classOf[MisraGries],
+      exprs => MisraGries(exprs.head,
+        intLiteral("graft_misra_gries", "k", exprs(1)))))
   }
 }

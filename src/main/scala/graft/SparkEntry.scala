@@ -160,6 +160,12 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
+    "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
+    // no oracleSql: Misra-Gries estimates depend on merge order -> driver
+    // records a rows-only check; bounds vs the exact twin are asserted in
+    // OperatorsSpec.
+    "text_heavyhitters_sketch" -> ((s, d) =>
+      TextAnalysis.heavyHittersSketch(Tables.load(s, d, "documents"))),
     "text_oov" -> ((s, d) => TextAnalysis.oovRate(Tables.load(s, d, "documents"))),
     // no oracleSql: percentile sketches differ across engines by
     // construction -> rows-only check; the exact twin is the anchor and
@@ -1009,6 +1015,14 @@ object SparkEntry {
         |WHERE n1.n_name < n2.n_name
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "text_heavyhitters" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS word
+        |           FROM documents),
+        |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+        |t AS (SELECT COUNT(*) AS n_total FROM w)
+        |SELECT word, cnt, round(CAST(cnt AS DOUBLE) / n_total, 6) AS share
+        |FROM c, t WHERE cnt >= 0.033 * n_total
+        |ORDER BY cnt DESC, word""".stripMargin,
     "q4_late_orders" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o

@@ -248,6 +248,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Exact heavy hitters: words covering at least `minShare` of all corpus
+    * tokens — a share threshold (not an absolute count) so the operator
+    * means the same thing at every scale. One hash aggregation keyed by
+    * word plus a 1-row total broadcast; the exact anchor the Misra–Gries
+    * sketch twin is measured against.
+    */
+  def heavyHitters(docs: DataFrame, minShare: Double = 0.033): DataFrame = {
+    val words = docs.select(explode(WordCount.tokens(col("text"))).as("word"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= lit(minShare) * col("n_total"))
+      .select(col("word"), col("cnt"),
+        round(col("cnt") / col("n_total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  /** Sketch twin of `heavyHitters`: one k-counter Misra–Gries buffer per
+    * task, merged associatively — no per-word shuffle, fixed memory. The
+    * estimates depend on merge order, so this query is rows-only for the
+    * oracle; the superset + error-bound guarantees are asserted in
+    * OperatorsSpec against the exact twin.
+    */
+  def heavyHittersSketch(docs: DataFrame, k: Int = 8): DataFrame =
+    docs.select(explode(WordCount.tokens(col("text"))).as("word"))
+      .agg(MisraGries(col("word"), k).as("hitters"))
+      .select(explode(col("hitters")).as("h"))
+      .select(col("h.word").as("word"), col("h.est").as("est"))
+      .orderBy(col("est").desc, col("word"))
+
   def vocabulary(docs: DataFrame, minCount: Long = 2): DataFrame = {
     val counts = docs
       .select(explode(WordCount.tokens(col("text"))).as("term"))

@@ -71,6 +71,8 @@ class EntrySpec extends AnyFunSuite {
     "q19_disjunctive" -> 1L,
     "q22_global_opportunity" -> 2L,
     "pipeline_budget" -> 176L,
+    "text_heavyhitters" -> 17L,
+    "text_heavyhitters_sketch" -> 3L,
     "q_priority_customers" -> 5L,
     "q_rollup_returns" -> 10L,
     "q_running_total" -> 1500L,
@@ -103,7 +105,8 @@ class EntrySpec extends AnyFunSuite {
   /** Queries deliberately lacking a SQL oracle (sketch results differ
     * across engines by construction) — driver does a rows-only check.
     */
-  private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx", "dedup_clusters")
+  private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx",
+    "dedup_clusters", "text_heavyhitters_sketch")
 
   /** Queries whose oracle is data-dependent (fitted centroids exported as
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,

@@ -586,6 +586,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq((1, 1L, 2L, 1.0)))
   }
 
+  test("Misra-Gries sketch honors the superset and error-bound guarantees") {
+    import graft.functions.MisraGries
+    import org.apache.spark.sql.functions.{col, explode}
+    // Zipf-ish skew over 200 distinct words, far more than k=16 counters,
+    // spread over 8 partitions so partial buffers really merge
+    val n = 20000
+    val words = spark.range(n).repartition(8)
+      .selectExpr("concat('w', cast(cast(pow(id % 1000, 0.5) as int) as string)) AS word")
+    val total = words.count()
+    val est = words.agg(MisraGries(col("word"), 16).as("h"))
+      .select(explode(col("h")).as("s"))
+      .select(col("s.word"), col("s.est"))
+      .as[(String, Long)].collect().toMap
+    val exact = words.groupBy("word").count().as[(String, Long)].collect().toMap
+    val eps = total.toDouble / (16 + 1)
+    // superset: every true heavy hitter above n/(k+1) must be present
+    val mustHave = exact.filter(_._2 > eps).keySet
+    assert(mustHave.nonEmpty && mustHave.subsetOf(est.keySet),
+      s"missing heavy hitters: ${mustHave -- est.keySet}")
+    // error bound: true - n/(k+1) <= est <= true
+    est.foreach { case (w, e) =>
+      val t = exact(w)
+      assert(e <= t, s"$w overestimated: $e > $t")
+      assert(e >= t - eps, s"$w underestimated beyond the bound: $e < $t - $eps")
+    }
+    assert(est.size <= 16)
+    // SQL surface via extensions registration
+    graft.functions.MisraGries.register(spark)
+    words.createOrReplaceTempView("mg_words")
+    val viaSql = spark.sql(
+      "SELECT size(graft_misra_gries(word, 16)) AS n FROM mg_words")
+      .as[Int].collect().head
+    assert(viaSql >= mustHave.size && viaSql <= 16)
+  }
+
+  test("heavy-hitters sketch never overestimates and bounds its size on real documents") {
+    val docs: org.apache.spark.sql.DataFrame =
+      graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val words = docs.select(org.apache.spark.sql.functions.explode(
+      graft.core.WordCount.tokens(org.apache.spark.sql.functions.col("text"))).as("word"))
+    val exact = words.groupBy("word").count().as[(String, Long)].collect().toMap
+    val sketch = graft.functions.TextAnalysis.heavyHittersSketch(docs)
+      .as[(String, Long)].collect().toMap
+    // the documents vocabulary is NEAR-UNIFORM (31 words, each ~3% of
+    // tokens), so with k=8 no word clears the n/(k+1) presence guarantee —
+    // the meaningful assertions here are the unconditional ones: never
+    // overestimate, never exceed k counters, and anything the guarantee
+    // DOES cover (vacuously none here) is present. The skewed-stream
+    // guarantee is exercised by the synthetic Zipf test above.
+    val eps = exact.values.sum.toDouble / 9
+    val mustHave = exact.filter(_._2 > eps).keySet
+    assert(mustHave.subsetOf(sketch.keySet))
+    assert(sketch.size <= 8 && sketch.nonEmpty)
+    sketch.foreach { case (w, e) =>
+      assert(e <= exact.getOrElse(w, Long.MaxValue), s"$w overestimated")
+    }
+  }
+
   test("cellsFor keeps expected cell occupancy bounded as the corpus grows") {
     import graft.operators.Similarity.cellsFor
     // floor: tiny corpora still get the 16-cell minimum
