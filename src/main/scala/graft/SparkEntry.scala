@@ -141,6 +141,9 @@ object SparkEntry {
     // token-budget mixture fill: best documents per source until the
     // per-source budget is spent
     "pipeline_budget" -> ((s, d) => Curation.budgetSample(Tables.load(s, d, "documents"))),
+    // stable dense sample ids in content-hash order (distributed
+    // row_number lowering)
+    "pipeline_ids" -> ((s, d) => Curation.assignDenseIds(Tables.load(s, d, "documents"))),
     // SemDeDup-style semantic dedup over the fitted k-means cells, with
     // the cell count scaled by the cellsFor occupancy rule so the
     // within-cell pair join stays linear in n; oracle re-states the
@@ -1167,6 +1170,15 @@ object SparkEntry {
          |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
          |  source, COUNT(*) AS n_docs
          |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "pipeline_ids" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % $M) AS h
+         |  FROM documents)
+         |SELECT doc_id, h,
+         |  ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS dense_id
+         |FROM h ORDER BY dense_id""".stripMargin,
     "dedup_apply_exact" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents

@@ -115,6 +115,35 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Stable dense sample ids: contiguous 0..n-1 ordinals in a
+    * content-keyed total order (PolyHash(text), doc_id) — the "sample
+    * index" a training run shards and shuffles by. Content-keyed like
+    * `assignSplits`, so re-ingesting the same corpus reproduces the same
+    * ids regardless of input layout.
+    *
+    * Scale shape: range-repartition on the key, sort within partitions,
+    * then `zipWithIndex` — which computes per-partition counts in one
+    * light pass and adds partition offsets in a second. That is the
+    * distributed lowering of ROW_NUMBER() OVER (ORDER BY ...) (the window
+    * spelling moves ALL rows through one partition); the RDD hop is the
+    * justified exception for per-partition offset arithmetic that no
+    * DataFrame operator expresses. The result depends only on the total
+    * order, not on where range boundaries land.
+    */
+  def assignDenseIds(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), PolyHash(col("text")).as("h"))
+      .repartitionByRange(col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .as[(Long, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((docId, h), i) => (docId, h, i) }
+      .toDF("doc_id", "h", "dense_id")
+      .orderBy("dense_id")
+  }
+
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en")): DataFrame = {
     // Keeper membership (doc_id == min(doc_id) of its exact-dup group) is

@@ -644,6 +644,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dense ids are contiguous and independent of input layout") {
+    import graft.operators.Curation
+    val docs: org.apache.spark.sql.DataFrame =
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val base = Curation.assignDenseIds(docs)
+      .as[(Long, Long, Long)].collect()
+    // contiguous 0..n-1 in h-order
+    assert(base.map(_._3).toSeq === (0L until base.length).toSeq)
+    val hs = base.map(r => (r._2, r._1))
+    assert(hs.sorted.toSeq === hs.toSeq, "dense_id order must follow (h, doc_id)")
+    // a pathological input layout (7-way round-robin shuffle) must produce
+    // the SAME ids — the assignment is content-keyed, not layout-keyed
+    val scrambled = Curation.assignDenseIds(docs.repartition(7))
+      .as[(Long, Long, Long)].collect()
+    assert(scrambled.toSeq === base.toSeq)
+  }
+
   test("cellsFor keeps expected cell occupancy bounded as the corpus grows") {
     import graft.operators.Similarity.cellsFor
     // floor: tiny corpora still get the 16-cell minimum
