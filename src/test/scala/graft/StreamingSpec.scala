@@ -305,6 +305,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the null side only after the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    // outer joins need BOTH watermarks + the interval bound: the engine
+    // can only emit click-with-no-purchase once the buy watermark has
+    // passed click_ts + 1h (before that a matching buy could still arrive)
+    val joined = clicks.toDF().toDF("c_user", "click_ts").withWatermark("click_ts", "10 minutes")
+      .join(
+        buys.toDF().toDF("b_user", "buy_ts").withWatermark("buy_ts", "10 minutes"),
+        expr("c_user = b_user AND buy_ts >= click_ts AND buy_ts <= click_ts + interval 1 hour"),
+        "left_outer")
+      .selectExpr("c_user", "date_format(click_ts, 'HH:mm') AS c",
+        "date_format(buy_ts, 'HH:mm') AS b")
+    val q = joined.writeStream.format("memory").queryName("outer_funnel")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("10:00:00")), (2L, ts("10:00:00")))
+      buys.addData((1L, ts("10:30:00")))
+      q.processAllAvailable()
+      val early = spark.table("outer_funnel").as[(Long, String, String)].collect()
+      // user 2's no-match row must NOT appear yet: its state is still open
+      assert(!early.map(_._1).contains(2L),
+        "null-side row emitted before the watermark closed the interval")
+      // advance both watermarks far past 11:00 so user 2's interval closes
+      clicks.addData((9L, ts("13:00:00")))
+      buys.addData((9L, ts("13:00:01")))
+      q.processAllAvailable()
+      clicks.addData((8L, ts("13:30:00"))); buys.addData((8L, ts("13:30:01")))
+      q.processAllAvailable()
+      val got = spark.table("outer_funnel").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+        .toSet
+      assert(got.contains((1L, "10:00", Some("10:30"))))
+      assert(got.contains((2L, "10:00", None)),
+        s"missing the closed null-side row in $got")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream with a broadcast dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     // static side: the real nation dim; stream side: (nationkey, amount)
