@@ -164,6 +164,7 @@ object SparkEntry {
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
     // no oracleSql: Misra-Gries estimates depend on merge order -> driver
     // records a rows-only check; bounds vs the exact twin are asserted in
     // OperatorsSpec.
@@ -1026,6 +1027,25 @@ object SparkEntry {
         |SELECT word, cnt, round(CAST(cnt AS DOUBLE) / n_total, 6) AS share
         |FROM c, t WHERE cnt >= 0.033 * n_total
         |ORDER BY cnt DESC, word""".stripMargin,
+    "text_collocations" ->
+      s"""WITH $tokCte,
+         |t2f AS (SELECT tokens FROM tok WHERE length(tokens) >= 2),
+         |uc AS (SELECT w, COUNT(*) AS n1
+         |       FROM (SELECT unnest(tokens) AS w FROM t2f) GROUP BY w),
+         |bc AS (SELECT bigram, COUNT(*) AS n2
+         |       FROM (SELECT unnest(list_transform(generate_series(1, length(tokens) - 1),
+         |               i -> tokens[i] || ' ' || tokens[i+1])) AS bigram FROM t2f)
+         |       GROUP BY bigram),
+         |tt AS (SELECT (SELECT CAST(SUM(n1) AS BIGINT) FROM uc) AS t1,
+         |              (SELECT CAST(SUM(n2) AS BIGINT) FROM bc) AS t2),
+         |sp AS (SELECT string_split(bigram, ' ')[1] AS w1,
+         |              string_split(bigram, ' ')[2] AS w2, n2
+         |       FROM bc WHERE n2 >= 25)
+         |SELECT sp.w1, sp.w2, sp.n2,
+         |  round(ln((CAST(sp.n2 AS DOUBLE) * tt.t1 * tt.t1)
+         |         / (CAST(tt.t2 AS DOUBLE) * a.n1 * b.n1)), 6) AS pmi
+         |FROM sp JOIN uc a ON sp.w1 = a.w JOIN uc b ON sp.w2 = b.w, tt
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "q4_late_orders" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o

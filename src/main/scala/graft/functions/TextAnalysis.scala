@@ -200,6 +200,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Collocation mining: bigrams ranked by pointwise mutual information —
+    * the phrase-discovery step of tokenizer/vocabulary construction
+    * ("new york" is a unit; "of the" is not). PMI compares the bigram's
+    * joint probability with the product of its parts':
+    * ln((n2/t2) / ((n1a/t1)(n1b/t1))), evaluated with one fixed
+    * multiplication order so both engines round identically. Shape at
+    * scale: two hash aggregations (unigrams, bigrams) + two joins of the
+    * FILTERED bigram set (n2 >= minCount prunes the long tail before any
+    * join) against the unigram counts + two 1-row total broadcasts.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 25, k: Int = 50): DataFrame = {
+    val tok = docs.select(WordCount.tokens(col("text")).as("tokens"))
+      .filter(size(col("tokens")) >= 2)
+    val uni = tok.select(explode(col("tokens")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n1"))
+    val bi = tok.select(
+        explode(expr("transform(sequence(1, size(tokens) - 1), " +
+          "i -> struct(element_at(tokens, i) AS w1, element_at(tokens, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val t1 = uni.agg(sum(col("n1")).as("t1"))
+    val t2 = bi.agg(sum(col("n2")).as("t2"))
+    val u1 = uni.select(col("w").as("w1"), col("n1").as("n1a"))
+    val u2 = uni.select(col("w").as("w2"), col("n1").as("n1b"))
+    bi.filter(col("n2") >= minCount)
+      .join(u1, "w1").join(u2, "w2")
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .withColumn("pmi", round(log(
+        (col("n2").cast("double") * col("t1") * col("t1")) /
+        (col("t2").cast("double") * col("n1a") * col("n1b"))), 6))
+      .select("w1", "w2", "n2", "pmi")
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
