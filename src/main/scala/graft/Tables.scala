@@ -29,10 +29,16 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The session settings every graft entry point builds with. */
+  /** The session settings every graft entry point builds with. Extensions
+    * ride along (injected functions + the TokenCountRewrite optimizer
+    * rule): `spark.sql.extensions` is a static conf read at context
+    * creation, so attaching at the builder is the route that works for
+    * programmatic sessions too.
+    */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =

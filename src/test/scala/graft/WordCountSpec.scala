@@ -67,6 +67,50 @@ class WordCountSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("TokenCount counts exactly what WhitespaceTokens emits (hostile strings)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{check, Parameters}
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(4)),
+      Gen.oneOf(" ", "\t", "\n", "\u000b", "\f", "\r"),
+      Gen.oneOf("é", "ß", "漢字", "🙂"))
+    val hostile = Gen.listOf(frag).map(_.mkString)
+    val prop: Prop = forAll(hostile) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      graft.functions.TokenCount.compute(u) ==
+        graft.functions.WhitespaceTokens.compute(u).numElements()
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("TokenCountRewrite replaces size(tokens(x)) with the allocation-free count") {
+    // TestSpark is built through Tables.configure, which attaches the
+    // extensions — so the rule applies to the shared session's optimizer.
+    // A parquet-backed input keeps ConstantFolding from collapsing the
+    // whole expression (a literal LocalRelation folds at plan time).
+    val docsDf: org.apache.spark.sql.DataFrame =
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val df = docsDf.select(org.apache.spark.sql.functions.size(
+        WordCount.tokens(col("text"))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(optimized.contains("tokencount"),
+      s"rewrite did not fire:\n$optimized")
+    assert(!optimized.contains("whitespacetokens"),
+      s"token array still materialized:\n$optimized")
+    // identical counts to the regex built-ins spelling (never rewritten)
+    val viaBuiltins = docsDf.select(org.apache.spark.sql.functions.size(
+        WordCount.tokensBuiltins(col("text"))).as("n"))
+    assert(df.as[Int].collect().toSeq === viaBuiltins.as[Int].collect().toSeq)
+    // null propagates (non-legacy size semantics preserved)
+    val withNull = Seq[String]("a b", null).toDF("text")
+      .select(org.apache.spark.sql.functions.size(
+        WordCount.tokens(col("text"))).as("n"))
+    assert(withNull.collect().map(r => if (r.isNullAt(0)) -999 else r.getInt(0)).toSeq
+      === Seq(2, -999))
+  }
+
   test("native tokenizer matches the split-based spelling incl. vertical tab") {
     val rnd = new Random(7)
     val alphabet = "xy \t\n\u000b\f\r z"
