@@ -121,6 +121,7 @@ object SparkEntry {
       Similarity.ivfTopKWith(Tables.load(s, d, "embeddings"), kmeansCentroids(s, d))),
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     "emb_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))),
+    "emb_pool" -> ((s, d) => Similarity.meanPool(Tables.load(s, d, "embeddings"))),
     "ann_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(Tables.load(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
@@ -1248,6 +1249,24 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfTopkSql,
     "emb_top_pairs" -> embTopPairsSql,
     "emb_quantize" -> quantizeSql,
+    // Mirrors Similarity.meanPool: the SAME two-level ordered fold, so the
+    // IEEE sum order (vec_id within 1024-buckets, then bucket order) is
+    // identical — see meanPool's scaladoc for why decimal casts are not
+    // parity-safe for arbitrary doubles.
+    "emb_pool" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, vec_id, CAST(g.i AS INT) - 1 AS d, v[CAST(g.i AS INT)] AS x
+        |      FROM e CROSS JOIN generate_series(1, 64) AS g(i)),
+        |l1 AS (SELECT label, d, vec_id // 1024 AS bucket, COUNT(*) AS n,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vec_id)),
+        |           (a, b) -> a + b) AS sx
+        |       FROM x GROUP BY label, d, bucket),
+        |l2 AS (SELECT label, d, CAST(SUM(n) AS BIGINT) AS n_vecs,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sx ORDER BY bucket)),
+        |           (a, b) -> a + b) AS sx2
+        |       FROM l1 GROUP BY label, d)
+        |SELECT label, d, n_vecs, sx2 / n_vecs AS mean
+        |FROM l2 ORDER BY label, d""".stripMargin,
     "ann_quantized_topk" -> quantizedTopkSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,

@@ -426,6 +426,38 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Mean-pooled embedding per label — the class-centroid/pooling step
+    * (label prototypes, per-source style vectors), emitted as one
+    * (label, d, mean) row per dimension so the result stays scalar for
+    * the oracle hash compare.
+    *
+    * Exactness strategy: double sums are reduce-order-dependent, and the
+    * obvious decimal fix is parity-UNSAFE here (Spark casts double→decimal
+    * HALF_UP, DuckDB HALF_EVEN — float32 values hit exact halves at any
+    * fixed scale). Instead both engines fold in an explicit total order:
+    * level 1 sums each 1024-vector bucket in vec_id order, level 2 folds
+    * the bucket sums in bucket order. Same fold order ⇒ identical IEEE
+    * result, and per-group collected state is bounded (≤1024 values at
+    * level 1, n/1024 bucket sums at level 2 — add a third level past ~1M
+    * vectors per label; the nesting generalizes).
+    */
+  def meanPool(emb: DataFrame, bucketSize: Int = 1024): DataFrame = {
+    val x = emb.select(col("label"), col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    val lvl1 = x.withColumn("bucket", expr(s"vec_id div $bucketSize"))
+      .groupBy("label", "d", "bucket")
+      .agg(count(lit(1)).as("n"),
+        expr("aggregate(array_sort(collect_list(struct(vec_id, x))), " +
+          "cast(0.0 as double), (a, s) -> a + s.x)").as("sx"))
+    lvl1.groupBy("label", "d")
+      .agg(sum(col("n")).as("n_vecs"),
+        expr("aggregate(array_sort(collect_list(struct(bucket, sx))), " +
+          "cast(0.0 as double), (a, s) -> a + s.sx)").as("sx2"))
+      .select(col("label"), col("d"), col("n_vecs"),
+        (col("sx2") / col("n_vecs")).as("mean"))
+      .orderBy("label", "d")
+  }
+
   /** Embedding-cosine near-dup audit: top pairs per label over a bounded
     * id sample (both ids < sampleCap keeps the pairwise audit O(cap^2)
     * regardless of table size; full-scale dedup goes through lshBuckets).

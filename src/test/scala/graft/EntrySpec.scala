@@ -75,6 +75,7 @@ class EntrySpec extends AnyFunSuite {
     "text_heavyhitters_sketch" -> 3L,
     "pipeline_ids" -> 500L,
     "text_collocations" -> 50L,
+    "emb_pool" -> 640L,
     "q_priority_customers" -> 5L,
     "q_rollup_returns" -> 10L,
     "q_running_total" -> 1500L,
