@@ -145,6 +145,8 @@ object SparkEntry {
     // stable dense sample ids in content-hash order (distributed
     // row_number lowering)
     "pipeline_ids" -> ((s, d) => Curation.assignDenseIds(Tables.load(s, d, "documents"))),
+    // deterministic Efraimidis-Spirakis weighted reservoir, 5 per source
+    "pipeline_wsample" -> ((s, d) => Curation.weightedSample(Tables.load(s, d, "documents"))),
     // SemDeDup-style semantic dedup over the fitted k-means cells, with
     // the cell count scaled by the cellsFor occupancy rule so the
     // within-cell pair join stays linear in n; oracle re-states the
@@ -1279,6 +1281,19 @@ object SparkEntry {
     "text_oov" -> oovSql,
     "pipeline_sample" -> sampleSql,
     "pipeline_budget" -> budgetSql,
+    // Mirrors Curation.weightedSample: A-Res keys from the salted content
+    // hash; pow/division in the same order as the Spark side.
+    "pipeline_wsample" ->
+      s"""WITH h AS (SELECT doc_id, source, n_chars,
+         |  power((list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split('wsample:' || text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % $M) + 1) / $M.0, 1.0 / n_chars) AS skey
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, n_chars, skey,
+         |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS rnk
+         |      FROM h)
+         |SELECT source, rnk, doc_id, n_chars, round(skey, 6) AS skey
+         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q_events_asof_purchase" -> asofPurchaseSql,
     "q_events_incident_window" -> incidentWindowSql,
     "q_events_latest_state" -> latestStateSql,

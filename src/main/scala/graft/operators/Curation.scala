@@ -115,6 +115,32 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Weighted sampling without replacement, k per source — the
+    * Efraimidis–Spirakis reservoir (Inf. Process. Lett. 97(5), 2006) with
+    * the randomness replaced by the salted content hash: each document
+    * draws u = (PolyHash('wsample:'‖text) + 1) / M ∈ (0,1], gets key
+    * u^(1/w) with w = n_chars, and the k largest keys per source win.
+    * Bigger documents are proportionally likelier, the draw is
+    * re-ingestion-stable (content-keyed, salt-isolated from the split and
+    * stratified-sample hashes), and selection is one projection + one
+    * top-k window per source — no rejection loop, no global sort. At
+    * scale the window's full sort can be replaced by a per-partition
+    * top-k combine; the A-Res key construction is unchanged.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 5): DataFrame = {
+    val u = (PolyHash(concat(lit("wsample:"), col("text"))) + lit(1L))
+      .cast("double") / lit(PolyHash.Mod.toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("skey").desc, col("doc_id"))
+    docs
+      .withColumn("skey", pow(u, lit(1.0) / col("n_chars")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"),
+        round(col("skey"), 6).as("skey"))
+      .orderBy("source", "rnk")
+  }
+
   /** Stable dense sample ids: contiguous 0..n-1 ordinals in a
     * content-keyed total order (PolyHash(text), doc_id) — the "sample
     * index" a training run shards and shuffles by. Content-keyed like

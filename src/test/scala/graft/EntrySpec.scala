@@ -76,6 +76,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_ids" -> 500L,
     "text_collocations" -> 50L,
     "emb_pool" -> 640L,
+    "pipeline_wsample" -> 100L,
     "q_priority_customers" -> 5L,
     "q_rollup_returns" -> 10L,
     "q_running_total" -> 1500L,
