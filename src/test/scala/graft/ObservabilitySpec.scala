@@ -165,6 +165,27 @@ class ObservabilitySpec extends AnyFunSuite {
     intercept[Exception] { JsonLines.write(docs, out) }
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // generation 1: (doc_id, text); generation 2 adds a lang column — the
+    // append-only corpus whose schema widened mid-life
+    Seq((1L, "old row")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "new row", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang"))
+    val rows = merged.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getAs[String]("lang"))))
+    assert(rows.toSeq === Seq((1L, None), (2L, Some("en"))),
+      "old-generation rows must surface the new column as null")
+    // without mergeSchema one generation's schema wins silently — the
+    // operational reason corpus readers must pass the option explicitly
+    val unmergedCols = spark.read.parquet(dir).columns.toSet
+    assert(unmergedCols.subsetOf(Set("doc_id", "text", "lang")))
+  }
+
   test("fetch with fallback: dead mirrors are skipped, failures recorded, torn files removed") {
     import graft.sources.Fetch
     val tmp = java.nio.file.Files.createTempDirectory("graft-fetch")

@@ -109,6 +109,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates by itself") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-avail-in")
+    val ckpt = Files.createTempDirectory("graft-avail-ckpt")
+    Files.write(dir.resolve("a.txt"), "alpha beta\nbeta".getBytes)
+    Files.write(dir.resolve("b.txt"), "beta gamma".getBytes)
+    // the batch-over-stream operational mode: run the STREAMING plan (same
+    // checkpoint, same exactly-once ledger) but stop once the backlog is
+    // drained — the nightly-catchup / backfill pattern
+    val counts = graft.core.WordCount.wordCount(
+      spark.readStream.text(dir.toString).toDF("text"), "text")
+    val q = counts.writeStream.format("memory").queryName("avail_now")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val got = spark.table("avail_now").as[(String, Long)].collect().toMap
+    assert(got === Map("alpha" -> 1L, "beta" -> 3L, "gamma" -> 1L))
+    // a restart with NEW files resumes from the checkpoint: only the new
+    // data is read (the source ledger survived the planned stop)
+    Files.write(dir.resolve("c.txt"), "delta".getBytes)
+    val q2 = counts.writeStream.format("memory").queryName("avail_now2")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(60000))
+    val got2 = spark.table("avail_now2").as[(String, Long)].collect().toMap
+    assert(got2 === Map("alpha" -> 1L, "beta" -> 3L, "gamma" -> 1L, "delta" -> 1L))
+  }
+
   test("checkpoint recovery: stop, add files, restart — exactly-once, no loss, no dups") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-ckpt-in")
