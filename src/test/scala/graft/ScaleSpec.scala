@@ -43,6 +43,73 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The no-code skew path that complements Salting: AQE reads real
+    // shuffle sizes and splits an oversized partition into parallel
+    // subtasks (skew=true on the join). Thresholds are lowered so the
+    // kB-scale test shuffle qualifies; broadcast disabled to force the
+    // sort-merge join the optimization targets.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one pathologically hot key + a uniform tail
+      val fact = spark.range(60000)
+        .select(when(col("id") < 50000, lit(7L)).otherwise(col("id") % 100).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(100).select(col("id").as("k2"), (col("id") * 10).as("attr"))
+      val joined = fact.join(dim, col("k") === col("k2"))
+      val n = joined.count()
+      assert(n === 60000L)
+      val df2 = fact.join(dim, col("k") === col("k2")).select("payload", "attr")
+      df2.collect()
+      val finalPlan = df2.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
+
+  test("pure-SQL surface: temp views + spark.sql reproduce the DataFrame results") {
+    Tables.registerAll(spark, dir)
+    // relational: TPC-H Q6 spelled as SQL text over the registered views
+    val viaSql = spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)
+      .as[Double].head()
+    val viaDf = graft.queries.Relational.q6RevenueFilter(spark, dir)
+      .as[Double].head()
+    assert(viaSql === viaDf)
+    // text surface: the native tokenizer through its SQL registration
+    val sqlCounts = spark.sql(
+      """SELECT word, COUNT(*) AS cnt
+        |FROM (SELECT explode(graft_tokens(text)) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    val dfCounts = graft.core.WordCount.wordCount(
+      Tables.load(spark, dir, "documents"), "text")
+      .as[(String, Long)].collect().toSeq
+    assert(sqlCounts === dfCounts)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // The 100 TB pattern for selective joins Catalyst can inject with ZERO
     // operator code: a bloom filter built from the filtered (small) join
