@@ -168,6 +168,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
+    "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.load(s, d, "documents"))),
     // no oracleSql: Misra-Gries estimates depend on merge order -> driver
     // records a rows-only check; bounds vs the exact twin are asserted in
     // OperatorsSpec.
@@ -1049,6 +1050,23 @@ object SparkEntry {
          |         / (CAST(tt.t2 AS DOUBLE) * a.n1 * b.n1)), 6) AS pmi
          |FROM sp JOIN uc a ON sp.w1 = a.w JOIN uc b ON sp.w2 = b.w, tt
          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // Mirrors TextAnalysis.lmScore: same position-ordered fold as emb_pool.
+    "text_lm_score" ->
+      s"""WITH $tokCte,
+         |x AS (SELECT doc_id,
+         |        CAST(unnest(generate_series(1, length(tokens))) AS INT) - 1 AS pos,
+         |        unnest(tokens) AS w
+         |      FROM tok),
+         |lm AS (SELECT w, COUNT(*) AS n1 FROM x GROUP BY w),
+         |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM lm),
+         |s AS (SELECT x.doc_id, x.pos, ln(CAST(lm.n1 AS DOUBLE) / t.t1) AS logp
+         |      FROM x JOIN lm ON x.w = lm.w, t),
+         |d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)),
+         |          (a, b) -> a + b) AS sum_logp
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, round(sum_logp / n_tokens, 6) AS mean_logp
+         |FROM d ORDER BY doc_id""".stripMargin,
     "q4_late_orders" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o

@@ -235,6 +235,31 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Unigram language-model score per document — the CCNet-style fluency
+    * signal: mean log-probability of the document's tokens under the
+    * corpus's own unigram distribution (higher = more typical text;
+    * boilerplate and noise score low). The corpus LM is one hash
+    * aggregation; scoring joins each token against its probability and
+    * folds per document IN TOKEN-POSITION ORDER (sorted fold, like
+    * emb_pool) so the double sum is cross-engine exact. One scan for the
+    * LM, one for the scoring — both keyed shuffles, no driver state.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(WordCount.tokens(col("text"))).as(Seq("pos", "w")))
+    val lm = tok.groupBy("w").agg(count(lit(1)).as("n1"))
+    val total = lm.agg(sum(col("n1")).as("t1"))
+    tok.join(lm, "w").crossJoin(broadcast(total))
+      .withColumn("logp", log(col("n1").cast("double") / col("t1")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +
+          "cast(0.0 as double), (a, s) -> a + s.logp)").as("sum_logp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_logp") / col("n_tokens"), 6).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))

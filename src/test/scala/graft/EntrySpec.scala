@@ -77,6 +77,7 @@ class EntrySpec extends AnyFunSuite {
     "text_collocations" -> 50L,
     "emb_pool" -> 640L,
     "pipeline_wsample" -> 100L,
+    "text_lm_score" -> 500L,
     "q_priority_customers" -> 5L,
     "q_rollup_returns" -> 10L,
     "q_running_total" -> 1500L,
