@@ -169,6 +169,10 @@ object SparkEntry {
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.load(s, d, "documents"))),
+    // no oracleSql: iterative merge learning is not single-statement SQL ->
+    // rows-only check; the single-threaded-reference differential in
+    // OperatorsSpec is the correctness anchor.
+    "text_bpe_merges" -> ((s, d) => operators.Bpe.merges(Tables.load(s, d, "documents"))),
     // no oracleSql: Misra-Gries estimates depend on merge order -> driver
     // records a rows-only check; bounds vs the exact twin are asserted in
     // OperatorsSpec.

@@ -78,6 +78,7 @@ class EntrySpec extends AnyFunSuite {
     "emb_pool" -> 640L,
     "pipeline_wsample" -> 100L,
     "text_lm_score" -> 500L,
+    "text_bpe_merges" -> 12L,
     "q_priority_customers" -> 5L,
     "q_rollup_returns" -> 10L,
     "q_running_total" -> 1500L,
@@ -111,7 +112,7 @@ class EntrySpec extends AnyFunSuite {
     * across engines by construction) — driver does a rows-only check.
     */
   private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx",
-    "dedup_clusters", "text_heavyhitters_sketch")
+    "dedup_clusters", "text_heavyhitters_sketch", "text_bpe_merges")
 
   /** Queries whose oracle is data-dependent (fitted centroids exported as
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,

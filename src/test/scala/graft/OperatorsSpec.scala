@@ -661,6 +661,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scrambled.toSeq === base.toSeq)
   }
 
+  test("BPE merges match a single-threaded reference on the classic corpus") {
+    import graft.operators.Bpe
+    // Sennrich's worked example family: repeated words with shared affixes
+    val d = docs(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest newest"),
+      (3L, "newest newest newest widest widest widest"))
+    val got = Bpe.merges(d, nMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+
+    // reference implementation: plain-Scala BPE over the word counts
+    def refBpe(wordCounts: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = wordCounts.map { case (w, c) =>
+        (w.map(_.toString).toList :+ "</w>") -> c }.toSeq
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      for (rank <- 0 until n) {
+        val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (syms, c) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + c
+            case _ =>
+          }
+        }
+        if (pairCounts.nonEmpty) {
+          val ((a, b), cnt) = pairCounts.toSeq
+            .minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((rank, a, b, cnt))
+          vocab = vocab.map { case (syms, c) =>
+            val merged = scala.collection.mutable.ListBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += (a + b); i += 2       // left-to-right, non-overlapping
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toList -> c
+          }
+        }
+      }
+      out.result()
+    }
+    val words = d.select(org.apache.spark.sql.functions.explode(
+        graft.core.WordCount.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    assert(got === refBpe(words, 8))
+    assert(got.nonEmpty && got.map(_._1) === got.indices)
+  }
+
   test("cellsFor keeps expected cell occupancy bounded as the corpus grows") {
     import graft.operators.Similarity.cellsFor
     // floor: tiny corpora still get the 16-cell minimum
