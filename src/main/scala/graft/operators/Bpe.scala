@@ -61,14 +61,19 @@ object Bpe {
         case Some((a, b, cnt)) =>
           learned += ((rank, a, b, cnt))
           val pat = "(?<=^|[ ])" + Pattern.quote(a) + " " + Pattern.quote(b) + "(?=[ ]|$)"
-          val next = vocab
-            .withColumn("syms", regexp_replace(col("syms"),
-              lit(pat), lit(Matcher.quoteReplacement(a + b))))
-            .localCheckpoint(true)
-          // next is materialized: the superseded round's blocks are dead
-          org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(vocab)
-            .foreach(_.unpersist(blocking = false))
-          vocab = next
+          val applied = vocab.withColumn("syms", regexp_replace(col("syms"),
+            lit(pat), lit(Matcher.quoteReplacement(a + b))))
+          // checkpoint every third round: a ≤3-projection lineage re-runs
+          // cheaply inside the next round's aggregation, while each
+          // materialization is a whole extra job — the per-round overhead
+          // that dominates wall time when the vocabulary is small
+          if (rank % 3 == 2) {
+            val next = applied.localCheckpoint(true)
+            // next is materialized: the superseded round's blocks are dead
+            org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(vocab)
+              .foreach(_.unpersist(blocking = false))
+            vocab = next
+          } else vocab = applied
           rank += 1
       }
     }
