@@ -48,6 +48,10 @@ object Bpe {
     while (rank < nMerges && !exhausted) {
       val best = vocab
         .select(col("n"), split(col("syms"), " ").as("s"))
+        // fully-merged words (one symbol) pair with nothing — and must be
+        // dropped BEFORE the transform: sequence(1, 0) is the DESCENDING
+        // [1, 0], not empty, and s[1] then faults under ANSI indexing
+        .filter(size(col("s")) >= 2)
         .select(col("n"), explode(expr(
           "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS a, s[i] AS b))")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))

@@ -10,7 +10,8 @@ object Explain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.01")
+    val df = graft.SparkEntry.queries(args(0))(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     if (args.length > 1 && args(1) == "exec") {
       val n = df.collect().length
       println(s"rows=$n")

@@ -664,10 +664,14 @@ class OperatorsSpec extends AnyFunSuite {
   test("BPE merges match a single-threaded reference on the classic corpus") {
     import graft.operators.Bpe
     // Sennrich's worked example family: repeated words with shared affixes
+    // the single-char word collapses to ONE symbol after its first merge —
+    // the fully-merged edge the pair explode must skip (sequence(1,0) is
+    // the descending [1,0] in Spark, not an empty list)
     val d = docs(
       (1L, "low low low low low"),
       (2L, "lower lower newest newest newest"),
-      (3L, "newest newest newest widest widest widest"))
+      (3L, "newest newest newest widest widest widest"),
+      (4L, "a a a a a a a a a a a a a a a a a a a a"))
     val got = Bpe.merges(d, nMerges = 8)
       .as[(Int, String, String, Long)].collect().toSeq
 
