@@ -110,6 +110,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(sqlCounts === dfCounts)
   }
 
+  test("rank-filter top-k per group runs through WindowGroupLimit pushdown") {
+    // Spark 4 rewrites row_number()<=k filters into a partial+final
+    // WindowGroupLimit: each map task keeps only its local top-k per key
+    // BEFORE the shuffle — the difference between shipping 3 rows per
+    // nation and shipping every supplier at 100 TB. Asserting it guards
+    // against a query spelling that silently defeats the rewrite.
+    val plan = graft.queries.Relational.qTopSuppliersPerNation(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into WindowGroupLimit:\n$plan")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit pair:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // The 100 TB pattern for selective joins Catalyst can inject with ZERO
     // operator code: a bloom filter built from the filtered (small) join
