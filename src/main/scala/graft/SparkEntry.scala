@@ -1304,17 +1304,19 @@ object SparkEntry {
     "pipeline_sample" -> sampleSql,
     "pipeline_budget" -> budgetSql,
     // Mirrors Curation.weightedSample: A-Res keys from the salted content
-    // hash; pow/division in the same order as the Spark side.
+    // hash; pow/division in the same order as the Spark side, and the
+    // rank key is the 6-decimal-ROUNDED skey (doc_id tiebreak) so a 1-ulp
+    // libm pow difference between engines cannot flip the top-k cut.
     "pipeline_wsample" ->
       s"""WITH h AS (SELECT doc_id, source, n_chars,
-         |  power((list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  round(power((list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(string_split('wsample:' || text, ''), c -> CAST(ord(c) AS BIGINT))),
-         |    (h, c) -> (h * 31 + c) % $M) + 1) / $M.0, 1.0 / n_chars) AS skey
+         |    (h, c) -> (h * 31 + c) % $M) + 1) / $M.0, 1.0 / n_chars), 6) AS skey
          |  FROM documents),
          |r AS (SELECT source, doc_id, n_chars, skey,
          |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS rnk
          |      FROM h)
-         |SELECT source, rnk, doc_id, n_chars, round(skey, 6) AS skey
+         |SELECT source, rnk, doc_id, n_chars, skey
          |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q_events_asof_purchase" -> asofPurchaseSql,
     "q_events_incident_window" -> incidentWindowSql,

@@ -92,11 +92,17 @@ case class MisraGries(
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps a string
+  // at 65535 encoded bytes and would throw at partial-buffer shuffle time
+  // on a corpus with a pathological unbroken token
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (w, c) => out.writeUTF(w); out.writeLong(c) }
+    buf.foreach { case (w, c) =>
+      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -106,7 +112,13 @@ case class MisraGries(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -26,8 +26,14 @@ object Telemetry {
       case c => c.toString
     }
 
+  /** Pre-rendered JSON to embed verbatim as a field value (nested objects
+    * like the reference's `node_states` map).
+    */
+  final case class Raw(json: String)
+
   def jsonObj(fields: (String, Any)*): String =
     fields.map {
+      case (k, Raw(j)) => s""""$k": $j"""
       case (k, v: String) => s""""$k": "${esc(v)}""""
       case (k, v: Seq[_]) => s""""$k": [${v.mkString(", ")}]"""
       case (k, v) => s""""$k": $v"""

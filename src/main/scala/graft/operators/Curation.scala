@@ -126,6 +126,12 @@ object Curation {
     * top-k window per source — no rejection loop, no global sort. At
     * scale the window's full sort can be replaced by a per-partition
     * top-k combine; the A-Res key construction is unchanged.
+    *
+    * The rank key is the 6-decimal-ROUNDED skey (doc_id breaks ties):
+    * Math.pow is only 1-ulp accurate and not guaranteed bit-identical to
+    * another engine's libm, so ranking the raw double could flip a
+    * near-tie top-k cut between engines; after rounding, a 1-ulp
+    * difference cannot reorder the ranking.
     */
   def weightedSample(docs: DataFrame, k: Int = 5): DataFrame = {
     val u = (PolyHash(concat(lit("wsample:"), col("text"))) + lit(1L))
@@ -133,11 +139,11 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("skey").desc, col("doc_id"))
     docs
-      .withColumn("skey", pow(u, lit(1.0) / col("n_chars")))
+      .withColumn("skey", round(pow(u, lit(1.0) / col("n_chars")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"),
-        round(col("skey"), 6).as("skey"))
+        col("skey"))
       .orderBy("source", "rnk")
   }
 

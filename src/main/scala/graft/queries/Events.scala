@@ -311,13 +311,22 @@ object Events {
     val incidents = binned.filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"), col("ms").as("t"),
         col("bin").as("b0"))
-    // interior: full bins b0+1 .. b0+nFull-1 from the bounded aggregate
-    val mid = incidents
-      .select(col("incident_id"),
-        explode(sequence(col("b0") + 1, col("b0") + (nFull - 1))).as("bin"))
-      .join(binAgg, Seq("bin"))
-      .groupBy("incident_id")
-      .agg(sum("bn").as("mid_n"), sum("be").as("mid_e"))
+    // interior: full bins b0+1 .. b0+nFull-1 from the bounded aggregate.
+    // When the window is a single bin (nFull == 1) there IS no interior —
+    // and sequence(b0+1, b0) would be the DESCENDING [b0+1, b0] in Spark,
+    // double-counting both edge bins — so the branch must be skipped, not
+    // merely empty-ranged.
+    val mid =
+      if (nFull >= 2)
+        incidents
+          .select(col("incident_id"),
+            explode(sequence(col("b0") + 1, col("b0") + (nFull - 1))).as("bin"))
+          .join(binAgg, Seq("bin"))
+          .groupBy("incident_id")
+          .agg(sum("bn").as("mid_n"), sum("be").as("mid_e"))
+      else
+        incidents.select(col("incident_id"), lit(0L).as("mid_n"),
+          lit(0L).as("mid_e")).limit(0)
     // edges: partial head [t, (b0+1)·bin) and tail [(b0+nFull)·bin, t+W)
     // from raw events (when t is bin-aligned the head is the whole bin b0
     // and the tail range is empty — still exact)

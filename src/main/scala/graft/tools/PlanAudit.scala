@@ -33,19 +33,22 @@ object PlanAudit {
     }
   }
 
-  /** True when the subtree is cut to a constant by a literal comparison
-    * (e.g. the brute-force ANN baselines' `vec_id < nQueries` query set):
-    * its size is fixed by the query text, not by the corpus, so
-    * broadcasting it nested-loop is bounded work per fact row.
+  /** True when the subtree is cut to a constant by the ONE whitelisted
+    * pattern: `vec_id < N` / `vec_id <= N` — the brute-force ANN
+    * baselines' query set, whose size is fixed by the query text, not by
+    * the corpus. Any other literal comparison (ts < const, n_chars < 100)
+    * can still retain a corpus-proportional row set and must NOT excuse a
+    * nested-loop join, so the match is on the exact attribute name rather
+    * than any less-than filter anywhere in the subtree.
     */
   private def isLiteralBounded(p: SparkPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.execution.FilterExec
     val n = strip(p)
     n match {
       case f: FilterExec if f.condition.find {
-          case LessThan(_, _: Literal) => true
-          case LessThanOrEqual(_, _: Literal) => true
+          case LessThan(a: AttributeReference, _: Literal) => a.name == "vec_id"
+          case LessThanOrEqual(a: AttributeReference, _: Literal) => a.name == "vec_id"
           case _ => false
         }.isDefined => true
       case _ => n.children.exists(isLiteralBounded)
