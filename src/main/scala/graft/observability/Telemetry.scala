@@ -39,6 +39,29 @@ object Telemetry {
       case (k, v) => s""""$k": $v"""
     }.mkString("{", ", ", "}")
 
+  /** Schema of a fault-experiment timeline line — the union of the
+    * reference's `sample` (run_fault_tests.py:250-260) and `event`
+    * (:201-225) record shapes; a field absent from a given record type is
+    * simply null. Reads both the reference's committed report JSONL files
+    * (cluster/shared/reports/) and graft's own FAULT artifacts.
+    */
+  val timelineSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("type", StringType),
+      StructField("timestamp", StringType),
+      StructField("elapsed_s", DoubleType),
+      StructField("progress", DoubleType),
+      StructField("state", StringType),
+      StructField("final_state", StringType),
+      StructField("am_host", StringType),
+      StructField("live_nodes", IntegerType),
+      StructField("node_states", MapType(StringType, StringType)),
+      StructField("event", StringType),
+      StructField("target", StringType),
+      StructField("downtime_s", IntegerType)))
+  }
+
   /** Batch-job listener writing `sample` records on stage boundaries and
     * `event` records on executor membership changes, plus a final summary —
     * the local-mode analogue of the reference's 30 s YARN polling loop

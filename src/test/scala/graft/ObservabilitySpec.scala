@@ -211,4 +211,121 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(r.failures.map(_._1) === Seq(s"file://$tmp/missing1.txt"))
     assert(java.nio.file.Files.readString(dest.toPath) === "hello fetch world")
   }
+
+  test("FAULT_r5 artifact: real executor kills, recovery, and identical results") {
+    import graft.observability.Telemetry
+    import graft.sources.JsonLines
+    import org.apache.spark.sql.functions._
+    // produced by tools/fault_smoke.sh (kill -9 of live executor JVMs
+    // under local-cluster); committed at the repo root
+    val jsonl = Paths.get("FAULT_r5.jsonl")
+    val summaryPath = Paths.get("FAULT_r5.summary.json")
+    assume(Files.exists(jsonl) && Files.exists(summaryPath),
+      "FAULT_r5 artifacts not present (run tools/fault_smoke.sh)")
+
+    val tl = JsonLines.read(spark, jsonl.toString, Telemetry.timelineSchema).cache()
+    // no malformed lines
+    assert(tl.filter(col(JsonLines.CorruptCol).isNotNull).count() === 0)
+
+    // two stop + two start events, one pair per executor slot
+    val events = tl.filter(col("type") === "event")
+      .select("event", "target", "timestamp").collect()
+    assert(events.count(_.getString(0) == "stop") === 2)
+    assert(events.count(_.getString(0) == "start") === 2)
+
+    // the kill degraded the cluster to one live executor and it recovered:
+    // a live_nodes=1 sample exists strictly after the first stop event and
+    // a live_nodes=2 sample exists after that
+    val firstStopTs = events.filter(_.getString(0) == "stop").map(_.getString(2)).min
+    val degraded = tl.filter(col("type") === "sample" && col("live_nodes") === 1 &&
+      col("timestamp") > firstStopTs)
+    assert(degraded.count() > 0, "no degraded live_nodes sample after the first kill")
+    val degradedTs = degraded.agg(min("timestamp")).collect()(0).getString(0)
+    assert(tl.filter(col("type") === "sample" && col("live_nodes") === 2 &&
+      col("timestamp") > degradedTs).count() > 0, "cluster never recovered to 2 executors")
+
+    // node_states parses as a map and shrinks with the membership dip
+    assert(tl.filter(col("type") === "sample")
+      .filter(size(map_keys(col("node_states"))) =!= col("live_nodes"))
+      .count() === 0)
+
+    // summary: job succeeded under two real kills with identical results
+    val s = Files.readString(summaryPath)
+    assert(s.contains(""""final_state": "SUCCEEDED""""))
+    assert(s.contains(""""fingerprint_match": true"""))
+    assert(s.contains(""""executors_removed": 2"""))
+    assert(s.contains(""""min_live_nodes": 1"""))
+    val pidRe = """"pid": (\d+)""".r
+    assert(pidRe.findAllMatchIn(s).map(_.group(1)).toSeq.distinct.size === 2,
+      "expected two distinct killed executor pids")
+    tl.unpersist()
+  }
+
+  test("reference fault-report read-back: committed reports reproduce the documented numbers") {
+    import graft.observability.Telemetry
+    import graft.sources.JsonLines
+    import org.apache.spark.sql.functions._
+    val dir = Paths.get("/root/reference/cluster/shared/reports")
+    assume(Files.exists(dir), "reference checkout not present")
+
+    // the two-slave + master run the reference writes up in docs/README.md:215-223
+    val run = JsonLines.read(spark,
+      dir.resolve("fault_test_20251115-190926.jsonl").toString,
+      Telemetry.timelineSchema).cache()
+    assert(run.filter(col(JsonLines.CorruptCol).isNotNull).count() === 0)
+
+    // schedule replay: stop events for slave1/slave2/master in that order,
+    // each recorded with the 60 s downtime of the DefaultSchedule
+    val stops = run.filter(col("event") === "stop")
+      .orderBy("timestamp").select("target", "downtime_s", "elapsed_s").collect()
+    assert(stops.map(_.getString(0)).toSeq ===
+      Seq("hadoop-slave1", "hadoop-slave2", "hadoop-master"))
+    assert(stops.forall(_.getInt(1) === 60))
+    // observed offsets lag the 120/420/840 schedule by at most one ~35 s
+    // poll interval (the harness fires between samples)
+    val scheduled = Seq(120.0, 420.0, 840.0)
+    stops.map(_.getDouble(2)).zip(scheduled).foreach { case (obs, sch) =>
+      assert(obs >= sch && obs <= sch + 40, s"stop offset $obs vs schedule $sch")
+    }
+
+    // recovery window per start-stop pair: 60-90 s (docs/README.md
+    // "Janela de recuperação completa após cada falha de slave: 60-90 s")
+    val fmt = java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+    val evs = run.filter(col("type") === "event")
+      .orderBy("timestamp").select("event", "target", "timestamp").collect()
+      .map(r => (r.getString(0), r.getString(1), java.time.OffsetDateTime.parse(r.getString(2), fmt)))
+    evs.grouped(2).foreach { case Array((e1, t1, ts1), (e2, t2, ts2)) =>
+      assert(e1 == "stop" && e2 == "start" && t1 == t2)
+      val gapS = java.time.Duration.between(ts1, ts2).toMillis / 1000.0
+      assert(gapS >= 60 && gapS <= 90, s"recovery window $gapS for $t1")
+    }
+
+    // progress stalled at 12.19% after the slave faults (the README's
+    // "serrilhada" curve capped by the master kill), never regressing below 0
+    val samples = run.filter(col("type") === "sample")
+    val maxProg = samples.agg(max("progress")).collect()(0).getDouble(0)
+    assert(maxProg === 12.19)
+    assert(samples.filter(col("progress") < 0).count() === 0)
+    run.unpersist()
+
+    // the single-slave run: one stop/start pair for slave1, job alive after
+    val run2 = JsonLines.read(spark,
+      dir.resolve("fault_test_20251115-195241.jsonl").toString,
+      Telemetry.timelineSchema)
+    val ev2 = run2.filter(col("type") === "event").select("event", "target").collect()
+    assert(ev2.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("stop", "hadoop-slave1"), ("start", "hadoop-slave1")))
+    assert(run2.filter(col("type") === "sample").agg(max("progress"))
+      .collect()(0).getDouble(0) === 18.9)
+
+    // the master-kill-era runs degrade to MASTER_UNAVAILABLE but stay
+    // parseable (cache() before the corrupt-only filter — a raw JSON scan
+    // projecting only _corrupt_record is rejected by Spark)
+    for (f <- Seq("fault_test_20251115-181926.jsonl", "fault_test_20251115-184204.jsonl")) {
+      val r = JsonLines.read(spark, dir.resolve(f).toString, Telemetry.timelineSchema).cache()
+      assert(r.filter(col(JsonLines.CorruptCol).isNotNull).count() === 0)
+      assert(r.filter(col("state") === "MASTER_UNAVAILABLE").count() > 0)
+      r.unpersist()
+    }
+  }
 }
