@@ -217,6 +217,60 @@ object FaultSmoke {
     samplerOut.synchronized { samplerOut.close() }
     val faultSec = handle.durationSeconds
 
+    // ---- streaming phase: executor loss between micro-batches ----
+    // The windowed word count with a checkpoint (the reference's Kafka
+    // pipeline semantics) must deliver exactly-once sink contents across
+    // BOTH a real executor kill and a stop/restart — the streaming twin
+    // of the batch experiment above, mirroring StreamingSpec's
+    // checkpoint-recovery case with a dead executor JVM in the middle.
+    val sIn = Files.createDirectory(base.resolve("stream-in"))
+    val sCkpt = base.resolve("stream-ckpt").toString
+    val sOut = base.resolve("stream-out").toString
+    def writeStreamFile(name: String, fileLines: Seq[String]): Unit =
+      Files.write(sIn.resolve(name), fileLines.mkString("\n").getBytes)
+    def startStreamQuery() = {
+      val parsed = spark.readStream.text(sIn.toString).select(
+        to_timestamp(substring(col("value"), 1, 19)).as("timestamp"),
+        expr("substring(value, 21)").as("value"))
+      graft.streaming.WindowedWordCount.transform(parsed)
+        .selectExpr("date_format(window.start, 'HH:mm') AS w", "word", "count")
+        .writeStream.format("parquet")
+        .option("path", sOut)
+        .option("checkpointLocation", sCkpt)
+        .outputMode("append").start()
+    }
+    var streamKill: Option[(String, Int)] = None
+    writeStreamFile("f1.txt",
+      Seq("2024-01-01 10:00:10,hello world", "2024-01-01 10:00:50,world"))
+    val sq1 = startStreamQuery()
+    sq1.processAllAvailable()
+    // kill a live executor JVM between micro-batches, then immediately
+    // feed the batch that closes the 10:00 window — its tasks land while
+    // the cluster is degraded and must retry onto the survivor/replacement
+    locally {
+      val pids = executorPids()
+      val id = pids.keys.toSeq.sortBy(_.toInt).head
+      new ProcessBuilder("kill", "-9", pids(id).toString).start().waitFor()
+      streamKill = Some((id, pids(id)))
+      println(s"[fault-smoke] killed executor $id (pid ${pids(id)}) mid-stream")
+    }
+    writeStreamFile("f2.txt", Seq("2024-01-01 10:05:00,flush"))
+    sq1.processAllAvailable()
+    sq1.stop()
+    // restart from the checkpoint with data that arrived while down
+    writeStreamFile("f3.txt", Seq("2024-01-01 10:06:00,alpha alpha"))
+    val sq2 = startStreamQuery()
+    sq2.processAllAvailable()
+    writeStreamFile("f4.txt", Seq("2024-01-01 10:15:00,omega"))
+    sq2.processAllAvailable()
+    sq2.stop()
+    val streamed = spark.read.parquet(sOut)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val streamExpected = Set(
+      ("10:00", "WORLD", 2L), ("10:00", "HELLO", 1L),
+      ("10:05", "FLUSH", 1L), ("10:06", "ALPHA", 2L))
+    println(s"[fault-smoke] streaming sink after kill+restart: $streamed")
+
     // ---- assertions ----
     val (faultHash, faultRows) = faultResult
     val sampleLines = Files.readAllLines(java.nio.file.Paths.get(samples))
@@ -237,7 +291,9 @@ object FaultSmoke {
       "degraded_live_nodes_sampled" -> (minLive < 2),
       "stop_start_events_logged" ->
         (eventLines.toArray(Array.empty[String]).count(_.contains(""""event": "stop"""")) == 2 &&
-         eventLines.toArray(Array.empty[String]).count(_.contains(""""event": "start"""")) == 2))
+         eventLines.toArray(Array.empty[String]).count(_.contains(""""event": "start"""")) == 2),
+      "streaming_kill_real" -> streamKill.nonEmpty,
+      "streaming_exactly_once" -> (streamed == streamExpected))
     checks.foreach { case (n, ok) => println(s"[fault-smoke] $n: ${if (ok) "PASS" else "FAIL"}") }
 
     // ---- artifacts: timestamp-merged timeline + summary ----
@@ -264,8 +320,10 @@ object FaultSmoke {
       "fingerprint_match" -> checks.toMap.apply("fingerprint_match"),
       "distinct_words" -> faultRows,
       "killed_executors" -> Telemetry.Raw(
-        killed.map { case (id, pid) => s"""{"executor_id": "$id", "pid": $pid}""" }
+        (killed ++ streamKill).map { case (id, pid) =>
+          s"""{"executor_id": "$id", "pid": $pid}""" }
           .mkString("[", ", ", "]")),
+      "streaming_exactly_once" -> (streamed == streamExpected),
       "executors_removed" -> tracker.removed.get(),
       "executors_added_total" -> tracker.everAdded.get(),
       "min_live_nodes" -> minLive,

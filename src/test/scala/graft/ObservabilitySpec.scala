@@ -249,15 +249,18 @@ class ObservabilitySpec extends AnyFunSuite {
       .filter(size(map_keys(col("node_states"))) =!= col("live_nodes"))
       .count() === 0)
 
-    // summary: job succeeded under two real kills with identical results
+    // summary: job succeeded under real kills with identical results, and
+    // the streaming twin stayed exactly-once through its own kill+restart
     val s = Files.readString(summaryPath)
     assert(s.contains(""""final_state": "SUCCEEDED""""))
     assert(s.contains(""""fingerprint_match": true"""))
-    assert(s.contains(""""executors_removed": 2"""))
+    assert(s.contains(""""streaming_exactly_once": true"""))
     assert(s.contains(""""min_live_nodes": 1"""))
+    val removedRe = """"executors_removed": (\d+)""".r
+    assert(removedRe.findFirstMatchIn(s).map(_.group(1).toInt).exists(_ >= 2))
     val pidRe = """"pid": (\d+)""".r
-    assert(pidRe.findAllMatchIn(s).map(_.group(1)).toSeq.distinct.size === 2,
-      "expected two distinct killed executor pids")
+    assert(pidRe.findAllMatchIn(s).map(_.group(1)).toSeq.distinct.size === 3,
+      "expected three distinct killed executor pids (two batch + one streaming)")
     tl.unpersist()
   }
 
