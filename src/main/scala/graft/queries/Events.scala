@@ -134,23 +134,53 @@ object Events {
       .orderBy("user_id")
   }
 
-  /** Sketch-based daily active users: approx_count_distinct (HyperLogLog++,
-    * rsd 1%) — the 100 TB form of `dailyActive`'s exact countDistinct,
+  /** Sketch-based daily active users: HyperLogLog (m = 2^14 registers,
+    * rsd ~0.8%) — the 100 TB form of `dailyActive`'s exact countDistinct,
     * whose per-group distinct sets stop fitting once users number in the
-    * billions; HLL sketches are fixed-size and mergeable, so the partial
-    * aggregation stays map-side. No SQL oracle (DuckDB's approx sketch
-    * differs by construction) — the driver records a rows-only check; the
-    * exact twin `q_events_daily_active` anchors correctness, and the spec
-    * asserts the approximation error bound against it.
+    * billions. Built-in `approx_count_distinct` is an interpreted
+    * ImperativeAggregate: it drops the whole aggregation (and the scan
+    * fused into it) out of whole-stage codegen, which made the sketch
+    * 2-3.6x SLOWER than its exact twin at bench scale. This formulation
+    * keeps HLL entirely in codegen'd integer built-ins by making the
+    * register the GROUP KEY: register index = low p bits of xxhash64,
+    * rank rho = trailing-zero count of the remaining bits + 1 (rho is
+    * geometric for any uniform hash, same as HLL's leading-rank;
+    * `bit_count((w & -w) - 1)` is the branch-free TZC), register merge =
+    * plain `max`. Per day the shuffle is capped at m rows regardless of
+    * user count — fixed-size and mergeable exactly like the sketch
+    * buffer, but whole-stage-codegen end to end. The estimator is the
+    * standard alpha_m * m^2 / sum(2^-rho) with linear counting below
+    * 2.5m (Flajolet et al. 2007).
+    *
+    * No SQL oracle (a sketch by construction) — the driver records a
+    * rows-only check; the exact twin `q_events_daily_active` anchors
+    * correctness, and the spec asserts the 5% error bound against it.
     */
-  def dailyActiveApprox(spark: SparkSession, dir: String): DataFrame =
+  def dailyActiveApprox(spark: SparkSession, dir: String): DataFrame = {
+    val p = 14
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // bias constant for m >= 128
+    val h = xxhash64(col("user_id"))
+    val w = shiftrightunsigned(h, p)
+    val rho = when(w === 0L, lit(64 - p + 1))
+      .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)
+    val filled = count(lit(1)) // registers with at least one hit
+    val sum2NegRho = sum(pow(lit(0.5), col("rho")))
+    val raw = lit(alpha * m.toDouble * m) /
+      (col("s2") + (lit(m) - col("filled"))) // empty registers add 2^0 = 1
     Tables.load(spark, dir, "events")
-      .groupBy(date_trunc("day", col("ts")).as("d"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"),
-           count(lit(1)).as("n_events"))
+      .groupBy(date_trunc("day", col("ts")).as("d"),
+        h.bitwiseAND(lit((m - 1).toLong)).as("reg"))
+      .agg(max(rho).as("rho"), count(lit(1)).as("n"))
+      .groupBy("d")
+      .agg(sum2NegRho.as("s2"), filled.as("filled"), sum("n").as("n_events"))
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
-        col("n_users_approx"), col("n_events"))
+        round(when(raw <= 2.5 * m && col("filled") < m,
+            lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("filled"))))
+          .otherwise(raw)).cast("long").as("n_users_approx"),
+        col("n_events"))
       .orderBy("day")
+  }
 
   /** Backward as-of join, union+window formulation: every left row gets
     * the payload of the LATEST right row with the same key whose timestamp
