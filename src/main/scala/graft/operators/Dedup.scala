@@ -285,15 +285,21 @@ object Dedup {
     * pairs — the canonical group id that a pair list alone cannot give
     * when duplication is transitive (a~b, b~c => {a,b,c} one cluster).
     *
-    * Distributed min-label propagation: per round, each node takes the min
-    * of its label and its neighbors' labels (two hash joins + an
-    * aggregate); rounds are bounded by the pair-graph diameter — for dedup
-    * graphs that is small (near-dup clusters are cliques-ish), and
-    * `maxIters` caps the worst case. Each round ends in an eager
-    * localCheckpoint: without it the join lineage doubles per round and
-    * the job re-executes the whole history each time — the standard
-    * iterative-algorithm discipline on Spark. Convergence is detected by
-    * an aggregate count of changed labels (never a data collect).
+    * Distributed min-label propagation with pointer jumping: per round,
+    * each node takes the min of (its label, its neighbors' labels, its
+    * label's label). The label-of-label term doubles propagation distance
+    * per round, so rounds are ~log2(diameter) instead of diameter — a
+    * duplication CHAIN of length 1000 converges in ~10 rounds, not 1000
+    * — and `maxIters` caps the worst case. A round is ONE job with two
+    * shuffles: the three contribution sets (self, neighbor, jump) union
+    * into a single min-aggregate, with the node's own label carried
+    * through the same aggregate as `max(when(own, label))` so no
+    * prev-vs-next join is needed; the round's result is lazily
+    * localCheckpointed and the convergence count (never a data collect)
+    * rides the SAME job that materializes it — the eager-checkpoint +
+    * separate-count formulation paid two jobs per round. Lineage is
+    * truncated every round (the standard iterative-algorithm discipline
+    * on Spark); superseded rounds unpersist immediately.
     *
     * No SQL oracle (iterative fixpoint); differential-tested against an
     * in-memory union-find in OperatorsSpec, and the driver records a
@@ -308,37 +314,55 @@ object Dedup {
     * materialized, so executor storage stays O(one round), not O(iters).
     */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.01,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+    connectedComponents(
+      ngramJaccardPairsRaw(docs, threshold).select("doc_a", "doc_b"), maxIters)
+
+  /** Connected components over any (doc_a, doc_b) pair list — the iteration
+    * behind `nearDupClusters`, exposed because any pair-producing dedup
+    * stage (MinHash, SimHash, embedding, semantic) can feed it. Output:
+    * (cluster_id = component-min doc_id, doc_id), one row per paired doc.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd
-    val pairs = ngramJaccardPairsRaw(docs, threshold).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // every node appears as doc_a (edges are symmetrized), so the distinct
+    // node set and round 1's neighbor-min are the SAME aggregate — seeding
+    // labels with min(self, direct neighbors) saves one full joined round
+    var labels = edges.groupBy(col("doc_a").as("node"))
+      .agg(min(col("doc_b")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
-      val neighborMin = edges
+      val selfRows = labels
+        .select(col("node"), col("label"), lit(true).as("own"))
+      val neighborRows = edges
         .join(labels, edges("doc_b") === labels("node"))
-        .groupBy(edges("doc_a").as("n2"))
-        .agg(min("label").as("nmin"))
-      val next = labels
-        .join(neighborMin, labels("node") === neighborMin("n2"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"),
-          col("label").as("prev_label"))
-        .localCheckpoint(true)
-      changed = next.filter(col("next_label") =!= col("prev_label")).count()
+        .select(edges("doc_a").as("node"), col("label"), lit(false).as("own"))
+      val jumpRows = labels.as("l1") // pointer jump: my label's label
+        .join(labels.as("l2"), col("l1.label") === col("l2.node"))
+        .select(col("l1.node").as("node"), col("l2.label").as("label"),
+          lit(false).as("own"))
+      // exactly one `own` row per node, so max(when(own,..)) recovers the
+      // previous label through the same aggregate — no prev-vs-next join
+      val next = selfRows.union(neighborRows).union(jumpRows)
+        .groupBy("node")
+        .agg(min("label").as("label"),
+          max(when(col("own"), col("label"))).as("prev"))
+        .localCheckpoint(false) // lazy: materialized by the count below
+      changed = next.filter(col("label") =!= col("prev")).count()
       // `next` is materialized, so the previous round's blocks are dead.
       checkpointedRdd(labels).foreach(_.unpersist(blocking = false))
-      labels = next.select(col("node"), col("next_label").as("label"))
+      labels = next.select("node", "label")
       iters += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"nearDupClusters did not converge in $maxIters rounds " +
+        s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing): the pair graph has a longer " +
           "duplication chain than the round bound — raise maxIters")
     checkpointedRdd(edges).foreach(_.unpersist(blocking = false))

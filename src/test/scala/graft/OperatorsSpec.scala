@@ -123,6 +123,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._2).contains(3L), "chain member 3 must be clustered")
   }
 
+  test("connected components converge logarithmically on a long path graph") {
+    // 64-node path 0-1-2-...-63: plain min-label propagation needs 63
+    // rounds to carry label 0 to node 63; pointer jumping doubles the
+    // propagation distance per round, so a budget of 10 rounds is only
+    // meetable logarithmically — this would throw under the linear scheme
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, maxIters = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(got === (0L until 64L).map(n => (0L, n)).toSet)
+  }
+
   test("incremental dedup drops corpus-known and batch-internal duplicates") {
     val corpus = docs((100L, "existing document one"), (101L, "existing document two"))
     val batch = docs(
