@@ -1,8 +1,6 @@
 package graft.operators
 
-import java.util.regex.{Matcher, Pattern}
-
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.core.WordCount
@@ -12,41 +10,118 @@ import graft.core.WordCount
   * tokenizer-construction step of a training-data pipeline.
   *
   * Scale shape: BPE iterates on the WORD-FREQUENCY table, not the corpus —
-  * one corpus scan builds (word, count), and every round after that is
-  * (a) one hash aggregation of adjacent symbol pairs weighted by word
-  * count, (b) a 1-row argmax collected to the driver (count desc, then
-  * pair lexicographic — fully deterministic), and (c) a per-row merge
-  * projection. Driver state is just the merge table (`nMerges` rows);
-  * the vocabulary stays distributed. `localCheckpoint` per round stops
-  * lineage growth (the iterative-algorithm rule used by nearDupClusters).
+  * one corpus scan builds (word, count), and everything after that runs on
+  * the vocabulary. The naive formulation launches one aggregation job per
+  * merge (the argmax must see counts that reflect every earlier merge), so
+  * at thousands of merges the per-job overhead dominates. This
+  * implementation is EXACTLY equivalent to the sequential algorithm but
+  * learns the whole merge table from a handful of jobs:
   *
-  * Symbol sequences ride as space-joined strings ("l o w </w>"), and a
-  * merge (a,b) applies as a regex replace of "a b" with word-boundary
-  * guards — Java's regexp_replace substitutes LEFT-TO-RIGHT and
-  * NON-OVERLAPPING, which is exactly BPE's merge rule ("a a a" under
-  * merge (a,a) yields "aa a", not "a aa"). Differential-tested against a
-  * single-threaded reference implementation in OperatorsSpec.
+  *  1. ONE aggregation job counts adjacent pairs and collects the
+  *     top-(K+1) slice. The slice head is the exact global argmax; the
+  *     (K+1)-th count is a ceiling `theta` on every pair outside the
+  *     slice.
+  *  2. A HYPOTHESIS merge sequence (initially: the slice in order — the
+  *     order natural counts usually follow) is simulated per word in one
+  *     typed-flatMap job, emitting the EXACT pair-count delta each step
+  *     causes. The delta universe is tiny — new pairs must involve a
+  *     merged symbol, so it is bounded by the symbol alphabet, not the
+  *     vocabulary.
+  *  3. The driver replays sequential BPE over slice + deltas: at each step
+  *     it takes the argmax (count desc, then pair lexicographic) over the
+  *     exactly-known counts and CERTIFIES no pair outside the slice can
+  *     beat it (an unseen pair is ≤ theta + its observed delta; ties with
+  *     unseen pairs fail certification). While the certified argmax
+  *     matches the hypothesis, steps are accepted. On a mismatch the
+  *     winner itself is still exact, so it is accepted, spliced into the
+  *     hypothesis, and ONLY the simulation job re-runs — from the same
+  *     checkpointed vocabulary, with no recount and no re-materialization.
+  *     Every re-simulation extends the accepted prefix by at least one
+  *     merge, so the loop terminates in ≤ nMerges jobs (natural text: the
+  *     hypothesis survives long stretches, so a 12-merge table costs ~3
+  *     simulations).
+  *  4. Only if certification itself fails (the argmax sinks to the theta
+  *     ceiling, i.e. the slice went stale) does the algorithm apply the
+  *     accepted merges to the vocabulary, re-checkpoint, and recount — the
+  *     same two jobs as round one. For nMerges ≪ K this epoch restart is
+  *     the rare path, and at thousands of merges it doubles as the
+  *     re-checkpoint cadence that keeps per-word re-simulation bounded.
+  *
+  * Differential-tested against a single-threaded reference in
+  * OperatorsSpec: adversarial tie-heavy corpora degrade to more simulation
+  * rounds or an epoch restart, never to a different merge table. The
+  * word-level simulation is a typed flatMap — the per-partition imperative
+  * exception, justified because applying a fixed merge PROGRAM to one word
+  * is inherently sequential and word-local; CHOOSING the program is the
+  * global, distributed part.
   */
 object Bpe {
+
+  /** One left-to-right, non-overlapping merge pass — the exact rule of the
+    * reference algorithm ("a a a" under (a,a) gives "aa a"). Returns the
+    * input array UNCHANGED (reference-equal) when the pair never occurs,
+    * so callers can cheaply detect no-ops.
+    */
+  private def mergeStep(syms: Array[String], a: String, b: String): Array[String] = {
+    var i = 0
+    var hit = false
+    while (i + 1 < syms.length && !hit) {
+      if (syms(i) == a && syms(i + 1) == b) hit = true else i += 1
+    }
+    if (!hit) return syms
+    val out = Array.newBuilder[String]
+    out ++= syms.take(i)
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def pairsInto(
+      syms: Array[String],
+      acc: scala.collection.mutable.Map[(String, String), Long],
+      w: Long): Unit = {
+    var i = 0
+    while (i + 1 < syms.length) {
+      val k = (syms(i), syms(i + 1))
+      acc(k) = acc.getOrElse(k, 0L) + w
+      i += 1
+    }
+  }
 
   /** The learned merge table: (rank, left, right, pair_count). */
   def merges(docs: DataFrame, nMerges: Int = 12): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = docs
+    val debug = sys.env.contains("GRAFT_BPE_DEBUG")
+    var tLap = System.nanoTime()
+    def lap(tag: String): Unit = if (debug) {
+      println(f"[bpe] $tag: ${(System.nanoTime() - tLap) / 1e9}%.3f s")
+      tLap = System.nanoTime()
+    }
+    var vocab: Dataset[(String, Long)] = docs
       .select(explode(WordCount.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("syms", concat(
         concat_ws(" ", expr(
           "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")),
         lit(" </w>")))
-      .select("syms", "n")
-      .localCheckpoint(true)
+      .select($"syms", $"n").as[(String, Long)]
+      // lazy: the first recount materializes the checkpoint blocks, so the
+      // build does not pay a separate job
+      .localCheckpoint(false)
+
+    val K = 256
+    lap("vocab build")
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
+    // ---- outer epochs: recount only when the slice goes stale ----------
     while (rank < nMerges && !exhausted) {
-      val best = vocab
+      // pair counts over the current vocabulary; head = true argmax
+      val top: Array[(String, String, Long)] = vocab.toDF("syms", "n")
         .select(col("n"), split(col("syms"), " ").as("s"))
         // fully-merged words (one symbol) pair with nothing — and must be
         // dropped BEFORE the transform: sequence(1, 0) is the DESCENDING
@@ -57,28 +132,151 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect()
-      best.headOption match {
-        case None => exhausted = true // single-symbol vocab: nothing to pair
-        case Some((a, b, cnt)) =>
-          learned += ((rank, a, b, cnt))
-          val pat = "(?<=^|[ ])" + Pattern.quote(a) + " " + Pattern.quote(b) + "(?=[ ]|$)"
-          val applied = vocab.withColumn("syms", regexp_replace(col("syms"),
-            lit(pat), lit(Matcher.quoteReplacement(a + b))))
-          // checkpoint every third round: a ≤3-projection lineage re-runs
-          // cheaply inside the next round's aggregation, while each
-          // materialization is a whole extra job — the per-round overhead
-          // that dominates wall time when the vocabulary is small
-          if (rank % 3 == 2) {
-            val next = applied.localCheckpoint(true)
-            // next is materialized: the superseded round's blocks are dead
-            org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(vocab)
+        .limit(K + 1)
+        .as[(String, String, Long)].collect()
+      lap(s"recount at rank $rank")
+
+      if (top.isEmpty) { exhausted = true } // single-symbol vocab: nothing to pair
+      else {
+        val epochBudget = nMerges - rank
+        val complete = top.length <= K // the slice IS the whole pair table
+        val slice = if (complete) top else top.take(K)
+        // any pair outside the slice has baseline count <= theta
+        val theta = if (complete) 0L else top(K)._3
+        val pairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
+
+        var hypothesis: Vector[(String, String)] =
+          slice.take(epochBudget).map { case (a, b, _) => (a, b) }.toVector
+        var epochAccepted = Vector.empty[(String, String, Long)]
+        var epochDone = false
+        // each simulation extends the accepted prefix by >= 1, so this
+        // inner loop runs at most epochBudget times
+        while (!epochDone) {
+          // ---- simulation job: exact per-step deltas of the hypothesis
+          val candSeq = hypothesis
+          val byStep: Map[Int, Array[(Int, String, String, Long)]] =
+            (if (candSeq.length <= 1) Array.empty[(Int, String, String, Long)]
+             else vocab.flatMap { case (s, n) =>
+               var cur = s.split(' ')
+               val out = List.newBuilder[(Int, String, String, Long)]
+               var t = 0
+               while (t < candSeq.length) {
+                 val (a, b) = candSeq(t)
+                 val next = mergeStep(cur, a, b)
+                 if (!(next eq cur)) {
+                   val diff = scala.collection.mutable.Map.empty[(String, String), Long]
+                   pairsInto(cur, diff, -n)
+                   pairsInto(next, diff, n)
+                   diff.foreach { case ((x, y), d) => if (d != 0L) out += ((t, x, y, d)) }
+                   cur = next
+                 }
+                 t += 1
+               }
+               out.result()
+             }
+               .toDF("t", "a", "b", "d")
+               .groupBy("t", "a", "b").agg(sum("d").as("d"))
+               .as[(Int, String, String, Long)].collect()
+            ).groupBy(_._1)
+          lap(s"simulate ${candSeq.length} steps")
+
+          // ---- driver replay of sequential BPE over slice + deltas -----
+          val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          slice.foreach { case (a, b, c) => counts((a, b)) = c }
+          // pairs whose BASELINE is unknown (only bounded by theta); their
+          // `counts` entry holds the applied delta alone
+          val uncertain = scala.collection.mutable.Set.empty[(String, String)]
+          val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          var t = 0
+          var offScript = false
+          var certFailed = false
+          while (t < candSeq.length && !offScript && !certFailed &&
+            accepted.size < epochBudget) {
+            val step: Option[(String, String, Long)] =
+              if (t == 0) Some((slice(0)._1, slice(0)._2, slice(0)._3))
+              else {
+                // exact counts: slice pairs always; delta-only pairs when
+                // the slice is the complete table (baseline exactly 0)
+                val certain = counts.iterator.collect {
+                  case (p, c) if c > 0L && (complete || !uncertain(p)) => (p, c)
+                }.toArray
+                if (certain.isEmpty) None
+                else {
+                  val (w, cw) = certain.minBy { case ((a, b), c) => (-c, a, b) }
+                  // certify: nothing outside the exactly-known set can win.
+                  // Unseen-and-undelta'd pairs are <= theta; an uncertain
+                  // delta pair q is <= theta + delta(q). A tie loses only
+                  // if the winner is lexicographically smaller —
+                  // unknowable for unseen pairs, so ties fail.
+                  val ok = complete || (cw > theta && counts.forall {
+                    case (q, dq) =>
+                      !uncertain(q) || theta + dq < cw ||
+                        (theta + dq == cw && pairOrd.lt(w, q))
+                  })
+                  if (!ok) None else Some((w._1, w._2, cw))
+                }
+              }
+            step match {
+              case None => certFailed = true
+              case Some((a, b, c)) =>
+                accepted += ((a, b, c))
+                if ((a, b) != candSeq(t)) offScript = true // exact, but the
+                // remaining deltas assumed the hypothesis — stop here
+                else {
+                  byStep.getOrElse(t, Array.empty).foreach { case (_, x, y, d) =>
+                    val k = (x, y)
+                    if (!counts.contains(k) && !complete) uncertain += k
+                    counts(k) = counts.getOrElse(k, 0L) + d
+                  }
+                  t += 1
+                }
+            }
+          }
+
+          epochAccepted = accepted.toVector
+          if (epochAccepted.size >= epochBudget || certFailed) {
+            // budget filled, or the slice went stale (restart recounts)
+            epochDone = true
+          } else {
+            // off-script (or hypothesis ran dry) with budget left: splice
+            // the accepted prefix, re-guess the rest from current counts
+            val acceptedSet = epochAccepted.map { case (a, b, _) => (a, b) }.toSet
+            val guess = counts.iterator.collect {
+              case (p, c) if c > 0L && (complete || !uncertain(p)) &&
+                !acceptedSet(p) => (p, c)
+            }.toArray
+              .sortBy { case ((a, b), c) => (-c, a, b) }
+              .take(epochBudget - epochAccepted.size)
+              .map(_._1).toVector
+            if (guess.isEmpty) epochDone = true // nothing certain to try:
+            // restart the epoch with a fresh recount
+            else hypothesis =
+              epochAccepted.map { case (a, b, _) => (a, b) } ++ guess
+          }
+        }
+
+        if (epochAccepted.isEmpty) exhausted = true // nothing certifiable
+        else {
+          epochAccepted.foreach { case (a, b, c) =>
+            learned += ((rank, a, b, c)); rank += 1
+          }
+          if (rank < nMerges) {
+            // epoch restart: materialize the accepted merges, recount
+            val ms = epochAccepted.map { case (a, b, _) => (a, b) }
+            val prev = vocab
+            // lazy: the next epoch's recount materializes it; the old
+            // blocks are unpersisted right after (the one re-derivation
+            // rides the recount job)
+            vocab = prev.map { case (s, n) =>
+              var cur = s.split(' ')
+              ms.foreach { case (a, b) => cur = mergeStep(cur, a, b) }
+              (cur.mkString(" "), n)
+            }.localCheckpoint(false)
+            vocab.count() // materialize before dropping the parent blocks
+            org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(prev)
               .foreach(_.unpersist(blocking = false))
-            vocab = next
-          } else vocab = applied
-          rank += 1
+          }
+        }
       }
     }
     learned.result().toDF("rank", "left", "right", "pair_count")

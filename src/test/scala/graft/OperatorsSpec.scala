@@ -724,6 +724,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_._1) === got.indices)
   }
 
+  test("BPE batching stays exact on a tie-heavy corpus overflowing the slice") {
+    import graft.operators.Bpe
+    // > 256 distinct adjacent pairs (so the collected slice is INCOMPLETE
+    // and the theta-certification / epoch-restart machinery is live) and
+    // heavy count ties (so the batch hypothesis keeps going off-script).
+    // Deterministic: word i is a 3-letter sequence over a 26-char
+    // alphabet, count cycles 1..7 — hundreds of pairs share counts.
+    val alpha = ('a' to 'z').map(_.toString)
+    val rows = (0 until 700).flatMap { i =>
+      val w = alpha(i % 26) + alpha((i / 26) % 26) + alpha((i * 11 + 5) % 26)
+      Seq.fill(i % 7 + 1)(w)
+    }
+    val d = docs((0 until rows.length / 8 + 1).map { g =>
+      (g.toLong, rows.slice(g * 8, g * 8 + 8).mkString(" "))
+    }.filter(_._2.nonEmpty): _*)
+    val got = Bpe.merges(d, nMerges = 24)
+      .as[(Int, String, String, Long)].collect().toSeq
+
+    def refBpe(wordCounts: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = wordCounts.map { case (w, c) =>
+        (w.map(_.toString).toList :+ "</w>") -> c }.toSeq
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      for (rank <- 0 until n) {
+        val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (syms, c) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + c
+            case _ =>
+          }
+        }
+        if (pairCounts.nonEmpty) {
+          val ((a, b), cnt) = pairCounts.toSeq
+            .minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((rank, a, b, cnt))
+          vocab = vocab.map { case (syms, c) =>
+            val merged = scala.collection.mutable.ListBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += (a + b); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toList -> c
+          }
+        }
+      }
+      out.result()
+    }
+    val words = d.select(org.apache.spark.sql.functions.explode(
+        graft.core.WordCount.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val nPairs = words.keysIterator.flatMap(w =>
+      (w.map(_.toString) :+ "</w>").sliding(2).map(_.mkString(" "))).toSet.size
+    assert(nPairs > 256, s"corpus must overflow the K=256 slice, got $nPairs pairs")
+    assert(got === refBpe(words, 24))
+  }
+
   test("cellsFor keeps expected cell occupancy bounded as the corpus grows") {
     import graft.operators.Similarity.cellsFor
     // floor: tiny corpora still get the 16-cell minimum
