@@ -62,6 +62,12 @@ object SparkEntry {
     "q17_small_quantity" -> (Relational.q17SmallQuantity _),
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q22_global_opportunity" -> (Relational.q22GlobalOpportunity _),
+    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
+    "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q12_late_priority" -> (Relational.q12LatePriority _),
+    "q16_supplier_part_cnt" -> (Relational.q16SupplierPartCount _),
+    "q20_excess_suppliers" -> (Relational.q20ExcessSuppliers _),
+    "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
     // -- Events (stream-shaped table) --
     "q_events_hourly" -> (Events.hourlyByType _),
     "q_events_props" -> (Events.propsByType _),
@@ -1131,6 +1137,91 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH eu_supply AS (
+        |  SELECT DISTINCT l.l_partkey, l.l_suppkey, l.l_extendedprice
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE')
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+        |  e.l_extendedprice AS min_price
+        |FROM eu_supply e
+        |JOIN (SELECT l_partkey, min(l_extendedprice) AS mn
+        |      FROM eu_supply GROUP BY 1) m
+        |  ON e.l_partkey = m.l_partkey AND e.l_extendedprice = m.mn
+        |JOIN part p ON e.l_partkey = p.p_partkey
+        |JOIN supplier s ON e.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_type = 'LARGE' AND p.p_size <= 15
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    - 0.5 * p.p_retailprice * l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l.l_returnflag,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_supplier_part_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 4, 9, 14, 19, 23)
+        |  AND l.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem l
+        |  WHERE l.l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2),
+        |dominant AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, qty,
+        |      SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+        |    FROM shipped) t
+        |  WHERE CAST(qty AS DOUBLE) > 0.15 * CAST(part_total AS DOUBLE))
+        |SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        |FROM supplier s
+        |WHERE s.s_acctbal > 0.0
+        |  AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  COUNT(*) AS n_events,

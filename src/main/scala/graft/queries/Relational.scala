@@ -466,6 +466,188 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): for each part, keep only the
+    * supplier rows achieving the per-part MINIMUM price within a region —
+    * the correlated-min scalar subquery. This schema has no partsupp
+    * table, so the supply relation is the DISTINCT (part, supplier,
+    * price) set observed in lineitem. The min is computed ONCE as a
+    * grouped aggregate and joined back on (partkey, price) — price
+    * equality is safe because both sides carry the identical stored
+    * double, never a recomputed one. The supply relation feeds both the
+    * aggregate and the join-back, so Catalyst reuses one exchange; part
+    * filters push to the part scan.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
+    val supply = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .distinct()
+    val minCost = supply.groupBy("l_partkey")
+      .agg(min(col("l_extendedprice")).as("mn"))
+    supply
+      .join(minCost,
+        supply("l_partkey") === minCost("l_partkey") &&
+        col("l_extendedprice") === col("mn"))
+      .drop(minCost("l_partkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_name"), col("l_extendedprice").as("min_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): the multi-fact measure — an
+    * arithmetic combination of columns from TWO tables (lineitem revenue
+    * minus a part-based cost; partsupp's supplycost stands in as a
+    * retailprice fraction), grouped by supplier nation and year. The
+    * part-name filter prunes the broadcast side before the join.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_name").contains("widget"))
+    val sup = Tables.load(spark, dir, "supplier")
+    val nat = Tables.load(spark, dir, "nation")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("int").as("o_year"))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity")).as("sum_profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12 shape (late-shipment priority split): one join + two
+    * CONDITIONAL COUNTS in a single pass — sum(CASE WHEN priority is
+    * critical)/sum(CASE otherwise) — the conditional-aggregation shape.
+    * Lateness (shipped > 90 days after order date, standing in for the
+    * schema's missing commit/receipt dates) is a cross-table predicate
+    * evaluated in the join; the shipdate year-range pushes to the scan.
+    */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+    val ord = Tables.load(spark, dir, "orders")
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(critical, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!critical, 1).otherwise(0)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q16 shape (supplier-part variety minus blacklist): distinct
+    * suppliers per part group, EXCLUDING a subquery-defined supplier set —
+    * the NOT-IN shape. s_suppkey is non-nullable in this schema, so
+    * NOT IN is exactly a left-anti join (the null-aware variant
+    * degenerates); spelling it as anti join keeps the bucketed hash path
+    * instead of a null-checking nested loop. The part predicate set
+    * (brand exclusion + type exclusion + size IN-list) pushes to the
+    * broadcast part scan.
+    */
+  def q16SupplierPartCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23))
+    val blacklist = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0)
+      .select("s_suppkey")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (excess-inventory suppliers): a SEMI JOIN nested
+    * inside a SEMI JOIN. Inner: the shipped-quantity aggregate is
+    * restricted to a name-filtered part set (semi level 1). Middle: keep
+    * (supplier, part) rows whose quantity dominates the part's total —
+    * partsupp availability standing in as a share-of-part-total window
+    * over the SAME aggregate, so no second scan. Outer: suppliers
+    * semi-joined against the qualifying set (semi level 2). The window
+    * rides the groupBy's hash partitioning on l_partkey — agg and window
+    * share one shuffle.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val smallParts = Tables.load(spark, dir, "part")
+      .filter(col("p_name").startsWith("small"))
+      .select("p_partkey")
+    val shipped = li
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+    val dominant = shipped
+      .withColumn("part_total",
+        sum(col("qty")).over(Window.partitionBy("l_partkey")))
+      // both operands forced to DOUBLE before the 0.15 multiply: DuckDB
+      // would otherwise parse 0.15 as DECIMAL and compare exactly while
+      // Spark compares in binary double — a boundary row could differ
+      .filter(col("qty").cast("double") >
+        lit(0.15) * col("part_total").cast("double"))
+      .select("l_suppkey")
+    Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") > 0.0)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the multi-level
+    * EXISTS — each late lineitem of a finished order must have a sibling
+    * from ANOTHER supplier (EXISTS: left-semi with a key-inequality
+    * residual) while NO other supplier was also late (NOT EXISTS:
+    * left-anti with the same residual). Lateness (> 90 days after order
+    * date, standing in for the missing receipt/commit dates) needs the
+    * order date, so the late set is computed ONCE and feeds both the base
+    * rows and the anti side — one lineitem-orders join, reused. Both
+    * semi/anti joins hash on l_orderkey with the supplier inequality as
+    * residual — no nested loop.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ordF = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+    val sup = Tables.load(spark, dir, "supplier")
+    val late = li
+      .join(ordF, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val siblings = li.select(col("l_orderkey").as("s_orderkey"),
+      col("l_suppkey").as("sib_suppkey"))
+    val lateSiblings = late.select(col("l_orderkey").as("s_orderkey"),
+      col("l_suppkey").as("sib_suppkey"))
+    late
+      .join(siblings,
+        col("l_orderkey") === col("s_orderkey") &&
+        col("sib_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(lateSiblings,
+        col("l_orderkey") === col("s_orderkey") &&
+        col("sib_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** TPC-H Q22 shape (global sales opportunity): customers whose balance
     * beats the global average POSITIVE balance and who never ordered —
     * a 1-row scalar broadcast feeding a filter, then an anti join,

@@ -70,6 +70,12 @@ class EntrySpec extends AnyFunSuite {
     "q17_small_quantity" -> 1L,
     "q19_disjunctive" -> 1L,
     "q22_global_opportunity" -> 2L,
+    "q2_min_cost_supplier" -> 9L,
+    "q9_product_profit" -> 70L,
+    "q12_late_priority" -> 3L,
+    "q16_supplier_part_cnt" -> 19L,
+    "q20_excess_suppliers" -> 9L,
+    "q21_waiting_suppliers" -> 10L,
     "pipeline_budget" -> 176L,
     "text_heavyhitters" -> 17L,
     "text_heavyhitters_sketch" -> 3L,
