@@ -264,6 +264,78 @@ class ObservabilitySpec extends AnyFunSuite {
     tl.unpersist()
   }
 
+  test("reference job-log read-back: counters, durations and outcomes match BASELINE.md") {
+    import graft.observability.RefReports
+    import org.apache.spark.sql.functions._
+    assume(Files.exists(Paths.get(RefReports.DefaultDir)), "reference checkout not present")
+
+    // -- counters: the clean run's published numbers, verbatim (BASELINE.md) --
+    val counters = RefReports.jobCounters(spark).cache()
+    val clean = counters.filter(col("run") === "fault_test_20251115-181926")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(clean("Map input records") === 36852795L)
+    assert(clean("Map output records") === 474702060L)
+    assert(clean("Reduce input groups") === 3379349L)
+    assert(clean("Reduce output records") === 3379349L)
+    assert(clean("Bytes Written") === 51457695L)
+    assert(clean("Bytes Read") === 4346305527L)
+    assert(clean("Launched map tasks") === 96L)
+    assert(clean("Launched reduce tasks") === 1L)
+    assert(clean("Data-local map tasks") === 96L)
+
+    // -- repeated-run determinism: the reference's implicit correctness
+    // oracle (SURVEY §5.1) — both clean runs agree on every data-derived
+    // counter (time/memory counters legitimately differ)
+    val clean2 = counters.filter(col("run") === "fault_test_20251115-184204")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val deterministic = Seq("Map input records", "Map output records",
+      "Reduce input groups", "Reduce output records", "Bytes Read",
+      "Bytes Written", "Launched map tasks", "Launched reduce tasks")
+    deterministic.foreach { k => assert(clean(k) === clean2(k), k) }
+    counters.unpersist()
+
+    // -- durations + outcomes across all five logs --
+    val summary = RefReports.jobSummary(spark).cache()
+    val byRun = summary.collect()
+      .map(r => r.getAs[String]("run") -> r).toMap
+    def s(run: String) = byRun("fault_test_20251115-" + run)
+
+    // clean run #1: 21:19:30 -> 21:28:59 = 569 s (~9.5 min, docs "~8-9 min")
+    assert(s("181926").getAs[String]("final_state") === "SUCCEEDED")
+    assert(s("181926").getAs[Long]("duration_seconds") === 569L)
+    assert(s("181926").getAs[String]("app_id") === "application_1763227670269_0004")
+    // clean run #2: 21:42:08 -> 21:51:19 = 551 s
+    assert(s("184204").getAs[String]("final_state") === "SUCCEEDED")
+    assert(s("184204").getAs[Long]("duration_seconds") === 551L)
+    // derived scan throughput: BASELINE.md's "~7.3-7.6 MB/s" envelope
+    val mbps = clean("Bytes Read").toDouble / 1e6 /
+      s("181926").getAs[Long]("duration_seconds")
+    assert(mbps > 7.0 && mbps < 8.0, s"throughput $mbps MB/s")
+
+    // the three failure modes the reference preserved on purpose
+    assert(s("181718").getAs[String]("final_state") === "ENV_FAILURE")
+    assert(s("181827").getAs[String]("final_state") === "OUTPUT_EXISTS")
+    assert(s("195241").getAs[String]("final_state") === "LOST")
+    assert(s("195241").getAs[Boolean]("shuffle_error"),
+      "master kill surfaces as MAX_FAILED_UNIQUE_FETCHES")
+    assert(s("190926").getAs[String]("final_state") === "LOST")
+    summary.unpersist()
+
+    // -- timeline roll-up agrees with the per-file reads above --
+    val tl = RefReports.timelineSummary(spark).collect()
+      .map(r => r.getAs[String]("run") -> r).toMap
+    val faultRun = tl("fault_test_20251115-190926")
+    assert(faultRun.getAs[Long]("events") === 6L)
+    assert(faultRun.getAs[Double]("max_progress") === 12.19)
+    // clean run #2's monitor never reached the master: all 54 samples are
+    // the degraded MASTER_UNAVAILABLE shape while the job.log shows success
+    // — a negative result the reference committed, reproduced here honestly
+    val clean2Tl = tl("fault_test_20251115-184204")
+    assert(clean2Tl.getAs[Long]("samples") === 54L)
+    assert(clean2Tl.getAs[Long]("events") === 0L)
+    assert(clean2Tl.getAs[String]("last_state") === "MASTER_UNAVAILABLE")
+  }
+
   test("reference fault-report read-back: committed reports reproduce the documented numbers") {
     import graft.observability.Telemetry
     import graft.sources.JsonLines
