@@ -63,7 +63,9 @@ object SparkEntry {
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q22_global_opportunity" -> (Relational.q22GlobalOpportunity _),
     "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q11_important_stock" -> ((s, d) => Relational.q11ImportantStock(s, d)),
     "q12_late_priority" -> (Relational.q12LatePriority _),
     "q16_supplier_part_cnt" -> (Relational.q16SupplierPartCount _),
     "q20_excess_suppliers" -> (Relational.q20ExcessSuppliers _),
@@ -1156,6 +1158,42 @@ object SparkEntry {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |WHERE p.p_type = 'LARGE' AND p.p_size <= 15
         |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_9'
+        |    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS total_volume,
+        |  CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_9'
+        |    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE r.r_name = 'AMERICA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_important_stock" ->
+      """WITH supply AS (
+        |  SELECT l.l_partkey,
+        |    CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,2)) AS v
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_9'),
+        |cutoff AS (
+        |  SELECT 3.0 * CAST(SUM(v) AS DOUBLE) / COUNT(DISTINCT l_partkey) AS c
+        |  FROM supply)
+        |SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS value
+        |FROM supply GROUP BY 1
+        |HAVING CAST(SUM(v) AS DOUBLE) > (SELECT c FROM cutoff)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
     "q9_product_profit" ->
       """SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
         |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)

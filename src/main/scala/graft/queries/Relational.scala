@@ -669,4 +669,72 @@ object Relational {
       .agg(count(lit(1)).as("numcust"), sum2(col("c_acctbal")).as("totacctbal"))
       .orderBy("c_nationkey")
   }
+
+  /** TPC-H Q8 shape (national market share): one nation's revenue share of
+    * a region's market per year — the conditional-share form
+    * sum(CASE)/sum(), with the dimension hierarchy joined under TWO roles
+    * (customer nation locates the market, supplier nation takes the
+    * share). Both sums accumulate exactly in decimal; the share is one
+    * IEEE division of their double casts, identical cross-engine. All
+    * four dims broadcast; the only shuffles are fact-fact on orderkey
+    * and the 7-row year aggregate.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      shareNation: String = "NATION_9", market: String = "AMERICA"): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val sup = Tables.load(spark, dir, "supplier")
+    val cn = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val sn = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val reg = Tables.load(spark, dir, "region").filter(col("r_name") === market)
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(reg), col("c_rk") === col("r_regionkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        sum4(when(col("supp_nation") === shareNation, volume).otherwise(lit(0.0)))
+          .as("nation_volume"),
+        sum4(volume).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .select("o_year", "nation_volume", "total_volume", "mkt_share")
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q11 shape (important stock): per-part supply value from one
+    * nation's suppliers, keeping parts whose value clears a multiple of
+    * the MEAN part value — the grouped-aggregate + global-scalar HAVING
+    * form. TPC-H's fraction-of-total threshold is deliberately replaced
+    * by a mean multiple: the part universe grows with scale factor, so a
+    * fixed total fraction selects a vanishing (eventually empty) set,
+    * while "k× the average part" keeps a scale-proportional tail. The
+    * global scalar is a 1-row broadcast; no second scan of the grouped
+    * table.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String,
+      nation: String = "NATION_9", meanMultiple: Double = 3.0): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val nat = Tables.load(spark, dir, "nation").filter(col("n_name") === nation)
+    val supply = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    val perPart = supply.groupBy("l_partkey")
+      .agg(sum2(col("l_extendedprice") * col("l_quantity")).as("value"))
+    // exact decimal total over the RAW rows (summing the per-part doubles
+    // would be order-dependent), one deterministic division for the mean
+    val threshold = supply.agg(
+      (lit(meanMultiple) * sum(dec2(col("l_extendedprice") * col("l_quantity")))
+        .cast("double") / count_distinct(col("l_partkey"))).as("cutoff"))
+    perPart.crossJoin(broadcast(threshold))
+      .filter(col("value") > col("cutoff"))
+      .select("l_partkey", "value")
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
 }
