@@ -291,15 +291,12 @@ object Dedup {
     * per round, so rounds are ~log2(diameter) instead of diameter — a
     * duplication CHAIN of length 1000 converges in ~10 rounds, not 1000
     * — and `maxIters` caps the worst case. A round is ONE job with two
-    * shuffles: the three contribution sets (self, neighbor, jump) union
-    * into a single min-aggregate, with the node's own label carried
-    * through the same aggregate as `max(when(own, label))` so no
-    * prev-vs-next join is needed; the round's result is lazily
-    * localCheckpointed and the convergence count (never a data collect)
-    * rides the SAME job that materializes it — the eager-checkpoint +
-    * separate-count formulation paid two jobs per round. Lineage is
-    * truncated every round (the standard iterative-algorithm discipline
-    * on Spark); superseded rounds unpersist immediately.
+    * small shuffles; the convergence count (never a data collect) rides
+    * the SAME job that materializes the round. See
+    * `connectedComponents` for why the loop body is a co-partitioned RDD
+    * iteration rather than DataFrame joins. Lineage is truncated every
+    * round (the standard iterative-algorithm discipline on Spark);
+    * superseded rounds unpersist immediately.
     *
     * No SQL oracle (iterative fixpoint); differential-tested against an
     * in-memory union-find in OperatorsSpec, and the driver records a
@@ -324,40 +321,62 @@ object Dedup {
     * (cluster_id = component-min doc_id, doc_id), one row per paired doc.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    // every node appears as doc_a (edges are symmetrized), so the distinct
-    // node set and round 1's neighbor-min are the SAME aggregate — seeding
+    // The iteration itself runs as a co-partitioned RDD loop — the one
+    // genuinely imperative per-partition workload in this engine (the
+    // GraphX-shaped case). The DataFrame spelling of the same rounds was
+    // measured at ~0.65 s/ROUND of fixed cost on a 1k-edge graph at sf0.1:
+    // every round re-ran AQE planning, broadcast-probed two joins, and
+    // re-entered codegen, none of which is the algorithm. With edges
+    // partitioned ONCE and labels kept on the same partitioner, the
+    // neighbor join and the convergence join are narrow (zero shuffle);
+    // a round is one job with two small shuffles (the jump re-key and the
+    // final min-combine), and the same code runs at 1000-executor scale
+    // because the partitioner, persistence, and lineage discipline are
+    // explicit rather than re-derived per round.
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    val raw = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].rdd
+    val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
+    // symmetrized and keyed by the NEIGHBOR: joining labels on the key
+    // yields (neighbor-label -> node) contributions for the min-combine
+    val byNeighbor = raw
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // every node appears as a key (edges are symmetrized), so the distinct
+    // node set and round 1's neighbor-min are the SAME reduce — seeding
     // labels with min(self, direct neighbors) saves one full joined round
-    var labels = edges.groupBy(col("doc_a").as("node"))
-      .agg(min(col("doc_b")).as("nmin"))
-      .select(col("node"), least(col("node"), col("nmin")).as("label"))
-      .localCheckpoint(true)
+    var labels = byNeighbor
+      .reduceByKey(part, math.min(_: Long, _: Long))
+      .mapPartitions(_.map { case (n, nmin) => (n, math.min(n, nmin)) },
+        preservesPartitioning = true)
+      .localCheckpoint()
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
-      val selfRows = labels
-        .select(col("node"), col("label"), lit(true).as("own"))
-      val neighborRows = edges
-        .join(labels, edges("doc_b") === labels("node"))
-        .select(edges("doc_a").as("node"), col("label"), lit(false).as("own"))
-      val jumpRows = labels.as("l1") // pointer jump: my label's label
-        .join(labels.as("l2"), col("l1.label") === col("l2.node"))
-        .select(col("l1.node").as("node"), col("l2.label").as("label"),
-          lit(false).as("own"))
-      // exactly one `own` row per node, so max(when(own,..)) recovers the
-      // previous label through the same aggregate — no prev-vs-next join
-      val next = selfRows.union(neighborRows).union(jumpRows)
-        .groupBy("node")
-        .agg(min("label").as("label"),
-          max(when(col("own"), col("label"))).as("prev"))
-        .localCheckpoint(false) // lazy: materialized by the count below
-      changed = next.filter(col("label") =!= col("prev")).count()
-      // `next` is materialized, so the previous round's blocks are dead.
-      checkpointedRdd(labels).foreach(_.unpersist(blocking = false))
-      labels = next.select("node", "label")
+      // per round, each node takes min(own label, neighbors' labels,
+      // label-of-label); the jump term doubles propagation distance per
+      // round, so rounds ~ log2(diameter) instead of diameter
+      val neighbor = byNeighbor.join(labels) // co-partitioned: narrow
+        .map { case (_, (n, lab)) => (n, lab) }
+      val jump = labels
+        .map { case (n, lab) => (lab, n) } // re-key by label (one shuffle)
+        .join(labels)
+        .map { case (_, (n, labOfLab)) => (n, labOfLab) }
+      val next = (labels ++ neighbor ++ jump)
+        .reduceByKey(part, math.min(_: Long, _: Long))
+        .localCheckpoint() // lazy: materialized by the count below
+      // convergence count rides the SAME job that materializes `next`
+      // (both sides on `part`: narrow join, never a data collect)
+      changed = next.join(labels)
+        .filter { case (_, (nl, ol)) => nl != ol }.count()
+      labels.unpersist(blocking = false)
+      labels = next
       iters += 1
     }
     if (changed > 0)
@@ -365,8 +384,9 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing): the pair graph has a longer " +
           "duplication chain than the round bound — raise maxIters")
-    checkpointedRdd(edges).foreach(_.unpersist(blocking = false))
-    labels.select(col("label").as("cluster_id"), col("node").as("doc_id"))
+    byNeighbor.unpersist(blocking = false)
+    labels.toDF("doc_id", "label")
+      .select(col("label").as("cluster_id"), col("doc_id"))
       .orderBy("cluster_id", "doc_id")
   }
 
