@@ -181,6 +181,10 @@ object SparkEntry {
     // rows-only check; the single-threaded-reference differential in
     // OperatorsSpec is the correctness anchor.
     "text_bpe_merges" -> ((s, d) => operators.Bpe.merges(Tables.load(s, d, "documents"))),
+    "text_bpe_encode" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      operators.Bpe.encodeStats(docs, operators.Bpe.merges(docs))
+    }),
     // no oracleSql: Misra-Gries estimates depend on merge order -> driver
     // records a rows-only check; bounds vs the exact twin are asserted in
     // OperatorsSpec.

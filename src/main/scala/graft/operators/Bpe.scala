@@ -62,7 +62,7 @@ object Bpe {
     * input array UNCHANGED (reference-equal) when the pair never occurs,
     * so callers can cheaply detect no-ops.
     */
-  private def mergeStep(syms: Array[String], a: String, b: String): Array[String] = {
+  private[operators] def mergeStep(syms: Array[String], a: String, b: String): Array[String] = {
     var i = 0
     var hit = false
     while (i + 1 < syms.length && !hit) {
@@ -281,5 +281,80 @@ object Bpe {
     }
     learned.result().toDF("rank", "left", "right", "pair_count")
       .orderBy("rank")
+  }
+
+  /** Encode a word with a fixed merge program: characters + `</w>`, then
+    * every merge in rank order, each as the same left-to-right
+    * non-overlapping pass the trainer used — the standard BPE encoder
+    * (Sennrich ACL'16 §3.2: "we apply the learned operations in the order
+    * they were learned").
+    */
+  private[operators] def encodeWord(w: String, ms: Array[(String, String)]): Array[String] = {
+    var syms = new Array[String](w.length + 1)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    syms(w.length) = "</w>"
+    var m = 0
+    while (m < ms.length) {
+      syms = mergeStep(syms, ms(m)._1, ms(m)._2)
+      m += 1
+    }
+    syms
+  }
+
+  /** APPLY a learned merge table: one row per (doc_id, pos, symbol), the
+    * tokenized corpus a training pipeline feeds downstream.
+    *
+    * Scale shape: the merge table is bounded by construction (nMerges
+    * rows), so it collects and broadcasts as the per-executor merge
+    * program; encoding is then a pure per-row map — zero shuffle, no
+    * vocabulary join on the token stream. Applying a FIXED program to one
+    * word is inherently sequential and word-local (the same justified
+    * typed-map exception as the trainer's simulation step); everything
+    * corpus-sized stays distributed.
+    */
+  def encode(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms: Array[(String, String)] = mergeTable.orderBy("rank")
+      .select("left", "right").as[(String, String)].collect()
+    val bc = spark.sparkContext.broadcast(ms)
+    docs.select(col("doc_id"), WordCount.tokens(col("text")).as("words"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, words) =>
+        val prog = bc.value
+        var pos = 0
+        words.iterator.flatMap { w =>
+          encodeWord(w, prog).iterator.map { s =>
+            val r = (id, pos, s); pos += 1; r
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "symbol")
+  }
+
+  /** Per-document encoding statistics under a learned merge table:
+    * word count, BPE token count, and fertility (tokens per word — THE
+    * tokenizer-quality number). Same per-row shape as `encode` with the
+    * counts folded in place, so the stats never shuffle the token stream.
+    */
+  def encodeStats(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms: Array[(String, String)] = mergeTable.orderBy("rank")
+      .select("left", "right").as[(String, String)].collect()
+    val bc = spark.sparkContext.broadcast(ms)
+    docs.select(col("doc_id"), WordCount.tokens(col("text")).as("words"))
+      .as[(Long, Seq[String])]
+      .map { case (id, words) =>
+        val prog = bc.value
+        var nTok = 0L
+        words.foreach { w => nTok += encodeWord(w, prog).length }
+        (id, words.length.toLong, nTok)
+      }
+      .toDF("doc_id", "n_words", "n_tokens")
+      .withColumn("fertility",
+        when(col("n_words") > 0, col("n_tokens").cast("double") / col("n_words")))
+      .orderBy("doc_id")
   }
 }

@@ -724,6 +724,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_._1) === got.indices)
   }
 
+  test("BPE encode matches a single-threaded reference encoder") {
+    import graft.operators.Bpe
+    val d = docs(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest newest"),
+      (3L, "newest newest newest widest widest widest"),
+      (4L, "a a a a a a a a a a a a a a a a a a a a"))
+    val table = Bpe.merges(d, nMerges = 8)
+    val ms = table.orderBy("rank")
+      .select("left", "right").as[(String, String)].collect()
+
+    // reference: chars + </w>, merges in rank order, left-to-right
+    // non-overlapping per merge
+    def refEncode(w: String): Seq[String] =
+      ms.foldLeft[Seq[String]](w.map(_.toString) :+ "</w>") { case (syms, (a, b)) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toSeq
+      }
+
+    val expected = d.select("doc_id", "text").as[(Long, String)].collect().flatMap { case (id, text) =>
+      text.split("\\s+").iterator.flatMap(refEncode).zipWithIndex
+        .map { case (s, p) => (id, p, s) }
+    }.toSeq.sorted
+    val got = Bpe.encode(d, table)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(got === expected)
+
+    // stats agree with the exploded stream, fertility < untrained baseline
+    val stats = Bpe.encodeStats(d, table)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val tokensByDoc = expected.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    stats.foreach { case (id, nW, nT, fert) =>
+      assert(nT === tokensByDoc(id))
+      assert(fert === nT.toDouble / nW)
+    }
+    // empty merge table: every word is chars + </w>
+    val untrained = Bpe.encodeStats(d, table.filter(org.apache.spark.sql.functions.col("rank") < 0))
+      .as[(Long, Long, Long, Double)].collect()
+    untrained.foreach { case (id, nW, nT, _) =>
+      val textLen = d.filter(org.apache.spark.sql.functions.col("doc_id") === id)
+        .select("doc_id", "text")
+        .as[(Long, String)].head()._2.split("\\s+").map(_.length + 1).sum
+      assert(nT === textLen)
+    }
+    assert(stats.map(_._3).sum < untrained.map(_._3).sum)
+  }
+
   test("BPE batching stays exact on a tie-heavy corpus overflowing the slice") {
     import graft.operators.Bpe
     // > 256 distinct adjacent pairs (so the collected slice is INCOMPLETE
