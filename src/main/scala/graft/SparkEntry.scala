@@ -173,6 +173,7 @@ object SparkEntry {
     "text_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
+    "text_fuzzy_pairs" -> ((s, d) => TextAnalysis.fuzzyWordPairs(Tables.load(s, d, "documents"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
@@ -1460,6 +1461,36 @@ object SparkEntry {
          |c AS (SELECT term, COUNT(*) AS n FROM tk GROUP BY 1 HAVING COUNT(*) >= 2)
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS term_id, term, n
          |FROM c ORDER BY term_id""".stripMargin,
+    // Mirrors TextAnalysis.fuzzyWordPairs: SymSpell deletion-≤2 blocking
+    // over the vocabulary, hub keys capped at MaxDeletionBucket, exact
+    // levenshtein verify. range(a,b) is [a,b) and empty when a >= b, so no
+    // descending-sequence guard is needed on the DuckDB side.
+    "text_fuzzy_pairs" ->
+      s"""WITH $tokCte,
+         |wc AS (
+         |  SELECT w AS word, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(tokens) AS w FROM tok)
+         |  GROUP BY 1 HAVING length(word) BETWEEN 3 AND 32),
+         |keyed AS (
+         |  SELECT word, cnt, unnest(list_distinct(
+         |    [word]
+         |    || list_transform(range(1, length(word) + 1), i ->
+         |         substr(word, 1, i-1) || substr(word, i+1, length(word)))
+         |    || flatten(list_transform(range(1, length(word)), i ->
+         |         list_transform(range(i+1, length(word) + 1), j ->
+         |           substr(word, 1, i-1) || substr(word, i+1, j-i-1)
+         |             || substr(word, j+1, length(word))))))) AS k
+         |  FROM wc),
+         |capped AS (
+         |  SELECT * FROM keyed QUALIFY COUNT(*) OVER (PARTITION BY k) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+         |    a.cnt AS cnt_a, b.cnt AS cnt_b
+         |  FROM capped a JOIN capped b ON a.k = b.k AND a.word < b.word)
+         |SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS INT) AS dist,
+         |  cnt_a, cnt_b
+         |FROM cand WHERE levenshtein(word_a, word_b) <= 2
+         |ORDER BY word_a, word_b""".stripMargin,
     "mm_media_meta" -> mediaMetaSql,
   )
 }

@@ -366,4 +366,75 @@ object TextAnalysis {
       .select("doc_id", "fp")
       .orderBy("doc_id")
   }
+
+  /** Hot-key guard for the fuzzy-pair deletion buckets: a deletion variant
+    * shared by more than this many vocabulary words is dropped before the
+    * self-join (short hub keys — think the del-2 residues of every 4-letter
+    * word — would otherwise go quadratic in one task). Mirrored verbatim in
+    * the SQL oracle's QUALIFY clause.
+    */
+  val MaxDeletionBucket = 64
+
+  /** Fuzzy vocabulary pairs — words within Levenshtein distance `maxDist`
+    * of each other, with corpus frequencies: the typo/variant-clustering
+    * pass of vocabulary cleaning (fold `colour` into `color`, `teh` into
+    * `the`) and a fuzzy-join primitive over any string key.
+    *
+    * Algorithm: SymSpell-style deletion-neighborhood blocking (Garbe's
+    * symmetric delete; same family as Norvig's spell corrector, inverted).
+    * Each word emits every variant reachable by up to `maxDist` character
+    * DELETIONS; if lev(a, b) <= maxDist then their deletion neighborhoods
+    * intersect, so a self-join on the variant key finds every true pair,
+    * and an exact `levenshtein` filter removes the false candidates the
+    * shared-deletion condition admits.
+    *
+    * Scale shape: the neighborhood explode runs on the AGGREGATED
+    * vocabulary (a corpus scan's distinct words), never the corpus; keys
+    * per word are O(len^maxDist) but bounded by `maxWordLen`; the join is
+    * a shuffle hash join on the variant key with `MaxDeletionBucket`
+    * capping hub keys — the same candidate-generation -> exact-verify
+    * split as the MinHash/SimHash dedup stack, applied at word rather
+    * than document granularity. Everything is built-ins (codegen'd), and
+    * the identical construction runs in the DuckDB oracle.
+    */
+  def fuzzyWordPairs(docs: DataFrame, maxDist: Int = 2, minLen: Int = 3,
+      maxWordLen: Int = 32, minCount: Long = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "deletion depth implemented for 1 and 2")
+    val vocab = docs
+      .select(explode(WordCount.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(char_length(col("word")).between(minLen, maxWordLen) &&
+        col("cnt") >= minCount)
+    val del1 =
+      "transform(sequence(1, char_length(word)), i -> " +
+        "concat(substring(word, 1, i-1), substring(word, i+1, char_length(word))))"
+    // delete positions i < j: guard the inner sequence — sequence(a, b)
+    // with a > b is DESCENDING in Spark, not empty (the repo-wide trap)
+    val del2 =
+      "flatten(transform(sequence(1, char_length(word) - 1), i -> " +
+        "transform(sequence(i + 1, char_length(word)), j -> " +
+        "concat(substring(word, 1, i-1), substring(word, i+1, j-i-1), " +
+        "substring(word, j+1, char_length(word))))))"
+    val keysExpr =
+      if (maxDist == 1) s"array_distinct(concat(array(word), $del1))"
+      else s"array_distinct(concat(array(word), $del1, $del2))"
+    val keyed = vocab.select(col("word"), col("cnt"),
+      explode(expr(keysExpr)).as("k"))
+    val capped = keyed
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")))
+      .filter(col("bucket_n") <= MaxDeletionBucket)
+      .drop("bucket_n")
+    val a = capped.select(col("word").as("word_a"), col("cnt").as("cnt_a"), col("k"))
+    val b = capped.select(col("word").as("word_b"), col("cnt").as("cnt_b"), col("k"))
+    a.join(b, Seq("k"))
+      .filter(col("word_a") < col("word_b"))
+      .select("word_a", "word_b", "cnt_a", "cnt_b")
+      .distinct()
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("word_a"), col("word_b"), col("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy("word_a", "word_b")
+  }
 }

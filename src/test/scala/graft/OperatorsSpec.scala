@@ -199,6 +199,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bpe === 6L)
   }
 
+  test("fuzzy word pairs: finds every lev<=2 pair via deletion blocking, exact verify") {
+    // typo structure: substitution (color/colur), deletion (color/colr),
+    // transposition = 2 edits (the/teh), unrelated word, and a short word
+    // below minLen that must be excluded
+    val d = docs(
+      (1L, "color color color colur colr spark to"),
+      (2L, "the teh apple to"))
+    val got = TextAnalysis.fuzzyWordPairs(d)
+      .as[(String, String, Int, Long, Long)].collect().toSeq
+
+    // independent oracle: brute-force Levenshtein over the same vocabulary
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val vocab = Seq("color" -> 3L, "colur" -> 1L, "colr" -> 1L, "spark" -> 1L,
+      "the" -> 1L, "teh" -> 1L, "apple" -> 1L)
+    val expected = (for {
+      (a, ca) <- vocab; (b, cb) <- vocab
+      if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b), ca, cb)).sortBy(t => (t._1, t._2))
+    assert(got === expected)
+    // the known pairs are present with the right distances
+    val dists = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(dists(("color", "colur")) === 1)
+    assert(dists(("color", "colr")) === 1)
+    assert(dists(("colr", "colur")) === 1) // one insertion
+    assert(dists(("teh", "the")) === 2)
+    assert(!dists.contains(("apple", "spark")))
+    // "to" (below minLen) never appears
+    assert(got.forall(t => t._1 != "to" && t._2 != "to"))
+  }
+
   test("fingerprint is stable and edit-sensitive") {
     val d = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "a totally different sentence"))
