@@ -90,6 +90,7 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars").orderBy("doc_id")),
     "dedup_apply_near" -> ((s, d) => Dedup.dropNearDuplicates(Tables.load(s, d, "documents"))
       .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+    "dedup_spans" -> ((s, d) => Dedup.dropDuplicateSpans(Tables.load(s, d, "documents"))),
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.load(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
@@ -1363,6 +1364,29 @@ object SparkEntry {
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
         |                 GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
         |ORDER BY doc_id""".stripMargin,
+    // Mirrors Dedup.dropDuplicateSpans: 32/8 token chunks (the text_chunks
+    // construction), corpus-first keep per distinct span, position-ordered
+    // reassembly. The QUALIFY row_number spelling is oracle-side only —
+    // the engine uses the partially-aggregable min(struct) for skew safety.
+    "dedup_spans" ->
+      s"""WITH $tokCte,
+         |t AS (SELECT doc_id, tokens,
+         |        list_transform(generate_series(1, greatest(length(tokens) - 8, 1), 24),
+         |          i -> array_to_string(tokens[i:i+31], ' ')) AS chs
+         |      FROM tok WHERE length(tokens) > 0),
+         |c AS (SELECT doc_id, CAST(unnest(range(length(chs))) AS INT) AS chunk_idx,
+         |        unnest(chs) AS chunk_text
+         |      FROM t),
+         |keep AS (SELECT doc_id, chunk_idx, chunk_text FROM c
+         |         QUALIFY row_number() OVER (PARTITION BY chunk_text
+         |           ORDER BY doc_id, chunk_idx) = 1),
+         |orig AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY 1),
+         |kept AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |           string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+         |         FROM keep GROUP BY 1)
+         |SELECT k.doc_id, k.n_kept, o.n_chunks - k.n_kept AS n_dropped,
+         |  k.clean_text
+         |FROM kept k JOIN orig o USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_apply_near" ->
       s"""WITH $sigCte,
          |$bandsCte,

@@ -146,7 +146,14 @@ object TextAnalysis {
     * multiply by ~n_tok/stride but bytes only by size/stride; no shuffle
     * until the output edge.
     */
-  def chunk(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+  def chunk(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame =
+    chunkRaw(docs, chunkSize, overlap).orderBy("doc_id", "chunk_idx")
+
+  /** `chunk` without the output-edge sort — for composition under further
+    * aggregation (Dedup.dropDuplicateSpans), where a mid-pipeline global
+    * sort would insert a useless range exchange.
+    */
+  def chunkRaw(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
     require(overlap < chunkSize, "overlap must be smaller than chunkSize")
     val stride = chunkSize - overlap
     docs
@@ -160,7 +167,6 @@ object TextAnalysis {
           .as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx"),
         col("c.t").as("chunk_text"), col("c.n").as("n_tokens"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** TF-IDF top terms per document: term frequency per (doc, term), inverse

@@ -280,6 +280,46 @@ object Dedup {
     docs.join(ngramJaccardPairsRaw(docs, threshold).select(col("doc_b").as("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Span-level dedup with document reassembly — the C4-style pass that
+    * removes REPEATED SPANS from otherwise-distinct documents (boilerplate
+    * headers, license blocks, syndicated fragments) that document-level
+    * dedup cannot touch. Documents are chunked into token windows
+    * (TextAnalysis.chunkRaw); each distinct span keeps only its corpus-FIRST
+    * occurrence (min (doc_id, chunk_idx)); surviving spans reassemble in
+    * position order. Documents whose every span occurred earlier elsewhere
+    * vanish (C4 drops emptied documents); survivors report kept/dropped
+    * span counts.
+    *
+    * Scale shape: keep-first is min(struct(doc_id, chunk_idx)) per span —
+    * a PARTIALLY-AGGREGABLE min, so a boilerplate span repeated a billion
+    * times sends one candidate per map task across the shuffle (the
+    * row_number()-window spelling ships every occurrence of the hot span
+    * to one task). Reassembly is one aggregation keyed by doc_id. Two
+    * shuffles total, both hash-partitioned.
+    */
+  def dropDuplicateSpans(docs: DataFrame, chunkSize: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    val chunks = graft.functions.TextAnalysis.chunkRaw(docs, chunkSize, overlap)
+    val keep = chunks
+      .groupBy("chunk_text")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.chunk_idx").as("chunk_idx"),
+        col("chunk_text"))
+    val orig = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    keep
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+            c => c.getField("chunk_text")),
+          " ").as("clean_text"))
+      .join(orig, Seq("doc_id"))
+      .select(col("doc_id"), col("n_kept"),
+        (col("n_chunks") - col("n_kept")).as("n_dropped"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTERS: connected components over the verified pair graph,
     * labeling every paired document with the min doc_id reachable through
     * pairs — the canonical group id that a pair list alone cannot give

@@ -134,6 +134,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === (0L until 64L).map(n => (0L, n)).toSet)
   }
 
+  test("span dedup keeps corpus-first spans and reassembles in position order") {
+    // chunkSize 4, overlap 0: doc 1 = [A][B], doc 2 = [B][C] (B repeats,
+    // first seen in doc 1), doc 3 = [A] exactly (vanishes entirely)
+    val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"; val C = "c1 c2 c3 c4"
+    val d = docs((1L, s"$A $B"), (2L, s"$B $C"), (3L, A))
+    val got = Dedup.dropDuplicateSpans(d, chunkSize = 4, overlap = 0)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 0L, s"$A $B"),   // both spans first here
+      (2L, 1L, 1L, C)))         // B dropped (seen in doc 1), C kept
+    // doc 3 vanished: its only span is a repeat of doc 1's first span
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("incremental dedup drops corpus-known and batch-internal duplicates") {
     val corpus = docs((100L, "existing document one"), (101L, "existing document two"))
     val batch = docs(
