@@ -151,6 +151,8 @@ object SparkEntry {
     // token-budget mixture fill: best documents per source until the
     // per-source budget is spent
     "pipeline_budget" -> ((s, d) => Curation.budgetSample(Tables.load(s, d, "documents"))),
+    "pipeline_mix_report" -> ((s, d) => Curation.mixtureReport(Tables.load(s, d, "documents"))),
+    "q_events_scd_history" -> ((s, d) => Events.scdHistory(Tables.load(s, d, "events"))),
     // stable dense sample ids in content-hash order (distributed
     // row_number lowering)
     "pipeline_ids" -> ((s, d) => Curation.assignDenseIds(Tables.load(s, d, "documents"))),
@@ -1479,6 +1481,32 @@ object SparkEntry {
     "q_events_asof_purchase" -> asofPurchaseSql,
     "q_events_incident_window" -> incidentWindowSql,
     "q_events_latest_state" -> latestStateSql,
+    // Mirrors Events.scdHistory: one window spec carries version, the
+    // interval close, and the current flag; (ts, event_id) is a total order
+    "q_events_scd_history" ->
+      """SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+        |  event_id, event_type, value,
+        |  epoch_ms(ts) AS valid_from_ms,
+        |  lead(epoch_ms(ts)) OVER w AS valid_to_ms,
+        |  lead(epoch_ms(ts)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    // Mirrors Curation.mixtureReport: fixed quality bands over the shared
+    // quality CTE, corpus share as one deterministic double division
+    "pipeline_mix_report" ->
+      s"""WITH q AS ($qualityCore),
+         |b AS (SELECT d.source,
+         |        CAST(least(floor(q.quality * 10), 9) AS INT) AS band,
+         |        q.n_tokens
+         |      FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |a AS (SELECT source, band, COUNT(*) AS n_docs,
+         |        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |      FROM b GROUP BY 1, 2),
+         |t AS (SELECT COUNT(*) AS total_docs FROM b)
+         |SELECT source, band, n_docs, sum_tokens,
+         |  CAST(n_docs AS DOUBLE) / total_docs AS share
+         |FROM a, t ORDER BY source, band""".stripMargin,
     "text_vocab" ->
       s"""WITH $tokCte,
          |tk AS (SELECT unnest(tokens) AS term FROM tok),

@@ -201,4 +201,27 @@ object Curation {
       .select("doc_id", "pred_lang", "quality")
       .orderBy("doc_id")
   }
+
+  /** Corpus mixture report: document and token mass per (source, quality
+    * band) with corpus share — the composition dashboard a data team reads
+    * before fixing sampling rates. Bands are FIXED quality intervals
+    * (floor(quality*n)), not data-dependent quantiles: per-row, no global
+    * window, identical meaning across corpora and scale (an ntile spelling
+    * would range-shuffle the full corpus through one ordering; a band is a
+    * projection). The corpus total joins as a 1-row broadcast.
+    */
+  def mixtureReport(docs: DataFrame, nBands: Int = 10): DataFrame = {
+    val signals = TextAnalysis.withQualitySignals(
+      docs.withColumn("tokens", WordCount.tokens(col("text"))))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+      .withColumn("band",
+        least(floor(col("quality") * nBands), lit(nBands - 1)).cast("int"))
+    val agg = signals.groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    val total = signals.agg(count(lit(1)).as("total_docs"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("share", col("n_docs").cast("double") / col("total_docs"))
+      .select("source", "band", "n_docs", "sum_tokens", "share")
+      .orderBy("source", "band")
+  }
 }

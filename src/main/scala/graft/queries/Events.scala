@@ -426,4 +426,28 @@ object Events {
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
         col("n_users"), col("n_events"), col("sum_value"))
       .orderBy("day")
+
+  /** SCD2 history build — the complement of `latestStateOf`: instead of
+    * compacting a changelog to its newest version per key, materialize
+    * EVERY version with its validity interval [valid_from, valid_to) and
+    * a current-row flag — the slowly-changing-dimension (type 2) table a
+    * warehouse keeps for as-of queries over history.
+    *
+    * One shuffle on the key; `version`, `valid_to` and the flag all ride a
+    * single Window (same partitioning + ordering -> one sort, one window
+    * operator). The (ts, event_id) ordering is total, so intervals are
+    * deterministic under ties.
+    */
+  def scdHistory(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_ms", lead(col("ms"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("event_type"), col("value"), col("ms").as("valid_from_ms"),
+        col("valid_to_ms"), col("valid_to_ms").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
 }

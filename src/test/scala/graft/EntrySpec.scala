@@ -113,6 +113,8 @@ class EntrySpec extends AnyFunSuite {
     "q_events_asof_purchase" -> 1000L,
     "q_events_incident_window" -> 157L,
     "q_events_latest_state" -> 15L,
+    "q_events_scd_history" -> 1000L,
+    "pipeline_mix_report" -> 88L,
     "wordcount" -> 31L,
     "wordcount_topk" -> 31L,
     "wordcount_windowed" -> 1000L,
