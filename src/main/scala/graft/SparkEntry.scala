@@ -152,6 +152,15 @@ object SparkEntry {
     // per-source budget is spent
     "pipeline_budget" -> ((s, d) => Curation.budgetSample(Tables.load(s, d, "documents"))),
     "pipeline_mix_report" -> ((s, d) => Curation.mixtureReport(Tables.load(s, d, "documents"))),
+    // no oracleSql for the trainer (iterative fit is not single-statement
+    // SQL -> rows-only; exact single-threaded differential in sbt); the
+    // SCORER gets a dynamic oracle with the trained weights as literals.
+    "pipeline_quality_model" -> ((s, d) =>
+      operators.QualityModel.trainQuery(Tables.load(s, d, "documents"))),
+    "pipeline_quality_scores" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      operators.QualityModel.scoreWith(docs, operators.QualityModel.trainedWeights(docs))
+    }),
     "q_events_scd_history" -> ((s, d) => Events.scdHistory(Tables.load(s, d, "events"))),
     // stable dense sample ids in content-hash order (distributed
     // row_number lowering)
@@ -514,7 +523,30 @@ object SparkEntry {
       ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +
       ("ann_lsh_multiprobe" -> multiProbeSqlFor(
-        Similarity.planesFor(embCount(spark, sfDir))))
+        Similarity.planesFor(embCount(spark, sfDir)))) +
+      ("pipeline_quality_scores" -> qualityScoresSqlFor(
+        operators.QualityModel.trainedWeights(Tables.load(spark, sfDir, "documents"))))
+
+  /** Mirrors QualityModel.scoreWith: the trained weights inlined as
+    * literals (Double.toString round-trips exactly; DuckDB parses back the
+    * same double), the logit spelled in the engine's exact fold order, the
+    * sigmoid rounded to 6 decimals (libm exp is 1-ulp across engines), and
+    * the keep flag as the exp-free, cross-engine-exact z >= 0.
+    */
+  private def qualityScoresSqlFor(w: Array[Double]): String = {
+    val terms = Seq(
+      s"${w(0)} * 1.0",
+      s"${w(1)} * least(CAST(n_tokens AS DOUBLE) / 50.0, 4.0)",
+      s"${w(2)} * punct_ratio",
+      s"${w(3)} * stop_ratio",
+      s"${w(4)} * digit_ratio",
+      s"${w(5)} * least(avg_token_len / 10.0, 3.0)")
+    s"""WITH q AS ($qualityCore),
+       |zt AS (SELECT doc_id, ${terms.mkString(" + ")} AS z FROM q)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS model_score,
+       |  z >= 0.0 AS keep
+       |FROM zt ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared int8-quantization CTE prefix (mirrors Similarity.withQuantized). */
   private val quantCte =

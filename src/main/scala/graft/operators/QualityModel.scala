@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.WordCount
+import graft.functions.TextAnalysis
+
+/** Distributed training of a logistic quality classifier — the
+  * model-distillation step of a CCNet/fastText-style curation pipeline:
+  * hand-written quality heuristics provide weak labels, a linear model
+  * learns to reproduce them as a smooth score, and the model (not the
+  * rule) scores the corpus.
+  *
+  * Scale shape: batch gradient descent where EACH ITERATION IS ONE
+  * AGGREGATION JOB over the checkpointed feature frame — the only thing
+  * that ever reaches the driver is the (dim+1)-value gradient/loss row
+  * (bounded by construction, like the k-means centroid pulls in
+  * Similarity). Iterations are inherently sequential (each gradient
+  * depends on the previous weights); the per-iteration work is fully
+  * distributed and the feature scan is paid once.
+  *
+  * Determinism (the part that makes the sbt differential EXACT): every
+  * per-row gradient/loss term is a double computed in a fixed expression
+  * order, then cast to DECIMAL(38,18) before summing — decimal addition
+  * is associative and commutative, so the distributed sum equals a
+  * single-threaded sum bit-for-bit regardless of partitioning, and the
+  * weight update is one deterministic double expression on the driver.
+  * (A raw double sum would depend on Spark's partial-merge order and no
+  * exact differential could exist.)
+  */
+object QualityModel {
+
+  /** Feature dimension: bias + 5 quality signals. */
+  val Dim = 6
+
+  /** Per-document feature vector and weak label. Features are the quality
+    * signals (one token pass, per-row only), each capped into a bounded
+    * range so decimal gradient accumulation cannot overflow; the weak
+    * label is the hand rule's own verdict (quality >= 0.5).
+    */
+  def features(docs: DataFrame): DataFrame =
+    TextAnalysis.withQualitySignals(
+      docs.withColumn("tokens", WordCount.tokens(col("text"))))
+      .select(col("doc_id"),
+        array(
+          lit(1.0),
+          least(col("n_tokens").cast("double") / 50.0, lit(4.0)),
+          col("punct_ratio"),
+          col("stop_ratio"),
+          col("digit_ratio"),
+          least(col("avg_token_len") / 10.0, lit(3.0))).as("x"),
+        (col("quality") >= 0.5).cast("double").as("y"))
+
+  /** w·x as a left-to-right fold — the same order the SQL oracle spells
+    * out, so the logit is cross-engine exact.
+    */
+  private def logit(w: Array[Double]): Column =
+    aggregate(zip_with(col("x"), array(w.map(lit(_)): _*), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 18))
+
+  /** Train `iters` rounds of batch GD from w = 0. Returns the weight
+    * trajectory: one entry per iteration with the mean log-loss BEFORE
+    * the step and the weights AFTER it.
+    */
+  def trainHistory(docs: DataFrame, iters: Int = 12,
+      lr: Double = 2.0): Seq[(Int, Double, Array[Double])] = {
+    val feats = features(docs).select("x", "y").localCheckpoint(true)
+    val n = feats.count().toDouble
+    var w = Array.fill(Dim)(0.0)
+    val hist = Seq.newBuilder[(Int, Double, Array[Double])]
+    for (t <- 0 until iters) {
+      val z = logit(w)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val err = p - col("y")
+      val gradAggs = (0 until Dim).map(j =>
+        sum(dec(err * element_at(col("x"), j + 1))).as(s"g$j"))
+      val lossAgg = sum(dec(-(col("y") * log(p) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - p)))).as("loss")
+      val row = feats.agg(gradAggs.head, (gradAggs.tail :+ lossAgg): _*).head()
+      val loss = row.getDecimal(Dim).doubleValue / n
+      w = Array.tabulate(Dim)(j => w(j) - lr * row.getDecimal(j).doubleValue / n)
+      hist += ((t, loss, w.clone()))
+    }
+    org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(feats)
+      .foreach(_.unpersist(blocking = false))
+    hist.result()
+  }
+
+  /** Final trained weights (deterministic: same corpus -> same weights). */
+  def trainedWeights(docs: DataFrame, iters: Int = 12,
+      lr: Double = 2.0): Array[Double] =
+    trainHistory(docs, iters, lr).last._3
+
+  /** The training trajectory as a query result: (iter, loss, weights...).
+    * Rows-only for the driver (an iterative fit is not single-statement
+    * SQL); the exact single-threaded differential lives in OperatorsSpec.
+    */
+  def trainQuery(docs: DataFrame, iters: Int = 12, lr: Double = 2.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainHistory(docs, iters, lr)
+      .map { case (t, loss, w) => (t, loss, w(0), w(1), w(2), w(3), w(4), w(5)) }
+      .toDF("iter", "loss", "w_bias", "w_len", "w_punct", "w_stop",
+        "w_digit", "w_tok_len")
+      .orderBy("iter")
+  }
+
+  /** Score the corpus with a trained model: sigmoid(w·x) rounded to 6
+    * decimals (libm exp is 1-ulp, not bit-exact, across engines — the
+    * rounding rule every score-emitting query here follows) and the keep
+    * decision as z >= 0, which needs no exp and is cross-engine exact.
+    */
+  def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame =
+    features(docs)
+      .withColumn("z", logit(w))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("model_score"),
+        (col("z") >= 0.0).as("keep"))
+      .orderBy("doc_id")
+}

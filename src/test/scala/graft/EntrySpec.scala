@@ -115,6 +115,8 @@ class EntrySpec extends AnyFunSuite {
     "q_events_latest_state" -> 15L,
     "q_events_scd_history" -> 1000L,
     "pipeline_mix_report" -> 88L,
+    "pipeline_quality_model" -> 12L,
+    "pipeline_quality_scores" -> 500L,
     "wordcount" -> 31L,
     "wordcount_topk" -> 31L,
     "wordcount_windowed" -> 1000L,
@@ -129,13 +131,14 @@ class EntrySpec extends AnyFunSuite {
     */
   private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx",
     "dedup_clusters", "text_heavyhitters_sketch", "text_bpe_merges",
-    "text_bpe_encode")
+    "text_bpe_encode", "pipeline_quality_model")
 
   /** Queries whose oracle is data-dependent (fitted centroids exported as
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,
     * not present in the static map.
     */
-  private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic")
+  private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
+    "pipeline_quality_scores")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

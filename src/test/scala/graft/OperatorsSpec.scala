@@ -723,6 +723,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scrambled.toSeq === base.toSeq)
   }
 
+  test("quality model: distributed GD equals a single-threaded reference bit-for-bit") {
+    import graft.operators.QualityModel
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val iters = 5
+    val hist = QualityModel.trainHistory(d, iters = iters, lr = 2.0)
+
+    // reference: same per-row doubles in the same order, decimal-rounded
+    // like Spark's double->DECIMAL(38,18) cast (valueOf = toString repr,
+    // which is what Spark's Decimal(double) uses), summed sequentially
+    val feats = QualityModel.features(d).select("x", "y")
+      .as[(Seq[Double], Double)].collect()
+    def decSum18(terms: Iterator[Double]): JBD =
+      terms.foldLeft(JBD.ZERO)((acc, t) =>
+        acc.add(JBD.valueOf(t).setScale(18, RoundingMode.HALF_UP)))
+    var w = Array.fill(QualityModel.Dim)(0.0)
+    for (t <- 0 until iters) {
+      val zy = feats.map { case (x, y) =>
+        var z = 0.0
+        var j = 0
+        while (j < QualityModel.Dim) { z = z + x(j) * w(j); j += 1 }
+        (x, y, 1.0 / (1.0 + math.exp(-z)))
+      }
+      val grads = (0 until QualityModel.Dim).map(j =>
+        decSum18(zy.iterator.map { case (x, y, p) => (p - y) * x(j) }))
+      val loss = decSum18(zy.iterator.map { case (_, y, p) =>
+        -(y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
+      }).doubleValue / feats.length
+      w = Array.tabulate(QualityModel.Dim)(j =>
+        w(j) - 2.0 * grads(j).doubleValue / feats.length)
+      assert(hist(t)._2 === loss, s"loss at iter $t")
+      assert(hist(t)._3.toSeq === w.toSeq, s"weights after iter $t")
+    }
+    // the fit actually learns: loss drops and the model reproduces the
+    // weak labels well above chance
+    assert(hist.last._2 < hist.head._2)
+    val scored = QualityModel.scoreWith(d, hist.last._3)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val labels = feats.map(_._2)
+    val docIds = QualityModel.features(d).select("doc_id", "y")
+      .as[(Long, Double)].collect()
+    val agree = docIds.count { case (id, y) => scored(id) == (y >= 0.5) }
+    assert(agree.toDouble / docIds.length > 0.8,
+      s"model agrees with weak labels on only $agree/${docIds.length}")
+  }
+
   test("BPE merges match a single-threaded reference on the classic corpus") {
     import graft.operators.Bpe
     // Sennrich's worked example family: repeated words with shared affixes
