@@ -186,6 +186,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
     "text_fuzzy_pairs" -> ((s, d) => TextAnalysis.fuzzyWordPairs(Tables.load(s, d, "documents"))),
+    "text_fuzzy_apply" -> ((s, d) => TextAnalysis.applyFuzzyCorrections(Tables.load(s, d, "documents"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
@@ -219,6 +220,32 @@ object SparkEntry {
     """tok AS (SELECT doc_id, source,
       |  list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tokens
       |  FROM documents)""".stripMargin
+
+  /** Shared SymSpell candidate construction (text_fuzzy_pairs /
+    * text_fuzzy_apply): vocabulary, deletion-≤2 keys, hub cap, self-join.
+    */
+  private val fuzzyCandCte =
+    s"""$tokCte,
+       |wc AS (
+       |  SELECT w AS word, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(tokens) AS w FROM tok)
+       |  GROUP BY 1 HAVING length(word) BETWEEN 3 AND 32),
+       |keyed AS (
+       |  SELECT word, cnt, unnest(list_distinct(
+       |    [word]
+       |    || list_transform(range(1, length(word) + 1), i ->
+       |         substr(word, 1, i-1) || substr(word, i+1, length(word)))
+       |    || flatten(list_transform(range(1, length(word)), i ->
+       |         list_transform(range(i+1, length(word) + 1), j ->
+       |           substr(word, 1, i-1) || substr(word, i+1, j-i-1)
+       |             || substr(word, j+1, length(word))))))) AS k
+       |  FROM wc),
+       |capped AS (
+       |  SELECT * FROM keyed QUALIFY COUNT(*) OVER (PARTITION BY k) <= 64),
+       |cand AS (
+       |  SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+       |    a.cnt AS cnt_a, b.cnt AS cnt_b
+       |  FROM capped a JOIN capped b ON a.k = b.k AND a.word < b.word)""".stripMargin
 
   private val shCte =
     tokCte + """,
@@ -1549,32 +1576,41 @@ object SparkEntry {
     // over the vocabulary, hub keys capped at MaxDeletionBucket, exact
     // levenshtein verify. range(a,b) is [a,b) and empty when a >= b, so no
     // descending-sequence guard is needed on the DuckDB side.
+    // (concatenated, not interpolated: stripMargin would eat one pipe of
+    // every `||` continuation line inside the embedded CTE)
     "text_fuzzy_pairs" ->
-      s"""WITH $tokCte,
-         |wc AS (
-         |  SELECT w AS word, COUNT(*) AS cnt
-         |  FROM (SELECT unnest(tokens) AS w FROM tok)
-         |  GROUP BY 1 HAVING length(word) BETWEEN 3 AND 32),
-         |keyed AS (
-         |  SELECT word, cnt, unnest(list_distinct(
-         |    [word]
-         |    || list_transform(range(1, length(word) + 1), i ->
-         |         substr(word, 1, i-1) || substr(word, i+1, length(word)))
-         |    || flatten(list_transform(range(1, length(word)), i ->
-         |         list_transform(range(i+1, length(word) + 1), j ->
-         |           substr(word, 1, i-1) || substr(word, i+1, j-i-1)
-         |             || substr(word, j+1, length(word))))))) AS k
-         |  FROM wc),
-         |capped AS (
-         |  SELECT * FROM keyed QUALIFY COUNT(*) OVER (PARTITION BY k) <= 64),
-         |cand AS (
-         |  SELECT DISTINCT a.word AS word_a, b.word AS word_b,
-         |    a.cnt AS cnt_a, b.cnt AS cnt_b
-         |  FROM capped a JOIN capped b ON a.k = b.k AND a.word < b.word)
-         |SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS INT) AS dist,
-         |  cnt_a, cnt_b
-         |FROM cand WHERE levenshtein(word_a, word_b) <= 2
-         |ORDER BY word_a, word_b""".stripMargin,
+      ("WITH " + fuzzyCandCte + "\n" +
+        """SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS INT) AS dist,
+          |  cnt_a, cnt_b
+          |FROM cand WHERE levenshtein(word_a, word_b) <= 2
+          |ORDER BY word_a, word_b""".stripMargin),
+    // Mirrors TextAnalysis.applyFuzzyCorrections: unambiguous rare->canon
+    // directions (10x frequency imbalance), most-frequent canon per rare
+    // (lexicographic tiebreak), positional token rewrite + reassembly.
+    "text_fuzzy_apply" ->
+      ("WITH " + fuzzyCandCte + ",\n" +
+        """pairs AS (SELECT word_a, word_b, cnt_a, cnt_b
+         |          FROM cand WHERE levenshtein(word_a, word_b) <= 2),
+         |directed AS (
+         |  SELECT word_a AS rare, word_b AS canon, cnt_a AS cnt_rare,
+         |    cnt_b AS cnt_canon FROM pairs
+         |  UNION ALL
+         |  SELECT word_b, word_a, cnt_b, cnt_a FROM pairs),
+         |corr AS (
+         |  SELECT rare, canon FROM (
+         |    SELECT rare, canon, row_number() OVER (PARTITION BY rare
+         |      ORDER BY cnt_canon DESC, canon) AS rnk
+         |    FROM directed WHERE cnt_canon >= 10.0 * cnt_rare)
+         |  WHERE rnk = 1),
+         |tk AS (SELECT doc_id, unnest(tokens) AS tok,
+         |         CAST(unnest(range(length(tokens))) AS INT) AS pos
+         |       FROM tok)
+         |SELECT t.doc_id,
+         |  CAST(SUM(CASE WHEN c.canon IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_corrected,
+         |  string_agg(coalesce(c.canon, t.tok), ' ' ORDER BY t.pos) AS text
+          |FROM tk t LEFT JOIN corr c ON t.tok = c.rare
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     "mm_media_meta" -> mediaMetaSql,
   )
 }

@@ -403,6 +403,53 @@ object TextAnalysis {
     * than document granularity. Everything is built-ins (codegen'd), and
     * the identical construction runs in the DuckDB oracle.
     */
+  /** APPLY fuzzy corrections: rewrite each rare variant to its canonical
+    * frequent form wherever the frequency imbalance makes the direction
+    * unambiguous (`canon count >= minRatio * rare count` — a typo is rare
+    * relative to its correction; near-equal frequencies are genuine
+    * variants and stay). A rare word adjacent to several canons takes the
+    * most frequent (ties: lexicographically smallest). Completes the
+    * identify->apply pairing of the dedup stack at word granularity.
+    *
+    * Scale shape: the correction table is derived from `fuzzyWordPairs`
+    * (vocabulary-sized, never corpus-sized) and joined to the exploded
+    * token stream by size-based planning (AQE broadcasts it while it is
+    * actually small); documents reassemble positionally in one aggregation.
+    * Reassembly normalizes whitespace runs to single spaces (the token
+    * stream is the unit of correction).
+    */
+  def applyFuzzyCorrections(docs: DataFrame, minRatio: Double = 10.0,
+      maxDist: Int = 2, minLen: Int = 3): DataFrame = {
+    val pairs = fuzzyWordPairs(docs, maxDist, minLen)
+    // both orientations, keep only unambiguous rare -> canon directions
+    val directed = pairs
+      .select(col("word_a").as("rare"), col("word_b").as("canon"),
+        col("cnt_a").as("cnt_rare"), col("cnt_b").as("cnt_canon"))
+      .union(pairs.select(col("word_b"), col("word_a"), col("cnt_b"), col("cnt_a")))
+      .filter(col("cnt_canon") >= lit(minRatio) * col("cnt_rare"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rare").orderBy(col("cnt_canon").desc, col("canon"))
+    val corrections = directed
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("rare"), col("canon"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(WordCount.tokens(col("text"))).as(Seq("pos", "tok")))
+    toks
+      .join(corrections, toks("tok") === corrections("rare"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("canon"), col("tok")).as("out_tok"),
+        col("canon").isNotNull.as("corrected"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("corrected"), 1L).otherwise(0L)).as("n_corrected"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("out_tok")))),
+          c => c.getField("out_tok")), " ").as("text"))
+      .select("doc_id", "n_corrected", "text")
+      .orderBy("doc_id")
+  }
+
   def fuzzyWordPairs(docs: DataFrame, maxDist: Int = 2, minLen: Int = 3,
       maxWordLen: Int = 32, minCount: Long = 1): DataFrame = {
     require(maxDist == 1 || maxDist == 2, "deletion depth implemented for 1 and 2")

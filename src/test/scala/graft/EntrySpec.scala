@@ -87,6 +87,7 @@ class EntrySpec extends AnyFunSuite {
     "text_bpe_merges" -> 12L,
     "text_bpe_encode" -> 500L,
     "text_fuzzy_pairs" -> 6L,
+    "text_fuzzy_apply" -> 500L,
     "dedup_spans" -> 500L,
     "q8_market_share" -> 7L,
     // 0 at sf0.001 is structural: NATION_9 has a single supplier there and

@@ -250,6 +250,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall(t => t._1 != "to" && t._2 != "to"))
   }
 
+  test("fuzzy correction rewrites rare variants to the dominant form, in place") {
+    // "color" dominates its two typos 12:1; "spark"/"sparse" are both
+    // frequent (ratio < 10) -> genuine variants, untouched; short "to"
+    // is below minLen and passes through
+    val colorDocs = (10L to 21L).map(i => (i, "color to paint"))
+    val d = docs(Seq(
+      (1L, "colur is nice"),
+      (2L, "colr of spark"),
+      (3L, "spark spark spark spark spark spark spark spark spark spark spark spark"),
+      (4L, "sparse sparse sparse sparse sparse sparse sparse sparse sparse sparse sparse")) ++ colorDocs: _*)
+    val got = TextAnalysis.applyFuzzyCorrections(d)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, n, t) => id -> ((n, t)) }.toMap
+    assert(got(1L) === ((1L, "color is nice")))
+    assert(got(2L) === ((1L, "color of spark")))
+    // frequent near-pair is NOT "corrected" in either direction
+    assert(got(3L)._1 === 0L)
+    assert(got(4L)._1 === 0L)
+    // untouched docs reassemble identically (single-space tokens)
+    assert(got(10L) === ((0L, "color to paint")))
+  }
+
   test("fingerprint is stable and edit-sensitive") {
     val d = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "a totally different sentence"))
