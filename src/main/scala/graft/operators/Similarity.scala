@@ -295,21 +295,65 @@ object Similarity {
   /** IVF top-k over explicit centroid vectors — shared by the lattice and
     * k-means variants; same shape as `ivfTopK`.
     */
-  def ivfTopKWith(emb: DataFrame, centroids: Array[Array[Double]],
-      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2): DataFrame = {
-    val scores = array(centroids.map(c =>
+  /** Per-row distance scores to every centroid (literal centroid arrays,
+    * zero-allocation VectorDot) — shared by the in-memory and persisted
+    * IVF paths so their cell assignments are identical by construction.
+    */
+  private def cellScores(centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c =>
       lit(norm2(c)) - lit(2.0) * graft.functions.VectorDot(col("v"),
         array(c.map(lit).toSeq: _*))).toSeq: _*)
-    val probeArr = expr(s"array_distinct(transform(sequence(1, $nProbe), " +
+
+  private def probeArr(nProbe: Int): Column =
+    expr(s"array_distinct(transform(sequence(1, $nProbe), " +
       "r -> cast(array_position(scores, element_at(array_sort(scores), r)) as int)))")
+
+  def ivfTopKWith(emb: DataFrame, centroids: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2): DataFrame = {
     val wb = withNorm(emb)
-      .withColumn("scores", scores)
+      .withColumn("scores", cellScores(centroids))
       .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
     val q = wb.filter(col("vec_id") < nQueries)
-      .withColumn("probe", explode(probeArr))
+      .withColumn("probe", explode(probeArr(nProbe)))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
     val cc = wb.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"),
       col("cell").as("n_cell"))
+    rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
+  }
+
+  /** Persist an IVF index: cell-assigned vectors written as a table
+    * BUCKETED BY the probe join key. Build once, serve many query
+    * batches: every later probe join consumes the bucketed layout
+    * directly — the index side is never shuffled again (asserted on the
+    * executed plan in ScaleSpec), which is the property that makes a
+    * billion-vector index servable. Norms are precomputed at build time;
+    * `sortBy(cell)` keeps bucket files merge-ready.
+    */
+  def buildIvfIndex(emb: DataFrame, centroids: Array[Array[Double]],
+      table: String, buckets: Int = 8): Unit =
+    withNorm(emb)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("vec_id", "v", "nrm", "cell")
+      .write.bucketBy(buckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(table)
+
+  /** Serve top-k from a persisted index. The query batch recomputes its
+    * probe cells from the same centroid literals (tiny side); the index
+    * side streams straight out of its buckets. Results are identical to
+    * `ivfTopKWith` over the same vectors and centroids (asserted in
+    * ScaleSpec).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      centroids: Array[Array[Double]], nQueries: Int = 5, k: Int = 5,
+      nProbe: Int = 2): DataFrame = {
+    val idx = spark.table(table)
+    val q = idx.filter(col("vec_id") < nQueries)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("probe", explode(probeArr(nProbe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
+    val cc = idx.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("cell").as("n_cell"))
     rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
   }
 

@@ -43,6 +43,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF index: bucketed layout serves probes without re-shuffling") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.fitCentroids(emb, nCentroids = 8)
+    try {
+      Similarity.buildIvfIndex(emb, centroids, "ivf_idx", buckets = 4)
+      // identical results to the in-memory path over the same centroids
+      val fromIndex = Similarity.ivfTopKIndexed(spark, "ivf_idx", centroids)
+      val inMemory = Similarity.ivfTopKWith(emb, centroids)
+      assert(fromIndex.collect().toSeq === inMemory.collect().toSeq)
+      // the index side is consumed AS BUCKETED: force the non-broadcast
+      // join (what a large query batch would get) and assert the index
+      // scan feeds the join with no hash exchange of its own — the one
+      // exchange in the plan belongs to the exploded probe side
+      val idx = spark.table("ivf_idx")
+        .select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("nrm").as("nn"), col("cell").as("n_cell"))
+      val probes = spark.table("ivf_idx").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("cell").as("probe"))
+      val joined = probes.hint("merge")
+        .join(idx, col("probe") === col("n_cell"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"index side must not re-shuffle (expected <=1 exchange for the probe side):\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_idx")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // The no-code skew path that complements Salting: AQE reads real
     // shuffle sizes and splits an oversized partition into parallel
