@@ -131,6 +131,7 @@ object SparkEntry {
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     "emb_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))),
     "emb_pool" -> ((s, d) => Similarity.meanPool(Tables.load(s, d, "embeddings"))),
+    "emb_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
     "ann_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(Tables.load(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
@@ -1510,6 +1511,30 @@ object SparkEntry {
         |       FROM l1 GROUP BY label, d)
         |SELECT label, d, n_vecs, sx2 / n_vecs AS mean
         |FROM l2 ORDER BY label, d""".stripMargin,
+    // Mirrors Similarity.embeddingOutliers: centroids via the emb_pool
+    // fold (exact), strict-order dots, bottom-3 per label.
+    "emb_outliers" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, vec_id, CAST(g.i AS INT) - 1 AS d, v[CAST(g.i AS INT)] AS x
+        |      FROM e CROSS JOIN generate_series(1, 64) AS g(i)),
+        |l1 AS (SELECT label, d, vec_id // 1024 AS bucket, COUNT(*) AS n,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vec_id)),
+        |           (a, b) -> a + b) AS sx
+        |       FROM x GROUP BY label, d, bucket),
+        |l2 AS (SELECT label, d, CAST(SUM(n) AS BIGINT) AS n_vecs,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sx ORDER BY bucket)),
+        |           (a, b) -> a + b) AS sx2
+        |       FROM l1 GROUP BY label, d),
+        |c AS (SELECT label, list(sx2 / n_vecs ORDER BY d) AS cvec FROM l2 GROUP BY label),
+        |cn AS (SELECT label, cvec, sqrt(list_inner_product(cvec, cvec)) AS cn FROM c),
+        |s AS (SELECT e.label, e.vec_id,
+        |        round(list_inner_product(e.v, t.cvec)
+        |          / (sqrt(list_inner_product(e.v, e.v)) * t.cn), 6) AS cos_centroid
+        |      FROM e JOIN cn t ON e.label = t.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |        ORDER BY cos_centroid, vec_id) AS rnk FROM s)
+        |SELECT label, CAST(rnk AS INT) AS rnk, vec_id, cos_centroid
+        |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
     "ann_quantized_topk" -> quantizedTopkSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,

@@ -485,7 +485,14 @@ object Similarity {
     * level 1, n/1024 bucket sums at level 2 — add a third level past ~1M
     * vectors per label; the nesting generalizes).
     */
-  def meanPool(emb: DataFrame, bucketSize: Int = 1024): DataFrame = {
+  def meanPool(emb: DataFrame, bucketSize: Int = 1024): DataFrame =
+    meanPoolRaw(emb, bucketSize).orderBy("label", "d")
+
+  /** `meanPool` without the output-edge sort — for composition under
+    * further aggregation (embeddingOutliers), where a mid-pipeline global
+    * sort would insert a useless range exchange.
+    */
+  def meanPoolRaw(emb: DataFrame, bucketSize: Int = 1024): DataFrame = {
     val x = emb.select(col("label"), col("vec_id"),
       posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
     val lvl1 = x.withColumn("bucket", expr(s"vec_id div $bucketSize"))
@@ -499,7 +506,31 @@ object Similarity {
           "cast(0.0 as double), (a, s) -> a + s.sx)").as("sx2"))
       .select(col("label"), col("d"), col("n_vecs"),
         (col("sx2") / col("n_vecs")).as("mean"))
-      .orderBy("label", "d")
+  }
+
+  /** Embedding outlier audit: the k vectors FURTHEST from their label's
+    * centroid, per label — the mislabeled/corrupt-vector check a
+    * curation pipeline runs over an embedded corpus. Centroids come from
+    * the order-deterministic `meanPoolRaw` fold (so the oracle computes
+    * the identical doubles); cosine to centroid is the same strict-order
+    * dot as the ANN pack, rounded to 6 decimals; bottom-k per label rides
+    * a label-partitioned window (never a global ordering).
+    */
+  def embeddingOutliers(emb: DataFrame, k: Int = 3): DataFrame = {
+    val cvec = meanPoolRaw(emb)
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(d, mean))), s -> s.mean)")
+        .as("cvec"))
+      .withColumn("cn", sqrt(dot("cvec", "cvec")))
+    val scored = withNorm(emb).join(cvec, Seq("label"))
+      .withColumn("cos_centroid",
+        round(dot("v", "cvec") / (col("nrm") * col("cn")), 6))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("label", "rnk", "vec_id", "cos_centroid")
+      .orderBy("label", "rnk")
   }
 
   /** Embedding-cosine near-dup audit: top pairs per label over a bounded

@@ -82,6 +82,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_ids" -> 500L,
     "text_collocations" -> 50L,
     "emb_pool" -> 640L,
+    "emb_outliers" -> 30L,
     "pipeline_wsample" -> 100L,
     "text_lm_score" -> 500L,
     "text_bpe_merges" -> 12L,
