@@ -188,6 +188,7 @@ object SparkEntry {
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
     "text_fuzzy_pairs" -> ((s, d) => TextAnalysis.fuzzyWordPairs(Tables.load(s, d, "documents"))),
     "text_fuzzy_apply" -> ((s, d) => TextAnalysis.applyFuzzyCorrections(Tables.load(s, d, "documents"))),
+    "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.load(s, d, "documents"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
@@ -1576,6 +1577,21 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // Mirrors TextAnalysis.invertedIndex: per-(term, doc) tf, rank-capped
+    // postings (QUALIFY = the WindowGroupLimit spelling), exact df/ctf.
+    "text_inverted_index" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+         |pd AS (SELECT term, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         |lim AS (SELECT term, doc_id, tf FROM pd
+         |        QUALIFY row_number() OVER (PARTITION BY term ORDER BY doc_id) <= 100),
+         |post AS (SELECT term,
+         |           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+         |         FROM lim GROUP BY 1),
+         |st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS ctf
+         |       FROM pd GROUP BY 1)
+         |SELECT p.term, s.df, s.ctf, s.df > 100 AS truncated, p.postings
+         |FROM post p JOIN st s USING (term) ORDER BY term""".stripMargin,
     // Mirrors Curation.mixtureReport: fixed quality bands over the shared
     // quality CTE, corpus share as one deterministic double division
     "pipeline_mix_report" ->

@@ -373,6 +373,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Inverted index build — the IR serving structure: one row per term
+    * with document frequency, collection term frequency, and a bounded,
+    * doc-id-ordered postings list (joined to a string for cross-engine
+    * hash stability). The postings CAP is the scale guard: stopword terms
+    * at corpus scale have postings lists the size of the corpus, so the
+    * per-term list is limited BEFORE any collection by a rank window —
+    * Spark plans it as WindowGroupLimit, so map tasks ship at most
+    * `maxPostings` rows per term across the shuffle and the full posting
+    * mass of a hot term never converges anywhere. Exact df/ctf still come
+    * from the unbounded (but fixed-width) aggregate; `truncated` flags
+    * capped terms.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 100): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    val limited = perDoc
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPostings)
+      .groupBy("term")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+        s => concat_ws(":", s.getField("doc_id"), s.getField("tf"))), ",")
+        .as("postings"))
+    val stats = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+    limited.join(stats, Seq("term"))
+      .select(col("term"), col("df"), col("ctf"),
+        (col("df") > maxPostings).as("truncated"), col("postings"))
+      .orderBy("term")
+  }
+
   /** Hot-key guard for the fuzzy-pair deletion buckets: a deletion variant
     * shared by more than this many vocabulary words is dropped before the
     * self-join (short hub keys — think the del-2 residues of every 4-letter

@@ -108,6 +108,7 @@ class EntrySpec extends AnyFunSuite {
     "text_quality" -> 500L,
     "text_tokens" -> 500L,
     "text_vocab" -> 31L,
+    "text_inverted_index" -> 31L,
     "text_repetition" -> 500L,
     "text_oov" -> 500L,
     "pipeline_sample" -> 302L,
