@@ -51,19 +51,7 @@ case class MisraGries(
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val w = v.asInstanceOf[UTF8String].toString
-    buf.get(w) match {
-      case Some(c) => buf.update(w, c + 1)
-      case None if buf.size < k => buf.update(w, 1L)
-      case None =>
-        // classic MG step: a non-resident arrival decrements every counter
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.keysIterator.foreach { key =>
-          val c = buf(key) - 1
-          if (c == 0) dead += key else buf.update(key, c)
-        }
-        dead.foreach(buf.remove)
-    }
+    MisraGries.stepIn(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
@@ -135,6 +123,25 @@ object MisraGries {
   val ResultType: DataType = ArrayType(StructType(Seq(
     StructField("word", StringType, nullable = false),
     StructField("est", LongType, nullable = false))), containsNull = false)
+
+  /** One classic MG arrival step over a k-counter buffer — shared by the
+    * Catalyst aggregate's update and the streaming twin
+    * (streaming.StreamHeavyHitters), so both paths carry identical
+    * sketch semantics.
+    */
+  def stepIn(buf: mutable.HashMap[String, Long], w: String, k: Int): Unit =
+    buf.get(w) match {
+      case Some(c) => buf.update(w, c + 1)
+      case None if buf.size < k => buf.update(w, 1L)
+      case None =>
+        // a non-resident arrival decrements every counter
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.keysIterator.foreach { key =>
+          val c = buf(key) - 1
+          if (c == 0) dead += key else buf.update(key, c)
+        }
+        dead.foreach(buf.remove)
+    }
 
   /** Column-level entry point: `MisraGries(col("word"), 32)`. */
   def apply(c: Column, k: Int): Column =

@@ -523,4 +523,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(json.contains(""""count":1"""))
     assert(json.contains(""""window":{"start":"2024-01-01T10:00:00.000Z","end":"2024-01-01T10:01:00.000Z"}"""))
   }
+
+  test("streaming heavy hitters: bounded per-bucket state honors the MG bounds") {
+    import graft.streaming.StreamHeavyHitters
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val docsDf = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val docs = docsDf.select($"doc_id", $"text").as[(Long, String)].collect()
+      .sortBy { case (id, _) => id % 5 } // scrambled arrival across batches
+    val input = MemoryStream[(Long, String)]
+    val q = StreamHeavyHitters.summaries(input.toDF().toDF("doc_id", "text"), k = k)
+      .writeStream.format("memory").queryName("shh")
+      .outputMode("append").start()
+    try {
+      docs.grouped(100).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      // latest snapshot per bucket = the one with the most arrivals
+      val snaps = spark.table("shh")
+        .as[graft.streaming.StreamHeavyHitters.BucketSummary].collect()
+        .groupBy(_.bucket).view.mapValues(_.maxBy(_.n_items)).toMap
+
+      // exact per-bucket truth over the same corpus (same tokenize + hash)
+      val exact = StreamHeavyHitters.arrivals(docsDf).collect()
+        .groupBy(_.bucket).view.mapValues(_.groupBy(_.word).view
+          .mapValues(_.length.toLong).toMap).toMap
+
+      assert(snaps.nonEmpty && snaps.keySet === exact.keySet)
+      for ((bucket, snap) <- snaps) {
+        val truth = exact(bucket)
+        val n = truth.values.sum
+        assert(snap.n_items === n, s"bucket $bucket arrival count")
+        val err = n.toDouble / (k + 1)
+        val est = snap.words.zip(snap.estimates).toMap
+        // every bucket-heavy word is present; every estimate is sound
+        truth.foreach { case (w, c) =>
+          if (c > err) assert(est.contains(w), s"missing heavy '$w' (c=$c, n=$n)")
+        }
+        est.foreach { case (w, e) =>
+          val c = truth(w)
+          assert(e <= c && e >= c - err, s"estimate $e outside [${c - err}, $c] for '$w'")
+        }
+      }
+    } finally q.stop()
+  }
 }
