@@ -189,6 +189,8 @@ object SparkEntry {
     "text_fuzzy_pairs" -> ((s, d) => TextAnalysis.fuzzyWordPairs(Tables.load(s, d, "documents"))),
     "text_fuzzy_apply" -> ((s, d) => TextAnalysis.applyFuzzyCorrections(Tables.load(s, d, "documents"))),
     "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.load(s, d, "documents"))),
+    "text_search" -> ((s, d) => TextAnalysis.search(Tables.load(s, d, "documents"),
+      Seq("spark", "hash", "merge"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
@@ -1592,6 +1594,23 @@ object SparkEntry {
          |       FROM pd GROUP BY 1)
          |SELECT p.term, s.df, s.ctf, s.df > 100 AS truncated, p.postings
          |FROM post p JOIN st s USING (term) ORDER BY term""".stripMargin,
+    // Mirrors TextAnalysis.search: conjunctive tf-idf retrieval; the score
+    // sum accumulates in decimal (order-independent), ln() argument order
+    // fixed, round 6.
+    "text_search" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+         |pd AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+         |       WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+         |d AS (SELECT term, COUNT(*) AS df FROM pd GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |s AS (SELECT p.doc_id, COUNT(*) AS n_terms,
+         |        round(CAST(SUM(CAST(p.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)
+         |          AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+         |      FROM pd p JOIN d USING (term) CROSS JOIN n
+         |      GROUP BY 1)
+         |SELECT doc_id, score FROM s WHERE n_terms = 3
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // Mirrors Curation.mixtureReport: fixed quality bands over the shared
     // quality CTE, corpus share as one deterministic double division
     "pipeline_mix_report" ->

@@ -408,6 +408,40 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** Conjunctive retrieval with TF-IDF ranking — the query side of the
+    * inverted index: documents containing ALL the given terms, ranked by
+    * summed tf·idf. The AND-semantics intersection is a grouped count
+    * (docs matching every term have one row per term), never a
+    * postings-list loop; idf comes from the term-sized df aggregate with
+    * the corpus size as a 1-row broadcast. Score rounded to 6 decimals
+    * with a fixed multiplication order (the collocations/lmScore
+    * cross-engine ln() rule).
+    */
+  def search(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val perDoc = docs
+      .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    perDoc
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        // decimal accumulation: a raw double sum would be merge-order-
+        // dependent and could differ from the oracle's summation order
+        round(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double"), 6).as("score"))
+      .filter(col("n_terms") === terms.distinct.length)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Hot-key guard for the fuzzy-pair deletion buckets: a deletion variant
     * shared by more than this many vocabulary words is dropped before the
     * self-join (short hub keys — think the del-2 residues of every 4-letter

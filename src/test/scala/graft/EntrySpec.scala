@@ -109,6 +109,7 @@ class EntrySpec extends AnyFunSuite {
     "text_tokens" -> 500L,
     "text_vocab" -> 31L,
     "text_inverted_index" -> 31L,
+    "text_search" -> 20L,
     "text_repetition" -> 500L,
     "text_oov" -> 500L,
     "pipeline_sample" -> 302L,
