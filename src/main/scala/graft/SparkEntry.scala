@@ -216,6 +216,7 @@ object SparkEntry {
     // -- Multimodal plumbing (binary payload + stubbed decode) --
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.load(s, d, "documents"))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.load(s, d, "documents"))),
+    "mm_features" -> ((s, d) => Multimodal.mediaFeatures(s, Tables.load(s, d, "documents"))),
   )
 
   // ---- generated oracle fragments (must mirror the Scala operators) ----
@@ -1672,5 +1673,23 @@ object SparkEntry {
           |FROM tk t LEFT JOIN corr c ON t.tok = c.rare
           |GROUP BY 1 ORDER BY 1""".stripMargin),
     "mm_media_meta" -> mediaMetaSql,
+    // Mirrors Multimodal.mediaFeatures: per-dimension polynomial fold over
+    // the payload codepoints (== bytes on this ascii corpus, same
+    // equivalence mm_media_meta already relies on), digests in fixed fold
+    // order.
+    "mm_features" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+        |  FROM documents),
+        |f AS (SELECT doc_id, list_transform(range(1, 9), j ->
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+        |          (h, c) -> (h * 31 + c * j) % 2147483647) AS DOUBLE) / 2147483647) AS fv
+        |      FROM b WHERE length(cs) > 0)
+        |SELECT doc_id, 8 AS dim,
+        |  list_reduce(list_prepend(0.0, fv), (a, x) -> a + x) AS f_sum,
+        |  list_min(fv) AS f_min, list_max(fv) AS f_max,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(fv, x -> x * x)),
+        |    (a, x) -> a + x)) AS f_l2
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

@@ -55,6 +55,66 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class MediaFeature(doc_id: Long, dim: Int, f_sum: Double,
+      f_min: Double, f_max: Double, f_l2: Double)
+
+  /** Deterministic fake of a media encoder (the CLIP/audio-embedding
+    * inference a real pipeline batches onto accelerators): feature j is a
+    * per-dimension polynomial fold over the payload bytes, normalized to
+    * [0, 1). Exact integer arithmetic under 2^63 and one final division,
+    * so the oracle reproduces every value bit-for-bit.
+    */
+  def featureStub(payload: Array[Byte], dim: Int = 8): Array[Double] = {
+    val M = graft.functions.PolyHash.Mod
+    Array.tabulate(dim) { j =>
+      var h = 0L
+      var i = 0
+      while (i < payload.length) {
+        h = (h * 31 + (payload(i) & 0xffL) * (j + 1)) % M
+        i += 1
+      }
+      h.toDouble / M
+    }
+  }
+
+  /** Batched feature extraction over the binary payload column — the
+    * inference stage's Spark shape: fixed-size batches through
+    * mapPartitions (amortizing model-invocation overhead exactly like a
+    * batched/pandas UDF feeding an accelerator), a fixed-width vector per
+    * record, scalar digests out (sum/min/max/l2 in fixed fold order) so
+    * the result is hash-comparable. Swap `featureStub` for a real encoder
+    * and nothing else changes.
+    */
+  def mediaFeatures(spark: SparkSession, docs: DataFrame, dim: Int = 8): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.flatMap { case (id, payload) =>
+            if (payload.isEmpty) Seq.empty[MediaFeature]
+            else {
+              val fv = featureStub(payload, dim)
+              var s = 0.0; var l2 = 0.0
+              var mn = Double.MaxValue; var mx = Double.MinValue
+              var j = 0
+              while (j < fv.length) {
+                val x = fv(j)
+                s += x; l2 += x * x
+                if (x < mn) mn = x
+                if (x > mx) mx = x
+                j += 1
+              }
+              Seq(MediaFeature(id, dim, s, mn, mx, math.sqrt(l2)))
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int, frame_sig: Int)
 
   /** Frame sampling: up to `maxFrames` evenly-strided frames per payload.

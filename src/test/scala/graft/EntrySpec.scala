@@ -60,6 +60,7 @@ class EntrySpec extends AnyFunSuite {
     "q_events_daily_active_approx" -> 30L,
     "wordcount_windowed_sliding" -> 1996L,
     "mm_frame_sample" -> 1837L,
+    "mm_features" -> 500L,
     "q_events_user_gaps" -> 15L,
     "q_nations_both_sides" -> 10L,
     "q7_nation_volume" -> 758L,
