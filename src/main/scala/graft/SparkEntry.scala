@@ -163,6 +163,7 @@ object SparkEntry {
       operators.QualityModel.scoreWith(docs, operators.QualityModel.trainedWeights(docs))
     }),
     "q_events_scd_history" -> ((s, d) => Events.scdHistory(Tables.load(s, d, "events"))),
+    "q_events_moving_avg" -> (Events.movingDailyValue _),
     // stable dense sample ids in content-hash order (distributed
     // row_number lowering)
     "pipeline_ids" -> ((s, d) => Curation.assignDenseIds(Tables.load(s, d, "documents"))),
@@ -1569,6 +1570,18 @@ object SparkEntry {
     "q_events_asof_purchase" -> asofPurchaseSql,
     "q_events_incident_window" -> incidentWindowSql,
     "q_events_latest_state" -> latestStateSql,
+    // Mirrors Events.movingDailyValue: decimal day sums through a ROWS
+    // 6-PRECEDING frame over the day-grain aggregate, one IEEE division.
+    "q_events_moving_avg" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS dv, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(dv AS DOUBLE) AS day_value,
+        |  n_events,
+        |  CAST(SUM(dv) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     // Mirrors Events.scdHistory: one window spec carries version, the
     // interval close, and the current flag; (ts, event_id) is a total order
     "q_events_scd_history" ->

@@ -427,6 +427,28 @@ object Events {
         col("n_users"), col("n_events"), col("sum_value"))
       .orderBy("day")
 
+  /** 7-day moving average of daily event value — the sliding-FRAME window
+    * shape (ROWS 6 PRECEDING) the pack's cumulative/ranked windows don't
+    * exercise. The frame walks the DAY-GRAIN aggregate, whose row count is
+    * bounded by the calendar, so the unpartitioned ordering is over a
+    * fixed-size table no matter the corpus (the corpus-sized shuffle
+    * happened in the grouped aggregate below it). Day sums stay DECIMAL
+    * through the frame sum; the average is one IEEE division.
+    */
+  def movingDailyValue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("dv"),
+        count(lit(1)).as("n_events"))
+    val w = Window.orderBy("d").rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7",
+        sum(col("dv")).over(w).cast("double") / count(lit(1)).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dv").cast("double").as("day_value"), col("n_events"), col("ma7"))
+      .orderBy("day")
+  }
+
   /** SCD2 history build — the complement of `latestStateOf`: instead of
     * compacting a changelog to its newest version per key, materialize
     * EVERY version with its validity interval [valid_from, valid_to) and
