@@ -157,13 +157,14 @@ object SparkEntry {
     // SQL -> rows-only; exact single-threaded differential in sbt); the
     // SCORER gets a dynamic oracle with the trained weights as literals.
     "pipeline_quality_model" -> ((s, d) =>
-      operators.QualityModel.trainQuery(Tables.load(s, d, "documents"))),
-    "pipeline_quality_scores" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      operators.QualityModel.scoreWith(docs, operators.QualityModel.trainedWeights(docs))
-    }),
+      operators.QualityModel.historyDF(s, qualityFit(s, d))),
+    "pipeline_quality_scores" -> ((s, d) =>
+      operators.QualityModel.scoreWith(
+        Tables.load(s, d, "documents"), qualityFit(s, d).last._3)),
     "q_events_scd_history" -> ((s, d) => Events.scdHistory(Tables.load(s, d, "events"))),
     "q_events_moving_avg" -> (Events.movingDailyValue _),
+    // RANGE-frame window: per-event trailing-hour count/sum per user
+    "q_events_trailing_hour" -> (Events.trailingHour _),
     // stable dense sample ids in content-hash order (distributed
     // row_number lowering)
     "pipeline_ids" -> ((s, d) => Curation.assignDenseIds(Tables.load(s, d, "documents"))),
@@ -500,6 +501,20 @@ object SparkEntry {
   private def embCount(s: SparkSession, d: String): Long =
     embCountCache.getOrElseUpdate(d, Tables.load(s, d, "embeddings").count())
 
+  /** Trained quality-model trajectory per sf dir — the model-registry
+    * shape: train ONCE, then serve the trajectory query, the scorer
+    * query, and the dynamic oracle from the same fit. The fit is
+    * deterministic (decimal-summed gradients, see QualityModel), so the
+    * cache changes nothing about any result — it only stops the scorer
+    * from re-running 12 gradient jobs that the trainer already ran.
+    */
+  private val qualityFitCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, Double, Array[Double])]]
+  private def qualityFit(s: SparkSession,
+      d: String): Seq[(Int, Double, Array[Double])] =
+    qualityFitCache.getOrElseUpdate(d,
+      operators.QualityModel.trainHistory(Tables.load(s, d, "documents")))
+
   /** ann_ivf_kmeans oracle: identical query shape to `ivfTopkSql`, with
     * the fitted centroids exported as double literals (Double.toString is
     * the shortest round-tripping form, so DuckDB parses back the exact
@@ -558,7 +573,7 @@ object SparkEntry {
       ("ann_lsh_multiprobe" -> multiProbeSqlFor(
         Similarity.planesFor(embCount(spark, sfDir)))) +
       ("pipeline_quality_scores" -> qualityScoresSqlFor(
-        operators.QualityModel.trainedWeights(Tables.load(spark, sfDir, "documents"))))
+        qualityFit(spark, sfDir).last._3))
 
   /** Mirrors QualityModel.scoreWith: the trained weights inlined as
     * literals (Double.toString round-trips exactly; DuckDB parses back the
@@ -1582,6 +1597,16 @@ object SparkEntry {
         |FROM daily
         |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
+    // Mirrors Events.trailingHour: RANGE frame on epoch milliseconds —
+    // value-based bounds, so equal-ms rows are peers in both engines
+    "q_events_trailing_hour" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // Mirrors Events.scdHistory: one window spec carries version, the
     // interval close, and the current flag; (ts, event_id) is a total order
     "q_events_scd_history" ->

@@ -95,19 +95,27 @@ object QualityModel {
       lr: Double = 2.0): Array[Double] =
     trainHistory(docs, iters, lr).last._3
 
-  /** The training trajectory as a query result: (iter, loss, weights...).
-    * Rows-only for the driver (an iterative fit is not single-statement
-    * SQL); the exact single-threaded differential lives in OperatorsSpec.
+  /** A (possibly pre-computed) training trajectory as a query result:
+    * (iter, loss, weights...). Split from the fit itself so a model
+    * registry can train once and serve both the trajectory query and the
+    * scorer from the same fit.
     */
-  def trainQuery(docs: DataFrame, iters: Int = 12, lr: Double = 2.0): DataFrame = {
-    val spark = docs.sparkSession
+  def historyDF(spark: org.apache.spark.sql.SparkSession,
+      hist: Seq[(Int, Double, Array[Double])]): DataFrame = {
     import spark.implicits._
-    trainHistory(docs, iters, lr)
+    hist
       .map { case (t, loss, w) => (t, loss, w(0), w(1), w(2), w(3), w(4), w(5)) }
       .toDF("iter", "loss", "w_bias", "w_len", "w_punct", "w_stop",
         "w_digit", "w_tok_len")
       .orderBy("iter")
   }
+
+  /** The training trajectory as a query result: (iter, loss, weights...).
+    * Rows-only for the driver (an iterative fit is not single-statement
+    * SQL); the exact single-threaded differential lives in OperatorsSpec.
+    */
+  def trainQuery(docs: DataFrame, iters: Int = 12, lr: Double = 2.0): DataFrame =
+    historyDF(docs.sparkSession, trainHistory(docs, iters, lr))
 
   /** Score the corpus with a trained model: sigmoid(w·x) rounded to 6
     * decimals (libm exp is 1-ulp, not bit-exact, across engines — the

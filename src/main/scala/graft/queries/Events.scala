@@ -449,6 +449,37 @@ object Events {
       .orderBy("day")
   }
 
+  /** Per-event trailing-hour activity — the RANGE-frame window shape
+    * (value-based bounds), distinct from every other window in the pack:
+    * cumulative (UNBOUNDED PRECEDING), ranked (row_number/lag), and
+    * sliding ROWS (`movingDailyValue`) frames bound the frame by ROW
+    * COUNT; a RANGE frame bounds it by the ORDER key's VALUE, so each
+    * event sees exactly the events of the same user in the preceding
+    * 3600000 ms — the "requests in the last hour" shape rate limiters and
+    * feature builders need, with irregular event spacing handled by the
+    * frame itself instead of a self-join.
+    *
+    * Scale shape: one shuffle on user_id, one sort per partition; Spark
+    * evaluates the moving frame with two pointers over the sorted run
+    * (no per-row rescan), so cost is linear in events per user. The
+    * frame key is epoch MILLISECONDS (unix_millis ↔ DuckDB epoch_ms,
+    * the proven cross-engine pair); equal-ms peers are frame PEERS by
+    * RANGE semantics, so ties cannot make the result order-dependent.
+    * The value sum stays DECIMAL inside the frame; one cast at the edge.
+    */
+  def trailingHour(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"),
+        col("value").cast(DecimalType(18, 2)).as("dv"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("value_1h", sum(col("dv")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("value_1h"))
+      .orderBy("event_id")
+  }
+
   /** SCD2 history build — the complement of `latestStateOf`: instead of
     * compacting a changelog to its newest version per key, materialize
     * EVERY version with its validity interval [valid_from, valid_to) and

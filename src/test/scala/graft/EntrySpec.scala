@@ -120,6 +120,7 @@ class EntrySpec extends AnyFunSuite {
     "q_events_latest_state" -> 15L,
     "q_events_scd_history" -> 1000L,
     "q_events_moving_avg" -> 30L,
+    "q_events_trailing_hour" -> 1000L,
     "pipeline_mix_report" -> 88L,
     "pipeline_quality_model" -> 12L,
     "pipeline_quality_scores" -> 500L,
