@@ -467,10 +467,16 @@ object Events {
     * RANGE semantics, so ties cannot make the result order-dependent.
     * The value sum stays DECIMAL inside the frame; one cast at the edge.
     */
-  def trailingHour(spark: SparkSession, dir: String): DataFrame = {
+  def trailingHour(spark: SparkSession, dir: String): DataFrame =
+    trailingHourOf(Tables.load(spark, dir, "events"))
+
+  /** Core on any (event_id, user_id, ts, value) frame — split out so the
+    * sbt differential can inject equal-ms tie cases directly.
+    */
+  def trailingHourOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms"))
       .rangeBetween(-3600000L, 0L)
-    Tables.load(spark, dir, "events")
+    events
       .select(col("event_id"), col("user_id"),
         unix_millis(col("ts")).as("ms"),
         col("value").cast(DecimalType(18, 2)).as("dv"))

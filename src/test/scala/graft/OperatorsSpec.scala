@@ -543,6 +543,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames === (0 until 4).map(f => (7L, f, f * stride, bytes(f * stride) & 0xff)))
   }
 
+  test("trailing-hour RANGE frame matches a brute-force self-join, ties are peers") {
+    import graft.queries.Events
+    import org.apache.spark.sql.functions.{col, count, lit, sum, unix_millis}
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(23)
+    val base = 1700000000000L
+    // random spacing across 6h for 8 users, plus two equal-ms events for
+    // user 99 — RANGE semantics make equal-ms rows frame PEERS, so BOTH
+    // must count the other (a ROWS frame would order-dependently miss one)
+    val rows = (1L to 300L).map { i =>
+      (i, rnd.nextInt(8).toLong,
+        new java.sql.Timestamp(base + rnd.nextLong(6L * 3600 * 1000)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    } ++ Seq(
+      (900L, 99L, new java.sql.Timestamp(base + 1000L), 1.5),
+      (901L, 99L, new java.sql.Timestamp(base + 1000L), 2.5))
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+
+    val got = Events.trailingHourOf(ev)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+
+    val keyed = ev.select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("ms"),
+      col("value").cast(DecimalType(18, 2)).as("dv"))
+    val other = keyed.select(col("user_id").as("u2"), col("ms").as("ms2"),
+      col("dv").as("dv2"))
+    val brute = keyed
+      .join(other, col("user_id") === col("u2") &&
+        col("ms2") >= col("ms") - 3600000L && col("ms2") <= col("ms"))
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n_1h"), sum(col("dv2")).cast("double").as("value_1h"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+
+    assert(got === brute)
+    val tied = got.filter(_._2 == 99L)
+    assert(tied.map(t => (t._3, t._4)) === Seq((2L, 4.0), (2L, 4.0)))
+  }
+
   test("as-of join: latest strictly-prior payload per key, inclusive opt-in") {
     import graft.queries.Events
     val left = Seq((1L, 10L, "A"), (1L, 25L, "B"), (2L, 30L, "C"))
