@@ -1448,8 +1448,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // Mirrors Dedup.dropDuplicateSpans: 32/8 token chunks (the text_chunks
     // construction), corpus-first keep per distinct span, position-ordered
-    // reassembly. The QUALIFY row_number spelling is oracle-side only —
-    // the engine uses the partially-aggregable min(struct) for skew safety.
+    // reassembly from each kept chunk's STRIDE-NEW tokens (non-first chunks
+    // drop their 8 overlap tokens, so an untouched doc round-trips to its
+    // exact token stream). The QUALIFY row_number spelling is oracle-side
+    // only — the engine uses the partially-aggregable min(struct) for skew
+    // safety.
     "dedup_spans" ->
       s"""WITH $tokCte,
          |t AS (SELECT doc_id, tokens,
@@ -1464,7 +1467,9 @@ object SparkEntry {
          |           ORDER BY doc_id, chunk_idx) = 1),
          |orig AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY 1),
          |kept AS (SELECT doc_id, COUNT(*) AS n_kept,
-         |           string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+         |           string_agg(CASE WHEN chunk_idx = 0 THEN chunk_text
+         |                      ELSE array_to_string(string_split(chunk_text, ' ')[9:], ' ')
+         |                      END, ' ' ORDER BY chunk_idx) AS clean_text
          |         FROM keep GROUP BY 1)
          |SELECT k.doc_id, k.n_kept, o.n_chunks - k.n_kept AS n_dropped,
          |  k.clean_text

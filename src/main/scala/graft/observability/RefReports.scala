@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object RefReports {
 
-  /** Where the reference's committed artifacts live in this environment. */
-  val DefaultDir = "/root/reference/cluster/shared/reports"
+  /** Where the reference's committed artifacts live. Overridable via
+    * `GRAFT_REF_REPORTS_DIR` so deployments outside this checkout can point
+    * at their own report drop; the fallback is this environment's path.
+    */
+  val DefaultDir: String = sys.env.getOrElse("GRAFT_REF_REPORTS_DIR",
+    "/root/reference/cluster/shared/reports")
 
   /** Basename-minus-extension of the source file, e.g. `fault_test_20251115-181926`. */
   private def runOf: Column =

@@ -296,6 +296,16 @@ object Dedup {
     * row_number()-window spelling ships every occurrence of the hot span
     * to one task). Reassembly is one aggregation keyed by doc_id. Two
     * shuffles total, both hash-partitioned.
+    *
+    * Reassembly is seam-exact under overlap: chunks share `overlap`
+    * tokens with their predecessor for DETECTION alignment, but a kept
+    * non-first chunk contributes only its stride-new tokens (positions
+    * overlap+1..chunkSize) to `clean_text`, so a document with zero
+    * duplicate spans reassembles to exactly its original token stream.
+    * (Joining full chunk texts would duplicate the overlap seam at every
+    * boundary.) When a chunk survives but its predecessor was dropped,
+    * the shared overlap tokens go with the dropped span — they are part
+    * of the duplicated text.
     */
   def dropDuplicateSpans(docs: DataFrame, chunkSize: Int = 32,
       overlap: Int = 8): DataFrame = {
@@ -306,13 +316,16 @@ object Dedup {
       .select(col("k.doc_id").as("doc_id"), col("k.chunk_idx").as("chunk_idx"),
         col("chunk_text"))
     val orig = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val newTokens = when(col("chunk_idx") === 0, col("chunk_text"))
+      .otherwise(concat_ws(" ",
+        slice(split(col("chunk_text"), " "), overlap + 1, chunkSize)))
     keep
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
-            c => c.getField("chunk_text")),
+            array_sort(collect_list(struct(col("chunk_idx"), newTokens.as("t")))),
+            c => c.getField("t")),
           " ").as("clean_text"))
       .join(orig, Seq("doc_id"))
       .select(col("doc_id"), col("n_kept"),
@@ -398,33 +411,40 @@ object Dedup {
       .localCheckpoint()
     var iters = 0
     var changed = 1L
-    while (changed > 0 && iters < maxIters) {
-      // per round, each node takes min(own label, neighbors' labels,
-      // label-of-label); the jump term doubles propagation distance per
-      // round, so rounds ~ log2(diameter) instead of diameter
-      val neighbor = byNeighbor.join(labels) // co-partitioned: narrow
-        .map { case (_, (n, lab)) => (n, lab) }
-      val jump = labels
-        .map { case (n, lab) => (lab, n) } // re-key by label (one shuffle)
-        .join(labels)
-        .map { case (_, (n, labOfLab)) => (n, labOfLab) }
-      val next = (labels ++ neighbor ++ jump)
-        .reduceByKey(part, math.min(_: Long, _: Long))
-        .localCheckpoint() // lazy: materialized by the count below
-      // convergence count rides the SAME job that materializes `next`
-      // (both sides on `part`: narrow join, never a data collect)
-      changed = next.join(labels)
-        .filter { case (_, (nl, ol)) => nl != ol }.count()
-      labels.unpersist(blocking = false)
-      labels = next
-      iters += 1
-    }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing): the pair graph has a longer " +
-          "duplication chain than the round bound — raise maxIters")
-    byNeighbor.unpersist(blocking = false)
+    try {
+      while (changed > 0 && iters < maxIters) {
+        // per round, each node takes min(own label, neighbors' labels,
+        // label-of-label); the jump term doubles propagation distance per
+        // round, so rounds ~ log2(diameter) instead of diameter
+        val neighbor = byNeighbor.join(labels) // co-partitioned: narrow
+          .map { case (_, (n, lab)) => (n, lab) }
+        val jump = labels
+          .map { case (n, lab) => (lab, n) } // re-key by label (one shuffle)
+          .join(labels)
+          .map { case (_, (n, labOfLab)) => (n, labOfLab) }
+        val next = (labels ++ neighbor ++ jump)
+          .reduceByKey(part, math.min(_: Long, _: Long))
+          .localCheckpoint() // lazy: materialized by the count below
+        // convergence count rides the SAME job that materializes `next`
+        // (both sides on `part`: narrow join, never a data collect)
+        changed = next.join(labels)
+          .filter { case (_, (nl, ol)) => nl != ol }.count()
+        labels.unpersist(blocking = false)
+        labels = next
+        iters += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds " +
+            s"($changed labels still changing): the pair graph has a longer " +
+            "duplication chain than the round bound — raise maxIters")
+    } catch {
+      case e: Throwable =>
+        // the non-convergence throw (and any mid-round job failure) must not
+        // strand the current round's checkpoint blocks on the executors
+        labels.unpersist(blocking = false)
+        throw e
+    } finally byNeighbor.unpersist(blocking = false)
     labels.toDF("doc_id", "label")
       .select(col("label").as("cluster_id"), col("doc_id"))
       .orderBy("cluster_id", "doc_id")

@@ -62,6 +62,16 @@ object QualityModel {
 
   private def dec(c: Column): Column = c.cast(DecimalType(38, 18))
 
+  /** Loss-term clamp: Spark's `log` returns NULL (not -Inf) for non-positive
+    * input, so a sigmoid saturated to exactly 0.0 or 1.0 in double would
+    * silently DROP that row's loss term from the decimal sum. Clamping p
+    * into [eps, 1-eps] keeps every row's term finite and summed; the sbt
+    * single-threaded reference applies the identical clamp so the exact
+    * differential holds on saturated inputs too. Gradients use the raw p
+    * (no log there).
+    */
+  val LossEps = 1e-12
+
   /** Train `iters` rounds of batch GD from w = 0. Returns the weight
     * trajectory: one entry per iteration with the mean log-loss BEFORE
     * the step and the weights AFTER it.
@@ -69,25 +79,29 @@ object QualityModel {
   def trainHistory(docs: DataFrame, iters: Int = 12,
       lr: Double = 2.0): Seq[(Int, Double, Array[Double])] = {
     val feats = features(docs).select("x", "y").localCheckpoint(true)
-    val n = feats.count().toDouble
-    var w = Array.fill(Dim)(0.0)
-    val hist = Seq.newBuilder[(Int, Double, Array[Double])]
-    for (t <- 0 until iters) {
-      val z = logit(w)
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val err = p - col("y")
-      val gradAggs = (0 until Dim).map(j =>
-        sum(dec(err * element_at(col("x"), j + 1))).as(s"g$j"))
-      val lossAgg = sum(dec(-(col("y") * log(p) +
-        (lit(1.0) - col("y")) * log(lit(1.0) - p)))).as("loss")
-      val row = feats.agg(gradAggs.head, (gradAggs.tail :+ lossAgg): _*).head()
-      val loss = row.getDecimal(Dim).doubleValue / n
-      w = Array.tabulate(Dim)(j => w(j) - lr * row.getDecimal(j).doubleValue / n)
-      hist += ((t, loss, w.clone()))
-    }
-    org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(feats)
-      .foreach(_.unpersist(blocking = false))
-    hist.result()
+    try {
+      val n = feats.count().toDouble
+      var w = Array.fill(Dim)(0.0)
+      val hist = Seq.newBuilder[(Int, Double, Array[Double])]
+      for (t <- 0 until iters) {
+        val z = logit(w)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val pc = least(greatest(p, lit(LossEps)), lit(1.0 - LossEps))
+        val err = p - col("y")
+        val gradAggs = (0 until Dim).map(j =>
+          sum(dec(err * element_at(col("x"), j + 1))).as(s"g$j"))
+        val lossAgg = sum(dec(-(col("y") * log(pc) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - pc)))).as("loss")
+        val row = feats.agg(gradAggs.head, (gradAggs.tail :+ lossAgg): _*).head()
+        val loss = row.getDecimal(Dim).doubleValue / n
+        w = Array.tabulate(Dim)(j => w(j) - lr * row.getDecimal(j).doubleValue / n)
+        hist += ((t, loss, w.clone()))
+      }
+      hist.result()
+    } finally
+      // always release the checkpoint, including when an aggregation throws
+      org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(feats)
+        .foreach(_.unpersist(blocking = false))
   }
 
   /** Final trained weights (deterministic: same corpus -> same weights). */

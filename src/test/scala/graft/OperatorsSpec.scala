@@ -148,6 +148,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("span dedup under overlap reassembles an untouched doc seam-exactly") {
+    // chunkSize 4, overlap 2 (stride 2): a 8-token doc with no duplicate
+    // spans must round-trip to its EXACT token stream — joining full chunk
+    // texts would repeat the 2 overlap tokens at every seam
+    val text = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val d = docs((1L, text), (2L, "u1 u2 u3 u4 u5 u6 u7 u8"))
+    val got = Dedup.dropDuplicateSpans(d, chunkSize = 4, overlap = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(_._4) === Seq(text, "u1 u2 u3 u4 u5 u6 u7 u8"))
+    assert(got.map(r => (r._2, r._3)) === Seq((3L, 0L), (3L, 0L)))
+
+    // a repeated interior span: doc 4 shares doc 3's chunk [s3 s4 s5 s6]
+    // (chunk_idx 1) — the kept successor contributes only stride-new
+    // tokens, so the dropped span's overlap tokens go with the drop
+    val d2 = docs(
+      (3L, "s1 s2 s3 s4 s5 s6 s7 s8"),
+      (4L, "x1 x2 s3 s4 s5 s6 y7 y8"))
+    val got2 = Dedup.dropDuplicateSpans(d2, chunkSize = 4, overlap = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got2.head === ((3L, 3L, 0L, "s1 s2 s3 s4 s5 s6 s7 s8")))
+    val (id4, kept4, dropped4, clean4) = got2(1)
+    assert(id4 === 4L && kept4 === 2L && dropped4 === 1L)
+    // chunks of doc 4: [x1 x2 s3 s4] kept, [s3 s4 s5 s6] dropped,
+    // [s5 s6 y7 y8] kept -> stride-new tokens "y7 y8"
+    assert(clean4 === "x1 x2 s3 s4 y7 y8")
+  }
+
   test("incremental dedup drops corpus-known and batch-internal duplicates") {
     val corpus = docs((100L, "existing document one"), (101L, "existing document two"))
     val batch = docs(
@@ -809,7 +836,11 @@ class OperatorsSpec extends AnyFunSuite {
       val grads = (0 until QualityModel.Dim).map(j =>
         decSum18(zy.iterator.map { case (x, y, p) => (p - y) * x(j) }))
       val loss = decSum18(zy.iterator.map { case (_, y, p) =>
-        -(y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
+        // same saturation clamp as QualityModel.LossEps: Spark log() would
+        // NULL a p of exactly 0.0/1.0, the naive reference would go ±Inf
+        val pc = math.min(math.max(p, QualityModel.LossEps),
+          1.0 - QualityModel.LossEps)
+        -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
       }).doubleValue / feats.length
       w = Array.tabulate(QualityModel.Dim)(j =>
         w(j) - 2.0 * grads(j).doubleValue / feats.length)
