@@ -137,15 +137,14 @@ class EntrySpec extends AnyFunSuite {
     * across engines by construction) — driver does a rows-only check.
     */
   private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx",
-    "dedup_clusters", "text_heavyhitters_sketch", "text_bpe_merges",
-    "text_bpe_encode", "pipeline_quality_model")
+    "text_heavyhitters_sketch", "text_bpe_merges", "pipeline_quality_model")
 
   /** Queries whose oracle is data-dependent (fitted centroids exported as
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,
     * not present in the static map.
     */
   private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
-    "pipeline_quality_scores")
+    "pipeline_quality_scores", "text_bpe_encode")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
