@@ -565,4 +565,48 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("RocksDB soak: sustained unique keys keep state bounded by the horizon") {
+    // Every stateful suite already runs on RocksDB (TestSpark sets the
+    // provider globally — the 100 TB state backend). This soak proves the
+    // BOUNDED-STATE claim on it: 50 minutes of event time x 100 unique
+    // docs/minute through watermarked dedup must retain only the horizon's
+    // keys in the store, not the full 5000-key history, and the progress
+    // metrics must show RocksDB actually serving (not a silent fallback).
+    // The horizon of dropDuplicatesWithinWatermark is TWO delays: a key
+    // expires when the watermark (maxEvent - delay) passes eventTime +
+    // delay, so retained keys span ~2 x 10 min = ~2000 rows (+1 batch of
+    // watermark lag).
+    implicit val sqlCtx = spark.sqlContext
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val input = MemoryStream[(Timestamp, String)]
+    val out = graft.streaming.StreamDedup.withinWatermark(
+      input.toDF().toDF("ts", "text"), delay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("rocks_soak")
+      .outputMode("append").start()
+    try {
+      val nBatches = 50
+      val perBatch = 100
+      val t0 = ts("10:00:00").getTime
+      for (b <- 0 until nBatches) {
+        input.addData((0 until perBatch).map { i =>
+          (new Timestamp(t0 + b * 60000L + i * 10L), s"doc $b $i")
+        }: _*)
+        q.processAllAvailable()
+      }
+      // all-unique input: everything passes through exactly once
+      assert(spark.table("rocks_soak").count() === (nBatches * perBatch).toLong)
+      val sop = q.lastProgress.stateOperators(0)
+      import scala.jdk.CollectionConverters._
+      assert(sop.customMetrics.keySet.asScala.exists(_.contains("rocksdb")),
+        s"no rocksdb metrics in ${sop.customMetrics.keySet}; provider fell back")
+      // horizon = 2 x delay + 1 batch of watermark lag ~= 2100 keys; the
+      // full history is 5000 — bounded means O(horizon), not O(stream)
+      assert(sop.numRowsTotal <= 2500L,
+        s"state holds ${sop.numRowsTotal} rows; horizon is ~2100 — not bounded")
+      assert(sop.numRowsTotal >= 1700L,
+        s"state holds ${sop.numRowsTotal} rows; eviction overshot the horizon")
+    } finally q.stop()
+  }
 }

@@ -13,5 +13,13 @@ object TestSpark {
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    // Streaming state lives in RocksDB — the 100 TB state backend (the
+    // default HDFS-backed in-memory store keeps every key's state on the
+    // executor heap; at scale the executors OOM on STATE, not data). All
+    // stateful streaming suites therefore exercise the production
+    // provider; StreamingSpec additionally soaks it for bounded state
+    // under sustained keys.
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .getOrCreate()
 }
