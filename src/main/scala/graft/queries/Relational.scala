@@ -23,6 +23,21 @@ import graft.Tables
   */
 object Relational {
 
+  /** Dimension-side broadcast hint, gated by `spark.graft.broadcastDimHints`
+    * (default true). At the tested scales the dims fit comfortably in the
+    * driver, and hinting them skips a shuffle per join — but at 100 TB a
+    * "dimension" like part or customer outgrows broadcast, so deployments
+    * flip the conf and the SAME plans degrade through size-based planning
+    * to shuffled joins (SMJ/SHJ — never a nested-loop: every join here is
+    * an equi-join). The 1-row scalar broadcasts (avg-balance, threshold
+    * cutoffs) are NOT gated: a single row is broadcastable at any scale.
+    * ScaleSpec asserts both the degraded plan shape and result equality.
+    */
+  private def bdim(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.broadcastDimHints")
+        .forall(_.toBoolean)) broadcast(df)
+    else df
+
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
   // Exact decimal sum, surfaced as DOUBLE: the decimal accumulation is
@@ -81,7 +96,7 @@ object Relational {
     val li = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(bdim(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -99,9 +114,9 @@ object Relational {
     val sup = Tables.load(spark, dir, "supplier")
     val nat = Tables.load(spark, dir, "nation")
     val reg = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+    li.join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(bdim(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(bdim(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
            count(lit(1)).as("n_items"))
@@ -112,7 +127,7 @@ object Relational {
   def qBrandVolume(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val part = Tables.load(spark, dir, "part")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(bdim(part), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(sum2(col("l_quantity")).as("sum_qty"),
            sum2(col("l_extendedprice")).as("sum_price"),
@@ -215,8 +230,8 @@ object Relational {
     val nation = Tables.load(spark, dir, "nation")
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(bdim(customer), col("o_custkey") === col("c_custkey"))
+      .join(bdim(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(sum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
            count(lit(1)).as("n_items"))
@@ -232,7 +247,7 @@ object Relational {
       .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
     val part = Tables.load(spark, dir, "part")
     lineitem
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(bdim(part), col("l_partkey") === col("p_partkey"))
       .agg(
         sum4(when(col("p_type").startsWith("PROMO"),
           col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
@@ -279,8 +294,8 @@ object Relational {
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(bdim(n1), col("s_nationkey") === col("s_nk"))
+      .join(bdim(n2), col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") < col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
@@ -416,8 +431,8 @@ object Relational {
       .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev"))
     val top = rev.agg(max(col("rev")).as("max_rev"))
     val sup = Tables.load(spark, dir, "supplier")
-    rev.join(broadcast(top), col("rev") === col("max_rev"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    rev.join(bdim(top), col("rev") === col("max_rev"))
+      .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("rev").cast("double").as("total_revenue"))
       .orderBy("s_suppkey")
@@ -435,7 +450,7 @@ object Relational {
     val li = Tables.load(spark, dir, "lineitem")
     val part = Tables.load(spark, dir, "part").filter(col("p_brand") === "Brand#13")
     val w = Window.partitionBy("l_partkey")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(bdim(part), col("l_partkey") === col("p_partkey"))
       .withColumn("avg_qty",
         sum(dec2(col("l_quantity"))).over(w).cast("double") /
           count(lit(1)).over(w))
@@ -461,7 +476,7 @@ object Relational {
         col("l_quantity").between(10, 20)) ||
       (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
         col("l_quantity").between(20, 30))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey") && cond)
+    li.join(bdim(part), col("l_partkey") === col("p_partkey") && cond)
       .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
   }
@@ -485,9 +500,9 @@ object Relational {
     val part = Tables.load(spark, dir, "part")
       .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
     val supply = li
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(bdim(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(bdim(reg), col("n_regionkey") === col("r_regionkey"))
       .select("l_partkey", "l_suppkey", "l_extendedprice")
       .distinct()
     val minCost = supply.groupBy("l_partkey")
@@ -497,9 +512,9 @@ object Relational {
         supply("l_partkey") === minCost("l_partkey") &&
         col("l_extendedprice") === col("mn"))
       .drop(minCost("l_partkey"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(bdim(part), col("l_partkey") === col("p_partkey"))
+      .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(bdim(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         col("p_name"), col("l_extendedprice").as("min_price"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -517,9 +532,9 @@ object Relational {
       .filter(col("p_name").contains("widget"))
     val sup = Tables.load(spark, dir, "supplier")
     val nat = Tables.load(spark, dir, "nation")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    li.join(bdim(part), col("l_partkey") === col("p_partkey"))
+      .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(bdim(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("l_shipdate")).cast("int").as("o_year"))
       .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
@@ -568,8 +583,8 @@ object Relational {
     val blacklist = Tables.load(spark, dir, "supplier")
       .filter(col("s_acctbal") < 0.0)
       .select("s_suppkey")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    li.join(bdim(part), col("l_partkey") === col("p_partkey"))
+      .join(bdim(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -591,7 +606,7 @@ object Relational {
       .filter(col("p_name").startsWith("small"))
       .select("p_partkey")
     val shipped = li
-      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(bdim(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(dec2(col("l_quantity"))).as("qty"))
     val dominant = shipped
@@ -641,7 +656,7 @@ object Relational {
       .join(lateSiblings,
         col("l_orderkey") === col("s_orderkey") &&
         col("sib_suppkey") =!= col("l_suppkey"), "left_anti")
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -693,10 +708,10 @@ object Relational {
     val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
-      .join(broadcast(reg), col("c_rk") === col("r_regionkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(bdim(cn), col("c_nationkey") === col("c_nk"))
+      .join(bdim(reg), col("c_rk") === col("r_regionkey"))
+      .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(bdim(sn), col("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(
         sum4(when(col("supp_nation") === shareNation, volume).otherwise(lit(0.0)))
@@ -723,8 +738,8 @@ object Relational {
     val sup = Tables.load(spark, dir, "supplier")
     val nat = Tables.load(spark, dir, "nation").filter(col("n_name") === nation)
     val supply = li
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(bdim(nat), col("s_nationkey") === col("n_nationkey"))
     val perPart = supply.groupBy("l_partkey")
       .agg(sum2(col("l_extendedprice") * col("l_quantity")).as("value"))
     // exact decimal total over the RAW rows (summing the per-part doubles

@@ -118,6 +118,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcasts disabled: TPC-H joins degrade to shuffled equi-joins, results identical") {
+    // At 100 TB the "dims" outgrow broadcast. Flipping the
+    // spark.graft.broadcastDimHints seam + autoBroadcastJoinThreshold=-1
+    // must degrade every gated join through size-based planning to
+    // SMJ/SHJ — NEVER a BroadcastNestedLoopJoin (all joins are equi-joins,
+    // so a nested loop would mean a dropped join condition) — with
+    // fingerprint-identical results.
+    val conf = spark.conf
+    val keys = Seq("spark.graft.broadcastDimHints",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    val queries = Seq("q3_shipping_priority", "q5_region_revenue",
+      "q9_product_profit")
+    val baseline = queries.map(q =>
+      q -> SparkEntry.queries(q)(spark, dir).collect().toSeq).toMap
+    try {
+      conf.set("spark.graft.broadcastDimHints", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- queries) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        val rows = df.collect().toSeq
+        assert(rows === baseline(q), s"$q result changed without broadcasts")
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q degraded to a nested-loop join:\n$plan")
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"$q still broadcasts with hints off and threshold -1:\n$plan")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$q lost its shuffled join:\n$plan")
+      }
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("pure-SQL surface: temp views + spark.sql reproduce the DataFrame results") {
     Tables.registerAll(spark, dir)
     // relational: TPC-H Q6 spelled as SQL text over the registered views
