@@ -1815,12 +1815,21 @@ object SparkEntry {
           |GROUP BY 1 ORDER BY 1""".stripMargin),
     "mm_media_meta" -> mediaMetaSql,
     // Mirrors Multimodal.mediaFeatures: per-dimension polynomial fold over
-    // the payload codepoints (== bytes on this ascii corpus, same
-    // equivalence mm_media_meta already relies on), digests in fixed fold
-    // order.
+    // the payload's UTF-8 BYTES (codepoints are expanded to their UTF-8
+    // encoding in SQL, so non-ascii corpora — e.g. the zh vocabulary in the
+    // generated scale data — hash identically to Spark's binary cast),
+    // digests in fixed fold order.
     "mm_features" ->
       """WITH b AS (SELECT doc_id,
-        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+        |  flatten(list_transform(
+        |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+        |    p -> CASE
+        |      WHEN p < 128 THEN [p]
+        |      WHEN p < 2048 THEN [192 + p // 64, 128 + p % 64]
+        |      WHEN p < 65536 THEN
+        |        [224 + p // 4096, 128 + (p // 64) % 64, 128 + p % 64]
+        |      ELSE [240 + p // 262144, 128 + (p // 4096) % 64,
+        |            128 + (p // 64) % 64, 128 + p % 64] END)) AS cs
         |  FROM documents),
         |f AS (SELECT doc_id, list_transform(range(1, 9), j ->
         |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cs),

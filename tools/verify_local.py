@@ -16,7 +16,19 @@ oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # Driver testdata is one file per table; Spark-generated scale data
+    # (tools GenScale) is a directory of part files. Accept both.
+    pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
+    # GenScale emits events.ts as long nanoseconds (the shape graft's
+    # Tables.load sees); the driver's DuckDB side sees TIMESTAMP(NANOS) as a
+    # real TIMESTAMP. Re-expose the long column as TIMESTAMP to match.
+    ts_type = {c[0]: c[1] for c in con.execute(f"DESCRIBE {name}").fetchall()}
+    if ts_type.get("ts") == "BIGINT":
+        cols = ", ".join("make_timestamp(ts // 1000) AS ts" if c == "ts" else c
+                         for c in ts_type)
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT {cols} "
+                    f"FROM read_parquet('{pat}')")
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
