@@ -313,34 +313,56 @@ object Events {
     * as the naive twin: events first collapse to per-minute bin counts —
     * a table bounded by the TIME SPAN, not the event volume — then each
     * window [t, t+W) decomposes into up to 59 full interior minutes summed
-    * from that bounded aggregate, plus two partial edge minutes counted
-    * from raw events. The incident's own row always lies inside its
-    * window, so "other events" = total − 1, no per-row id exclusion
-    * needed.
+    * from that bounded aggregate, plus two partial edge minutes resolved
+    * at SECOND grain: a dense per-minute second grid with within-minute
+    * prefix sums (span-bounded: active minutes × 60 rows) turns each
+    * partial minute into ONE cumulative lookup, leaving only two
+    * 1-SECOND ranges per incident to count from raw events. The
+    * incident's own row always lies inside its window, so "other
+    * events" = total − 1, no per-row id exclusion needed.
     *
     * Scale analysis: the naive join touches incidents × density·W rows —
     * quadratic when density grows with corpus size on a fixed span. Here
-    * the interior join is incidents × 59 rows against a broadcastable
-    * span-bounded aggregate (linear), and only the edge join keeps a
-    * density term, shrunk by W/bin = 60×. Measured on the 10x twins
-    * (tools.IncidentBench): naive 1.4s -> 7.0s with ~100x joined-row
-    * growth; preagg 1.7s -> 8.1s with bounded joins — the extra stages
-    * cost ~15% at bench scale, and the quadratic term they remove is what
-    * survives a further 100x density step. Finer bins push the edge term
-    * down further; the pattern is the segment-tree/prefix-sum
-    * decomposition every at-scale range-counting engine uses.
+    * the interior join is incidents × 59 rows against a span-bounded
+    * aggregate (linear in incidents), the edge full-seconds are ≤ 118
+    * exploded rows per incident against the span-bounded second
+    * aggregate, and the only density term left is the two 1-second raw
+    * ranges — the r5 minute-grain edges carried incidents × density·2min
+    * and dominated the 10× step (the pack's worst scaling ratio, 8.5×);
+    * the second-grain split shrinks that term 60×. Measured on the 10×
+    * twins (tools.IncidentBench): minute-grain edges 2.00 s → 12.22 s
+    * (6.1×); second-grain edges 2.12 s → 8.19 s (3.9×) — +6% constant at
+    * 1× buys a 33% cut at 10× and the removed term is the one that grows
+    * with density. (A dense per-second grid with within-minute prefix
+    * sums was tried first and rejected: the window over the 2.6M-row
+    * grid added ~4.6 s of fixed cost at 1×.) The pattern is the
+    * segment-tree/prefix-sum decomposition every at-scale range-counting
+    * engine uses, taken one level deeper.
     */
   def incidentWindowCountsOf(ev: DataFrame, windowMs: Long = 3600 * 1000L,
-      binMs: Long = 60 * 1000L): DataFrame = {
+      binMs: Long = 60 * 1000L, secMs: Long = 1000L): DataFrame = {
     require(windowMs % binMs == 0, "window must be a whole number of bins")
+    require(binMs % secMs == 0 && secMs > 0,
+      "bin must be a whole number of edge grains")
     val nFull = (windowMs / binMs).toInt
+    val spb = (binMs / secMs).toInt // edge grains per bin
     val isErr = when(col("event_type") === "error", 1L).otherwise(0L)
     val binned = ev.withColumn("bin", floor(col("ms") / binMs))
+      .withColumn("sec", floor(col("ms") / secMs))
     val binAgg = binned.groupBy("bin")
       .agg(count(lit(1)).as("bn"), sum(isErr).as("be"))
+    // per-second aggregate: the edge-grain twin of binAgg, bounded by
+    // min(event count, span seconds) — span-bounded once density exceeds
+    // one event per second
+    val secAgg = binned.groupBy("sec")
+      .agg(count(lit(1)).as("sn"), sum(isErr).as("sErr"))
     val incidents = binned.filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"), col("ms").as("t"),
-        col("bin").as("b0"))
+        col("bin").as("b0"), col("sec").as("s0"))
+      .withColumn("tail_bin", col("b0") + nFull)
+      .withColumn("eEx", col("t") + windowMs) // exclusive window end
+      .withColumn("se", floor(col("eEx") / secMs))
+      .withColumn("sm1", col("se") - 1)
     // interior: full bins b0+1 .. b0+nFull-1 from the bounded aggregate.
     // When the window is a single bin (nFull == 1) there IS no interior —
     // and sequence(b0+1, b0) would be the DESCENDING [b0+1, b0] in Spark,
@@ -357,30 +379,50 @@ object Events {
       else
         incidents.select(col("incident_id"), lit(0L).as("mid_n"),
           lit(0L).as("mid_e")).limit(0)
-    // edges: partial head [t, (b0+1)·bin) and tail [(b0+nFull)·bin, t+W)
-    // from raw events (when t is bin-aligned the head is the whole bin b0
-    // and the tail range is empty — still exact)
+    // edge FULL seconds from the second-grain aggregate: head seconds
+    // (s0, end of minute b0] and tail seconds [start of minute
+    // tail_bin, se). Each side is <= spb-1 bins; empty-range guards
+    // matter because Spark's sequence(a, b) with a > b DESCENDS instead
+    // of being empty (head: t in the minute's last second; tail: the
+    // window end inside the tail minute's first second).
+    val headEnd = (col("b0") + 1) * spb - 1
+    val headSecs = when(col("s0") < headEnd,
+      sequence(col("s0") + 1, headEnd)).otherwise(array().cast("array<long>"))
+    val tailSecs = when(col("sm1") >= col("tail_bin") * spb,
+      sequence(col("tail_bin") * spb, col("sm1")))
+      .otherwise(array().cast("array<long>"))
+    val full = incidents
+      .select(col("incident_id"), explode(concat(headSecs, tailSecs)).as("sec"))
+      .join(secAgg, Seq("sec"))
+      .groupBy("incident_id")
+      .agg(sum("sn").as("full_n"), sum("sErr").as("full_e"))
+    // the only raw-event term left: the two PARTIAL SECONDS — head
+    // [t, (s0+1)·sec) and tail [se·sec, t+W). Each matches ~density·sec
+    // events, 60× fewer than the r5 partial-minute ranges; the head
+    // range contains the incident's own row (ms = t), restored by the
+    // final −1. When t is second-aligned the head covers the whole
+    // second s0 and the tail range is empty — still exact.
     val edge = incidents
       .select(col("incident_id"), explode(array(
-        struct(col("b0").as("bin"), col("t").as("lo"),
-          ((col("b0") + 1) * binMs).as("hi")),
-        struct((col("b0") + nFull).as("bin"),
-          ((col("b0") + nFull) * binMs).as("lo"),
-          (col("t") + windowMs).as("hi")))).as("e"))
-      .select(col("incident_id"), col("e.bin").as("bin"),
+        struct(col("s0").as("sec"), col("t").as("lo"),
+          ((col("s0") + 1) * secMs).as("hi")),
+        struct(col("se").as("sec"), (col("se") * secMs).as("lo"),
+          col("eEx").as("hi")))).as("e"))
+      .select(col("incident_id"), col("e.sec").as("sec"),
         col("e.lo").as("lo"), col("e.hi").as("hi"))
-      .join(binned, Seq("bin"))
+      .join(binned, Seq("sec"))
       .filter(col("ms") >= col("lo") && col("ms") < col("hi"))
       .groupBy("incident_id")
       .agg(count(lit(1)).as("edge_n"), sum(isErr).as("edge_e"))
     incidents.select("incident_id")
       .join(mid, Seq("incident_id"), "left")
+      .join(full, Seq("incident_id"), "left")
       .join(edge, Seq("incident_id"), "left")
       .select(col("incident_id"),
-        (coalesce(col("mid_n"), lit(0L)) + coalesce(col("edge_n"), lit(0L)) - 1)
-          .as("n_events"),
-        (coalesce(col("mid_e"), lit(0L)) + coalesce(col("edge_e"), lit(0L)) - 1)
-          .as("n_errors"))
+        (coalesce(col("mid_n"), lit(0L)) + coalesce(col("full_n"), lit(0L)) +
+          coalesce(col("edge_n"), lit(0L)) - 1).as("n_events"),
+        (coalesce(col("mid_e"), lit(0L)) + coalesce(col("full_e"), lit(0L)) +
+          coalesce(col("edge_e"), lit(0L)) - 1).as("n_errors"))
       .filter(col("n_events") > 0)
       .orderBy("incident_id")
   }
