@@ -179,13 +179,6 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** Deterministic IVF centroid j over 64 dims:
-    * c_j[d] = ((5j + 13d) % 23 - 11) / 4 — integer-derived doubles,
-    * exactly reproducible in any engine (same rationale as `planeCol`).
-    */
-  private def centroidCol(j: Int): Column =
-    array((0 until 64).map(d => lit(((5 * j + 13 * d) % 23 - 11) / 4.0)): _*)
-
   /** |c_j|^2 precomputed host-side with the same sequential fold both
     * engines would use (higher-order-function expressions are NOT constant-
     * folded by Catalyst, so leaving it symbolic costs a 64-term fold per
@@ -195,13 +188,6 @@ object Similarity {
   def centroidNorm2(j: Int): Double =
     (0 until 64).map(d => ((5 * j + 13 * d) % 23 - 11) / 4.0)
       .foldLeft(0.0)((acc, x) => acc + x * x)
-
-  /** Negated-score for nearest-centroid assignment: dist_j ∝ |c_j|^2 - 2<v,c_j>
-    * (the |v|^2 term is constant per row and drops out of the argmin).
-    */
-  private def ivfScore(j: Int): Column =
-    lit(centroidNorm2(j)) -
-      lit(2.0) * graft.functions.VectorDot(col("v"), centroidCol(j))
 
   /** IVF-style ANN — the coarse-quantizer alternative to LSH: vectors are
     * assigned to their nearest of `nCentroids` fixed centroids (one linear
@@ -215,14 +201,13 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    val scores = array((0 until nCentroids).map(ivfScore): _*)
     // probe the nProbe nearest cells (rank-r argmin via the sorted score
     // array); array_distinct guards the tied-score case where two ranks
     // resolve to the same cell, which would double-score its candidates
     val probeArr = expr(s"array_distinct(transform(sequence(1, $nProbe), " +
       "r -> cast(array_position(scores, element_at(array_sort(scores), r)) as int)))")
     val wb = withNorm(emb)
-      .withColumn("scores", scores)
+      .withColumn("scores", cellScores(latticeCentroids(nCentroids)))
       .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
     val q = wb.filter(col("vec_id") < nQueries)
       .withColumn("probe", explode(probeArr))
@@ -270,11 +255,8 @@ object Similarity {
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     var centroids = init
     for (_ <- 0 until iters) {
-      val scores = array(centroids.map(c =>
-        lit(norm2(c)) - lit(2.0) * graft.functions.VectorDot(col("v"),
-          array(c.map(lit).toSeq: _*))).toSeq: _*)
       val stats = sample
-        .withColumn("scores", scores)
+        .withColumn("scores", cellScores(centroids))
         .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
         .select(col("cell"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("cell", "d")
@@ -295,14 +277,16 @@ object Similarity {
   /** IVF top-k over explicit centroid vectors — shared by the lattice and
     * k-means variants; same shape as `ivfTopK`.
     */
-  /** Per-row distance scores to every centroid (literal centroid arrays,
-    * zero-allocation VectorDot) — shared by the in-memory and persisted
-    * IVF paths so their cell assignments are identical by construction.
+  /** Per-row distance scores to every centroid — shared by the in-memory
+    * and persisted IVF paths so their cell assignments are identical by
+    * construction. One native `CellScores` call: the composed
+    * literal-array spelling it replaces blew HotSpot's huge-method JIT
+    * limit past a few dozen cells and ran the whole assignment projection
+    * interpreted (see CellScores scaladoc for the measurement);
+    * bit-identical scores by the expression's parity contract.
     */
   private def cellScores(centroids: Array[Array[Double]]): Column =
-    array(centroids.map(c =>
-      lit(norm2(c)) - lit(2.0) * graft.functions.VectorDot(col("v"),
-        array(c.map(lit).toSeq: _*))).toSeq: _*)
+    graft.functions.CellScores(col("v"), centroids)
 
   private def probeArr(nProbe: Int): Column =
     expr(s"array_distinct(transform(sequence(1, $nProbe), " +
@@ -450,11 +434,8 @@ object Similarity {
     */
   def semanticNearDupPairs(emb: DataFrame, centroids: Array[Array[Double]],
       threshold: Double = 0.3): DataFrame = {
-    val scores = array(centroids.map(c =>
-      lit(norm2(c)) - lit(2.0) * graft.functions.VectorDot(col("v"),
-        array(c.map(lit).toSeq: _*))).toSeq: _*)
     val wb = withNorm(emb)
-      .withColumn("scores", scores)
+      .withColumn("scores", cellScores(centroids))
       .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
       .select("vec_id", "v", "nrm", "cell")
     val a = wb.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"),

@@ -48,6 +48,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(VectorDot.compute(u, v) === ((1e16 + 1.0) + -1e16))
   }
 
+  test("CellScores matches the composed literal-array spelling bit-for-bit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.CellScores
+    // deterministic pseudo-random vectors and centroids; includes a vector
+    // equal to a centroid (exact-zero distance term) and a duplicate
+    // centroid (tie for the downstream first-min argmin)
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(8)(d => ((seed * 31 + d * 17) % 19 - 9) / 3.0)
+    val cents = Array(vec(3), vec(7), vec(11), vec(7))
+    val rows = (0 until 20).map(i => (i.toLong, vec(i)))
+    val df = rows.toDF("vec_id", "v")
+    // the pre-r6 composed spelling, verbatim
+    val composed = array(cents.map(c =>
+      lit(c.foldLeft(0.0)((a, x) => a + x * x)) - lit(2.0) * VectorDot(col("v"),
+        array(c.map(lit).toSeq: _*))).toSeq: _*)
+    val both = df
+      .withColumn("native", CellScores(col("v"), cents))
+      .withColumn("ref", composed)
+      .select("vec_id", "native", "ref")
+      .collect()
+    both.foreach { r =>
+      val n = r.getSeq[Double](1)
+      val c = r.getSeq[Double](2)
+      assert(n.size === cents.length)
+      // bitwise equality, not approx: the oracle hash compare needs it
+      n.zip(c).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b), s"row ${r.getLong(0)}")
+      }
+    }
+    // kernel call agrees with the codegen path
+    val direct = rows.map { case (_, v) =>
+      CellScores.compute(ArrayData.toArrayData(v), cents,
+        cents.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+        .toDoubleArray.toSeq
+    }
+    assert(both.map(_.getSeq[Double](1)).toSeq === direct)
+  }
+
   test("native expressions evaluate identically through the SQL engine") {
     val spark = TestSpark.spark
     import spark.implicits._
