@@ -1,10 +1,11 @@
 #!/bin/bash
-# Scaling-curve bench: generate twin datasets at 1x and 10x the sf0.1 row
-# counts with the same deterministic generator, run graft.Bench on both,
-# and report per-query time ratios. A ratio far above the data ratio (10)
-# flags super-linear (quadratic-smelling) behavior that static plan audits
-# can only reason about. Writes BENCH_gen1x.json / BENCH_sf1.json.
-# Usage: tools/scale_curve.sh [workDir]   (default /tmp/graft-scale)
+# Scaling-curve bench: generate twin datasets at 1x / 10x (and, with
+# SCALE_3PT=1, 100x) the sf0.1 row counts with the same deterministic
+# generator, run graft.Bench on each, and report per-query time ratios.
+# A ratio far above the data ratio flags super-linear (quadratic-smelling)
+# behavior that static plan audits can only reason about. Writes
+# BENCH_gen1x.json / BENCH_sf1.json (and BENCH_gen100x.json at 3 points).
+# Usage: [SCALE_3PT=1] tools/scale_curve.sh [workDir]  (default /tmp/graft-scale)
 set -e
 cd /root/repo
 WORK=${1:-/tmp/graft-scale}
@@ -17,21 +18,42 @@ if [ ! -d "$WORK/gen10x/lineitem.parquet" ]; then
 fi
 SPARK_GRAFT_SF_DIR="$WORK/gen1x"  SPARK_GRAFT_CPUS=32 tools/run.sh graft.Bench 2>/dev/null > BENCH_gen1x.json
 SPARK_GRAFT_SF_DIR="$WORK/gen10x" SPARK_GRAFT_CPUS=32 tools/run.sh graft.Bench 2>/dev/null > BENCH_sf1.json
+if [ "${SCALE_3PT:-0}" = "1" ]; then
+  if [ ! -d "$WORK/gen100x/lineitem.parquet" ]; then
+    tools/run.sh graft.tools.GenScale "$WORK/gen100x" 100
+  fi
+  SPARK_GRAFT_SF_DIR="$WORK/gen100x" SPARK_GRAFT_CPUS=32 tools/run.sh graft.Bench 2>/dev/null > BENCH_gen100x.json
+fi
 python3 - <<'EOF'
-import json
+import json, os
 a = json.load(open("BENCH_gen1x.json"))["queries"]
 b = json.load(open("BENCH_sf1.json"))["queries"]
-print(f"{'query':34s} {'1x':>7s} {'10x':>8s} {'ratio':>6s}")
+c = (json.load(open("BENCH_gen100x.json"))["queries"]
+     if os.path.exists("BENCH_gen100x.json") else None)
 flagged = []
-for q in sorted(a, key=lambda q: -b[q] / max(a[q], 1e-9)):
-    r = b[q] / max(a[q], 1e-9)
-    # fixed overheads dominate sub-100ms 1x times; only flag ratios
-    # measured against a meaningful base
-    mark = ""
-    if r > 15 and b[q] > 1.0:
-        mark = "  <-- SUPER-LINEAR"
-        flagged.append(q)
-    print(f"{q:34s} {a[q]:7.2f} {b[q]:8.2f} {r:6.1f}{mark}")
-print(f"\ntotal 1x={sum(a.values()):.1f}s 10x={sum(b.values()):.1f}s")
+if c:
+    print(f"{'query':34s} {'1x':>7s} {'10x':>8s} {'100x':>9s} {'r10':>5s} {'r100':>6s}")
+    # rank by the 100x/1x ratio: the widest lever arm on scaling behavior
+    for q in sorted(a, key=lambda q: -c[q] / max(a[q], 1e-9)):
+        r10, r100 = b[q] / max(a[q], 1e-9), c[q] / max(a[q], 1e-9)
+        # fixed overheads dominate sub-100ms 1x times; only flag ratios
+        # measured against a meaningful base
+        mark = ""
+        if r100 > 150 and c[q] > 1.0:
+            mark = "  <-- SUPER-LINEAR"
+            flagged.append(q)
+        print(f"{q:34s} {a[q]:7.2f} {b[q]:8.2f} {c[q]:9.2f} {r10:5.1f} {r100:6.1f}{mark}")
+    print(f"\ntotal 1x={sum(a.values()):.1f}s 10x={sum(b.values()):.1f}s "
+          f"100x={sum(c.values()):.1f}s")
+else:
+    print(f"{'query':34s} {'1x':>7s} {'10x':>8s} {'ratio':>6s}")
+    for q in sorted(a, key=lambda q: -b[q] / max(a[q], 1e-9)):
+        r = b[q] / max(a[q], 1e-9)
+        mark = ""
+        if r > 15 and b[q] > 1.0:
+            mark = "  <-- SUPER-LINEAR"
+            flagged.append(q)
+        print(f"{q:34s} {a[q]:7.2f} {b[q]:8.2f} {r:6.1f}{mark}")
+    print(f"\ntotal 1x={sum(a.values()):.1f}s 10x={sum(b.values()):.1f}s")
 print("FLAGGED:", flagged if flagged else "none")
 EOF
