@@ -380,17 +380,30 @@ object Similarity {
     * double precision), cosine from the int dots, so the ranking shows
     * what the 4x-smaller representation alone preserves. Same shape and
     * tie-breaks as `bruteForceTopK`.
+    *
+    * The whole quantize-and-score path is native codegen: quantization is
+    * one `QuantizeInt8` pass (returning integer-valued doubles), and the
+    * int dots run through `VectorDot` on those arrays — every term and
+    * every prefix sum is integer-valued and <= 64*127² < 2^53, so the
+    * double fold is bit-identical to the
+    * `cast(aggregate(zip_with(...)) as double)` long-fold spelling it
+    * replaces. The prior spelling (3 interpreted HOF passes to quantize +
+    * 2 interpreted lambda closures per dot element) made this query 26x
+    * slower than its full-precision twin at 100x (87 s vs ann_topk's
+    * 3.3 s, SCALE_CURVE r100=121); OperatorsSpec holds the differential
+    * against the built-in spelling.
     */
   def quantizedTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
-    val wq = withQuantized(emb)
-      .withColumn("qn", expr("sqrt(cast(aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, p) -> a + p) as double))"))
+    val wq = emb
+      .select(col("vec_id"),
+        graft.functions.QuantizeInt8(col("embedding").cast("array<double>")).as("qd"))
+      .withColumn("qn", sqrt(graft.functions.VectorDot(col("qd"), col("qd"))))
     val q = wq.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("q").as("qa"), col("qn").as("na"))
-    val c = wq.select(col("vec_id").as("n_id"), col("q").as("qb"), col("qn").as("nb"))
+      .select(col("vec_id").as("q_id"), col("qd").as("qa"), col("qn").as("na"))
+    val c = wq.select(col("vec_id").as("n_id"), col("qd").as("qb"), col("qn").as("nb"))
     val scored = q.join(c, col("q_id") =!= col("n_id"))
       .withColumn("cos_q", round(
-        expr("cast(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, p) -> a + p) as double)")
-          / (col("na") * col("nb")), 6))
+        graft.functions.VectorDot(col("qa"), col("qb")) / (col("na") * col("nb")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_q").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions.{col, expr}
 
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -490,6 +491,31 @@ class OperatorsSpec extends AnyFunSuite {
     // it must lose to multi-probe, which is the point of probing
     assert(singleProbe <= multiProbe,
       f"single-probe $singleProbe%.3f should not beat multi-probe $multiProbe%.3f")
+  }
+
+  test("native QuantizeInt8 matches the built-in HOF spelling bit-for-bit") {
+    // the three-HOF spelling QuantizeInt8 replaced in quantizedTopK:
+    // abs-max scale + Spark round (BigDecimal HALF_UP) + int cast + back
+    // to double. Every element must be the identical IEEE double,
+    // including adversarial rows: all-zero (scale floor 1e-9), exact
+    // .5 ties after scaling, negatives, single-element.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val adversarial = spark.createDataFrame(Seq(
+      (9001L, Seq(0.0, 0.0, 0.0)),              // zero vector: floor scale
+      (9002L, Seq(127.0, 63.5, -63.5, 0.5)),    // exact ties at k+0.5
+      (9003L, Seq(-1e-12, 2e-12, 0.0)),         // below the 1e-9 floor
+      (9004L, Seq(3.7)),                        // single element -> +-127
+      (9005L, Seq(-2.5, 2.5, -1.25, 1.25))      // symmetric tie signs
+    )).toDF("vec_id", "v")
+    val both = emb.union(adversarial)
+      .withColumn("scale",
+        expr("greatest(array_max(transform(v, x -> abs(x))), 1e-9d) / 127.0"))
+      .withColumn("builtin",
+        expr("transform(v, x -> cast(cast(round(x / scale) as int) as double))"))
+      .withColumn("native", graft.functions.QuantizeInt8(col("v")))
+    val bad = both.filter(col("builtin") =!= col("native")).count()
+    assert(bad == 0, s"$bad rows diverge between native and built-in quantization")
   }
 
   test("int8 quantization preserves cosine to ~1% and most of the exact top-5") {
