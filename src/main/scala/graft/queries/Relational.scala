@@ -260,19 +260,101 @@ object Relational {
   /** Exact percentiles of order value per priority class: p50/p90/p99 via
     * linear interpolation (Spark `percentile` == DuckDB `quantile_cont`
     * semantics; rounded to 4 decimals for cross-engine hash stability).
-    * Exact percentile sorts per group — at 100 TB switch the consumer to
-    * `approx_percentile` (t-digest, mergeable sketch) and drop the oracle
-    * to a tolerance check; the exact form here is the correctness anchor.
+    *
+    * NOT the `percentile` aggregate: Spark's exact Percentile is a
+    * TypedImperativeAggregate whose state is a boxed value->count map of
+    * every distinct value in the group — over a continuous double column
+    * the state is the group itself, and at 100x sf0.1 (15M orders, 5
+    * groups) the map build + state serialization + single-threaded
+    * per-group final sort ran 81 s (SCALE_CURVE r100=93, on a 5-row
+    * answer). This spelling computes the same order statistics by range
+    * partitioning: count per group, range-repartition by (group, value)
+    * with a within-partition sort, per-partition group counts -> global
+    * rank offsets, then a P-way-parallel extraction of ONLY the <=
+    * 2*|ps|*|groups| rank-straddling rows. Driver traffic is bounded by
+    * the group-key cardinality (o_orderpriority is a 5-value enum) times
+    * the partition count, never by data volume; no task ever holds more
+    * than its partition slice. 81 s -> ~4 s at 100x.
+    *
+    * Bit-parity contract (oracle-critical): interpolation reproduces
+    * Percentile.getPercentile exactly — position = p * (n-1),
+    * value = (hi - pos) * v_lo + (pos - lo) * v_hi in that evaluation
+    * order — and the final `round(_, 4)` is the same Spark HALF_UP
+    * function applied in the old aggregate spelling, which
+    * RelationalSpec's differential pins against the `percentile`
+    * built-in.
     */
-  def qOrderPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "orders")
-      .groupBy("o_orderpriority")
-      .agg(
-        expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
-        expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
-        expr("round(percentile(o_totalprice, 0.99), 4)").as("p99"),
-        count(lit(1)).as("n_orders"))
-      .orderBy("o_orderpriority")
+  def qOrderPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val ps = Seq(0.5, 0.9, 0.99)
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+    // one partial-agg shuffle; result rows = |enum| (bounded collect)
+    val counts: Map[String, Long] =
+      o.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 0-indexed ranks whose values the interpolation needs, per group
+    val needed: Map[String, Set[Long]] = counts.map { case (g, n) =>
+      g -> ps.flatMap { p =>
+        val pos = p * (n - 1)
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
+    }
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = o.repartitionByRange(nPart, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-(partition, group) counts: nPart x |enum| rows to the driver
+      val partCounts = ranged
+        .groupBy(spark_partition_id().as("pid"), col("g")).count()
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      // rank offset of each partition's first row of each group
+      val offsets: Map[(Int, String), Long] = partCounts.map { case ((pid, g), _) =>
+        (pid, g) -> partCounts.collect {
+          case ((p2, g2), c) if g2 == g && p2 < pid => c
+        }.sum
+      }
+      val sc = spark.sparkContext
+      val neededB = sc.broadcast(needed)
+      val offsetsB = sc.broadcast(offsets)
+      // P-way parallel scan of the sorted partitions; emits only the
+      // rank-straddling rows (<= 2*|ps| per group overall)
+      val picked: Map[(String, Long), Double] = ranged.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          var curG: String = null
+          var local = 0L
+          it.flatMap { r =>
+            val g = r.getString(0)
+            if (g != curG) { curG = g; local = 0L }
+            val rank = offsetsB.value.getOrElse((pid, g), 0L) + local
+            local += 1
+            if (neededB.value.getOrElse(g, Set.empty).contains(rank))
+              Iterator.single(((g, rank), r.getDouble(1)))
+            else Iterator.empty
+          }
+        }.collect().toMap
+      // Percentile.getPercentile's exact arithmetic, per group x p
+      val rows = counts.keys.toSeq.sorted.map { g =>
+        val n = counts(g)
+        val Seq(p50, p90, p99) = ps.map { p =>
+          val pos = p * (n - 1)
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          if (hi == lo) picked((g, lo))
+          else (hi - pos) * picked((g, lo)) + (pos - lo) * picked((g, hi))
+        }
+        (g, p50, p90, p99, n)
+      }
+      import spark.implicits._
+      rows.toDF("o_orderpriority", "p50", "p90", "p99", "n_orders")
+        .select(col("o_orderpriority"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          round(col("p99"), 4).as("p99"),
+          col("n_orders"))
+        .orderBy("o_orderpriority")
+    } finally ranged.unpersist(blocking = false)
+  }
 
   /** TPC-H Q7-shaped volume shipping: the same dimension (nation) joined
     * TWICE under different roles — supplier nation and customer nation —

@@ -421,6 +421,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDupPairs(emptyEmb).count() === 0)
   }
 
+  test("range-partitioned exact percentiles match the percentile aggregate bit-for-bit") {
+    // qOrderPercentiles' rank-extraction spelling vs the built-in exact
+    // Percentile aggregate it replaced (boxed value->count state made the
+    // aggregate 81 s on a 5-row answer at 100x). Same interpolation, same
+    // round — every cell must be the identical double at both test scales.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val builtin = graft.Tables.load(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+          expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
+          expr("round(percentile(o_totalprice, 0.99), 4)").as("p99"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+        .as[(String, Double, Double, Double, Long)].collect().toSeq
+      val ranked = graft.queries.Relational.qOrderPercentiles(spark, dir)
+        .as[(String, Double, Double, Double, Long)].collect().toSeq
+      assert(ranked === builtin, s"divergence vs percentile() at $dir")
+    }
+  }
+
   test("approx percentiles stay within tolerance of the exact sort-based twin") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.queries.Relational.qOrderPercentiles(spark, dir)
