@@ -343,7 +343,12 @@ object Dedup {
     * label's label). The label-of-label term doubles propagation distance
     * per round, so rounds are ~log2(diameter) instead of diameter — a
     * duplication CHAIN of length 1000 converges in ~10 rounds, not 1000
-    * — and `maxIters` caps the worst case. A round is ONE job with two
+    * — and `maxIters` caps the worst case. The loop is monotone (labels
+    * only decrease) and exits the first round nothing changes, so the cap
+    * is a safety rail, not a cost: 64 covers any component a real corpus
+    * can hold (the old default of 20 threw at 100x sf0.1 with 40 labels
+    * still moving — just past the bound on that graph's largest
+    * components). A round is ONE job with two
     * small shuffles; the convergence count (never a data collect) rides
     * the SAME job that materializes the round. See
     * `connectedComponents` for why the loop body is a co-partitioned RDD
@@ -364,7 +369,7 @@ object Dedup {
     * materialized, so executor storage stays O(one round), not O(iters).
     */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.01,
-      maxIters: Int = 20): DataFrame =
+      maxIters: Int = 64): DataFrame =
     connectedComponents(
       ngramJaccardPairsRaw(docs, threshold).select("doc_a", "doc_b"), maxIters)
 
@@ -373,7 +378,7 @@ object Dedup {
     * stage (MinHash, SimHash, embedding, semantic) can feed it. Output:
     * (cluster_id = component-min doc_id, doc_id), one row per paired doc.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     // The iteration itself runs as a co-partitioned RDD loop — the one
     // genuinely imperative per-partition workload in this engine (the
     // GraphX-shaped case). The DataFrame spelling of the same rounds was
