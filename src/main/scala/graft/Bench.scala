@@ -40,9 +40,40 @@ object Bench {
       val a = runOnce(n); val b = runOnce(n)
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => k }
+
+    def fmt(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Full per-query timings go to a file: the driver's stdout capture keeps
+    // only a bounded tail, so the stdout line must stay comfortably under
+    // ~2000 chars. The headline subset below (~one per operator family)
+    // fits; the full 100+-query map does not.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""queries":${fmt(results)},"sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+    if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
+
+    val headline = Seq(
+      "wordcount", "wordcount_topk", "wordcount_windowed",
+      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+      "q7_nation_volume", "q9_product_profit", "q18_large_orders",
+      "q21_waiting_suppliers", "q_running_total", "q_order_percentiles",
+      "q_events_hourly", "q_events_sessions", "q_events_incident_window",
+      "q_events_trailing_hour", "dedup_exact", "dedup_minhash_pairs",
+      "dedup_clusters", "dedup_semantic", "dedup_spans", "ann_topk",
+      "ann_ivf_kmeans", "ann_quantized_topk", "emb_top_pairs", "text_tfidf",
+      "text_tokens", "text_inverted_index", "text_bpe_encode",
+      "pipeline_curation", "pipeline_quality_scores", "pipeline_pack",
+      "mm_features")
+    val byName = results.toMap
+    val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""queries":${fmt(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

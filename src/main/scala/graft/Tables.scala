@@ -14,19 +14,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Sessions reading `events` must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see `configure`):
-    * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; with the flag it arrives as raw nanos and is floor-converted
-    * here to Spark's microsecond TimestampType (identical to DuckDB's
-    * ns->us floor). The flag lives at session build, not here — a loader
-    * mutating global session state per call is a correctness hazard under
-    * concurrent queries.
+  /** `events.ts` has shipped in three parquet encodings across testdata
+    * generations, so the loader normalizes by the OBSERVED read type rather
+    * than assuming one: (a) TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` (set
+    * in `configure`) surfaces it as raw nano longs — floor-converted here to
+    * microsecond TimestampType, identical to DuckDB's ns->us floor; (b)
+    * TIMESTAMP(MICROS) without the UTC-adjustment flag, which Spark 4 infers
+    * as TIMESTAMP_NTZ — cast to TimestampType under the session's UTC zone,
+    * the same instant DuckDB assigns the naive value; (c) already
+    * TimestampType, passed through. The session flags live at session
+    * build, not here — a loader mutating global session state per call is a
+    * correctness hazard under concurrent queries.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _                => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** The session settings every graft entry point builds with. Extensions
