@@ -276,6 +276,16 @@ object Relational {
     * the partition count, never by data volume; no task ever holds more
     * than its partition slice. 81 s -> ~4 s at 100x.
     *
+    * Job-count economy (the sf0.1 cost is fixed overhead, not data): the
+    * per-(partition, group) counts are computed in the SAME action that
+    * materializes the range-partitioned cache, and the global group counts
+    * are their driver-side sums — so the pipeline is exactly (1) the range
+    * partitioner's sample pass, (2) one shuffle+sort+cache pass emitting
+    * the tiny count table, (3) the extraction, which runs only on the
+    * partitions that actually contain a needed rank
+    * (PartitionPruningRDD — at high partition counts almost all cached
+    * partitions are skipped without scheduling a task).
+    *
     * Bit-parity contract (oracle-critical): interpolation reproduces
     * Percentile.getPercentile exactly — position = p * (n-1),
     * value = (hi - pos) * v_lo + (pos - lo) * v_hi in that evaluation
@@ -289,50 +299,64 @@ object Relational {
     val ps = Seq(0.5, 0.9, 0.99)
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
-    // one partial-agg shuffle; result rows = |enum| (bounded collect)
-    val counts: Map[String, Long] =
-      o.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // 0-indexed ranks whose values the interpolation needs, per group
-    val needed: Map[String, Set[Long]] = counts.map { case (g, n) =>
-      g -> ps.flatMap { p =>
-        val pos = p * (n - 1)
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
-      }.toSet
-    }
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = o.repartitionByRange(nPart, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // per-(partition, group) counts: nPart x |enum| rows to the driver
-      val partCounts = ranged
-        .groupBy(spark_partition_id().as("pid"), col("g")).count()
-        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val rangedRdd = ranged.rdd
+      // ONE action both materializes the cache and emits the tiny
+      // per-(partition, group) count table (nPart x |enum| rows)
+      val partCounts: Map[(Int, String), Long] = rangedRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r => val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + 1L) }
+          m.iterator.map { case (g, c) => ((pid, g), c) }
+        }.collect().toMap
+      // global group counts are driver-side sums of the partition counts
+      val counts: Map[String, Long] =
+        partCounts.groupMapReduce(_._1._2)(_._2)(_ + _)
+      // 0-indexed ranks whose values the interpolation needs, per group
+      val needed: Map[String, Set[Long]] = counts.map { case (g, n) =>
+        g -> ps.flatMap { p =>
+          val pos = p * (n - 1)
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.toSet
+      }
       // rank offset of each partition's first row of each group
       val offsets: Map[(Int, String), Long] = partCounts.map { case ((pid, g), _) =>
         (pid, g) -> partCounts.collect {
           case ((p2, g2), c) if g2 == g && p2 < pid => c
         }.sum
       }
+      // only partitions whose [offset, offset+count) spans a needed rank
+      // get a task; the rest of the cache is never touched
+      val neededPids: Set[Int] = partCounts.collect {
+        case ((pid, g), c) if needed(g).exists { rk =>
+          val off = offsets((pid, g)); rk >= off && rk < off + c
+        } => pid
+      }.toSet
       val sc = spark.sparkContext
       val neededB = sc.broadcast(needed)
       val offsetsB = sc.broadcast(offsets)
-      // P-way parallel scan of the sorted partitions; emits only the
-      // rank-straddling rows (<= 2*|ps| per group overall)
-      val picked: Map[(String, Long), Double] = ranged.rdd
-        .mapPartitionsWithIndex { (pid, it) =>
-          var curG: String = null
-          var local = 0L
-          it.flatMap { r =>
-            val g = r.getString(0)
-            if (g != curG) { curG = g; local = 0L }
-            val rank = offsetsB.value.getOrElse((pid, g), 0L) + local
-            local += 1
-            if (neededB.value.getOrElse(g, Set.empty).contains(rank))
-              Iterator.single(((g, rank), r.getDouble(1)))
-            else Iterator.empty
-          }
-        }.collect().toMap
+      // parallel scan of ONLY the rank-bearing sorted partitions; emits
+      // only the rank-straddling rows (<= 2*|ps| per group overall)
+      val extract = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+        var curG: String = null
+        var local = 0L
+        it.flatMap { r =>
+          val g = r.getString(0)
+          if (g != curG) { curG = g; local = 0L }
+          val rank = offsetsB.value.getOrElse((pid, g), 0L) + local
+          local += 1
+          if (neededB.value.getOrElse(g, Set.empty).contains(rank))
+            Iterator.single(((g, rank), r.getDouble(1)))
+          else Iterator.empty
+        }
+      }
+      val picked: Map[(String, Long), Double] =
+        org.apache.spark.rdd.PartitionPruningRDD.create(extract, neededPids.contains)
+          .collect().toMap
       // Percentile.getPercentile's exact arithmetic, per group x p
       val rows = counts.keys.toSeq.sorted.map { g =>
         val n = counts(g)

@@ -20,8 +20,13 @@ object CountQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (n <- args)
-      println(s"[count] $n rows=${graft.SparkEntry.queries(n)(spark, sfDir).count()}")
+    for (n <- args) {
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9 // build + full materialization
+      println(f"[count] $n rows=${df.count()} time=$dt%.3fs")
+    }
     spark.stop()
   }
 }
