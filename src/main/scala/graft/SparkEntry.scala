@@ -128,6 +128,13 @@ object SparkEntry {
     // literals — see oracleSqlDynamic.
     "ann_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopKWith(Tables.load(s, d, "embeddings"), kmeansCentroids(s, d))),
+    // Product quantization: fitted subspace codebooks are deterministic
+    // like the IVF fit, so both oracles re-state them as literals — see
+    // oracleSqlDynamic.
+    "ann_pq_encode" -> ((s, d) => Similarity.pqEncode(
+      Tables.load(s, d, "embeddings"), kmeansCentroids(s, d), pqBooks(s, d))),
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(
+      Tables.load(s, d, "embeddings"), kmeansCentroids(s, d), pqBooks(s, d))),
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     "emb_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))),
     "emb_pool" -> ((s, d) => Similarity.meanPool(Tables.load(s, d, "embeddings"))),
@@ -527,6 +534,16 @@ object SparkEntry {
     kmeansCache.getOrElseUpdate(s"$d#$nCells",
       Similarity.fitCentroids(Tables.load(s, d, "embeddings"), nCells))
 
+  /** Fitted PQ codebooks per sf dir — same registry shape as the IVF
+    * centroids: fit ONCE, serve the encode query, the IVF-PQ query, and
+    * both dynamic oracles from the one deterministic fit.
+    */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  private def pqBooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(d, Similarity.fitPqCodebooks(
+      Tables.load(s, d, "embeddings"), kmeansCentroids(s, d)))
+
   /** Embedding-corpus row count per sf dir — memoized; feeds the
     * `planesFor`/`cellsFor` sizing rules in both the queries and their
     * dynamically-rendered oracles.
@@ -595,6 +612,92 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  private def duckLit(c: Array[Double]): String =
+    c.map(_.toString).mkString("[", ", ", "]")
+  private def duckLit2(b: Array[Array[Double]]): String =
+    b.map(duckLit).mkString("[", ",\n          ", "]")
+
+  /** Per-subspace PQ score list: same norm²−2·dot spelling as the IVF
+    * oracles, over the sliced residual (`rv[lo:hi]`, DuckDB's inclusive
+    * 1-based slice == Spark's `slice(rv, lo, PqSub)`).
+    */
+  private def pqScoreList(book: Array[Array[Double]], lo: Int, hi: Int): String =
+    book.map { c =>
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(rv[$lo:$hi], CAST(${duckLit(c)} AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+
+  /** Shared CTE chain for the PQ oracles: coarse scores -> cell ->
+    * elementwise residual (index-by-index, mirroring the engine's
+    * `transform` with index) -> per-subspace score lists -> 1-based codes.
+    */
+  private def pqCodeCtes(coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): String = {
+    val coarseScores = coarse.map { c =>
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST(${duckLit(c)} AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    val dim = Similarity.PqM * Similarity.PqSub
+    val scoreCols = books.indices.map { m =>
+      val lo = m * Similarity.PqSub + 1
+      val hi = (m + 1) * Similarity.PqSub
+      s"${pqScoreList(books(m), lo, hi)} AS s$m"
+    }.mkString(",\n  ")
+    val codeCols = books.indices.map(m =>
+      s"CAST(list_position(s$m, list_min(s$m)) AS INT) AS code$m").mkString(", ")
+    s"""co AS (SELECT vec_id, v, nrm, $coarseScores AS scores FROM n),
+       |wb AS (SELECT vec_id, v, nrm, scores,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM co),
+       |res AS (SELECT vec_id, v, nrm, scores, cell,
+       |        list_transform(generate_series(1, $dim),
+       |          j -> v[j] - (CAST(${duckLit2(coarse)} AS DOUBLE[][]))[cell][j]) AS rv
+       |        FROM wb),
+       |psc AS (SELECT vec_id, cell, $scoreCols FROM res),
+       |cd AS (SELECT vec_id, cell, $codeCols FROM psc)""".stripMargin
+  }
+
+  /** ann_pq_encode oracle: residual codes from the exported coarse +
+    * codebook literals, in the exploded all-int form (row per vector x
+    * subspace).
+    */
+  private def pqEncodeSqlFor(coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): String = {
+    val codesArr = books.indices.map(m => s"code$m").mkString("[", ", ", "]")
+    s"""WITH $normCte,
+       |${pqCodeCtes(coarse, books)}
+       |SELECT vec_id, CAST(i - 1 AS INT) AS m, ($codesArr)[i] AS code
+       |FROM cd, (SELECT unnest(generate_series(1, ${Similarity.PqM})) AS i)
+       |ORDER BY vec_id, m""".stripMargin
+  }
+
+  /** ann_ivfpq_topk oracle: coarse probe identical to `ivfKmeansSqlFor`,
+    * candidates scored by the ADC reconstruction — the coarse-centroid
+    * inner product plus per-subspace inner products of the query slice
+    * with the code-fetched codebook entry, left-folded by an explicit `+`
+    * chain in the same order as the engine's fold.
+    */
+  private def ivfPqSqlFor(coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): String = {
+    val coarseTerm =
+      s"list_inner_product(q.qv, (CAST(${duckLit2(coarse)} AS DOUBLE[][]))[c.cell])"
+    val adcTerms = books.indices.map { m =>
+      val lo = m * Similarity.PqSub + 1
+      val hi = (m + 1) * Similarity.PqSub
+      s"list_inner_product(q.qv[$lo:$hi], (CAST(${duckLit2(books(m))} AS DOUBLE[][]))[cd.code$m])"
+    }.mkString("\n        + ")
+    s"""WITH $normCte,
+       |${pqCodeCtes(coarse, books)},
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |        unnest(list_distinct(list_transform(generate_series(1, 2),
+       |          r -> CAST(list_position(scores, list_sort(scores)[r]) AS INT)))) AS probe
+       |      FROM wb WHERE vec_id < 5),
+       |s AS (SELECT q.q_id, c.vec_id AS n_id,
+       |        round(($coarseTerm
+       |        + $adcTerms) / (q.qn * c.nrm), 6) AS adc_cos
+       |      FROM q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id
+       |        JOIN cd ON cd.vec_id = c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, adc_cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** dedup_semantic oracle: same cell-assignment spelling as the k-means
     * IVF oracle (fitted centroids as round-tripping double literals), then
     * the within-cell pair join with the cosine-threshold verify.
@@ -623,6 +726,10 @@ object SparkEntry {
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql +
       ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
+        pqBooks(spark, sfDir))) +
+      ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
+        pqBooks(spark, sfDir))) +
       ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +
       ("ann_lsh_multiprobe" -> multiProbeSqlFor(

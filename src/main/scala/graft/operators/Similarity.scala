@@ -350,6 +350,173 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
     ivfTopKWith(emb, fitCentroids(emb, nCentroids), nQueries, k, nProbe)
 
+  // ------------------------- Product quantization -------------------------
+
+  /** PQ geometry: the 64-dim embeddings split into `PqM` contiguous
+    * subspaces of `PqSub` dims, each with its own `PqK`-centroid codebook.
+    * A vector's PQ code is then `PqM` small ints — 8 ints standing in for
+    * 64 doubles, the order-of-magnitude candidate-store compression that
+    * makes billion-vector serving memory-feasible (the candidates carry
+    * only codes + one precomputed norm; full-precision vectors are never
+    * fetched on the serving path). K=16 (vs the textbook 256-per-byte)
+    * keeps the exported-literal oracle tractable; everything is K-generic.
+    */
+  val PqM = 8
+  val PqSub = 8
+  val PqK = 16
+
+  /** Coarse cell + RESIDUAL per vector: `rv[i] = v[i] - coarse[cell][i]`.
+    * PQ codebooks quantize residuals, not raw vectors (the IVFADC design):
+    * raw-vector codebooks collapse onto the coarse structure — every
+    * vector in a cell gets the same codes and ADC can't rank within the
+    * cell, exactly where ranking happens. The elementwise subtraction is
+    * spelled index-by-index in both engines (Spark `transform` with index,
+    * DuckDB `list_transform(generate_series(...))`), so residuals are
+    * bit-identical doubles. Requires columns `v` and `cell`.
+    */
+  def withResidual(df: DataFrame, coarse: Array[Array[Double]]): DataFrame = {
+    val cc = typedlit(coarse.map(_.toSeq).toSeq)
+    df.withColumn("rv", transform(col("v"),
+      (x, i) => x - element_at(element_at(cc, col("cell")), i + 1)))
+  }
+
+  /** Cell assignment + residual over the full corpus — shared by encode,
+    * search, and fit so codes are identical by construction everywhere.
+    */
+  private def withCellResidual(emb: DataFrame,
+      coarse: Array[Array[Double]]): DataFrame =
+    withResidual(
+      withNorm(emb)
+        .withColumn("scores", cellScores(coarse))
+        .withColumn("cell",
+          expr("cast(array_position(scores, array_min(scores)) as int)")),
+      coarse)
+
+  /** Joint Lloyd's fit of all `PqM` residual-subspace codebooks in ONE
+    * aggregation job per iteration — a per-subspace `fitCentroids` loop
+    * would cost `PqM ×` the jobs for identical results (the differential
+    * spec asserts exactly that equality). Deterministic by the same recipe
+    * as `fitCentroids`: hash-gated sample, smallest-id-hash init (each
+    * subspace initialized from the residual SLICES of the same
+    * `nCentroids` sample vectors), coordinate sums folded in sorted
+    * vec_id order. Per iteration the executors reduce the sample to
+    * PqM*K*PqSub (m, cell, dim) rows; only that tiny aggregate reaches
+    * the driver, so fit cost is one sample scan per iteration regardless
+    * of corpus size.
+    */
+  def fitPqCodebooks(emb: DataFrame, coarse: Array[Array[Double]],
+      nCentroids: Int = PqK, iters: Int = 6,
+      sampleMod: Int = 2): Array[Array[Array[Double]]] = {
+    val sample = withCellResidual(emb, coarse)
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0)
+      .select(col("vec_id"), col("rv"))
+    val init = sample
+      .orderBy(xxhash64(col("vec_id") + 1), col("vec_id"))
+      .limit(nCentroids)
+      .select("rv").collect().map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(PqM)(m => init.map(_.slice(m * PqSub, (m + 1) * PqSub)))
+    for (_ <- 0 until iters) {
+      val assigned = (0 until PqM).foldLeft(sample) { (d, m) =>
+        val sc = graft.functions.CellScores(
+          slice(col("rv"), m * PqSub + 1, PqSub), books(m))
+        d.withColumn(s"sc$m", sc)
+          .withColumn(s"pcell$m",
+            expr(s"cast(array_position(sc$m, array_min(sc$m)) as int)"))
+      }
+      val stats = assigned
+        .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), col(s"pcell$m").as("cell"),
+            slice(col("rv"), m * PqSub + 1, PqSub).as("sv"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.cell").as("cell"),
+          posexplode(col("e.sv")).as(Seq("d", "x")))
+        .groupBy("m", "cell", "d")
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(vec_id, x))), cast(0.0 as double), (a, s) -> a + s.x)").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      stats.foreach { r =>
+        // cell is 1-based (array_position); d is 0-based (posexplode);
+        // empty cells keep their previous centroid
+        next(r.getInt(0))(r.getInt(1) - 1)(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** 1-based PQ code per residual subspace (1-based so the spelling
+    * matches DuckDB `list_position` exactly), appended as
+    * `code0..code{M-1}` columns. Same argmin + first-min tie-break as the
+    * coarse cell assignment. Requires the `rv` column.
+    */
+  private def withPqCodes(df: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    (0 until PqM).foldLeft(df) { (d, m) =>
+      val sc = graft.functions.CellScores(
+        slice(col("rv"), m * PqSub + 1, PqSub), books(m))
+      d.withColumn(s"pqsc$m", sc)
+        .withColumn(s"code$m",
+          expr(s"cast(array_position(pqsc$m, array_min(pqsc$m)) as int)"))
+        .drop(s"pqsc$m")
+    }
+
+  /** PQ encoding audit: one row per (vector, subspace) with the assigned
+    * residual code — the all-int exploded form that cross-engine hash
+    * comparison handles exactly. Pure per-row projections; no shuffle
+    * except the output sort.
+    */
+  def pqEncode(emb: DataFrame, coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    withPqCodes(withCellResidual(emb, coarse), books)
+      .select(col("vec_id"),
+        posexplode(array((0 until PqM).map(m => col(s"code$m")): _*))
+          .as(Seq("m", "code")))
+      .orderBy("vec_id", "m")
+
+  /** IVF-PQ top-k — the memory-scale serving shape: coarse IVF cells bound
+    * WHICH candidates are scored (probe join, corpus side shuffles once on
+    * `cell`), and PQ-ADC bounds WHAT each scoring touches — candidates are
+    * represented by their cell, PqM residual codes, and one stored norm
+    * instead of 64 doubles. The ADC dot reconstructs
+    * `<q, x> ≈ <q, coarse[cell]> + Σ_m <q_m, book_m[code_m]>` (x ≈ coarse
+    * centroid + quantized residual), left-folded in that order to match
+    * the oracle's explicit `+` chain; each term is a native `VectorDot`
+    * against the entry fetched by plain `element_at` on a literal nested
+    * array (codegen-friendly; books are PqM*K*PqSub doubles,
+    * driver-bounded). Approximate cosine = adc / (|q| * |x|) with the
+    * candidate's exact norm from the index, rounded to 6 decimals like
+    * every other cosine in this module.
+    */
+  def ivfPqTopK(emb: DataFrame, coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nQueries: Int = 5, k: Int = 5,
+      nProbe: Int = 2): DataFrame = {
+    val wb = withPqCodes(withCellResidual(emb, coarse), books)
+    val q = wb.filter(col("vec_id") < nQueries)
+      .withColumn("probe", explode(probeArr(nProbe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("probe"))
+    val cand = wb.select(Seq(col("vec_id").as("n_id"), col("nrm").as("nn"),
+      col("cell").as("n_cell")) ++ (0 until PqM).map(m => col(s"code$m")): _*)
+    val joined = q.join(cand,
+      col("probe") === col("n_cell") && col("q_id") =!= col("n_id"))
+    val coarseTerm = graft.functions.VectorDot(col("qv"),
+      element_at(typedlit(coarse.map(_.toSeq).toSeq), col("n_cell")))
+    val adc = (0 until PqM).foldLeft(coarseTerm: Column) { (acc, m) =>
+      acc + graft.functions.VectorDot(
+        slice(col("qv"), m * PqSub + 1, PqSub),
+        element_at(typedlit(books(m).map(_.toSeq).toSeq), col(s"code$m")))
+    }
+    val scored = joined.withColumn("adc_cos",
+      round(adc / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "adc_cos")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v|/127, q[d] =
     * round(v[d]/scale). 4x memory reduction for the candidate store — at
     * corpus scale the quantized vectors are what the ANN bucket join

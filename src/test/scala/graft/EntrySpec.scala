@@ -17,6 +17,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_lsh_multiprobe" -> 25L,
     "ann_ivf_topk" -> 25L,
     "ann_ivf_kmeans" -> 25L,
+    "ann_pq_encode" -> 4000L,
+    "ann_ivfpq_topk" -> 25L,
     "q_cube_returns" -> 12L,
     "q10_returned_items" -> 20L,
     "q_order_percentiles" -> 5L,
@@ -144,7 +146,7 @@ class EntrySpec extends AnyFunSuite {
     * not present in the static map.
     */
   private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
-    "pipeline_quality_scores", "text_bpe_encode")
+    "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

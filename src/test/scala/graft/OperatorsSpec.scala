@@ -515,6 +515,109 @@ class OperatorsSpec extends AnyFunSuite {
       f"single-probe $singleProbe%.3f should not beat multi-probe $multiProbe%.3f")
   }
 
+  test("joint PQ codebook fit equals a per-subspace fitCentroids loop exactly") {
+    // The joint fit's one-job-per-iteration aggregation must be a pure
+    // batching of PqM independent subspace fits over the coarse residuals:
+    // same sample gate, same init rows, same sorted-order coordinate sums
+    // — so each subspace codebook equals what fitCentroids produces on the
+    // sliced residual vectors, double for double.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val coarse = Similarity.fitCentroids(emb)
+    val joint = Similarity.fitPqCodebooks(emb, coarse, nCentroids = 8, iters = 3)
+    val withRv = Similarity.withResidual(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scores", graft.functions.CellScores(col("v"), coarse))
+        .withColumn("cell",
+          expr("cast(array_position(scores, array_min(scores)) as int)")),
+      coarse)
+    for (m <- 0 until Similarity.PqM) {
+      val sliced = withRv.select(col("vec_id"),
+        expr(s"slice(rv, ${m * Similarity.PqSub + 1}, ${Similarity.PqSub})")
+          .as("embedding"))
+      val solo = Similarity.fitCentroids(sliced, nCentroids = 8, iters = 3)
+      assert(joint(m).map(_.toSeq).toSeq === solo.map(_.toSeq).toSeq,
+        s"subspace $m codebook diverged from the sequential fit")
+    }
+  }
+
+  test("PQ encode is layout-independent and codes stay in range") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val coarse = Similarity.fitCentroids(emb)
+    val books = Similarity.fitPqCodebooks(emb, coarse)
+    val a = Similarity.pqEncode(emb, coarse, books).collect().toSeq
+    val b = Similarity.pqEncode(emb.repartition(7), coarse, books).collect().toSeq
+    assert(a === b, "codes changed under a different partition layout")
+    assert(a.size === emb.count() * Similarity.PqM)
+    assert(a.forall { r =>
+      val c = r.getInt(2); c >= 1 && c <= Similarity.PqK
+    }, "code outside 1..K")
+  }
+
+  test("IVF-PQ: ADC ranking tracks exact scoring over the same candidates") {
+    // Three claims, measured on the isotropic sf0.01 corpus with every
+    // vector as a query: (1) IVF-PQ's recall vs brute force is bounded by
+    // its 2/16-cell coverage, like exact-scored IVF; (2) PQ-ADC ranking
+    // recovers most of what exact scoring finds WITHIN the same probed
+    // candidates (the only loss PQ itself introduces); (3) the ADC cosine
+    // approximation error stays small in absolute terms.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count().toInt
+    val coarse = Similarity.fitCentroids(emb)
+    val books = Similarity.fitPqCodebooks(emb, coarse)
+    val truth = topSets(Similarity.bruteForceTopK(emb, nQueries = n))
+    val exactIvf = topSets(Similarity.ivfTopKWith(emb, coarse, nQueries = n))
+    val pq = topSets(Similarity.ivfPqTopK(emb, coarse, books, nQueries = n))
+    val vsBrute = recallVs(truth)(pq)
+    val vsExactIvf = recallVs(exactIvf)(pq)
+    info(f"IVF-PQ recall@5: vs brute=$vsBrute%.3f, vs exact-scored same-probe IVF=$vsExactIvf%.3f")
+    // Isotropic noise is the worst case for a lossy quantizer: true top-5
+    // cosines bunch within ~0.05 of the bulk, so ADC noise swaps ranks
+    // freely (measured ~0.18 / ~0.38). The floors pin against collapse;
+    // the clustered corpus below is where PQ must actually deliver.
+    assert(vsBrute >= 1.0 / 16,
+      f"IVF-PQ recall $vsBrute%.3f collapsed below half its coverage bound")
+    assert(vsExactIvf >= 0.3,
+      f"ADC ranking agreement $vsExactIvf%.3f with exact scoring too low")
+    // ADC cosine error vs the true cosine for the pairs PQ surfaced
+    val pqRows = Similarity.ivfPqTopK(emb, coarse, books, nQueries = n)
+      .select("q_id", "n_id", "adc_cos").as[(Long, Long, Double)].collect()
+    val exact = Similarity.bruteForceTopK(emb, nQueries = n, k = n - 1)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val errs = pqRows.flatMap { case (q, nb, a) => exact.get((q, nb)).map(t => math.abs(a - t)) }
+    val meanErr = errs.sum / errs.length
+    info(f"mean |adc_cos - cos| over ${errs.length} surfaced pairs = $meanErr%.4f")
+    assert(meanErr <= 0.15, f"ADC approximation error $meanErr%.4f above bound")
+  }
+
+  test("IVF-PQ clears the recall floor on clustered data (the case PQ exists for)") {
+    // Same deterministic 10-cluster corpus as the k-means IVF floor test:
+    // with geometry present, subspace codebooks land on the per-cluster
+    // sub-centers and ADC ranking approaches exact scoring.
+    val pts = (0 until 500).map { i =>
+      val c = i % 10
+      val v = Array.tabulate(64) { d =>
+        (((17 * c + 23 * d) % 19 - 9) / 3.0 + ((31 * i + 7 * d) % 11 - 5) * 0.08).toFloat
+      }
+      (i.toLong, v, c)
+    }
+    val emb = pts.toDF("vec_id", "embedding", "label")
+    val n = pts.size
+    val coarse = Similarity.fitCentroids(emb)
+    val books = Similarity.fitPqCodebooks(emb, coarse)
+    val truth = topSets(Similarity.bruteForceTopK(emb, nQueries = n))
+    val exactIvf = topSets(Similarity.ivfTopKWith(emb, coarse, nQueries = n))
+    val pq = topSets(Similarity.ivfPqTopK(emb, coarse, books, nQueries = n))
+    val vsBrute = recallVs(truth)(pq)
+    val vsExactIvf = recallVs(exactIvf)(pq)
+    info(f"clustered IVF-PQ recall@5: vs brute=$vsBrute%.3f, vs exact-scored IVF=$vsExactIvf%.3f")
+    // measured 0.794 / 0.798 (vs 0.158 when codebooks quantized RAW
+    // vectors instead of residuals — the regression this spec pins)
+    assert(vsBrute >= 0.7, f"clustered IVF-PQ recall $vsBrute%.3f below floor")
+    assert(vsExactIvf >= 0.75,
+      f"clustered ADC agreement $vsExactIvf%.3f with exact scoring below floor")
+  }
+
   test("native QuantizeInt8 matches the built-in HOF spelling bit-for-bit") {
     // the three-HOF spelling QuantizeInt8 replaced in quantizedTopK:
     // abs-max scale + Spark round (BigDecimal HALF_UP) + int cast + back
