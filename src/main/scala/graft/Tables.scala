@@ -47,6 +47,14 @@ object Tables {
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Surface parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) as plain
+      // TIMESTAMP instead of TIMESTAMP_NTZ (under the UTC session zone the
+      // two are the same instant): the NTZ fallback in `load` would wrap
+      // ts in a cast, and a cast on the scan column blocks parquet
+      // predicate pushdown for every time-range filter over events — at
+      // 100 TB that is the difference between pruning row groups by
+      // min/max ts and reading them all.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new GraftExtensions)
 
