@@ -517,6 +517,60 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Persist an IVF-PQ index: cell + PqM residual codes + precomputed
+    * norm, BUCKETED BY the probe join key — and NOTHING else. Unlike
+    * `buildIvfIndex`, the full-precision vectors are not in the index at
+    * all: a row costs PqM ints + a double instead of 64 doubles, which is
+    * the representation that lets a billion-vector index sit in fast
+    * storage. Serving joins consume the bucketed layout directly (zero
+    * index-side exchange, plan-asserted in ScaleSpec).
+    */
+  def buildIvfPqIndex(emb: DataFrame, coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], table: String,
+      buckets: Int = 8): Unit =
+    withPqCodes(withCellResidual(emb, coarse), books)
+      .select(Seq(col("vec_id"), col("nrm"), col("cell")) ++
+        (0 until PqM).map(m => col(s"code$m")): _*)
+      .write.bucketBy(buckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(table)
+
+  /** Serve ADC top-k from a persisted PQ index. The query batch arrives
+    * with FULL-precision vectors (queries are tiny; candidates are the
+    * scale problem) and recomputes its probe cells from the same coarse
+    * literals; the index side streams straight out of its buckets and is
+    * scored code-only. Results are identical to `ivfPqTopK` over the same
+    * vectors, coarse centroids, and codebooks (asserted in ScaleSpec).
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], k: Int = 5,
+      nProbe: Int = 2): DataFrame = {
+    val q = withNorm(queries)
+      .withColumn("scores", cellScores(coarse))
+      .withColumn("probe", explode(probeArr(nProbe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("probe"))
+    val idx = spark.table(table)
+    val cand = idx.select(Seq(col("vec_id").as("n_id"), col("nrm").as("nn"),
+      col("cell").as("n_cell")) ++ (0 until PqM).map(m => col(s"code$m")): _*)
+    val joined = q.join(cand,
+      col("probe") === col("n_cell") && col("q_id") =!= col("n_id"))
+    val coarseTerm = graft.functions.VectorDot(col("qv"),
+      element_at(typedlit(coarse.map(_.toSeq).toSeq), col("n_cell")))
+    val adc = (0 until PqM).foldLeft(coarseTerm: Column) { (acc, m) =>
+      acc + graft.functions.VectorDot(
+        slice(col("qv"), m * PqSub + 1, PqSub),
+        element_at(typedlit(books(m).map(_.toSeq).toSeq), col(s"code$m")))
+    }
+    val scored = joined.withColumn("adc_cos",
+      round(adc / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "adc_cos")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v|/127, q[d] =
     * round(v[d]/scale). 4x memory reduction for the candidate store — at
     * corpus scale the quantized vectors are what the ANN bucket join

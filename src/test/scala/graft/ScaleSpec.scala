@@ -43,6 +43,43 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF-PQ index: code-only rows, bucket-served, results match in-memory") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val coarse = Similarity.fitCentroids(emb, nCentroids = 8)
+    val books = Similarity.fitPqCodebooks(emb, coarse, nCentroids = 8, iters = 3)
+    try {
+      Similarity.buildIvfPqIndex(emb, coarse, books, "ivfpq_idx", buckets = 4)
+      // the index stores NO vectors — only cell, codes, norm (the memory
+      // contract that makes the representation billion-vector-servable)
+      val idxCols = spark.table("ivfpq_idx").columns.toSet
+      assert(!idxCols.contains("v") && !idxCols.contains("rv"),
+        s"index must not store vectors: $idxCols")
+      assert(idxCols === (Set("vec_id", "nrm", "cell") ++
+        (0 until Similarity.PqM).map(m => s"code$m")))
+      // identical results to the in-memory ADC path over the same fits
+      val fromIndex = Similarity.ivfPqTopKIndexed(
+        spark, "ivfpq_idx", emb.filter(col("vec_id") < 5), coarse, books)
+      val inMemory = Similarity.ivfPqTopK(emb, coarse, books)
+      assert(fromIndex.collect().toSeq === inMemory.collect().toSeq)
+      // served as bucketed: force the non-broadcast join shape and assert
+      // the index scan feeds it with no exchange of its own
+      val cand = spark.table("ivfpq_idx")
+        .select(col("vec_id").as("n_id"), col("cell").as("n_cell"))
+      val probes = spark.table("ivfpq_idx").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("cell").as("probe"))
+      val joined = probes.hint("merge").join(cand, col("probe") === col("n_cell"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"index side must not re-shuffle (expected <=1 exchange for the probe side):\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_idx")
+    }
+  }
+
   test("persisted IVF index: bucketed layout serves probes without re-shuffling") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, dir, "embeddings")
