@@ -65,7 +65,8 @@ object Bench {
       "q_events_hourly", "q_events_sessions", "q_events_incident_window",
       "q_events_trailing_hour", "dedup_exact", "dedup_minhash_pairs",
       "dedup_clusters", "dedup_semantic", "dedup_spans", "ann_topk",
-      "ann_ivf_kmeans", "ann_quantized_topk", "emb_top_pairs", "text_tfidf",
+      "ann_ivf_kmeans", "ann_quantized_topk", "ann_ivfpq_topk",
+      "emb_top_pairs", "text_tfidf",
       "text_tokens", "text_inverted_index", "text_bpe_encode",
       "pipeline_curation", "pipeline_quality_scores", "pipeline_pack",
       "mm_features")
