@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.SqlSurface
+
+/** Dual-surface parity: the engine's queries are equally reachable through
+  * `spark.sql` over the registered table views as through the DataFrame
+  * API. For every oracle whose SQL is ANSI enough for Spark's parser —
+  * verbatim, or under the mechanical dialect mapping in
+  * `SqlSurface.toSparkSql` (function spellings only; the parity check
+  * below is what makes the mapping trustworthy) — the SQL result must
+  * equal the DataFrame result frame-for-frame. The remaining oracles lean
+  * on DuckDB-specific constructs (list_reduce folds, list literals,
+  * generator nesting) and are exercised by the driver's DuckDB gate
+  * instead.
+  *
+  * Pinning the exact query sets keeps this a regression tripwire both
+  * ways: a query disappearing from the runnable set (SQL surface broke)
+  * fails just as loudly as a parity mismatch.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Oracle SQL that Spark runs verbatim (pure ANSI). */
+  private val verbatim = Set(
+    "q10_returned_items", "q11_important_stock", "q12_late_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_cnt", "q17_small_quantity", "q19_disjunctive",
+    "q1_pricing_summary", "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_global_opportunity", "q2_min_cost_supplier", "q4_late_orders",
+    "q5_region_revenue", "q6_revenue_filter", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q_big_spenders",
+    "q_brand_volume", "q_cube_returns", "q_customers_no_orders",
+    "q_nations_both_sides", "q_priority_customers", "q_rollup_returns",
+    "q_top_suppliers_per_nation")
+
+  /** Oracle SQL that runs after the dialect mapping. */
+  private val translated = Set(
+    "q18_large_orders", "q3_shipping_priority", "q_events_daily_active",
+    "q_events_funnel", "q_events_hourly", "q_events_incident_window",
+    "q_events_latest_state", "q_events_moving_avg", "q_events_props",
+    "q_events_retention", "q_events_scd_history", "q_events_sessions",
+    "q_events_trailing_hour", "q_events_user_gaps", "q_order_percentiles",
+    "q_running_total", "q_top_orders", "text_heavyhitters", "text_oov",
+    "text_search", "text_tfidf", "text_vocab", "wordcount",
+    "wordcount_windowed")
+
+  test("52 oracle queries run through spark.sql and match the DataFrame surface") {
+    Tables.registerAll(spark, dir)
+    val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
+    val missing = (verbatim ++ translated).diff(all.keySet)
+    assert(missing.isEmpty, s"pinned queries lost their oracle SQL: $missing")
+    for (name <- (verbatim ++ translated).toSeq.sorted) {
+      val sql = if (verbatim(name)) all(name) else SqlSurface.toSparkSql(all(name))
+      val viaSql = SqlSurface.canon(spark.sql(sql))
+      val viaDf = SqlSurface.canon(SparkEntry.queries(name)(spark, dir))
+      assert(viaSql === viaDf, s"SQL/DataFrame divergence on $name")
+    }
+  }
+
+  test("dialect mapping leaves pure-ANSI text untouched") {
+    // the mapping must be inert on SQL that is already Spark-parseable
+    // ANSI (so applying it unconditionally would also be safe)
+    val all = SparkEntry.oracleSql
+    for (name <- verbatim if all.contains(name))
+      assert(SqlSurface.toSparkSql(all(name)) === all(name), name)
+  }
+}
