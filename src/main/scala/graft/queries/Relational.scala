@@ -207,11 +207,27 @@ object Relational {
 
   /** ROLLUP grouping sets; subtotal NULLs coalesced to 'ALL' so the output
     * (and its ordering) is null-free and engine-agnostic.
+    *
+    * Spark lowers grouping-set lattices through Expand, which replicates
+    * every INPUT row once per grouping set before the partial aggregate —
+    * 3× the fact-table rows for a 2-column rollup. The base group-by is
+    * tiny (|flag|×|status|), so aggregate once at full granularity and
+    * roll the lattice up from the pre-aggregated rows instead: the scan's
+    * rows pass the hash aggregate once, and Expand runs over ≤ a dozen
+    * rows. Decimal partials re-aggregate exactly (sum of sums), so the
+    * final doubles are bit-identical to the single-pass spelling — the
+    * SQL-parity spec runs the direct ROLLUP SQL through Spark and
+    * asserts frame equality, and ScaleSpec asserts Expand sits above
+    * the base aggregate in the executed plan.
     */
   def qRollupReturns(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items_p"),
+           sum(dec2(col("l_quantity"))).as("sum_qty_p"))
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n_items"), sum2(col("l_quantity")).as("sum_qty"))
+      .agg(sum(col("n_items_p")).as("n_items"),
+           sum(col("sum_qty_p")).cast("double").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -462,14 +478,20 @@ object Relational {
       .orderBy("o_orderpriority")
 
   /** Full grouping-sets lattice (CUBE): every (returnflag x linestatus)
-    * combination incl. both partial totals — one pass, Spark expands the
-    * grouping sets before the partial aggregate so the shuffle still
-    * carries pre-aggregated rows.
+    * combination incl. both partial totals. Same base-aggregate-first
+    * lowering as `qRollupReturns` — the 4-set Expand would replicate
+    * every fact row four times before the partial aggregate; expanding
+    * the ≤ dozen pre-aggregated rows costs nothing and the decimal
+    * partials re-aggregate exactly.
     */
   def qCubeReturns(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items_p"),
+           sum(dec2(col("l_quantity"))).as("sum_qty_p"))
       .cube("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n_items"), sum2(col("l_quantity")).as("sum_qty"))
+      .agg(sum(col("n_items_p")).as("n_items"),
+           sum(col("sum_qty_p")).cast("double").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),

@@ -291,6 +291,25 @@ class ScaleSpec extends AnyFunSuite {
       s"filters not pushed to the scan:\n$plan")
   }
 
+  test("rollup/cube expand only pre-aggregated rows, never the fact scan") {
+    // grouping-set lattices lower through Expand, which replicates its
+    // input once per grouping set; the base-aggregate-first spelling must
+    // keep the fact-table scan BELOW an aggregate that Expand consumes,
+    // so the replication factor applies to a dozen rows, not the corpus
+    for (q <- Seq(graft.queries.Relational.qRollupReturns _,
+                  graft.queries.Relational.qCubeReturns _)) {
+      // the tree prints children below their parent, so "a HashAggregate
+      // after the Expand line" == "Expand consumes an aggregate, not the
+      // scan" (the direct-lattice plan puts Expand lowest, directly on
+      // the scan); plan.collect can't see through the AQE wrapper here
+      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      val at = plan.indexOf("Expand")
+      assert(at >= 0, s"expected an Expand in:\n$plan")
+      assert(plan.substring(at).contains("HashAggregate"),
+        s"Expand consumes the raw scan (lattice over fact rows):\n$plan")
+    }
+  }
+
   test("GraftExtensions registers the native functions for pure-SQL sessions") {
     import org.apache.spark.sql.SparkSession
     val base = spark // force TestSpark init first
