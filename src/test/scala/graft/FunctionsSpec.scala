@@ -89,6 +89,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(both.map(_.getSeq[Double](1)).toSeq === direct)
   }
 
+  test("CharClassCounts matches the regexp_replace spelling on hostile text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.CharClassCounts
+    // unicode (2- and 3-byte code points), ASCII controls inside and
+    // outside \s, digits, empty string, punctuation runs
+    val strs = Seq(
+      "hello, world! 42", "", "   ", "数据 表 12.5%", "naïve café",
+      "ab", "tabs\tand\nnewlines\f\r", "!!!???...",
+      "0123456789", "mixed 数 1a! ß ", "")
+    val df = strs.toDF("text")
+    val native = df.select(
+      CharClassCounts.punct(CharClassCounts(col("text"))).as("p"),
+      CharClassCounts.digit(CharClassCounts(col("text"))).as("d"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val regex = df.select(
+      (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).as("p"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("d"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(native === regex)
+  }
+
   test("native expressions evaluate identically through the SQL engine") {
     val spark = TestSpark.spark
     import spark.implicits._
