@@ -373,12 +373,57 @@ object Dedup {
     connectedComponents(
       ngramJaccardPairsRaw(docs, threshold).select("doc_a", "doc_b"), maxIters)
 
+  /** Path-compressed union-find for the gated small-graph path of
+    * `connectedComponents`: (cluster_id = component-min doc_id, doc_id)
+    * pairs, sorted. Pure function of the edge list.
+    */
+  private[operators] def driverUnionFind(
+      edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root => cluster_id = component min for free
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.map(n => (find(n), n)).toSeq.sorted
+  }
+
   /** Connected components over any (doc_a, doc_b) pair list — the iteration
     * behind `nearDupClusters`, exposed because any pair-producing dedup
-    * stage (MinHash, SimHash, embedding, semantic) can feed it. Output:
-    * (cluster_id = component-min doc_id, doc_id), one row per paired doc.
+    * stage (MinHash, SimHash, embedding, SimHash, semantic) can feed it.
+    * Output: (cluster_id = component-min doc_id, doc_id), one row per
+    * paired doc.
+    *
+    * Two execution paths behind one contract, chosen by the MEASURED edge
+    * count (the same AQE philosophy as size-based join planning):
+    *
+    *  - `nEdges <= driverGateEdges` (default 2M ≈ 32 MB): union-find on
+    *    the driver. A distributed label-propagation round is ~5 stage
+    *    launches, and a small-diameter-but-deep pair graph needs 20+
+    *    rounds — 20 s of scheduling at 100× sf0.1 for a graph union-find
+    *    solves in ~50 ms. The collect is BOUNDED BY THE GATE on the
+    *    already-measured count, never corpus-proportional (the pair graph
+    *    of a deduplicated corpus is candidate-bounded, but the gate does
+    *    not rely on that: bigger graphs take the loop). The 2M default
+    *    stays well inside even the 2 GiB memory-envelope driver.
+    *  - larger graphs: the co-partitioned pointer-jumping RDD loop below,
+    *    unchanged — the path that runs at 1000-executor scale.
+    *
+    * Both paths produce identical output (min-label components;
+    * differential-tested against each other and against the in-memory
+    * union-find in OperatorsSpec).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64,
+      driverGateEdges: Long = 2_000_000L): DataFrame = {
     // The iteration itself runs as a co-partitioned RDD loop — the one
     // genuinely imperative per-partition workload in this engine (the
     // GraphX-shaped case). The DataFrame spelling of the same rounds was
@@ -399,7 +444,24 @@ object Dedup {
     val raw = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].rdd
-    val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size the round partitioner by the MEASURED edge count, not the
+    // upstream partition layout: a round is ~5 tiny stages, and at the
+    // parent's width a quarter-million-edge graph pays >20 rounds of
+    // per-task scheduling for microseconds of compute each (measured
+    // 26 s of loop time at 100× — almost all of it task dispatch). One
+    // partition comfortably holds millions of edges; the cap keeps
+    // genuinely huge graphs at the parent's parallelism. The count
+    // reads the cached RDD the seeding pass needs anyway.
+    val nEdges = raw.count()
+    if (nEdges <= driverGateEdges) {
+      val out = driverUnionFind(raw.collect())
+      raw.unpersist(blocking = false)
+      return spark.createDataFrame(out).toDF("cluster_id", "doc_id")
+        .orderBy("cluster_id", "doc_id")
+    }
+    val part = new HashPartitioner(
+      math.max(1, math.min(raw.getNumPartitions, (nEdges / 1000000L + 1L).toInt)))
     // symmetrized and keyed by the NEIGHBOR: joining labels on the key
     // yields (neighbor-label -> node) contributions for the min-combine
     val byNeighbor = raw
@@ -449,7 +511,10 @@ object Dedup {
         // strand the current round's checkpoint blocks on the executors
         labels.unpersist(blocking = false)
         throw e
-    } finally byNeighbor.unpersist(blocking = false)
+    } finally {
+      byNeighbor.unpersist(blocking = false)
+      raw.unpersist(blocking = false)
+    }
     labels.toDF("doc_id", "label")
       .select(col("label").as("cluster_id"), col("doc_id"))
       .orderBy("cluster_id", "doc_id")

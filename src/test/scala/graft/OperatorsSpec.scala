@@ -129,10 +129,34 @@ class OperatorsSpec extends AnyFunSuite {
     // rounds to carry label 0 to node 63; pointer jumping doubles the
     // propagation distance per round, so a budget of 10 rounds is only
     // meetable logarithmically — this would throw under the linear scheme
+    // driverGateEdges = 0 forces the distributed loop (the default gate
+    // would route a 63-edge graph to the driver union-find)
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs, maxIters = 10)
+    val got = Dedup.connectedComponents(pairs, maxIters = 10, driverGateEdges = 0)
       .as[(Long, Long)].collect().toSet
     assert(got === (0L until 64L).map(n => (0L, n)).toSet)
+  }
+
+  test("gated driver union-find and distributed loop produce identical components") {
+    // several components with different shapes: a chain, a star, a
+    // triangle with a tail, an isolated pair — plus duplicate and
+    // reversed edges to exercise symmetrization on both paths
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L),            // chain
+      (20L, 21L), (20L, 22L), (20L, 23L),            // star
+      (30L, 31L), (31L, 32L), (32L, 30L), (32L, 33L),// triangle + tail
+      (40L, 41L), (41L, 40L), (40L, 41L))            // dup/reversed
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSeq
+    val viaLoop = Dedup.connectedComponents(pairs, driverGateEdges = 0)
+      .as[(Long, Long)].collect().toSeq
+    assert(viaDriver === viaLoop)
+    assert(viaDriver.toSet === Set(
+      (10L, 10L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 20L), (20L, 21L), (20L, 22L), (20L, 23L),
+      (30L, 30L), (30L, 31L), (30L, 32L), (30L, 33L),
+      (40L, 40L), (40L, 41L)))
   }
 
   test("span dedup keeps corpus-first spans and reassembles in position order") {
