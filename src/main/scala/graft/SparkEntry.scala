@@ -140,11 +140,32 @@ object SparkEntry {
     "emb_pool" -> ((s, d) => Similarity.meanPool(Tables.load(s, d, "embeddings"))),
     "emb_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
     "ann_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(Tables.load(s, d, "embeddings"))),
+    // exact maximum-inner-product top-k (un-normalized relevance)
+    "ann_mips_topk" -> ((s, d) => Similarity.mipsTopK(Tables.load(s, d, "embeddings"))),
+    // MIPS served by the cosine-LSH machinery via the norm-augmentation
+    // reduction; the augmentation constant m2 is memoized per sf dir and
+    // re-stated as a literal in the dynamic oracle (see mipsAugSqlFor).
+    "ann_mips_lsh" -> ((s, d) => Similarity.mipsAugmentedTopK(
+      Tables.load(s, d, "embeddings"), maxNorm2(s, d),
+      nPlanes = Similarity.planesFor(embCount(s, d)))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
     "pipeline_pack" -> ((s, d) => Curation.packSequences(Tables.load(s, d, "documents"))),
     "pipeline_contamination" -> ((s, d) =>
       Dedup.benchmarkContamination(Tables.load(s, d, "documents"))),
+    // decontamination APPLY: drop training docs sharing >= 2 distinct
+    // 3-grams with a BOUNDED eval slice (doc_id % 100 == 7 within the
+    // first 5000 ids — a fixed-size stand-in for an external benchmark
+    // suite; it does not grow with the corpus, so the eval gram set is
+    // force-broadcast and the corpus streams once)
+    "pipeline_decontaminate" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val f = org.apache.spark.sql.functions
+      Dedup.decontaminate(docs,
+        docs.filter(f.pmod(f.col("doc_id"), f.lit(100L)) === 7 &&
+          f.col("doc_id") < 5000),
+        minOverlap = 2)
+    }),
     "text_scrub" -> ((s, d) => Scrub.scrub(Tables.load(s, d, "documents"))),
     "pipeline_split" -> ((s, d) => Curation.assignSplits(Tables.load(s, d, "documents"))
       .groupBy("split", "source")
@@ -172,6 +193,9 @@ object SparkEntry {
     "q_events_moving_avg" -> (Events.movingDailyValue _),
     // RANGE-frame window: per-event trailing-hour count/sum per user
     "q_events_trailing_hour" -> (Events.trailingHour _),
+    // ingest-volume anomaly detection: per-minute counts vs an exact
+    // integer-sum mean/stddev threshold (z > 2)
+    "q_events_anomaly" -> ((s, d) => Events.volumeAnomalies(s, d)),
     // stable dense sample ids in content-hash order (distributed
     // row_number lowering)
     "pipeline_ids" -> ((s, d) => Curation.assignDenseIds(Tables.load(s, d, "documents"))),
@@ -445,6 +469,47 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  // Mirrors Similarity.mipsTopK: rank by the raw inner product.
+  private val annMipsSql =
+    """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |        round(list_inner_product(q.v, c.v), 6) AS ip
+      |      FROM x q JOIN x c ON q.vec_id <> c.vec_id
+      |      WHERE q.vec_id < 5),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rnk FROM s)
+      |SELECT q_id, rnk, n_id, ip FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** Mirrors Similarity.mipsAugmentedTopK — the norm-augmentation
+    * reduction re-run independently: m2 is the engine's fitted scalar
+    * re-stated as a literal (Double.toString round-trips exactly), the
+    * 65-dim planes come from the same integer formula, and survivors are
+    * rescored with the exact inner product on the ORIGINAL vectors.
+    */
+  private def mipsAugSqlFor(m2: Double, nPlanes: Int): String = {
+    def planeSql65(i: Int): String =
+      s"CAST(list_transform(generate_series(0, 64), d -> (19 * $i + (11 + 7 * $i) * d) % 61 - 30) AS DOUBLE[])"
+    def bucketExprOver(v: String): String = (0 until nPlanes)
+      .map(i => s"(CASE WHEN list_inner_product($v, ${planeSql65(i)}) > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    val masks = 0 +: ((0 until nPlanes).map(1 << _) ++
+      (for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+        yield (1 << i) | (1 << j)))
+    val probeList = masks.map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
+    s"""WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ca AS (SELECT vec_id, v,
+       |         list_concat(v, [sqrt(greatest(0.0, $m2 - list_inner_product(v, v)))]) AS av
+       |       FROM x),
+       |cb AS (SELECT vec_id, v, CAST(${bucketExprOver("av")} AS INT) AS bucket FROM ca),
+       |qa AS (SELECT vec_id, v, list_concat(v, [0.0]) AS av FROM x WHERE vec_id < 5),
+       |qb AS (SELECT vec_id, v, CAST(${bucketExprOver("av")} AS INT) AS bucket FROM qa),
+       |q AS (SELECT vec_id AS q_id, v AS qv, unnest($probeList) AS probe FROM qb),
+       |s AS (SELECT q.q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.qv, c.v), 6) AS ip
+       |      FROM q JOIN cb c ON q.probe = c.bucket AND q.q_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, ip FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   private def planeSql(i: Int): String =
     s"CAST(list_transform(generate_series(0, 63), d -> (19 * $i + (11 + 7 * $i) * d) % 61 - 30) AS DOUBLE[])"
 
@@ -552,6 +617,16 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, Long]
   private def embCount(s: SparkSession, d: String): Long =
     embCountCache.getOrElseUpdate(d, Tables.load(s, d, "embeddings").count())
+
+  /** max |x|^2 per sf dir — the MIPS norm-augmentation constant; memoized
+    * so the shipped query and its dynamic oracle share the same scalar
+    * (one 1-row aggregate per sf dir, bounded by construction).
+    */
+  private val maxNorm2Cache =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+  private def maxNorm2(s: SparkSession, d: String): Double =
+    maxNorm2Cache.getOrElseUpdate(d,
+      Similarity.maxNorm2(Tables.load(s, d, "embeddings")))
 
   /** Trained quality-model trajectory per sf dir — the model-registry
     * shape: train ONCE, then serve the trajectory query, the scorer
@@ -733,6 +808,8 @@ object SparkEntry {
       ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +
       ("ann_lsh_multiprobe" -> multiProbeSqlFor(
+        Similarity.planesFor(embCount(spark, sfDir)))) +
+      ("ann_mips_lsh" -> mipsAugSqlFor(maxNorm2(spark, sfDir),
         Similarity.planesFor(embCount(spark, sfDir)))) +
       ("pipeline_quality_scores" -> qualityScoresSqlFor(
         qualityFit(spark, sfDir).last._3)) +
@@ -1028,6 +1105,19 @@ object SparkEntry {
        |  round(CAST(ov.n_overlap AS DOUBLE) / bsz.bench_grams, 6) AS coverage
        |FROM ov JOIN bsz ON ov.bench_id = bsz.bench_id
        |ORDER BY ov.doc_id, ov.bench_id""".stripMargin
+
+  // Mirrors Dedup.decontaminate over the bounded eval slice
+  // (doc_id % 100 == 7 within the first 5000 ids, minOverlap = 2): docs
+  // with fewer than 3 tokens have no shingles and always survive.
+  private val decontaminateSql =
+    s"""WITH $shCte,
+       |g AS (SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh),
+       |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 7 AND doc_id < 5000),
+       |cont AS (SELECT doc_id FROM g JOIN eg USING (gram)
+       |         GROUP BY doc_id HAVING COUNT(*) >= 2)
+       |SELECT doc_id, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+       |ORDER BY doc_id""".stripMargin
 
   // Mirrors Curation.packSequences (maxTokens = 512).
   private val packSql =
@@ -1714,10 +1804,12 @@ object SparkEntry {
     "pipeline_curation" -> curationSql,
     "pipeline_pack" -> packSql,
     "pipeline_contamination" -> contaminationSql,
+    "pipeline_decontaminate" -> decontaminateSql,
     "text_scrub" -> scrubSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "ann_topk" -> annTopkSql,
+    "ann_mips_topk" -> annMipsSql,
     "ann_lsh_buckets" -> lshBucketsSql,
     "ann_lsh_topk" -> lshTopkSql,
     "ann_ivf_topk" -> ivfTopkSql,
@@ -1828,6 +1920,21 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // Mirrors Events.volumeAnomalies: mean/sd from exact integer sums so
+    // the threshold is bit-identical across engines; z > 2.
+    "q_events_anomaly" ->
+      """WITH pm AS (SELECT date_trunc('minute', ts) AS m, COUNT(*) AS n_events
+        |            FROM events GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_mins, SUM(n_events) AS s1,
+        |         SUM(n_events * n_events) AS s2 FROM pm),
+        |j AS (SELECT pm.m, pm.n_events,
+        |        CAST(st.s1 AS DOUBLE) / st.n_mins AS mean,
+        |        sqrt(CAST(st.s2 AS DOUBLE) / st.n_mins
+        |          - (CAST(st.s1 AS DOUBLE) / st.n_mins) * (CAST(st.s1 AS DOUBLE) / st.n_mins)) AS sd
+        |      FROM pm CROSS JOIN st)
+        |SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS minute, n_events,
+        |  round((n_events - mean) / sd, 6) AS zscore
+        |FROM j WHERE n_events > mean + 2.0 * sd ORDER BY minute""".stripMargin,
     // Mirrors TextAnalysis.invertedIndex: per-(term, doc) tf, rank-capped
     // postings (QUALIFY = the WindowGroupLimit spelling), exact df/ctf.
     "text_inverted_index" ->

@@ -590,4 +590,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
+
+  /** Decontamination APPLY — the companion to `benchmarkContamination`'s
+    * audit: given a BOUNDED evaluation corpus, drop every training
+    * document sharing at least `minOverlap` distinct word n-grams with any
+    * eval document, returning the cleaned corpus. This is the shape a
+    * training pipeline actually ships (the audit reports, this one
+    * filters), and it is the strictly-linear path the contamination
+    * scale-note calls for: a REAL eval suite is fixed-size while the
+    * corpus grows, so the eval gram set is force-broadcast and the corpus
+    * streams once — per-doc overlap is counted map-side against the
+    * broadcast set, never through a gram-keyed shuffle of the corpus.
+    * The only shuffle left is the final doc_id anti-join of corpus
+    * against the (overlap >= minOverlap) id set, which AQE broadcasts
+    * whenever contamination is sparse.
+    */
+  def decontaminate(docs: DataFrame, eval: DataFrame, n: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val corpusGrams = withShingles(docs, n)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("gram"))
+    val evalGrams = eval.transform(withShingles(_, n))
+      .select(explode(col("shingles")).as("gram")).distinct()
+    val contaminated = corpusGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select("doc_id")
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
 }

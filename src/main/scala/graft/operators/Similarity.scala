@@ -97,13 +97,16 @@ object Similarity {
     * transform-over-sequence spelling re-evaluates per row — HOFs are not
     * constant-folded).
     */
-  private def planeCol(i: Int): Column =
-    array((0 until 64).map(d => lit(((19 * i + 11 * d + 7 * i * d) % 61 - 30).toDouble)): _*)
+  private def planeCol(i: Int, dims: Int = 64): Column =
+    array((0 until dims).map(d => lit(((19 * i + 11 * d + 7 * i * d) % 61 - 30).toDouble)): _*)
 
-  /** Sign-bit bucket column over `v` for the given number of hyperplanes. */
-  private def bucketCol(nPlanes: Int): Column =
+  /** Sign-bit bucket column over `v` for the given number of hyperplanes.
+    * `dims` follows the vector being bucketed (65 for the norm-augmented
+    * MIPS space, 64 everywhere else).
+    */
+  private def bucketCol(nPlanes: Int, dims: Int = 64): Column =
     (0 until nPlanes)
-      .map(i => when(graft.functions.VectorDot(col("v"), planeCol(i)) > 0,
+      .map(i => when(graft.functions.VectorDot(col("v"), planeCol(i, dims)) > 0,
         lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
       .cast("int")
@@ -176,6 +179,82 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Exact maximum-inner-product top-k (MIPS) — the retrieval objective
+    * when embeddings are NOT length-normalized (recommendation scores,
+    * dual-encoder retrieval with learned magnitudes): rank by dot(q, x)
+    * itself, where a vector's norm is part of its relevance. Brute
+    * baseline, same shape as `bruteForceTopK`: tiny query side broadcast,
+    * corpus streamed once, inner products rounded to 6 decimals with a
+    * total tie-break.
+    */
+  def mipsTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("ip", round(dot("qv", "nv"), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "ip")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** max |x|^2 over the corpus — the augmentation constant for
+    * `mipsAugmentedTopK`. One aggregation job, a single scalar to the
+    * driver (bounded by construction); exported to the DuckDB oracle as a
+    * literal the same way the k-means centroids are.
+    */
+  def maxNorm2(emb: DataFrame): Double = {
+    val v = col("embedding").cast("array<double>")
+    emb.select(max(graft.functions.VectorDot(v, v)).as("m2")).head.getDouble(0)
+  }
+
+  /** LSH-served MIPS via the norm-augmentation reduction (Bachrach et al.,
+    * RecSys'14; Shrivastava & Li's ALSH family): append one dimension so
+    * every corpus vector has the SAME norm sqrt(m2) —
+    * x' = [x, sqrt(m2 - |x|^2)], q' = [q, 0] — after which cosine order in
+    * the 65-dim space equals inner-product order in the original space
+    * (dot(q', x') = dot(q, x) and |x'| is constant). That one trick makes
+    * every cosine-ANN structure in this file a MIPS structure; here the
+    * augmented vectors route through the SAME hyperplane bucketing as
+    * `multiProbeTopK` (65-dim planes, Hamming-2 probing), and survivors are
+    * rescored with the EXACT inner product on the original vectors, so the
+    * output format and scores match `mipsTopK` exactly — the approximation
+    * affects only candidate recall, which the spec measures against the
+    * brute twin. The corpus side still shuffles once on `bucket`; the
+    * augmentation itself is a per-row map with no shuffle.
+    */
+  def mipsAugmentedTopK(emb: DataFrame, m2: Double, nQueries: Int = 5,
+      k: Int = 5, nPlanes: Int = NumPlanes, probeHamming: Int = 2): DataFrame = {
+    require(probeHamming >= 1 && probeHamming <= 2, "probeHamming must be 1 or 2")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    // greatest(0, …) guards the max-norm vector itself, where m2 - |x|^2
+    // can land an ulp below zero after the subtraction.
+    val corpus = base
+      .withColumn("v", concat(col("x"),
+        array(sqrt(greatest(lit(0.0), lit(m2) - dot("x", "x"))))))
+      .withColumn("bucket", bucketCol(nPlanes, dims = 65))
+      .select(col("vec_id").as("n_id"), col("x").as("nv"), col("bucket").as("n_bucket"))
+    val masks = 0 +: ((0 until nPlanes).map(1 << _) ++
+      (if (probeHamming < 2) Seq.empty
+       else for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+         yield (1 << i) | (1 << j)))
+    val q = base.filter(col("vec_id") < nQueries)
+      .withColumn("v", concat(col("x"), array(lit(0.0))))
+      .withColumn("bucket", bucketCol(nPlanes, dims = 65))
+      .select(col("vec_id").as("q_id"), col("x").as("qv"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val scored = q.join(corpus, col("probe") === col("n_bucket") && col("q_id") =!= col("n_id"))
+      .withColumn("ip", round(dot("qv", "nv"), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "ip")
       .orderBy("q_id", "rnk")
   }
 

@@ -551,4 +551,37 @@ object Events {
         col("valid_to_ms"), col("valid_to_ms").isNull.as("is_current"))
       .orderBy("user_id", "version")
   }
+
+  /** Volume-anomaly detection — the ingest-monitoring query a pipeline
+    * runs over arrival rates: bin events per minute, then flag minutes
+    * whose count sits more than `sigmas` population standard deviations
+    * above the mean minute. Mean and variance are derived from exact
+    * integer sums (n, Σc, Σc²) rather than an engine's streaming variance
+    * accumulator, so both engines compute the bit-identical threshold.
+    * Two aggregations: events → minutes (shuffle bounded by the TIME SPAN,
+    * not event volume), minutes → one 3-value stats row re-joined as a
+    * broadcast scalar. z-scores rounded to 6 decimals.
+    */
+  def volumeAnomalies(spark: SparkSession, dir: String,
+      sigmas: Double = 2.0): DataFrame =
+    volumeAnomaliesOf(Tables.load(spark, dir, "events"), sigmas)
+
+  def volumeAnomaliesOf(events: DataFrame, sigmas: Double = 2.0): DataFrame = {
+    val perMin = events
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = perMin.agg(
+      count(lit(1)).as("n_mins"),
+      sum(col("n_events")).as("s1"),
+      sum(col("n_events") * col("n_events")).as("s2"))
+    perMin.crossJoin(broadcast(stats))
+      .withColumn("mean", col("s1").cast("double") / col("n_mins"))
+      .withColumn("sd",
+        sqrt(col("s2").cast("double") / col("n_mins") - col("mean") * col("mean")))
+      .filter(col("n_events") > col("mean") + lit(sigmas) * col("sd"))
+      .select(date_format(col("m"), "yyyy-MM-dd HH:mm:ss").as("minute"),
+        col("n_events"),
+        round((col("n_events") - col("mean")) / col("sd"), 6).as("zscore"))
+      .orderBy("minute")
+  }
 }

@@ -1214,4 +1214,81 @@ class OperatorsSpec extends AnyFunSuite {
     // documented switch to a two-level fit takes over there
     assert(cellsFor(10_000_000L) === 4096)
   }
+
+  test("MIPS: brute top-k ranks by raw inner product, not cosine") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(3f, 0f), 0),
+      (2L, Array(0f, 2f), 0), (3L, Array(2f, 2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mipsTopK(emb, nQueries = 1, k = 5)
+      .select("q_id", "rnk", "n_id", "ip")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // q0 = [1,0]: ip(n1)=3, ip(n3)=2, ip(n2)=0 — cosine would tie n1
+    // with itself-direction and rank n3 (cos .707) below n1 (cos 1) too,
+    // but MIPS must put the LONG vector first regardless of angle.
+    assert(out === Seq((0L, 1, 1L, 3.0), (0L, 2, 3L, 2.0), (0L, 3, 2L, 0.0)))
+  }
+
+  test("MIPS augmented-LSH twin: candidates rescored exactly, recall holds") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count().toInt
+    val truth = topSets(Similarity.mipsTopK(emb, nQueries = n))
+    val m2 = Similarity.maxNorm2(emb)
+    val aug = Similarity.mipsAugmentedTopK(emb, m2, nQueries = n,
+      nPlanes = Similarity.planesFor(n))
+    val r = recallVs(truth)(topSets(aug))
+    // measured 0.845 on this isotropic corpus (rule-sized planes,
+    // Hamming-2) — the same coverage-governed number the cosine
+    // multi-probe spec sees; floor leaves noise margin
+    info(f"MIPS augmented-LSH recall@5 over $n queries = $r%.3f")
+    assert(r >= 0.7, f"augmented-LSH MIPS recall $r%.3f below floor")
+    // every emitted inner product equals the brute twin's for that pair —
+    // the augmentation affects candidate RECALL only, never scores
+    val bruteIp = Similarity.mipsTopK(emb, nQueries = n, k = n)
+      .select("q_id", "n_id", "ip").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    aug.select("q_id", "n_id", "ip").as[(Long, Long, Double)].collect()
+      .foreach { case (q, nid, ip) =>
+        assert(bruteIp((q, nid)) === ip, s"score drift on pair ($q,$nid)")
+      }
+  }
+
+  test("decontaminate drops >=minOverlap-gram matches, keeps the rest") {
+    val d = docs(
+      (1L, "a b c d e"),   // shares "a b c" + "b c d" with eval -> dropped
+      (2L, "a b c x y"),   // shares only "a b c" -> survives at minOverlap=2
+      (3L, "z w"))         // under 3 tokens: no shingles, always survives
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+    val eval = docs((100L, "a b c d q"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+    val kept = Dedup.decontaminate(d, eval, minOverlap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+    // minOverlap=1 also catches the single-gram doc
+    assert(Dedup.decontaminate(d, eval, minOverlap = 1)
+      .select("doc_id").as[Long].collect().toSet === Set(3L))
+  }
+
+  test("volume anomalies flag the spike minute with the exact z-score") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    // 7 quiet minutes of 2 events + one 8-event spike at 10:03
+    val rows = (0 until 8).flatMap { m =>
+      val k = if (m == 3) 8 else 2
+      (0 until k).map(i => (t(f"10:0$m:${10 + i}%02d"), m * 100L + i))
+    }
+    val ev = rows.toDF("ts", "event_id")
+    val out = graft.queries.Events.volumeAnomaliesOf(ev)
+      .as[(String, Long, Double)].collect().toSeq
+    val mean = 22.0 / 8
+    val sd = math.sqrt(92.0 / 8 - mean * mean)
+    val z = BigDecimal((8 - mean) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(("2024-01-01 10:03:00", 8L, z)))
+    // flat traffic (sd = 0) flags nothing, and divides by nothing
+    val flat = (0 until 4).flatMap(m =>
+      Seq((t(s"11:0$m:01"), 1000L + m), (t(s"11:0$m:02"), 2000L + m)))
+      .toDF("ts", "event_id")
+    assert(graft.queries.Events.volumeAnomaliesOf(flat).count() === 0)
+  }
 }

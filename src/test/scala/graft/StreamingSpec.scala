@@ -609,4 +609,55 @@ class StreamingSpec extends AnyFunSuite {
         s"state holds ${sop.numRowsTotal} rows; eviction overshot the horizon")
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches its batch twin and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long, Double)]
+    val joined = graft.streaming.StreamJoin.clickAttribution(
+      clicks.toDF().toDF("ts", "user_id", "event_id"),
+      purchases.toDF().toDF("ts", "user_id", "event_id", "value"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      val cRows = Seq((ts("10:00:00"), 1L, 101L), (ts("10:02:00"), 1L, 102L),
+        (ts("10:00:30"), 2L, 201L))
+      // 901 lands inside both user-1 clicks' 10-minute horizon; 902 is
+      // 19.5 minutes after user-2's only click — outside it
+      val pRows = Seq((ts("10:05:00"), 1L, 901L, 9.99),
+        (ts("10:20:00"), 2L, 902L, 5.0))
+      clicks.addData(cRows: _*)
+      purchases.addData(pRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select("user_id", "purchase_id", "click_id", "value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === Set((1L, 901L, 101L, 9.99), (1L, 901L, 102L, 9.99)))
+      // the SAME function over batch frames is the exact twin (the
+      // analyzer strips the watermark nodes on batch input)
+      val batch = graft.streaming.StreamJoin.clickAttribution(
+          cRows.toDF("ts", "user_id", "event_id"),
+          pRows.toDF("ts", "user_id", "event_id", "value"))
+        .select("user_id", "purchase_id", "click_id", "value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(batch === got)
+      // state eviction: advance both watermarks far past the horizon,
+      // twice (watermark N applies to batch N+1) — buffered rows whose
+      // match window closed must leave the store
+      clicks.addData((ts("11:00:00"), 9L, 999L))
+      purchases.addData((ts("11:00:00"), 9L, 998L, 1.0))
+      q.processAllAvailable()
+      clicks.addData((ts("12:00:00"), 9L, 1000L))
+      purchases.addData((ts("12:00:00"), 9L, 1001L, 1.0))
+      q.processAllAvailable()
+      purchases.addData((ts("12:30:00"), 9L, 1002L, 1.0))
+      q.processAllAvailable()
+      val sop = q.lastProgress.stateOperators(0)
+      val inserted = 10L // every click + purchase row above enters state
+      assert(sop.numRowsTotal < inserted,
+        s"state holds ${sop.numRowsTotal} rows — nothing was evicted")
+      assert(sop.numRowsTotal <= 4L,
+        s"state holds ${sop.numRowsTotal} rows; only the newest rows should remain")
+    } finally q.stop()
+  }
 }
