@@ -100,6 +100,10 @@ object SparkEntry {
     // single-statement SQL -> rows-only check; the union-find differential
     // in OperatorsSpec is the correctness anchor.
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.load(s, d, "documents"))),
+    // canonical-representative selection signal: integer fixed-point
+    // PageRank over the minhash candidate graph (8 unrolled iterations,
+    // bit-exact under any task order — see Dedup.nearDupCentrality)
+    "dedup_centrality" -> ((s, d) => Dedup.nearDupCentrality(Tables.load(s, d, "documents"))),
     // incremental ingest stand-in: docs with id%10==3 arrive as the new
     // batch, the rest are the existing corpus ledger
     "dedup_incremental" -> ((s, d) => {
@@ -135,6 +139,13 @@ object SparkEntry {
       Tables.load(s, d, "embeddings"), kmeansCentroids(s, d), pqBooks(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(
       Tables.load(s, d, "embeddings"), kmeansCentroids(s, d), pqBooks(s, d))),
+    // two-level (hierarchical) IVF: the documented switch past the
+    // single-level cell cap — 8 coarse x 8 fine fitted cells, flat probe
+    // key, sqrt-sized score branches; oracle re-states both levels as
+    // literals (see ivf2SqlFor).
+    "ann_ivf2_topk" -> ((s, d) => Similarity.ivf2TopKWith(
+      Tables.load(s, d, "embeddings"), kmeansCentroids(s, d, 8),
+      ivf2Fine(s, d))),
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     "emb_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))),
     "emb_pool" -> ((s, d) => Similarity.meanPool(Tables.load(s, d, "embeddings"))),
@@ -349,6 +360,32 @@ object SparkEntry {
     s"""WITH $sigCte,
        |$bandsCte
        |$candPairsSelect ORDER BY doc_a, doc_b""".stripMargin
+
+  // Mirrors Dedup.nearDupCentrality: the 8 fixed-point PageRank
+  // iterations UNROLLED as chained CTEs (standard SQL bans aggregation
+  // in a recursive member, and a fixed iteration count needs no
+  // recursion). `//` is DuckDB's integer division = Spark's `div`; the
+  // SUM is cast back from HUGEINT so the damping arithmetic stays in
+  // int64 like the engine's.
+  private val centralitySql = {
+    val iters = (1 to 8).map { i =>
+      s"""pr$i AS (SELECT ed.d AS id,
+         |  150000 + (85 * CAST(SUM(p.r // ed.deg) AS BIGINT)) // 100 AS r
+         |  FROM ed JOIN pr${i - 1} p ON ed.s = p.id GROUP BY ed.d)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $sigCte,
+       |$bandsCte,
+       |cand AS ($candPairsSelect),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+       |ed AS (SELECT e.s, e.d, dg.deg FROM edges e JOIN deg dg USING (s)),
+       |pr0 AS (SELECT s AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT dg.s AS doc_id, dg.deg, p.r AS rank_u
+       |FROM pr8 p JOIN deg dg ON dg.s = p.id ORDER BY doc_id""".stripMargin
+  }
 
   // Mirrors Dedup.simhashRaw: 64-bit fingerprint as four 16-bit parts,
   // each from its own md5 slice, sign-aggregated per bit.
@@ -599,6 +636,17 @@ object SparkEntry {
     kmeansCache.getOrElseUpdate(s"$d#$nCells",
       Similarity.fitCentroids(Tables.load(s, d, "embeddings"), nCells))
 
+  /** Two-level IVF sub-centroids per sf dir (8 coarse x 8 fine) — fit
+    * ONCE over the 8-coarse-cell assignment, served to both the shipped
+    * query and its dynamic oracle.
+    */
+  private val ivf2Cache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  private def ivf2Fine(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    ivf2Cache.getOrElseUpdate(d,
+      Similarity.fitCentroids2(Tables.load(s, d, "embeddings"),
+        kmeansCentroids(s, d, 8)))
+
   /** Fitted PQ codebooks per sf dir — same registry shape as the IVF
     * centroids: fit ONCE, serve the encode query, the IVF-PQ query, and
     * both dynamic oracles from the one deterministic fit.
@@ -683,6 +731,46 @@ object SparkEntry {
        |s AS (SELECT q.q_id, c.vec_id AS n_id,
        |        round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
        |      FROM q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** ann_ivf2_topk oracle: both centroid levels as literals. The fine
+    * level is a CASE over the (coarse) cell — one score list per branch,
+    * mirroring the engine's lazily-evaluated `fineScores` column — used
+    * twice: against the corpus row's own coarse cell, and against each
+    * PROBED coarse cell on the query side.
+    */
+  private def ivf2SqlFor(coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]]): String = {
+    val nFine = fine(0).length
+    def scoreList(cs: Array[Array[Double]], v: String): String =
+      cs.map { c =>
+        s"${Similarity.norm2(c)} - 2 * list_inner_product($v, CAST(${duckLit(c)} AS DOUBLE[]))"
+      }.mkString("[", ",\n      ", "]")
+    def fineCase(cellCol: String, v: String): String =
+      fine.indices.map(c => s"WHEN ${c + 1} THEN ${scoreList(fine(c), v)}")
+        .mkString(s"CASE $cellCol ", " ", " END")
+    def top2(scores: String): String =
+      s"unnest(list_distinct(list_transform(generate_series(1, 2), " +
+        s"r -> CAST(list_position($scores, list_sort($scores)[r]) AS INT))))"
+    s"""WITH $normCte,
+       |sc AS (SELECT vec_id, v, nrm, ${scoreList(coarse, "v")} AS scores FROM n),
+       |cb AS (SELECT vec_id, v, nrm, scores,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS ccell FROM sc),
+       |fb AS (SELECT vec_id, v, nrm, scores, ccell,
+       |        ${fineCase("ccell", "v")} AS fscores FROM cb),
+       |wb AS (SELECT vec_id, v, nrm, scores,
+       |        (ccell - 1) * $nFine
+       |          + CAST(list_position(fscores, list_min(fscores)) AS INT) AS cell
+       |      FROM fb),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, ${top2("scores")} AS pc
+       |       FROM wb WHERE vec_id < 5),
+       |qf AS (SELECT q_id, qv, qn, pc, ${fineCase("pc", "qv")} AS pfs FROM qp),
+       |qx AS (SELECT q_id, qv, qn, (pc - 1) * $nFine + ${top2("pfs")} AS probe FROM qf),
+       |s AS (SELECT q.q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+       |      FROM qx q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
@@ -811,6 +899,8 @@ object SparkEntry {
         Similarity.planesFor(embCount(spark, sfDir)))) +
       ("ann_mips_lsh" -> mipsAugSqlFor(maxNorm2(spark, sfDir),
         Similarity.planesFor(embCount(spark, sfDir)))) +
+      ("ann_ivf2_topk" -> ivf2SqlFor(kmeansCentroids(spark, sfDir, 8),
+        ivf2Fine(spark, sfDir))) +
       ("pipeline_quality_scores" -> qualityScoresSqlFor(
         qualityFit(spark, sfDir).last._3)) +
       ("text_bpe_encode" -> bpeEncodeSqlFor(bpeMerges(spark, sfDir)))
@@ -1808,6 +1898,7 @@ object SparkEntry {
     "text_scrub" -> scrubSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_centrality" -> centralitySql,
     "ann_topk" -> annTopkSql,
     "ann_mips_topk" -> annMipsSql,
     "ann_lsh_buckets" -> lshBucketsSql,

@@ -429,6 +429,125 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
     ivfTopKWith(emb, fitCentroids(emb, nCentroids), nQueries, k, nProbe)
 
+  // --------------------------- Two-level IVF ----------------------------
+
+  /** Per-row fine-score column: a CASE over the coarse cell, where each
+    * branch scores against that cell's own sub-centroid table. CaseWhen
+    * evaluates lazily, so a row pays for ONE `CellScores` call (nFine
+    * scores) even though the plan carries all nCoarse branch tables —
+    * which is the entire point of the two-level layout: total plan
+    * constants stay at (nCoarse + nCoarse*nFine) vectors while per-row
+    * work is nCoarse + nFine scores instead of the flat nCoarse*nFine.
+    * Expects the coarse assignment in column `ccell` (1-based).
+    */
+  private def fineScores(fine: Array[Array[Array[Double]]]): Column = {
+    val branches = fine.zipWithIndex.map { case (subs, c) =>
+      (col("ccell") === (c + 1)) -> graft.functions.CellScores(col("v"), subs)
+    }
+    branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+      case (acc, (cond, v)) => acc.when(cond, v)
+    }
+  }
+
+  private def argminCol(scoresCol: String): Column =
+    expr(s"cast(array_position($scoresCol, array_min($scoresCol)) as int)")
+
+  private def probeArrOf(nProbe: Int, scoresCol: String): Column =
+    expr(s"array_distinct(transform(sequence(1, $nProbe), " +
+      s"r -> cast(array_position($scoresCol, element_at(array_sort($scoresCol), r)) as int)))")
+
+  /** Two-level (hierarchical) IVF fit — the documented switch for cell
+    * counts past the single-level cap (`cellsFor`'s 4096): fit nCoarse
+    * coarse centroids first, then nFine sub-centroids INSIDE every coarse
+    * cell, all cells jointly in ONE aggregation job per iteration (keys =
+    * (coarse, sub, dim); same discipline as the joint PQ codebook fit).
+    * Effective partition count is nCoarse*nFine while no plan or fit
+    * stage ever materializes more than max(nCoarse, nFine) score
+    * literals per branch. Determinism matches `fitCentroids`: hash-gated
+    * sample, smallest-hash init per cell (a row_number window over the
+    * SAMPLE, not the corpus), sorted-order coordinate sums, empty cells
+    * keep their previous centroid (initially the coarse centroid itself).
+    * Driver traffic per iteration is nCoarse*nFine*dim stat rows —
+    * corpus-size-independent.
+    */
+  def fitCentroids2(emb: DataFrame, coarse: Array[Array[Double]],
+      nFine: Int = 8, iters: Int = 4, sampleMod: Int = 2): Array[Array[Array[Double]]] = {
+    val nCoarse = coarse.length
+    val sample = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0)
+      .withColumn("scores", cellScores(coarse))
+      .withColumn("ccell", argminCol("scores"))
+      .select("vec_id", "v", "ccell")
+    val w = Window.partitionBy(col("ccell"))
+      .orderBy(xxhash64(col("vec_id") + 1), col("vec_id"))
+    val initRows = sample.withColumn("r", row_number().over(w))
+      .filter(col("r") <= nFine)
+      .select("ccell", "r", "v").collect()
+    var fine = Array.tabulate(nCoarse)(c => Array.fill(nFine)(coarse(c).clone()))
+    initRows.foreach(r =>
+      fine(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getSeq[Double](2).toArray)
+    for (_ <- 0 until iters) {
+      val stats = sample
+        .withColumn("fscores", fineScores(fine))
+        .withColumn("fcell", argminCol("fscores"))
+        .select(col("ccell"), col("fcell"), col("vec_id"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("ccell", "fcell", "d")
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(vec_id, x))), cast(0.0 as double), (a, s) -> a + s.x)").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = fine.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0) - 1)(r.getInt(1) - 1)(r.getInt(2)) =
+          r.getDouble(3) / r.getLong(4)
+      }
+      fine = next
+    }
+    fine
+  }
+
+  /** Two-level IVF top-k: corpus rows land in flat cell
+    * (ccell-1)*nFine + fcell (one int, the shuffle/bucket key); queries
+    * probe their nProbeCoarse best coarse cells and, within each, the
+    * nProbeFine best sub-cells — probe fan-out multiplies the tiny query
+    * side only, identical to the single-level contract. At a billion
+    * vectors this is 64k+ effective cells served with √cells-sized score
+    * branches, where the flat layout's per-row literal table would have
+    * fallen out of codegen (the measured cliff behind `cellsFor`'s cap).
+    */
+  /** Vectors with their two-level assignment: coarse cell, fine sub-cell,
+    * and the flat `cell` id that serves as the one shuffle/bucket key.
+    * Shared by the top-k query and the assignment-parity spec.
+    */
+  def ivf2Assign(emb: DataFrame, coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]]): DataFrame =
+    withNorm(emb)
+      .withColumn("scores", cellScores(coarse))
+      .withColumn("ccell", argminCol("scores"))
+      .withColumn("fscores", fineScores(fine))
+      .withColumn("fcell", argminCol("fscores"))
+      .withColumn("cell", (col("ccell") - 1) * fine(0).length + col("fcell"))
+
+  def ivf2TopKWith(emb: DataFrame, coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]], nQueries: Int = 5, k: Int = 5,
+      nProbeCoarse: Int = 2, nProbeFine: Int = 2): DataFrame = {
+    val nFine = fine(0).length
+    val assigned = ivf2Assign(emb, coarse, fine)
+    val cc = assigned.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("cell").as("n_cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v"), col("nrm").as("qn"),
+        col("scores"), explode(probeArrOf(nProbeCoarse, "scores")).as("ccell"))
+      .withColumn("fscores", fineScores(fine))
+      .select(col("q_id"), col("v").as("qv"), col("qn"), col("ccell"),
+        explode(probeArrOf(nProbeFine, "fscores")).as("fprobe"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        ((col("ccell") - 1) * nFine + col("fprobe")).as("probe"))
+    rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
+  }
+
   // ------------------------- Product quantization -------------------------
 
   /** PQ geometry: the 64-dim embeddings split into `PqM` contiguous

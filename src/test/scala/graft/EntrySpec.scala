@@ -129,6 +129,12 @@ class EntrySpec extends AnyFunSuite {
     "wordcount" -> 31L,
     "wordcount_topk" -> 31L,
     "wordcount_windowed" -> 1000L,
+    "ann_mips_topk" -> 25L,
+    "ann_mips_lsh" -> 25L,
+    "ann_ivf2_topk" -> 25L,
+    "pipeline_decontaminate" -> 455L,
+    "dedup_centrality" -> 49L,
+    "q_events_anomaly" -> 12L,
   )
 
   test("entry() returns rows") {
@@ -146,7 +152,8 @@ class EntrySpec extends AnyFunSuite {
     * not present in the static map.
     */
   private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
-    "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk")
+    "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
+    "ann_mips_lsh", "ann_ivf2_topk")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

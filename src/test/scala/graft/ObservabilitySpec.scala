@@ -212,16 +212,19 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(dest.toPath) === "hello fetch world")
   }
 
-  test("FAULT_r5 artifact: real executor kills, recovery, and identical results") {
+  // produced by tools/fault_smoke.sh (kill -9 of live executor JVMs under
+  // local-cluster); committed at the repo root — r5 is the original
+  // experiment, r7 the re-run on the current tree. Each committed prefix
+  // gets the full parse + assertion pass.
+  for (prefix <- Seq("FAULT_r5", "FAULT_r7"))
+  test(s"$prefix artifact: real executor kills, recovery, and identical results") {
     import graft.observability.Telemetry
     import graft.sources.JsonLines
     import org.apache.spark.sql.functions._
-    // produced by tools/fault_smoke.sh (kill -9 of live executor JVMs
-    // under local-cluster); committed at the repo root
-    val jsonl = Paths.get("FAULT_r5.jsonl")
-    val summaryPath = Paths.get("FAULT_r5.summary.json")
+    val jsonl = Paths.get(s"$prefix.jsonl")
+    val summaryPath = Paths.get(s"$prefix.summary.json")
     assume(Files.exists(jsonl) && Files.exists(summaryPath),
-      "FAULT_r5 artifacts not present (run tools/fault_smoke.sh)")
+      s"$prefix artifacts not present (run tools/fault_smoke.sh)")
 
     val tl = JsonLines.read(spark, jsonl.toString, Telemetry.timelineSchema).cache()
     // no malformed lines

@@ -1215,6 +1215,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cellsFor(10_000_000L) === 4096)
   }
 
+  test("near-dup centrality equals a serial integer PageRank; pairs computed once") {
+    // path graph 1 - 2 - 3 plus an isolated pair 7 - 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val df = Dedup.centralityOverPairs(pairs)
+    val got = df.as[(Long, Long, Long)].collect().toSeq
+    // serial twin: the same integer ops, no parallelism anywhere
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (7L, 8L), (8L, 7L))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 0 until 8) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = in.map { case (id, s) => id -> (150000L + 85 * s / 100) }
+    }
+    val expected = r.toSeq.map { case (id, v) => (id, deg(id), v) }.sortBy(_._1)
+    assert(got === expected)
+    // the hub outranks the leaves; symmetric nodes tie exactly
+    val byId = got.map(t => t._1 -> t._3).toMap
+    assert(byId(2L) > byId(1L) && byId(1L) === byId(3L) && byId(7L) === byId(8L))
+    // the distributed RDD loop (gate forced off) is bit-identical to the
+    // gated driver solve — integer arithmetic makes combine order moot
+    val looped = Dedup.centralityOverPairs(pairs, driverGateEdges = 0L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(looped === got)
+  }
+
   test("MIPS: brute top-k ranks by raw inner product, not cosine") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(3f, 0f), 0),
@@ -1251,6 +1277,43 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach { case (q, nid, ip) =>
         assert(bruteIp((q, nid)) === ip, s"score drift on pair ($q,$nid)")
       }
+  }
+
+  test("two-level IVF: assignment matches a host recomputation; recall tracks coverage") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count().toInt
+    val coarse = Similarity.fitCentroids(emb, 8)
+    val fine = Similarity.fitCentroids2(emb, coarse)
+    assert(fine.length === 8 && fine.forall(_.length === 8))
+    // bit-parity of the CASE-branched CellScores assignment against a
+    // plain host-side fold (same norm^2 - 2*dot spelling, same
+    // first-occurrence argmin)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def argmin(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      val scores = cs.map(c => Similarity.norm2(c) - 2 * dot(v, c))
+      scores.indexOf(scores.min) + 1
+    }
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    Similarity.ivf2Assign(emb, coarse, fine)
+      .select("vec_id", "ccell", "fcell").as[(Long, Int, Int)].collect()
+      .foreach { case (id, cc, fc) =>
+        val v = vecs(id)
+        assert(argmin(v, coarse) === cc, s"coarse cell drift on vec $id")
+        assert(argmin(v, fine(cc - 1)) === fc, s"fine cell drift on vec $id")
+      }
+    val truth = topSets(Similarity.bruteForceTopK(emb, nQueries = n))
+    val r = recallVs(truth)(topSets(Similarity.ivf2TopKWith(emb, coarse, fine, nQueries = n)))
+    info(f"two-level IVF recall@5 over $n queries = $r%.3f (2x2 of 64 cells probed)")
+    // 64 cells on 500 isotropic vectors is deliberately over-partitioned
+    // (the layout targets corpora where cellsFor would exceed the flat
+    // cap); the ~6% probe coverage is the hard floor and the fitted
+    // cells' geometry is what lifts it (measured 0.376 = 6x coverage)
+    assert(r >= 0.0625, f"two-level recall $r%.3f fell below its coverage bound")
   }
 
   test("decontaminate drops >=minOverlap-gram matches, keeps the rest") {
