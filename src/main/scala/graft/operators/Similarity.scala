@@ -431,23 +431,20 @@ object Similarity {
 
   // --------------------------- Two-level IVF ----------------------------
 
-  /** Per-row fine-score column: a CASE over the coarse cell, where each
-    * branch scores against that cell's own sub-centroid table. CaseWhen
-    * evaluates lazily, so a row pays for ONE `CellScores` call (nFine
-    * scores) even though the plan carries all nCoarse branch tables —
-    * which is the entire point of the two-level layout: total plan
-    * constants stay at (nCoarse + nCoarse*nFine) vectors while per-row
-    * work is nCoarse + nFine scores instead of the flat nCoarse*nFine.
+  /** Per-row fine-score column: scores against the coarse cell's own
+    * sub-centroid table via the native indexed `CellScoresAt` (table
+    * selection is an O(1) array index inside one static call). Total
+    * plan constants stay at (nCoarse + nCoarse*nFine) vectors while
+    * per-row work is nCoarse + nFine scores instead of the flat
+    * nCoarse*nFine. NOT spelled as a CASE over per-cell `CellScores`
+    * branches: conditionally-evaluated branches are ineligible for
+    * codegen subexpression elimination, so every downstream reference
+    * re-evaluated the whole upstream tree (measured 26.4 s vs 0.6 s for
+    * the single-level twin at 100× — see CellScoresAt scaladoc).
     * Expects the coarse assignment in column `ccell` (1-based).
     */
-  private def fineScores(fine: Array[Array[Array[Double]]]): Column = {
-    val branches = fine.zipWithIndex.map { case (subs, c) =>
-      (col("ccell") === (c + 1)) -> graft.functions.CellScores(col("v"), subs)
-    }
-    branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
-      case (acc, (cond, v)) => acc.when(cond, v)
-    }
-  }
+  private def fineScores(fine: Array[Array[Array[Double]]]): Column =
+    graft.functions.CellScoresAt(col("v"), col("ccell") - 1, fine)
 
   private def argminCol(scoresCol: String): Column =
     expr(s"cast(array_position($scoresCol, array_min($scoresCol)) as int)")
