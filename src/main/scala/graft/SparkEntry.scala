@@ -114,8 +114,26 @@ object SparkEntry {
       Dedup.dropIncrementalDuplicates(docs.filter(split === 3), docs.filter(split =!= 3))
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
+    // bloom-prefiltered incremental dedup: identical semantics, ledger
+    // probed map-side through a broadcast Bloom bitset, only suspects
+    // reach the anti-join (differential vs the exact path in sbt)
+    "dedup_incremental_bloom" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val split = org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10L))
+      Dedup.dropIncrementalDuplicatesBloom(docs.filter(split === 3), docs.filter(split =!= 3))
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }),
     // -- Similarity search (embeddings) --
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"))),
+    // metadata-filtered vector search: candidates restricted to even
+    // labels at the scan, queries unrestricted
+    "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(
+      Tables.load(s, d, "embeddings"),
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.lit(2)) === 0)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.load(s, d, "embeddings"))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"))),
     // rule-sized multi-probe: planes from the corpus count (planesFor),
@@ -188,6 +206,11 @@ object SparkEntry {
     "pipeline_sample" -> ((s, d) => Curation.stratifiedSample(
         Tables.load(s, d, "documents"), SampleRates)
       .select("doc_id", "lang", "source", "keep_pct").orderBy("doc_id")),
+    // temperature-scaled mixture: per-language rates derived from the
+    // corpus' own character masses (alpha = 0.5), smallest language kept
+    // whole
+    "pipeline_temperature_mix" -> ((s, d) =>
+      Curation.temperatureMix(Tables.load(s, d, "documents"))),
     // token-budget mixture fill: best documents per source until the
     // per-source budget is spent
     "pipeline_budget" -> ((s, d) => Curation.budgetSample(Tables.load(s, d, "documents"))),
@@ -497,6 +520,20 @@ object SparkEntry {
       |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  // Mirrors Dedup.dropIncrementalDuplicates (and its bloom-prefiltered
+  // twin — the bloom only short-circuits, never changes the result).
+  private val incrementalSql =
+    """WITH nh AS (SELECT doc_id, source, n_chars,
+      |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      |           FROM documents),
+      |inc AS (SELECT * FROM nh WHERE doc_id % 10 = 3),
+      |corp AS (SELECT DISTINCT h FROM nh WHERE doc_id % 10 <> 3),
+      |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM inc GROUP BY h)
+      |SELECT i.doc_id, i.source, i.n_chars FROM inc i
+      |WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.h = i.h)
+      |  AND i.doc_id IN (SELECT keep_id FROM keep)
+      |ORDER BY i.doc_id""".stripMargin
+
   private val annTopkSql =
     s"""WITH $normCte,
        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -505,6 +542,35 @@ object SparkEntry {
        |      WHERE q.vec_id < 5),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  // Mirrors Similarity.filteredTopK: candidates restricted to even
+  // labels, queries unrestricted.
+  private val annFilteredSql =
+    s"""WITH $normCte,
+       |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |      WHERE q.vec_id < 5 AND c.label % 2 = 0),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  // Mirrors Curation.temperatureMix (alpha = 0.5): per-lang character
+  // masses, rates floor(round(100*(m_min/m)^0.5, 6)), salted polyhash
+  // bucket selection.
+  private val temperatureMixSql =
+    s"""WITH m AS (SELECT lang, SUM(n_chars) AS mass FROM documents GROUP BY lang),
+       |r AS (SELECT lang, CAST(floor(round(
+       |        100.0 * pow(CAST(mn AS DOUBLE) / CAST(mass AS DOUBLE), 0.5), 6)) AS BIGINT) AS keep_pct
+       |      FROM (SELECT lang, mass, MIN(mass) OVER () AS mn FROM m)),
+       |h AS (SELECT doc_id, lang, source,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split('tmix:' || text, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % $M) % 100 AS bucket
+       |  FROM documents)
+       |SELECT h.doc_id, h.lang, h.source, r.keep_pct
+       |FROM h JOIN r USING (lang)
+       |WHERE h.bucket < r.keep_pct
+       |ORDER BY h.doc_id""".stripMargin
 
   // Mirrors Similarity.mipsTopK: rank by the raw inner product.
   private val annMipsSql =
@@ -1875,17 +1941,9 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)
          |ORDER BY doc_id""".stripMargin,
-    "dedup_incremental" ->
-      """WITH nh AS (SELECT doc_id, source, n_chars,
-        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-        |           FROM documents),
-        |inc AS (SELECT * FROM nh WHERE doc_id % 10 = 3),
-        |corp AS (SELECT DISTINCT h FROM nh WHERE doc_id % 10 <> 3),
-        |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM inc GROUP BY h)
-        |SELECT i.doc_id, i.source, i.n_chars FROM inc i
-        |WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.h = i.h)
-        |  AND i.doc_id IN (SELECT keep_id FROM keep)
-        |ORDER BY i.doc_id""".stripMargin,
+    "dedup_incremental" -> incrementalSql,
+    // the bloom prefilter is result-transparent: same oracle
+    "dedup_incremental_bloom" -> incrementalSql,
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_simhash" -> simhashSql,
@@ -1900,6 +1958,8 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_centrality" -> centralitySql,
     "ann_topk" -> annTopkSql,
+    "ann_filtered_topk" -> annFilteredSql,
+    "pipeline_temperature_mix" -> temperatureMixSql,
     "ann_mips_topk" -> annMipsSql,
     "ann_lsh_buckets" -> lshBucketsSql,
     "ann_lsh_topk" -> lshTopkSql,

@@ -64,6 +64,40 @@ object Curation {
       .filter(bucket < col("keep_pct"))
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual rebalancing
+    * rule (XLM-R/mT5 style): target shares ∝ mass^alpha for alpha<1, so
+    * low-resource strata are upsampled RELATIVE to their natural share.
+    * Realized without replication as per-stratum sampling rates
+    * rate_s ∝ mass_s^(alpha-1), normalized so the smallest stratum keeps
+    * 100% — i.e. rate_s = floor(100·(mass_min/mass_s)^(1-alpha)), with the
+    * 6-decimal pre-round making the floor robust to the ≤1-ulp libm `pow`
+    * divergence between engines. Mass is the per-language character count
+    * (the token-budget proxy), not the doc count, so verbose strata don't
+    * sneak extra tokens through equal doc rates.
+    *
+    * Scale shape: unlike `stratifiedSample`, the rates are DERIVED from
+    * the corpus itself — but through two aggregations whose outputs are
+    * one row per stratum and one scalar row, both broadcast back; the
+    * corpus itself is scanned once and never shuffled. Selection is the
+    * salted content hash ('tmix:' salt, disjoint from the split/sample/
+    * wsample decisions), re-ingestion-stable.
+    */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    val masses = docs.groupBy("lang").agg(sum(col("n_chars")).as("mass"))
+    val minMass = masses.agg(min(col("mass")).as("min_mass"))
+    val rates = masses.crossJoin(broadcast(minMass))
+      .withColumn("keep_pct", floor(round(
+        lit(100.0) * pow(col("min_mass").cast("double") / col("mass").cast("double"),
+          lit(1.0 - alpha)), 6)))
+      .select("lang", "keep_pct")
+    val bucket = pmod(PolyHash(concat(lit("tmix:"), col("text"))), lit(100L))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(bucket < col("keep_pct"))
+      .select("doc_id", "lang", "source", "keep_pct")
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing for training: documents are laid end to end per
     * source in doc_id order, and each document joins the training sequence
     * its cumulative start offset falls into (sequence capacity =

@@ -64,6 +64,41 @@ object Dedup {
       .drop("__h")
   }
 
+  /** `dropIncrementalDuplicates` with a Bloom-filter prefilter on the
+    * ledger side — identical output (the bloom only short-circuits; every
+    * positive is still exactly verified), but the shape that keeps daily
+    * ingestion cheap when the corpus ledger dwarfs the batch: a 10^9-row
+    * ledger compresses to a ~1.2 GB broadcast bitset at 1% fpp, the batch
+    * probes it map-side, and only the ~fpp·|batch| + true-dup suspects
+    * reach the hash-partitioned anti-join. Bloom-negative rows are
+    * DEFINITELY new and never shuffle at all.
+    *
+    * `expectedItems` sizes the bitset; production derives it from the
+    * ledger table's row-count statistics (a catalog lookup, not a job).
+    * The probe is a Scala UDF by necessity — a Bloom bitset probe is a
+    * broadcast-variable lookup, not arithmetic Catalyst can express —
+    * and costs two xxhash64 evaluations per row; the differential spec
+    * asserts bit-identical output vs the exact path.
+    */
+  def dropIncrementalDuplicatesBloom(incoming: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    val inc = incoming.withColumn("__h", normHash)
+    val ledger = corpus.select(normHash.as("__h")).distinct()
+    val bloom = ledger.stat.bloomFilter("__h", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    val flagged = inc.withColumn("__maybe", mightContain(col("__h")))
+    val cleaned = flagged.filter(!col("__maybe"))
+      .unionByName(flagged.filter(col("__maybe"))
+        .join(ledger, Seq("__h"), "left_anti"))
+      .drop("__maybe")
+    val batchKeepers = inc.groupBy("__h").agg(min(col("doc_id")).as("doc_id"))
+    cleaned
+      .join(batchKeepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      .drop("__h")
+  }
+
   private def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .withColumn("tokens", WordCount.tokens(col("text")))

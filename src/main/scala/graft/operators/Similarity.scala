@@ -169,6 +169,31 @@ object Similarity {
     rank(q.join(cc, col("probe") === col("n_bucket") && col("q_id") =!= col("n_id")), k)
   }
 
+  /** Metadata-filtered vector search — the vector-DB "search with
+    * filters" shape: rank only the candidates satisfying a metadata
+    * predicate (here over `label`), queries unrestricted. The predicate
+    * lands on the candidate-side SCAN (PushedFilters in the parquet
+    * reader), so a selective filter shrinks the problem before a single
+    * dot product runs — the opposite of post-filtering a top-k, which
+    * under-returns when the filter is selective.
+    *
+    * This brute spelling is the exact baseline (and the oracle twin); the
+    * indexed path at scale is the same predicate pushed under the IVF
+    * probe — `ivfTopKWith(emb.filter(pred), centroids)` — which FilteredAnnSpec
+    * differential-tests for recall against this exact result. For a
+    * low-cardinality filter column, partitioning the persisted index by
+    * that column upgrades the pushdown to partition pruning.
+    */
+  def filteredTopK(emb: DataFrame, pred: Column, nQueries: Int = 5,
+      k: Int = 5): DataFrame = {
+    val vecs = withNorm(emb)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = vecs.filter(pred)
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    rank(q.join(c, col("q_id") =!= col("n_id")), k)
+  }
+
   /** Shared scoring tail: cosine (6-decimal rounded), rank per query with a
     * total tie-break, top k, output-edge ordering.
     */

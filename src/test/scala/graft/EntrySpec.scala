@@ -28,6 +28,9 @@ class EntrySpec extends AnyFunSuite {
     "ann_topk" -> 25L,
     "dedup_exact" -> 500L,
     "dedup_incremental" -> 50L,
+    "dedup_incremental_bloom" -> 50L,
+    "ann_filtered_topk" -> 25L,
+    "pipeline_temperature_mix" -> 413L,
     "dedup_clusters" -> 49L,
     "dedup_apply_exact" -> 500L,
     "dedup_apply_near" -> 474L,

@@ -212,6 +212,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(2L, 4L))
   }
 
+  test("bloom-prefiltered incremental dedup is bit-identical to the exact path") {
+    // tiny semantic case: bloom positives verified, negatives kept
+    val corpus = docs((100L, "existing document one"), (101L, "existing document two"))
+    val batch = docs(
+      (1L, "Existing  DOCUMENT one"), (2L, "brand new content"),
+      (3L, "brand  NEW content"), (4L, "another fresh document"))
+    val kept = Dedup.dropIncrementalDuplicatesBloom(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+    // differential on real data: the bloom is result-transparent at any
+    // fpp — including a deliberately tiny bitset where most probes come
+    // back positive and the exact anti-join must carry the decision
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val split = org.apache.spark.sql.functions.pmod(col("doc_id"),
+      org.apache.spark.sql.functions.lit(10L))
+    val (inc, corp) = (d.filter(split === 3), d.filter(split =!= 3))
+    val exact = Dedup.dropIncrementalDuplicates(inc, corp)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloomed = Dedup.dropIncrementalDuplicatesBloom(inc, corp,
+          expectedItems = 64, fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(bloomed === exact, s"fpp=$fpp")
+    }
+  }
+
   test("ngram jaccard finds high-overlap pair within block") {
     val d = docs(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g z"), (3L, "p q r s t u v w"))
@@ -880,6 +906,75 @@ class OperatorsSpec extends AnyFunSuite {
     val sampleBuckets = rows.map(r => ph("sample:" + r._2) % 100)
     val splitBuckets = rows.map(r => ph(r._2) % 100)
     assert(sampleBuckets !== splitBuckets)
+  }
+
+  test("filtered search: predicate holds, post-filtering under-returns, filtered IVF recalls") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val pred = pmod(col("label"), lit(2)) === 0
+    val n = emb.count().toInt
+    val exact = Similarity.filteredTopK(emb, pred, nQueries = n)
+    // every returned neighbor satisfies the predicate, and every query
+    // still gets its full k (candidates exist on both predicate sides)
+    val labels = emb.select(col("vec_id").as("n_id"), col("label"))
+    assert(exact.join(labels, "n_id").filter(col("label") % 2 =!= 0).count() === 0)
+    assert(exact.groupBy("q_id").count().filter(col("count") =!= 5).count() === 0)
+    // post-filtering an UNfiltered top-5 is the wrong lowering: with half
+    // the labels odd it returns ~2.5 of 5 per query
+    val postFiltered = Similarity.bruteForceTopK(emb, nQueries = n)
+      .join(labels, "n_id").filter(col("label") % 2 === 0)
+    assert(postFiltered.count() < exact.count())
+    // the indexed path is the same predicate pushed under the IVF probe.
+    // On this isotropic corpus IVF recall is coverage-governed (~cells
+    // probed / cells), so the claim to pin is RELATIVE: filtering the
+    // candidates must not degrade the index path below its unfiltered
+    // recall (same probe mechanics, half the distractors).
+    val coarse = Similarity.fitCentroids(emb)
+    // filtering the frame restricts queries too — compare on the even-
+    // label queries both sides share
+    val ivf = topSets(Similarity.ivfTopKWith(emb.filter(pred), coarse, nQueries = n))
+    val truth = topSets(exact).filter { case (q, _) => ivf.contains(q) }
+    val rF = recallVs(truth)(ivf)
+    val unfTruth = topSets(Similarity.bruteForceTopK(emb, nQueries = n))
+      .filter { case (q, _) => ivf.contains(q) }
+    val rU = recallVs(unfTruth)(
+      topSets(Similarity.ivfTopKWith(emb, coarse, nQueries = n))
+        .filter { case (q, _) => ivf.contains(q) })
+    info(f"filtered IVF recall@5 = $rF%.3f, unfiltered IVF recall@5 = $rU%.3f")
+    assert(rF >= rU - 0.05)
+  }
+
+  test("temperature mix: smallest stratum kept whole, rates anti-monotone in mass") {
+    import graft.operators.Curation
+    import org.apache.spark.unsafe.types.UTF8String
+    def ph(s: String): Long = graft.functions.PolyHash.compute(UTF8String.fromString(s))
+    // en has 4x the character mass of fr -> rate 100*sqrt(1/4) = 50
+    val rows = (0 until 80).map { i =>
+      val lang = if (i % 5 == 0) "fr" else "en"
+      (i.toLong, s"doc $i body", lang, if (lang == "fr") 64L else 16L)
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "n_chars")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    val out = Curation.temperatureMix(d, alpha = 0.5)
+    val rates = out.select("lang", "keep_pct").distinct()
+      .as[(String, Long)].collect().toMap
+    // masses: fr = 16*64 = 1024, en = 64*16 = 1024 -> equal -> both 100
+    assert(rates.values.forall(_ === 100L))
+    assert(out.count() === 80)
+    // now make en 4x heavier: en rate = floor(100*sqrt(1024/4096)) = 50
+    val d2 = rows.map { case (id, t, lang, _) =>
+      (id, t, lang, if (lang == "fr") 64L else 64L) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    val out2 = Curation.temperatureMix(d2, alpha = 0.5)
+    val rates2 = out2.select("lang", "keep_pct").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates2("fr") === 100L)
+    assert(rates2("en") === 50L)
+    // selection is exactly the salted-hash rule
+    val expected = rows.collect { case (id, t, lang, _)
+      if ph("tmix:" + s"$t") % 100 < (if (lang == "fr") 100L else 50L) => id }.toSet
+    assert(out2.select("doc_id").as[Long].collect().toSet === expected)
   }
 
   test("repetition signals: loops score high, diverse text scores low") {
