@@ -127,13 +127,14 @@ object SparkEntry {
     }),
     // -- Similarity search (embeddings) --
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"))),
-    // metadata-filtered vector search: candidates restricted to even
-    // labels at the scan, queries unrestricted
+    // metadata-filtered vector search: candidates restricted to labels
+    // 0-4 — a plain comparison, so it reaches the parquet scan as a
+    // PushedFilter (an arithmetic predicate like label % 2 = 0 would
+    // only filter post-scan; plan-asserted in OperatorsSpec)
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(
       Tables.load(s, d, "embeddings"),
-      org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.col("label"),
-        org.apache.spark.sql.functions.lit(2)) === 0)),
+      org.apache.spark.sql.functions.col("label") <
+        org.apache.spark.sql.functions.lit(5))),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.load(s, d, "embeddings"))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.load(s, d, "embeddings"))),
     // rule-sized multi-probe: planes from the corpus count (planesFor),
@@ -543,14 +544,14 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  // Mirrors Similarity.filteredTopK: candidates restricted to even
-  // labels, queries unrestricted.
+  // Mirrors Similarity.filteredTopK: candidates restricted to labels
+  // 0-4, queries unrestricted.
   private val annFilteredSql =
     s"""WITH $normCte,
        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |        round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
        |      FROM n q JOIN n c ON q.vec_id <> c.vec_id
-       |      WHERE q.vec_id < 5 AND c.label % 2 = 0),
+       |      WHERE q.vec_id < 5 AND c.label < 5),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 

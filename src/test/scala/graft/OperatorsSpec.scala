@@ -942,6 +942,11 @@ class OperatorsSpec extends AnyFunSuite {
         .filter { case (q, _) => ivf.contains(q) })
     info(f"filtered IVF recall@5 = $rF%.3f, unfiltered IVF recall@5 = $rU%.3f")
     assert(rF >= rU - 0.05)
+    // a comparison predicate (the shipped query's label < 5) reaches the
+    // parquet scan as a PushedFilter; the pmod spelling above cannot
+    val plan = Similarity.filteredTopK(emb, col("label") < 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,5)"), "filter not pushed to scan")
   }
 
   test("temperature mix: smallest stratum kept whole, rates anti-monotone in mass") {
