@@ -253,6 +253,10 @@ object SparkEntry {
     "text_fingerprint_rolling" -> ((s, d) => TextAnalysis.fingerprintRolling(Tables.load(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
+    // topic clustering over hashed-TF vectors: fitted centroids assign a
+    // topic per doc (dynamic oracle re-scores the exported literals)
+    "text_topics" -> ((s, d) => operators.Topics.assignTopics(
+      Tables.load(s, d, "documents"), topicCentroids(s, d))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
     "text_fuzzy_pairs" -> ((s, d) => TextAnalysis.fuzzyWordPairs(Tables.load(s, d, "documents"))),
     "text_fuzzy_apply" -> ((s, d) => TextAnalysis.applyFuzzyCorrections(Tables.load(s, d, "documents"))),
@@ -953,8 +957,49 @@ object SparkEntry {
     * dumps THIS map; the static `oracleSql` stays the data-independent
     * subset.
     */
+  /** Fitted topic centroids per sf dir — same registry shape as the IVF
+    * centroids: one deterministic fit serves the query and its oracle.
+    */
+  private val topicsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def topicCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    topicsCache.getOrElseUpdate(d,
+      operators.Topics.fitTopics(Tables.load(s, d, "documents")))
+
+  /** text_topics oracle: rebuild the hashed-TF vectors token-for-token
+    * (same whitespace split as wordcount, same PolyHash fold as the
+    * sampling oracles), score the exported centroid literals, argmin.
+    */
+  private def topicsSqlFor(centroids: Array[Array[Double]], dim: Int = 16): String = {
+    val scoreList = centroids.map { c =>
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST(${duckLit(c)} AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tokens
+       |  FROM documents),
+       |dims AS (SELECT doc_id, list_transform(tokens, t ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(t, ''), ch -> CAST(ord(ch) AS BIGINT))),
+       |      (h, ch) -> (h * 31 + ch) % $M) % $dim) AS ds
+       |  FROM toks WHERE len(tokens) > 0),
+       |tf AS (SELECT doc_id, list_transform(generate_series(0, ${dim - 1}),
+       |    j -> CAST(len(list_filter(ds, e -> e = j)) AS DOUBLE)) AS tf
+       |  FROM dims),
+       |nv AS (SELECT doc_id,
+       |    list_transform(tf, x -> x / sqrt(list_inner_product(tf, tf))) AS v
+       |  FROM tf),
+       |sc AS (SELECT doc_id, $scoreList AS scores FROM nv),
+       |a AS (SELECT doc_id,
+       |    CAST(list_position(scores, list_min(scores)) AS INT) AS topic FROM sc),
+       |sz AS (SELECT topic, COUNT(*) AS topic_docs FROM a GROUP BY topic)
+       |SELECT a.doc_id, a.topic, sz.topic_docs
+       |FROM a JOIN sz USING (topic)
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql +
+      ("text_topics" -> topicsSqlFor(topicCentroids(spark, sfDir))) +
       ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.WordCount
+import graft.functions.PolyHash
+
+/** Document topic clustering — the corpus-cartography step of a training
+  * pipeline (what IS in this crawl, and in what proportions): each
+  * document becomes a hashed term-frequency vector, k-means clusters the
+  * vectors, and every document gets a topic id. Downstream this drives
+  * mixture reports and topic-balanced sampling the same way `lang` drives
+  * `temperatureMix`.
+  *
+  * The feature map is the classic hashing trick (Weinberger'09): token →
+  * PolyHash(token) mod D, so the vocabulary never materializes and the
+  * vector width is fixed at D regardless of corpus size. Counts are then
+  * L2-normalized so clustering follows topical DIRECTION, not document
+  * length. Everything is engine-portable integer/IEEE arithmetic — the
+  * DuckDB oracle rebuilds the vectors token-for-token and re-scores the
+  * exported centroid literals bit-for-bit.
+  *
+  * Scale shape: one corpus scan → explode(tokens) → two hash aggregations
+  * ((doc, dim) then doc — the first partial-aggregates map-side, so a hot
+  * dimension never funnels token rows to one task); the k-means fit rides
+  * `Similarity.fitCentroids` unchanged (only nCentroids·D aggregate rows
+  * per iteration reach the driver); assignment is a pure projection over
+  * the per-doc vectors with the centroids as literals (codegen'd
+  * CellScores, zero shuffle).
+  */
+object Topics {
+
+  /** L2-normalized hashed-TF vectors, one row per non-empty document:
+    * (doc_id, v: array<double> of width `dim`). Documents with zero
+    * tokens drop out (explode of an empty array), which also guards the
+    * normalization against a zero norm.
+    */
+  def hashedTfVectors(docs: DataFrame, dim: Int = 16): DataFrame =
+    docs.select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("tok"))
+      .withColumn("d", pmod(PolyHash(col("tok")), lit(dim.toLong)).cast("int"))
+      .groupBy("doc_id", "d").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      // (d, c) pairs hit distinct slots, so the fold is order-independent
+      // even though collect_list order is not deterministic
+      .agg(expr(s"aggregate(collect_list(struct(d, c)), " +
+        s"array_repeat(cast(0.0 as double), $dim), " +
+        "(a, s) -> transform(a, (x, i) -> CASE WHEN i = s.d THEN cast(s.c as double) ELSE x END))")
+        .as("tf"))
+      .withColumn("nrm", sqrt(graft.functions.VectorDot(col("tf"), col("tf"))))
+      .withColumn("v", expr("transform(tf, x -> x / nrm)"))
+      .select(col("doc_id"), col("v"))
+
+  /** Fit k topic centroids over the hashed-TF vectors — delegates to the
+    * deterministic sampled-Lloyd's fit (driver traffic bounded by
+    * nTopics·dim per iteration, corpus-size-independent).
+    */
+  def fitTopics(docs: DataFrame, nTopics: Int = 4, dim: Int = 16): Array[Array[Double]] = {
+    // persist the derived vectors for the fit's duration: unlike the raw
+    // parquet scan the IVF fit iterates over, each Lloyd's iteration here
+    // would otherwise re-run tokenize+explode+two aggregations (8x the
+    // vectorization cost; measured 9.8 -> 2.1 s cold at sf0.1). The fit
+    // is eager (collect per iteration), so unpersisting on return is safe.
+    val vecs = hashedTfVectors(docs, dim)
+      .select(col("doc_id").as("vec_id"), col("v").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 4 iterations, not the IVF default 8: each Lloyd's round pays a
+    // fresh codegen compile (the centroid literals change), which
+    // dominates the round cost on the cached sample — and the oracle
+    // re-scores whatever centroids the fit exports, so fewer rounds
+    // trade only cluster tightness, never correctness
+    try Similarity.fitCentroids(vecs, nCentroids = nTopics, iters = 4)
+    finally vecs.unpersist(blocking = false)
+  }
+
+  /** Per-document topic assignment against explicit centroids: argmin
+    * squared-L2 (ties to the lowest topic id via array_position), plus
+    * the per-topic member count as corpus context. One scan + the
+    * vectorization aggregations; the count joins back as a broadcast
+    * (nTopics rows).
+    */
+  def assignTopics(docs: DataFrame, centroids: Array[Array[Double]],
+      dim: Int = 16): DataFrame = {
+    val assigned = hashedTfVectors(docs, dim)
+      .withColumn("scores", graft.functions.CellScores(col("v"), centroids))
+      .withColumn("topic", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("doc_id", "topic")
+    val sizes = assigned.groupBy("topic").agg(count(lit(1)).as("topic_docs"))
+    assigned.join(broadcast(sizes), Seq("topic"))
+      .select("doc_id", "topic", "topic_docs")
+      .orderBy("doc_id")
+  }
+}

@@ -29,6 +29,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_exact" -> 500L,
     "dedup_incremental" -> 50L,
     "dedup_incremental_bloom" -> 50L,
+    "text_topics" -> 500L,
     "ann_filtered_topk" -> 25L,
     "pipeline_temperature_mix" -> 413L,
     "dedup_clusters" -> 49L,
@@ -156,7 +157,7 @@ class EntrySpec extends AnyFunSuite {
     */
   private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
-    "ann_mips_lsh", "ann_ivf2_topk")
+    "ann_mips_lsh", "ann_ivf2_topk", "text_topics")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

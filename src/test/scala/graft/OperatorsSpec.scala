@@ -982,6 +982,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out2.select("doc_id").as[Long].collect().toSet === expected)
   }
 
+  test("hashed-TF vectors: counts land in polyhash dims, L2-normalized") {
+    import graft.operators.Topics
+    import org.apache.spark.unsafe.types.UTF8String
+    def dim(t: String): Int =
+      (graft.functions.PolyHash.compute(UTF8String.fromString(t)) % 16).toInt
+    val (dx, dy) = (dim("x"), dim("y"))
+    assert(dx !== dy) // precondition for the expectation below
+    val v = Topics.hashedTfVectors(docs((1L, "x y x")), 16)
+      .select("v").as[Seq[Double]].collect().head
+    assert(v.length === 16)
+    val n = math.sqrt(5.0) // counts (2, 1) -> norm sqrt(4 + 1)
+    assert(v(dx) === 2.0 / n)
+    assert(v(dy) === 1.0 / n)
+    assert(v.zipWithIndex.filter { case (_, i) => i != dx && i != dy }
+      .forall(_._1 === 0.0))
+    // empty documents drop out instead of dividing by a zero norm
+    assert(Topics.hashedTfVectors(docs((1L, "a b"), (2L, "   "))).count() === 1)
+  }
+
+  test("topic assignment separates disjoint vocabularies; fit partitions the corpus") {
+    import graft.operators.Topics
+    import org.apache.spark.unsafe.types.UTF8String
+    def dim(t: String): Int =
+      (graft.functions.PolyHash.compute(UTF8String.fromString(t)) % 16).toInt
+    val (da, db) = (dim("alpha"), dim("omega"))
+    assert(da !== db)
+    val d = docs((0 until 20).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha alpha" else "omega omega omega")): _*)
+    // handcrafted unit centroids pin the assignment deterministically
+    val cents = Array(
+      Array.tabulate(16)(j => if (j == da) 1.0 else 0.0),
+      Array.tabulate(16)(j => if (j == db) 1.0 else 0.0))
+    val out = Topics.assignTopics(d, cents)
+      .select("doc_id", "topic", "topic_docs").as[(Long, Int, Long)].collect()
+    assert(out.filter(_._1 % 2 == 0).map(_._2).toSet === Set(1))
+    assert(out.filter(_._1 % 2 == 1).map(_._2).toSet === Set(2))
+    assert(out.forall(_._3 === 10L))
+    // the sampled fit on real data yields finite centroids and a full
+    // partition of the corpus (every non-empty doc gets exactly one topic)
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fitted = Topics.fitTopics(corpus)
+    assert(fitted.length === 4 && fitted.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+    val assigned = Topics.assignTopics(corpus, fitted)
+    assert(assigned.count() === corpus.count())
+    assert(assigned.select("topic").distinct().count() >= 2)
+  }
+
   test("repetition signals: loops score high, diverse text scores low") {
     val d = docs(
       (1L, "a a a a"),           // 4 tokens, 1 unique; bigram "a a" x3
