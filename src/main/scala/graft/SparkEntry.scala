@@ -96,6 +96,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.load(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.load(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"))),
+    // EXACT set-similarity join (AllPairs/PPJoin prefix filtering):
+    // lossless pruning, so the oracle is the brute-force all-pairs
+    // spelling and the outputs must agree pair-for-pair
+    "dedup_setsim_pairs" -> ((s, d) => Dedup.setSimilarityPairs(Tables.load(s, d, "documents"))),
     // no oracleSql: iterative fixpoint (connected components) is not
     // single-statement SQL -> rows-only check; the union-find differential
     // in OperatorsSpec is the correctness anchor.
@@ -243,6 +247,14 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       Similarity.semanticNearDupPairs(emb,
+        kmeansCentroids(s, d, Similarity.cellsFor(embCount(s, d))))
+    }),
+    // blocked k-NN graph: every vector's top-3 in-cell neighbors — the
+    // corpus-wide neighbor-graph materialization (same fitted cells and
+    // literal-export oracle discipline as dedup_semantic)
+    "ann_knn_graph" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.knnGraph(emb,
         kmeansCentroids(s, d, Similarity.cellsFor(embCount(s, d))))
     }),
     // -- Text analysis (documents) --
@@ -487,6 +499,27 @@ object SparkEntry {
        |  CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) AS jaccard
        |FROM scored
        |WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.01
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dedup_setsim_pairs oracle: brute-force all-pairs exact Jaccard over
+    * distinct 3-shingle sets. Deliberately NOT a mirror of the engine's
+    * prefix-filtered algorithm — prefix filtering is lossless, so the
+    * engine must reproduce the brute-force answer exactly; any pruning
+    * bug (missed candidate, wrong prefix length) surfaces as a hash
+    * mismatch here.
+    */
+  private val setsimSql =
+    s"""WITH $shCte,
+       |ss AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    length(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
+       |    length(a.s) + length(b.s) AS sz_sum
+       |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, n_inter,
+       |  CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) AS jaccard
+       |FROM p
+       |WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Mirrors Dedup.nearDupClusters: the ngramJaccard verified pairs feed a
@@ -952,6 +985,28 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ann_knn_graph oracle: same cell-assignment spelling as the
+    * dedup_semantic oracle (fitted centroids as round-tripping double
+    * literals), then an in-cell all-pairs scoring with a per-query
+    * top-3 rank — the declarative twin of the engine's blocked
+    * WindowGroupLimit formulation.
+    */
+  private def knnGraphSqlFor(centroids: Array[Array[Double]]): String = {
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH $normCte,
+       |sc AS (SELECT vec_id, v, nrm, $scoreList AS scores FROM n),
+       |wb AS (SELECT vec_id, v, nrm,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |        round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |      FROM wb a JOIN wb b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** Oracle map including the entries that depend on the data (the
     * k-means IVF centroids are fitted, then exported as literals). Verify
     * dumps THIS map; the static `oracleSql` stays the data-independent
@@ -1006,6 +1061,8 @@ object SparkEntry {
       ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,
+        Similarity.cellsFor(embCount(spark, sfDir))))) +
+      ("ann_knn_graph" -> knnGraphSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +
       ("ann_lsh_multiprobe" -> multiProbeSqlFor(
         Similarity.planesFor(embCount(spark, sfDir)))) +
@@ -2001,6 +2058,7 @@ object SparkEntry {
     "pipeline_decontaminate" -> decontaminateSql,
     "text_scrub" -> scrubSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_setsim_pairs" -> setsimSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_centrality" -> centralitySql,
     "ann_topk" -> annTopkSql,

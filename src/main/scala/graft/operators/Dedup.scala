@@ -632,6 +632,75 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
+    * PPJoin family, Bayardo et al. WWW'07): all document pairs whose
+    * distinct word-3-shingle sets have Jaccard >= `threshold`, with NO
+    * false negatives — unlike the MinHash path this is lossless pruning,
+    * so the output equals the brute-force all-pairs answer and the oracle
+    * can be the brute-force spelling itself.
+    *
+    * How the pruning works: order the shingle universe globally by
+    * (document frequency asc, shingle asc) — rarest first. If
+    * J(a,b) >= t, then the first `|x| - ceil(t*|x|) + 1` shingles of each
+    * side under that order (its "prefix") must share at least one
+    * element, so joining prefix-postings finds every qualifying pair.
+    * A size-ratio prune (`t*max(sa,sb) <= min(sa,sb)`) drops candidates
+    * that cannot reach the threshold on cardinality alone, and the exact
+    * Jaccard verify runs only on surviving candidates.
+    *
+    * Scale (100 TB): the prefix join IS the skew guard — prefixes hold
+    * the globally RAREST shingles of each doc, so posting lists in the
+    * candidate join are short by construction (a boilerplate shingle
+    * shared by 10^9 docs sorts last and only enters a prefix when a doc
+    * consists almost entirely of such shingles, which exact dedup has
+    * already removed). Cost is one extra aggregation for the df table +
+    * a per-doc window (doc-sized groups) over the MinHash path, in
+    * exchange for exactness. The threshold is the knob: prefix length —
+    * and hence candidate volume — shrinks linearly as t rises.
+    */
+  def setSimilarityPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    setSimilarityPairsRaw(docs, threshold).orderBy("doc_a", "doc_b")
+
+  /** `setSimilarityPairs` without the output-edge sort (for composition). */
+  def setSimilarityPairsRaw(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sets = withShingles(docs)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+    val ex = sets.select(col("doc_id"), size(col("sset")).as("sz"),
+      explode(col("sset")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // Prefix length p = sz - ceil(t*sz) + 1 under the (df, s) order. The
+    // 1e-9 nudge keeps ceil from over-rounding when t*sz lands an ulp
+    // above an integer — errs toward a LONGER prefix, never a miss.
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("s"), col("doc_id"), col("sz"))
+    // Candidate pairs share >=1 prefix shingle; shuffle join so both
+    // sides reuse one prefix-pipeline exchange (minhashCandidatePairsRaw
+    // rationale). distinct() collapses multi-shingle matches before the
+    // set-level verify join.
+    val cand = prefix.alias("a")
+      .join(prefix.hint("shuffle_hash").alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
+        (size(col("set_a")) + size(col("set_b"))).as("sz_sum"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
   /** Canonical-representative centrality — fixed-point PageRank over the
     * near-dup candidate graph, the signal that picks WHICH duplicate to
     * keep: `nearDupClusters` says what belongs together, this ranks each

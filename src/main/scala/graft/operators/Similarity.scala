@@ -905,6 +905,37 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Blocked k-NN graph: EVERY vector's top-k cosine neighbors within its
+    * k-means cell — the bulk companion to the query-side top-k operators
+    * (those serve "k neighbors of THESE queries"; this materializes the
+    * neighbor graph of the whole corpus, the substrate for SemDeDup-style
+    * pruning, agglomerative/label-propagation clustering, and graph-based
+    * ANN index construction).
+    *
+    * Blocking contract is `semanticNearDupPairs`'s: neighbors are sought
+    * within the same coarse cell only — cross-boundary neighbors are
+    * missed by construction, the documented recall/cost trade of
+    * cluster-partitioned graph building (raise `nCentroids` with corpus
+    * size; `cellsFor` keeps occupancy bounded so the within-cell join is
+    * O(n * occupancy), linear in n). Both join sides reuse ONE
+    * cell-assignment exchange (shuffle_hash hint), the per-query rank is
+    * a WindowGroupLimit pushdown (top-k retained per partition before any
+    * global collection), and no driver-side materialization exists
+    * anywhere — the graph streams straight to the sink.
+    */
+  def knnGraph(emb: DataFrame, centroids: Array[Array[Double]],
+      k: Int = 3): DataFrame = {
+    val wb = withNorm(emb)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("vec_id", "v", "nrm", "cell")
+    val a = wb.select(col("cell"), col("vec_id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = wb.hint("shuffle_hash").select(col("cell").as("cell_b"),
+      col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    rank(a.join(b, col("cell") === col("cell_b") && col("q_id") =!= col("n_id")), k)
+  }
+
   /** Mean-pooled embedding per label — the class-centroid/pooling step
     * (label prototypes, per-source style vectors), emitted as one
     * (label, d, mean) row per dimension so the result stays scalar for

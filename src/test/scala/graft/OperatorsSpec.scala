@@ -452,6 +452,41 @@ class OperatorsSpec extends AnyFunSuite {
       TextAnalysis.fingerprintRollingBuiltins(uni).collect().toSeq)
   }
 
+  test("setsim: prefix-filtered join equals brute-force all-pairs at multiple thresholds") {
+    // mix of exact dups, overlapping-but-distinct, and disjoint docs so the
+    // prefix filter actually prunes and the verify step actually rejects
+    val rows = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // exact dup, J=1
+      (3L, "a b c d e f g z"),                          // high overlap w/ 1,2
+      (4L, "a b c d x y z w"),                          // partial overlap
+      (5L, "p q r s t u v w"), (6L, "p q r s t u v y"), // separate near pair
+      (7L, "completely different words entirely here now"),
+      (8L, "short one"))                                // < 3 tokens after shingling guard
+    val d = docs(rows: _*)
+
+    // independent brute force over distinct 3-shingle sets
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    def brute(th: Double) = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      ni = (sa & sb).size
+      j = ni.toDouble / (sa.size + sb.size - ni) if j >= th
+    } yield (ia, ib, ni.toLong, j)).toSet
+
+    for (th <- Seq(0.3, 0.5, 0.9)) {
+      val got = Dedup.setSimilarityPairs(d, threshold = th)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === brute(th), s"threshold $th")
+    }
+    // sanity on the fixture: every interesting case class is represented
+    assert(brute(0.5).map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(brute(0.3).size > brute(0.9).size)
+  }
+
   test("operators return empty results on empty input (no crashes, no phantom rows)") {
     val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -459,6 +494,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.minhashCandidatePairs(emptyDocs).count() === 0)
     assert(Dedup.simhashPairs(emptyDocs).count() === 0)
     assert(Dedup.ngramJaccardPairs(emptyDocs).count() === 0)
+    assert(Dedup.setSimilarityPairs(emptyDocs).count() === 0)
     assert(TextAnalysis.fingerprint(emptyDocs).count() === 0)
     assert(TextAnalysis.chunk(emptyDocs).count() === 0)
     assert(TextAnalysis.tfIdf(emptyDocs).count() === 0)
@@ -1055,6 +1091,48 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Similarity.semanticNearDupPairs(emb, centroids)
       .as[(Int, Long, Long, Double)].collect().toSeq
     assert(got === Seq((1, 1L, 2L, 1.0)))
+  }
+
+  test("knn graph: per-vector in-cell top-k matches a host brute force") {
+    import graft.operators.Similarity
+    // two well-separated clusters around axes 0 and 1, slight per-vector
+    // perturbations on a third axis so cosines are distinct and ranks
+    // are meaningfully ordered
+    def v(axis: Int, eps: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1f else if (i == 63) eps else 0f)
+    val rows = Seq(
+      (1L, v(0, 0.1f), 0), (2L, v(0, 0.2f), 0), (3L, v(0, 0.3f), 0), (4L, v(0, 0.9f), 0),
+      (5L, v(1, 0.1f), 0), (6L, v(1, 0.5f), 0), (7L, v(1, 0.8f), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val centroids = Array(
+      Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+      Array.tabulate(64)(i => if (i == 1) 1.0 else 0.0))
+    val got = Similarity.knnGraph(emb, centroids, k = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+
+    // host twin: same cell rule (nearest centroid), in-cell cosine top-2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+      math.rint(r * 1e6) / 1e6
+    }
+    def cell(a: Array[Float]): Int = centroids.zipWithIndex.minBy { case (c, _) =>
+      val ad = a.map(_.toDouble)
+      c.zip(ad).map { case (x, y) => (x - y) * (x - y) }.sum
+    }._2
+    val expected = (for {
+      (qi, qv, _) <- rows
+      neigh = rows.filter(r => r._1 != qi && cell(r._2) == cell(qv))
+        .map(r => (r._1, cos(qv, r._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(2).zipWithIndex
+      ((ni, c), r) <- neigh
+    } yield (qi, r + 1, ni, c)).sortBy(t => (t._1, t._2))
+    assert(got === expected)
+    // every vector of both clusters is a query node; no cross-cluster edge
+    assert(got.map(_._1).distinct.size === 7)
+    val cluster1 = Set(1L, 2L, 3L, 4L)
+    assert(got.forall(e => cluster1.contains(e._1) == cluster1.contains(e._3)))
   }
 
   test("Misra-Gries sketch honors the superset and error-bound guarantees") {
