@@ -220,6 +220,25 @@ object SparkEntry {
     // per-source budget is spent
     "pipeline_budget" -> ((s, d) => Curation.budgetSample(Tables.load(s, d, "documents"))),
     "pipeline_mix_report" -> ((s, d) => Curation.mixtureReport(Tables.load(s, d, "documents"))),
+    // corpus snapshot diff: v1/v2 derived deterministically from documents
+    // (v1 drops id%11==5, v2 drops id%13==4 and revises id%7==2), diffed
+    // by id + normalized content hash -> churn-proportional output
+    "pipeline_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val id = org.apache.spark.sql.functions.col("doc_id")
+      val v1 = docs.filter(org.apache.spark.sql.functions.pmod(id,
+        org.apache.spark.sql.functions.lit(11L)) =!= 5)
+      val v2 = docs.filter(org.apache.spark.sql.functions.pmod(id,
+          org.apache.spark.sql.functions.lit(13L)) =!= 4)
+        .withColumn("text", org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.pmod(id,
+            org.apache.spark.sql.functions.lit(7L)) === 2,
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.col("text"),
+            org.apache.spark.sql.functions.lit(" rev2")))
+          .otherwise(org.apache.spark.sql.functions.col("text")))
+      Curation.snapshotDiff(v1, v2)
+    }),
     // no oracleSql for the trainer (iterative fit is not single-statement
     // SQL -> rows-only; exact single-threaded differential in sbt); the
     // SCORER gets a dynamic oracle with the trained weights as literals.
@@ -2237,6 +2256,30 @@ object SparkEntry {
          |SELECT source, band, n_docs, sum_tokens,
          |  CAST(n_docs AS DOUBLE) / total_docs AS share
          |FROM a, t ORDER BY source, band""".stripMargin,
+    // Mirrors Curation.snapshotDiff over the derived v1/v2 versions: same
+    // normalized-md5 content identity, FULL OUTER on doc_id, unchanged
+    // rows dropped
+    "pipeline_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE doc_id % 11 <> 5),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END
+        |    )), '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE doc_id % 13 <> 4),
+        |d AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    coalesce(v2.source, v1.source) AS source,
+        |    CASE WHEN v1.h IS NULL THEN 'added'
+        |         WHEN v2.h IS NULL THEN 'removed'
+        |         WHEN v1.h <> v2.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, source, status FROM d
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       s"""WITH $tokCte,
          |tk AS (SELECT unnest(tokens) AS term FROM tok),

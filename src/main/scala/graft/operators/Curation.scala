@@ -21,6 +21,39 @@ import graft.functions.{PolyHash, TextAnalysis}
   */
 object Curation {
 
+  /** Corpus snapshot diff — the dataset-versioning primitive: compare two
+    * corpus versions by id + content and emit one row per DIFFERENT doc
+    * (`added` / `removed` / `changed`), never the unchanged mass. The
+    * output is churn-proportional by construction — diffing two 100 TB
+    * snapshots that differ in 0.1% of docs emits 0.1% of rows — which is
+    * what makes audit trails ("what went into this training run that
+    * wasn't in the last one?") and incremental re-processing viable at
+    * scale.
+    *
+    * Plan shape: each side reduces to (doc_id, content-hash, source) —
+    * ~40 B/doc — before a single hash-partitioned FULL OUTER join on
+    * doc_id; text never shuffles. Content identity is `Dedup.normHash`,
+    * the same normalization every dedup ledger keys on, so "changed"
+    * means changed-after-whitespace/case-normalization, consistent with
+    * the dedup stack's notion of identity.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val h1 = v1.select(col("doc_id"), Dedup.normHash.as("h1"),
+      col("source").as("src1"))
+    val h2 = v2.select(col("doc_id"), Dedup.normHash.as("h2"),
+      col("source").as("src2"))
+    h1.join(h2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), coalesce(col("src2"), col("src1")).as("source"),
+        col("status"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test assignment by CONTENT hash: bucket =
     * PolyHash(text) mod 100, train < trainPct <= val < trainPct+valPct <=
     * test. Content-keyed (not id-keyed) so the same document lands in the

@@ -445,6 +445,30 @@ object Similarity {
     rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
   }
 
+  /** Serve one EXTERNAL query batch against a persisted/loaded IVF index:
+    * queries carry their own id space (`q_id`, `qv: array<float>`) and are
+    * NOT excluded from matching any index vector — unlike `ivfTopKIndexed`
+    * whose queries are drawn from the index itself. This is the per-batch
+    * kernel `StreamAnnServe` runs every micro-batch: the tiny query side
+    * computes its probe cells from the centroid literals and explodes to
+    * nProbe rows; the index side joins on its bucketed `cell` key with no
+    * index-side exchange (the ScaleSpec-asserted property that makes a
+    * billion-vector index servable — per batch, cost is the probed
+    * buckets, never the index).
+    */
+  def ivfServeBatch(queryBatch: DataFrame, index: DataFrame,
+      centroids: Array[Array[Double]], k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val q = queryBatch
+      .select(col("q_id"), col("qv").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot("v", "v")))
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("probe", explode(probeArr(nProbe)))
+      .select(col("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
+    val cc = index.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("cell").as("n_cell"))
+    rank(q.join(cc, col("probe") === col("n_cell")), k)
+  }
+
   /** IVF top-k with centroids fitted by `fitCentroids` — completes the
     * documented real-scale path: cells follow the data's coarse geometry,
     * which is what lifts IVF recall over the fixed lattice (measured in

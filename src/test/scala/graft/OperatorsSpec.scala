@@ -487,6 +487,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute(0.3).size > brute(0.9).size)
   }
 
+  test("snapshot diff classifies added/removed/changed and drops the unchanged mass") {
+    import graft.operators.Curation
+    val v1 = Seq(
+      (1L, "same text here", "a"),      // unchanged -> absent from output
+      (2L, "old content", "a"),         // changed
+      (3L, "to be removed", "b"),       // removed
+      (4L, "  Same   TEXT too ", "b"))  // unchanged modulo normalization
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq(
+      (1L, "same text here", "a"),
+      (2L, "new content", "a"),
+      (4L, "same text too", "b"),       // normalizes equal to v1's form
+      (5L, "brand new", "c"))           // added
+      .toDF("doc_id", "text", "source")
+    val got = Curation.snapshotDiff(v1, v2)
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq(
+      (2L, "a", "changed"), (3L, "b", "removed"), (5L, "c", "added")))
+  }
+
   test("operators return empty results on empty input (no crashes, no phantom rows)") {
     val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")

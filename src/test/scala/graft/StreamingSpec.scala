@@ -432,6 +432,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN serving answers each query batch from the persisted IVF index, equal to the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.streaming.StreamAnnServe
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.fitCentroids(emb, nCentroids = 8)
+    try {
+      Similarity.buildIvfIndex(emb, centroids, "ivf_serve_idx", buckets = 4)
+      // external query ids (1000+) so no index exclusion semantics apply;
+      // query vectors are real corpus vectors for a meaningful answer set
+      val qvecs = emb.filter(col("vec_id") < 6)
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+        .map { case (id, v) => (1000L + id, v) }
+
+      val input = MemoryStream[(Long, Array[Float])]
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long, Double)]
+      val q = StreamAnnServe.serve(
+        input.toDF().toDF("q_id", "qv"),
+        () => spark.table("ivf_serve_idx"), centroids, k = 3, nProbe = 2) {
+        (answers, batchId) =>
+          results ++= answers.as[(Long, Int, Long, Double)].collect()
+            .map(r => (batchId, r._1, r._2, r._3, r._4))
+      }
+      try {
+        input.addData(qvecs.take(3).toSeq)
+        q.processAllAvailable()
+        val afterFirst = results.size
+        assert(afterFirst === 9, s"3 queries x k=3 expected, got $afterFirst")
+        input.addData(qvecs.drop(3).toSeq)
+        q.processAllAvailable()
+        assert(results.size === 18)
+        // each query answered exactly once, in its own arrival batch
+        val batchOf = results.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+        assert(batchOf.values.forall(_.size === 1))
+        assert(qvecs.take(3).forall { case (id, _) => batchOf(id) != batchOf(qvecs.last._1) })
+
+        // batch twin: the same queries served in one static batch
+        val staticQ = qvecs.toSeq.toDF("q_id", "qv")
+        val twin = Similarity.ivfServeBatch(staticQ,
+            spark.table("ivf_serve_idx"), centroids, k = 3, nProbe = 2)
+          .as[(Long, Int, Long, Double)].collect().toSet
+        assert(results.map(r => (r._2, r._3, r._4, r._5)).toSet === twin)
+      } finally q.stop()
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_serve_idx")
+  }
+
   test("streaming top-k leaderboard re-ranks on every batch in complete mode") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, desc, explode, upper}
