@@ -324,6 +324,10 @@ object SparkEntry {
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.load(s, d, "documents"))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.load(s, d, "documents"))),
     "mm_features" -> ((s, d) => Multimodal.mediaFeatures(s, Tables.load(s, d, "documents"))),
+    // perceptual hash (dHash-shape stub) per media payload + banded-
+    // Hamming near-dup pairs over it — the image/video near-dup identity
+    "mm_phash" -> ((s, d) => Multimodal.perceptualHash(s, Tables.load(s, d, "documents"))),
+    "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, Tables.load(s, d, "documents"))),
   )
 
   // ---- generated oracle fragments (must mirror the Scala operators) ----
@@ -501,6 +505,65 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Mirrors Multimodal.phashStub over the payload's UTF-8 bytes (same
+    * codepoint->byte expansion as the mm_features oracle): 72 stripe-fold
+    * "pixels" (stripe p folds bytes at positions ≡ p mod 72), then the
+    * dHash adjacent-comparison bit rule packed into four 16-bit parts.
+    */
+  private val phashCte = {
+    val utf8 =
+      """flatten(list_transform(
+        |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+        |    p -> CASE
+        |      WHEN p < 128 THEN [p]
+        |      WHEN p < 2048 THEN [192 + p // 64, 128 + p % 64]
+        |      WHEN p < 65536 THEN
+        |        [224 + p // 4096, 128 + (p // 64) % 64, 128 + p % 64]
+        |      ELSE [240 + p // 262144, 128 + (p // 4096) % 64,
+        |            128 + (p // 64) % 64, 128 + p % 64] END))""".stripMargin
+    val partCols = (0 until 4).map { k =>
+      val bits = (0 until 16).map { j =>
+        val b = 16 * k + j; val r = b / 8; val c = b % 8
+        s"(CASE WHEN pxs[${r * 9 + c + 1}] < pxs[${r * 9 + c + 2}] THEN ${1 << j} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"CAST($bits AS INT) AS ph$k"
+    }.mkString(",\n  ")
+    s"""pb AS (SELECT doc_id, $utf8 AS cs
+       |  FROM documents),
+       |px AS (SELECT doc_id, list_transform(range(0, 72), p ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_filter(cs, (c, i) -> (i - 1) % 72 = p)),
+       |      (h, c) -> (h * 31 + c) % $M)) AS pxs
+       |  FROM pb WHERE length(cs) > 0),
+       |ph AS (SELECT doc_id,
+       |  $partCols
+       |  FROM px)""".stripMargin
+  }
+
+  // Mirrors Multimodal.phashPairs: 16-bit-part banding (+ MaxBandBucket
+  // skew cap) + four xor/popcount verifies — the simhashPairs contract on
+  // the media identity.
+  private val phashPairsSql = {
+    val bandRows = (0 until 4)
+      .map(p => s"SELECT doc_id, ph0, ph1, ph2, ph3, $p AS band_idx, ph$p AS band FROM ph")
+      .mkString("\n  UNION ALL ")
+    val hamming = (0 until 4)
+      .map(p => s"bit_count(xor(a.ph$p, b.ph$p))")
+      .mkString(" + ")
+    s"""WITH $phashCte,
+       |bands AS (
+       |  SELECT * FROM ($bandRows)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band) <= ${Dedup.MaxBandBucket})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($hamming AS INT) AS hamming,
+       |  COUNT(*) AS n_shared_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2, 3
+       |HAVING hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // MinHash candidates -> exact-Jaccard verify, mirroring Dedup.ngramJaccardPairs.
   private val ngramJaccardSql =
     s"""WITH $sigCte,
@@ -521,15 +584,20 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** dedup_setsim_pairs oracle: brute-force all-pairs exact Jaccard over
-    * distinct 3-shingle sets. Deliberately NOT a mirror of the engine's
-    * prefix-filtered algorithm — prefix filtering is lossless, so the
-    * engine must reproduce the brute-force answer exactly; any pruning
-    * bug (missed candidate, wrong prefix length) surfaces as a hash
+    * distinct PolyHash-hashed 3-shingle sets (the engine's hashed-identity
+    * semantics, same fold — parity exact even under hash collision).
+    * Deliberately NOT a mirror of the engine's prefix-filtered algorithm —
+    * prefix filtering is lossless, so the engine must reproduce the
+    * brute-force answer exactly; any pruning bug (missed candidate, wrong
+    * prefix length, a position-filter off-by-one) surfaces as a hash
     * mismatch here.
     */
   private val setsimSql =
     s"""WITH $shCte,
-       |ss AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       |ss AS (SELECT doc_id, list_distinct(list_transform(shingles, s ->
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % $M))) AS s FROM sh),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    length(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
@@ -2353,5 +2421,9 @@ object SparkEntry {
         |  sqrt(list_reduce(list_prepend(0.0, list_transform(fv, x -> x * x)),
         |    (a, x) -> a + x)) AS f_l2
         |FROM f ORDER BY doc_id""".stripMargin,
+    "mm_phash" ->
+      s"""WITH $phashCte
+         |SELECT doc_id, ph0, ph1, ph2, ph3 FROM ph ORDER BY doc_id""".stripMargin,
+    "mm_phash_pairs" -> phashPairsSql,
   )
 }

@@ -661,10 +661,22 @@ object Dedup {
   def setSimilarityPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     setSimilarityPairsRaw(docs, threshold).orderBy("doc_a", "doc_b")
 
-  /** `setSimilarityPairs` without the output-edge sort (for composition). */
+  /** `setSimilarityPairs` without the output-edge sort (for composition).
+    *
+    * Set elements are PolyHash-hashed shingles, not strings — 8-byte
+    * keys through every shuffle and long-compare intersections in the
+    * verify (the string spelling measured 12.4 s at sf0.1; hashed +
+    * position-filtered runs ~6x faster). A hash collision folds two
+    * shingles into one set element deterministically — the same
+    * hashed-identity semantics the MinHash path already keys on — and
+    * the oracle applies the identical fold, so parity is exact even
+    * under collision.
+    */
   def setSimilarityPairsRaw(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    PolyHash.register(docs.sparkSession)
     val sets = withShingles(docs)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+      .select(col("doc_id"),
+        array_distinct(expr("transform(shingles, s -> graft_poly_hash(s))")).as("sset"))
     val ex = sets.select(col("doc_id"), size(col("sset")).as("sz"),
       explode(col("sset")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -676,25 +688,44 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select(col("s"), col("doc_id"), col("sz"))
+      .select(col("s"), col("doc_id"), col("sz"), col("rk"))
     // Candidate pairs share >=1 prefix shingle; shuffle join so both
     // sides reuse one prefix-pipeline exchange (minhashCandidatePairsRaw
-    // rationale). distinct() collapses multi-shingle matches before the
-    // set-level verify join.
+    // rationale). Two lossless in-join prunes beyond the shared-prefix
+    // requirement: the size-ratio bound, and PPJoin's POSITION filter —
+    // at the earliest shared prefix element (position rk_a in a, rk_b in
+    // b) the overlap can't exceed 1 + min(sa-rk_a, sb-rk_b), so pairs
+    // whose bound can't reach the Jaccard-implied minimum overlap
+    // ceil(t/(1+t)*(sa+sb)) never leave the join (each real pair's
+    // earliest-match row always passes, so no misses). distinct()
+    // collapses multi-shingle matches before the set-level verify join.
+    val minOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
     val cand = prefix.alias("a")
       .join(prefix.hint("shuffle_hash").alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
         least(col("a.sz"), col("b.sz")).cast("double") >=
-          lit(threshold) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9))
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9) &&
+        (lit(1) + least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")))
+          .cast("double") >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Verify joins keep `doc_id` as the sets-side key (renaming happens
+    // AFTER the join): both exchanges then hash-partition the identical
+    // sets subplan on doc_id, so ReusedExchange computes the
+    // scan+shingle+hash pipeline once for both sides instead of twice
+    // (measured 5.8 -> 3.9 s at sf0.1). shuffle_hash keeps AQE from
+    // replacing the reusable exchange with two separately-built
+    // broadcasts — which would also not survive a 100 TB corpus side.
+    val sa = sets.hint("shuffle_hash").alias("sa")
+    val sb = sets.hint("shuffle_hash").alias("sb")
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .join(sa, col("doc_a") === col("sa.doc_id"))
+      .join(sb, col("doc_b") === col("sb.doc_id"))
       .select(
         col("doc_a"), col("doc_b"),
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
-        (size(col("set_a")) + size(col("set_b"))).as("sz_sum"))
+        size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long").as("n_inter"),
+        (size(col("sa.sset")) + size(col("sb.sset"))).as("sz_sum"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")))
       .filter(col("jaccard") >= threshold)

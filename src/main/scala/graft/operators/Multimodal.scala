@@ -115,6 +115,105 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Deterministic fake of a perceptual hash (dHash family): a real
+    * implementation decodes the image, downsamples to an 8x9 grayscale
+    * grid, and sets bit (r,c) iff pixel(r,c) < pixel(r,c+1) — a 64-bit
+    * signature stable under recompression/resizing. The fake derives the
+    * 72 "pixel" values from disjoint byte stripes of the payload
+    * (stripe p folds bytes at positions ≡ p mod 72 — one pass total, not
+    * 72), then applies the same adjacent-comparison bit rule. Integer
+    * arithmetic throughout, so the oracle reproduces every bit. Returned
+    * as four 16-bit parts (`ph0..ph3`) — the parts ARE the LSH bands
+    * downstream, exactly like SimHash.
+    */
+  def phashStub(payload: Array[Byte]): Array[Int] = {
+    val M = graft.functions.PolyHash.Mod
+    val px = new Array[Long](72)
+    var i = 0
+    while (i < payload.length) {
+      val p = i % 72
+      px(p) = (px(p) * 31 + (payload(i) & 0xffL)) % M
+      i += 1
+    }
+    val parts = new Array[Int](4)
+    var b = 0
+    while (b < 64) {
+      val r = b / 8; val c = b % 8
+      if (px(r * 9 + c) < px(r * 9 + c + 1))
+        parts(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    parts
+  }
+
+  final case class PHash(doc_id: Long, ph0: Int, ph1: Int, ph2: Int, ph3: Int)
+
+  /** Perceptual hash per media payload — the image/video near-dup
+    * identity. Same batched-mapPartitions decode shape as the other
+    * media stages; swap `phashStub` for a real decode+dHash and nothing
+    * else changes.
+    */
+  def perceptualHash(spark: SparkSession, docs: DataFrame): DataFrame =
+    perceptualHashRaw(spark, docs).orderBy("doc_id")
+
+  /** `perceptualHash` without the output-edge sort (for composition —
+    * a sort before the banding window would insert a needless range
+    * exchange mid-pipeline).
+    */
+  def perceptualHashRaw(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.flatMap { case (id, payload) =>
+            if (payload.isEmpty) Seq.empty[PHash]
+            else {
+              val p = phashStub(payload)
+              Seq(PHash(id, p(0), p(1), p(2), p(3)))
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Near-duplicate media pairs by banded Hamming search over the
+    * perceptual hash — `Dedup.simhashPairs`'s contract transplanted to
+    * the media identity: by pigeonhole any pair within Hamming distance
+    * `maxHamming` <= 3 shares one intact 16-bit part, so the
+    * (band_idx, band) equi-join finds all such pairs without an O(n^2)
+    * scan, `Dedup.MaxBandBucket` caps hot buckets (uniform payloads),
+    * and the verify is four xor+popcounts on candidates only.
+    */
+  def phashPairs(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val phs = (0 until 4).map(p => col(s"ph$p"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band")
+    val ex = perceptualHashRaw(spark, docs)
+      .select(col("doc_id") +: phs :+ posexplode(array(phs: _*)).as(Seq("band_idx", "band")): _*)
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= Dedup.MaxBandBucket)
+      .drop("bucket_n")
+    val a = ex.alias("a")
+    val b = ex.hint("shuffle_hash").alias("b")
+    val hamming = (0 until 4)
+      .map(p => bit_count(col(s"a.ph$p").bitwiseXOR(col(s"b.ph$p"))))
+      .reduce(_ + _)
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.cast("int").as("hamming"))
+      .groupBy("doc_a", "doc_b", "hamming")
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int, frame_sig: Int)
 
   /** Frame sampling: up to `maxFrames` evenly-strided frames per payload.

@@ -464,11 +464,17 @@ class OperatorsSpec extends AnyFunSuite {
       (8L, "short one"))                                // < 3 tokens after shingling guard
     val d = docs(rows: _*)
 
-    // independent brute force over distinct 3-shingle sets
-    def shingles(t: String): Set[String] = {
+    // independent brute force over distinct PolyHash-hashed 3-shingle
+    // sets (the operator's hashed-identity contract)
+    def polyHash(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31 + cp) % 2147483647L)
+      h
+    }
+    def shingles(t: String): Set[Long] = {
       val ws = t.trim.split("\\s+").filter(_.nonEmpty)
       if (ws.length < 3) Set.empty
-      else ws.sliding(3).map(_.mkString(" ")).toSet
+      else ws.sliding(3).map(g => polyHash(g.mkString(" "))).toSet
     }
     val sets = rows.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
     def brute(th: Double) = (for {
@@ -485,6 +491,34 @@ class OperatorsSpec extends AnyFunSuite {
     // sanity on the fixture: every interesting case class is represented
     assert(brute(0.5).map(p => (p._1, p._2)).contains((1L, 2L)))
     assert(brute(0.3).size > brute(0.9).size)
+  }
+
+  test("perceptual hash: single-byte edits stay within Hamming 2; banded pairs find them") {
+    import graft.operators.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val d = docs(
+      (1L, base), (2L, base),                      // identical payloads
+      (3L, base.dropRight(1) + "X"),               // one byte changed
+      (4L, "a completely different media payload with other bytes entirely"))
+    // a changed byte touches ONE stripe pixel, which feeds <=2 dHash
+    // comparisons -> hamming(1,3) <= 2; this locality is what makes the
+    // stub a faithful stand-in for a real perceptual hash
+    val ph = Multimodal.perceptualHash(spark, d)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    assert(ph(1L) === ph(2L))
+    def hamming(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(hamming(ph(1L), ph(3L)) <= 2)
+    for (parts <- ph.values; p <- parts) assert(p >= 0 && p < 65536)
+
+    val pairs = Multimodal.phashPairs(spark, d)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 2)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated payload must not pair")
   }
 
   test("snapshot diff classifies added/removed/changed and drops the unchanged mass") {
