@@ -284,6 +284,9 @@ object SparkEntry {
     "text_fingerprint_rolling" -> ((s, d) => TextAnalysis.fingerprintRolling(Tables.load(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
+    // boilerplate density: share of a doc's distinct shingles that are
+    // corpus-common (df >= 3) — template/footer text scores high
+    "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(Tables.load(s, d, "documents"))),
     // topic clustering over hashed-TF vectors: fitted centroids assign a
     // topic per doc (dynamic oracle re-scores the exported literals)
     "text_topics" -> ((s, d) => operators.Topics.assignTopics(
@@ -298,6 +301,8 @@ object SparkEntry {
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.load(s, d, "documents"))),
+    // interpolated bigram LM score — the n-gram upgrade of text_lm_score
+    "text_lm_bigram" -> ((s, d) => TextAnalysis.lmScoreBigram(Tables.load(s, d, "documents"))),
     // no oracleSql for the TRAINER: iterative merge learning is not
     // single-statement SQL -> rows-only check; the single-threaded-
     // reference differential in OperatorsSpec is the correctness anchor.
@@ -1807,6 +1812,32 @@ object SparkEntry {
          |      FROM s GROUP BY doc_id)
          |SELECT doc_id, n_tokens, round(sum_logp / n_tokens, 6) AS mean_logp
          |FROM d ORDER BY doc_id""".stripMargin,
+    // Mirrors TextAnalysis.lmScoreBigram: interpolated bigram/unigram
+    // log-prob, coefficients as round-tripping double literals, ordered
+    // fold per doc
+    "text_lm_bigram" ->
+      s"""WITH $tokCte,
+         |x AS (SELECT doc_id,
+         |        CAST(unnest(generate_series(1, length(tokens))) AS INT) - 1 AS pos,
+         |        unnest(tokens) AS w
+         |      FROM tok),
+         |lm AS (SELECT w, COUNT(*) AS n1 FROM x GROUP BY w),
+         |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM lm),
+         |b2 AS (SELECT * FROM (
+         |        SELECT doc_id, pos, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS v, w
+         |        FROM x) WHERE v IS NOT NULL),
+         |c2 AS (SELECT v, w, COUNT(*) AS n2 FROM b2 GROUP BY 1, 2),
+         |s AS (SELECT b.doc_id, b.pos,
+         |        ln(${0.7} * c2.n2 / lv.n1 + ${1.0 - 0.7} * lw.n1 / t.t1) AS logp
+         |      FROM b2 b JOIN c2 ON b.v = c2.v AND b.w = c2.w
+         |        JOIN lm lv ON b.v = lv.w
+         |        JOIN lm lw ON b.w = lw.w, t),
+         |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)),
+         |          (a, b) -> a + b) AS sum_logp
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, round(sum_logp / n_bigrams, 6) AS mean_logp
+         |FROM d ORDER BY doc_id""".stripMargin,
     "q4_late_orders" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o
@@ -2146,6 +2177,19 @@ object SparkEntry {
     "text_scrub" -> scrubSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_setsim_pairs" -> setsimSql,
+    // Mirrors TextAnalysis.boilerplate: distinct hashed shingles, df
+    // table, per-doc common-shingle share
+    "text_boilerplate" ->
+      s"""WITH $shCte,
+         |sx AS (SELECT doc_id, unnest(list_distinct(list_transform(shingles, s ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % $M)))) AS s FROM sh),
+         |d AS (SELECT s, COUNT(*) AS df FROM sx GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  round(CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_ratio
+         |FROM sx JOIN d USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_centrality" -> centralitySql,
     "ann_topk" -> annTopkSql,

@@ -269,6 +269,85 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram LM fluency score — the n-gram upgrade of
+    * `lmScore` (CCNet-style filtering uses exactly this family): per
+    * bigram position, p = lambda * P(w|v) + (1-lambda) * P(w), where
+    * P(w|v) = c(v,w)/c(v) from corpus bigram counts and P(w) is the
+    * unigram model; score = mean log p over the doc's bigrams. The
+    * unigram back-off term keeps p > 0 for bigrams unseen under a
+    * smaller training slice, so the score is defined for every doc.
+    *
+    * Determinism contract (same as lmScore): per-doc log-probs are
+    * summed by an ORDERED fold over (pos, logp) structs — float addition
+    * doesn't commute, a plain SUM would dither with task order. Both
+    * interpolation coefficients are exported to the oracle via
+    * Double.toString round-trip, so (1-lambda)'s last-ulp value is
+    * identical in both engines.
+    *
+    * Scale: bigram/unigram count tables are vocabulary-sized (AQE
+    * broadcasts them when they fit, else shuffle on the gram key); the
+    * corpus streams once through the lag window (doc-sized partitions)
+    * and once past the count tables. No quadratic term.
+    */
+  def lmScoreBigram(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(WordCount.tokens(col("text"))).as(Seq("pos", "w")))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("n1"))
+    val total = uni.agg(sum(col("n1")).as("t1"))
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bg = tok.withColumn("v", lag(col("w"), 1).over(dw))
+      .filter(col("v").isNotNull)
+    val big = bg.groupBy("v", "w").agg(count(lit(1)).as("n2"))
+    bg.join(big, Seq("v", "w"))
+      .join(uni.select(col("w").as("v"), col("n1").as("nv")), "v")
+      .join(uni, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("logp", log(
+        lit(lambda) * col("n2") / col("nv") +
+          lit(1.0 - lambda) * col("n1") / col("t1")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +
+          "cast(0.0 as double), (a, s) -> a + s.logp)").as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_logp") / col("n_bigrams"), 6).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate density: the share of a document's DISTINCT word
+    * 3-shingles that are corpus-common (document frequency >= `minDf`) —
+    * the signal that separates template/navigation/footer text (every
+    * shingle shared with many other docs) from original prose, used as a
+    * curation filter alongside the quality score. High ratio = the doc
+    * is made of other documents' phrases.
+    *
+    * Shape at scale: one explode of distinct shingles + one df
+    * aggregation + one join back (AQE broadcasts the df table when the
+    * distinct-shingle universe fits, else it shuffles on the shingle
+    * key), then a per-doc count — no window, no quadratic term; the
+    * corpus streams once past the df table. Shingles are PolyHash-hashed
+    * (8-byte join keys, the hashed-identity semantics every shingle
+    * operator here keys on).
+    */
+  def boilerplate(docs: DataFrame, minDf: Long = 3): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    val sh = docs
+      .withColumn("tokens", WordCount.tokens(col("text")))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(tokens) - 2)," +
+          " i -> graft_poly_hash(concat_ws(' ', slice(tokens, i, 3))))"))).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))

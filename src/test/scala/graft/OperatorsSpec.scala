@@ -493,6 +493,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute(0.3).size > brute(0.9).size)
   }
 
+  test("bigram LM score matches hand-computed interpolated probabilities") {
+    // corpus: a appears 3x, b 2x, c 1x (T=6); bigrams (a,b) 2x, (a,c) 1x
+    val d = docs((1L, "a b"), (2L, "a b"), (3L, "a c"))
+    val got = TextAnalysis.lmScoreBigram(d)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val pAB = 0.7 * 2 / 3.0 + (1.0 - 0.7) * 2 / 6.0
+    val pAC = 0.7 * 1 / 3.0 + (1.0 - 0.7) * 1 / 6.0
+    assert(got(1L)._1 === 1L)
+    assert(math.abs(got(1L)._2 - math.log(pAB)) < 1e-6)
+    assert(got(1L) === got(2L), "identical docs score identically")
+    assert(math.abs(got(3L)._2 - math.log(pAC)) < 1e-6)
+    assert(got(1L)._2 > got(3L)._2, "the common bigram must score higher")
+  }
+
+  test("boilerplate density counts corpus-common shingles per doc") {
+    // "a b c" appears in all three docs (df=3 >= minDf), every other
+    // shingle is unique (df=1)
+    val d = docs(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "a b c p q"))
+    val got = TextAnalysis.boilerplate(d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333), (3L, 3L, 1L, 0.333333)))
+    // at minDf=2 nothing changes (df is 3 or 1); at minDf=4 nothing is common
+    val none = TextAnalysis.boilerplate(d, minDf = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(none.forall(r => r._3 === 0L && r._4 === 0.0))
+  }
+
   test("perceptual hash: single-byte edits stay within Hamming 2; banded pairs find them") {
     import graft.operators.Multimodal
     val base = "the quick brown fox jumps over the lazy dog " * 4
