@@ -82,6 +82,12 @@ object SparkEntry {
     // driver records a rows-only check; the exact twin is the anchor.
     "q_events_daily_active_approx" -> (Events.dailyActiveApprox _),
     "q_events_asof_purchase" -> ((s, d) => Events.asOfLastPurchase(s, d)),
+    // FORWARD as-of: each event's time-to-next-error (min-struct over the
+    // flipped window frame — see Events.asOfJoinForward)
+    "q_events_asof_next" -> ((s, d) => Events.asOfNextError(s, d)),
+    // interval-overlap join: user sessions live during incident windows
+    // (binned range-range equi-join, first-shared-bin dedup)
+    "q_events_session_overlap" -> ((s, d) => Events.sessionIncidentOverlap(s, d)),
     "q_events_incident_window" -> ((s, d) => Events.incidentWindowCounts(s, d)),
     "q_events_latest_state" -> (Events.latestState _),
     // -- Dedup pack (documents) --
@@ -2271,6 +2277,48 @@ object SparkEntry {
          |SELECT source, rnk, doc_id, n_chars, skey
          |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q_events_asof_purchase" -> asofPurchaseSql,
+    // Mirrors Events.asOfNextError: the forward frame with min(struct);
+    // strict semantics put error copies (side -1) BEFORE their event row
+    "q_events_asof_next" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, 0 AS side, event_id, event_type,
+        |         CAST(NULL AS BIGINT) AS p_ms, CAST(NULL AS DOUBLE) AS p_value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), -1, NULL, NULL, epoch_ms(ts), value
+        |  FROM events WHERE event_type = 'error'),
+        |w AS (SELECT user_id, ms, side, event_id, event_type,
+        |        min(CASE WHEN side = -1 THEN {'ms': p_ms, 'v': p_value} END)
+        |          OVER win AS nexte,
+        |        count(CASE WHEN side = -1 THEN 1 END) OVER win AS n_later
+        |      FROM u
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ms, side
+        |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ms, event_type,
+        |  CAST(COALESCE(nexte.ms, -1) AS BIGINT) AS next_error_ms,
+        |  CAST(COALESCE(nexte.ms - ms, -1) AS BIGINT) AS ms_to_error,
+        |  CAST(n_later AS BIGINT) AS n_later_errors
+        |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin,
+    // Mirrors Events.sessionIncidentOverlap: session islands (the
+    // q_events_sessions CTE), error windows, plain overlap predicate (the
+    // binning is a lossless execution strategy, not a semantic change)
+    "q_events_session_overlap" ->
+      """WITH g AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+        |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |           FROM events),
+        |s AS (SELECT user_id, ms,
+        |        SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+        |      FROM g),
+        |per AS (SELECT user_id, sess_id, MIN(ms) AS start_ms, MAX(ms) + 1 AS end_ms
+        |        FROM s GROUP BY 1, 2),
+        |i AS (SELECT event_id AS incident_id, epoch_ms(ts) AS i_start,
+        |        epoch_ms(ts) + 3600000 AS i_end
+        |      FROM events WHERE event_type = 'error')
+        |SELECT incident_id, COUNT(*) AS n_sessions,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM i JOIN per ON i.i_start < per.end_ms AND per.start_ms < i.i_end
+        |GROUP BY 1 ORDER BY incident_id""".stripMargin,
     "q_events_incident_window" -> incidentWindowSql,
     "q_events_latest_state" -> latestStateSql,
     // Mirrors Events.movingDailyValue: decimal day sums through a ROWS

@@ -249,6 +249,123 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join — `asOfJoin`'s time mirror: each left row picks
+    * the payload of the EARLIEST right row with the same key whose
+    * timestamp is strictly later (`strict = true`) or at-or-later. Same
+    * single-union / single-window physical shape (one exchange on the
+    * key, one sort, no join operator), with the frame flipped to
+    * [current row, unbounded following] and a running `min(struct)`
+    * instead of max. Strictness inverts too: under strict semantics a
+    * right row at the SAME timestamp must not count, so right rows sort
+    * BEFORE left rows at equal ts (outside the forward frame); inclusive
+    * puts them after.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+      tsMs: String, rightPayload: Seq[String],
+      strict: Boolean = true): DataFrame = {
+    val rightSide = if (strict) -1 else 1
+    val payload = struct((col(tsMs) +: rightPayload.map(col)): _*)
+    val rNorm = right.select(
+      left.columns.map {
+        case c if c == key => col(key)
+        case c if c == tsMs => col(tsMs)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ lit(rightSide).as("__side") :+ payload.as("__p"): _*)
+    val lNorm = left
+      .withColumn("__side", lit(0))
+      .withColumn("__p", lit(null).cast(rNorm.schema("__p").dataType))
+    val w = Window.partitionBy(key).orderBy(col(tsMs), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lNorm.unionByName(rNorm)
+      .select(col("*"),
+        min(when(col("__side") === rightSide, col("__p"))).over(w).as("asof"),
+        count(when(col("__side") === rightSide, lit(1))).over(w).as("n_asof"))
+      .filter(col("__side") === 0)
+      .drop("__side", "__p")
+  }
+
+  /** Shipped forward as-of query: every event annotated with the user's
+    * NEXT error event (time until it, its value) and how many errors
+    * follow — the time-to-failure / next-action enrichment. Sentinel -1
+    * for users whose stream ends error-free (same no-null hash-parity
+    * rationale as asOfLastPurchase).
+    */
+  def asOfNextError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+    asOfJoinForward(ev, errors, "user_id", "ms", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("ms"), col("event_type"),
+        coalesce(col("asof.ms"), lit(-1L)).as("next_error_ms"),
+        coalesce(col("asof.ms") - col("ms"), lit(-1L)).as("ms_to_error"),
+        col("n_asof").as("n_later_errors"))
+      .orderBy("event_id")
+  }
+
+  /** Interval-OVERLAP join by time binning — the range-range companion
+    * to `binnedIntervalJoin` (that one pairs points with intervals; this
+    * pairs intervals with intervals, the session-vs-incident / downtime-
+    * vs-campaign shape). Overlap predicate: a.start < b.end AND
+    * b.start < a.end, half-open intervals.
+    *
+    * Both sides explode to their covering time bins and equi-join on the
+    * bin, which bounds the pairing fan-out exactly as in the point case.
+    * An overlapping pair shares every bin in the overlap region, so to
+    * emit each pair ONCE the join keeps only the FIRST shared bin —
+    * `bin = greatest(floor(a.start/bin), floor(b.start/bin))` — a pure
+    * join-side predicate, cheaper than a distinct over the pair blowup.
+    * Suffixes `_a`/`_b` disambiguate payload columns.
+    */
+  def binnedOverlapJoin(a: DataFrame, b: DataFrame, binMs: Long): DataFrame = {
+    def binned(df: DataFrame, suffix: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
+      renamed.withColumn("bin",
+        explode(sequence(floor(col(s"start_ms$suffix") / binMs),
+          floor((col(s"end_ms$suffix") - 1) / binMs))))
+    }
+    binned(a, "_a").join(binned(b, "_b"),
+        Seq("bin"))
+      .filter(col("start_ms_a") < col("end_ms_b") &&
+        col("start_ms_b") < col("end_ms_a") &&
+        col("bin") === greatest(floor(col("start_ms_a") / binMs),
+          floor(col("start_ms_b") / binMs)))
+      .drop("bin")
+  }
+
+  /** Shipped overlap query: user sessions (gap-based islands, 30 min)
+    * overlapped with incident windows (one hour after each error event):
+    * per incident, how many distinct user sessions were live during it.
+    * Both interval sets derive from the same events scan; the overlap
+    * pairing is the binned equi-join above, so no cross product exists
+    * at any scale.
+    */
+  def sessionIncidentOverlap(spark: SparkSession, dir: String,
+      gapMs: Long = 30 * 60 * 1000L,
+      windowMs: Long = 3600 * 1000L): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = ev
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("ms")).as("start_ms"),
+        (max(col("ms")) + 1).as("end_ms")) // half-open: an instant session still covers its ms
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        unix_millis(col("ts")).as("start_ms"),
+        (unix_millis(col("ts")) + windowMs).as("end_ms"))
+    binnedOverlapJoin(incidents, sessions, windowMs)
+      .groupBy(col("incident_id_a").as("incident_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id_b")).as("n_users"))
+      .orderBy("incident_id")
+  }
+
   /** Point-in-interval join by time binning: intervals of bounded length
     * join points on a shared time-bin key, then the exact range predicate
     * filters in-task. Without the bin key this is a nested-loop cross

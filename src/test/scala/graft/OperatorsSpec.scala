@@ -955,6 +955,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inclusive("A") === ((Some(10L), 1L)))
   }
 
+  test("forward as-of join: earliest strictly-later payload per key, inclusive opt-in") {
+    import graft.queries.Events
+    val left = Seq((1L, 10L, "A"), (1L, 25L, "B"), (2L, 50L, "C"))
+      .toDF("user_id", "ms", "tag")
+    val right = Seq((1L, 10L, 5.0), (1L, 20L, 7.0), (1L, 30L, 9.0), (2L, 40L, 3.0))
+      .toDF("user_id", "ms", "value")
+
+    val strict = Events.asOfJoinForward(left, right, "user_id", "ms", Seq("value"))
+      .select($"tag", $"asof.ms", $"asof.value", $"n_asof")
+      .as[(String, Option[Long], Option[Double], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // A: the right row at the SAME ms is excluded under strict semantics;
+    // the earliest of the two LATER rows wins, both are counted
+    assert(strict("A") === ((Some(20L), Some(7.0), 2L)))
+    // B: only the 30ms row is later
+    assert(strict("B") === ((Some(30L), Some(9.0), 1L)))
+    // C: user 2's only right row is earlier -> nothing follows
+    assert(strict("C") === ((None, None, 0L)))
+
+    val inclusive = Events.asOfJoinForward(left, right, "user_id", "ms",
+        Seq("value"), strict = false)
+      .select($"tag", $"asof.ms", $"n_asof")
+      .as[(String, Option[Long], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // at-or-after: the equal-ts right row now matches and counts
+    assert(inclusive("A") === ((Some(10L), 3L)))
+  }
+
+  test("binned overlap join pairs exactly once and honors half-open overlap") {
+    import graft.queries.Events
+    val a = Seq((1L, 0L, 3000L), (2L, 5000L, 6000L))
+      .toDF("aid", "start_ms", "end_ms")
+    val b = Seq(
+      (10L, 2000L, 9000L),  // overlaps both a1 ([0,3000)) and a2 ([5000,6000)), spans many bins
+      (20L, 3000L, 5000L),  // touches a1's end and a2's start exactly -> NO overlap (half-open)
+      (30L, 2999L, 3000L))  // 1ms inside a1
+      .toDF("bid", "start_ms", "end_ms")
+    val got = Events.binnedOverlapJoin(a, b, binMs = 1000L)
+      .select("aid_a", "bid_b").as[(Long, Long)].collect().toSeq
+    // toSeq (not toSet): each overlapping pair must appear EXACTLY once
+    // even when it shares several bins
+    assert(got.sorted === Seq((1L, 10L), (1L, 30L), (2L, 10L)))
+  }
+
   test("binned interval join honors [start, end) exactly across bin boundaries") {
     import graft.queries.Events
     val points = Seq((1L, 0L), (2L, 999L), (3L, 1000L), (4L, 1500L), (5L, 2000L))
