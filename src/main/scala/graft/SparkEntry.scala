@@ -282,6 +282,13 @@ object SparkEntry {
       Similarity.knnGraph(emb,
         kmeansCentroids(s, d, Similarity.cellsFor(embCount(s, d))))
     }),
+    // contrastive pair mining: hardest in-cell positive + semi-hard
+    // negative per vector (embedding-training data generation)
+    "emb_contrastive" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.contrastivePairs(emb,
+        kmeansCentroids(s, d, Similarity.cellsFor(embCount(s, d))))
+    }),
     // -- Text analysis (documents) --
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
@@ -1105,6 +1112,33 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** emb_contrastive oracle: cell assignment from the exported centroid
+    * literals, in-cell pair scoring split by label equality, rank-1 per
+    * (query, polarity), pivoted to one row per vector with the same
+    * -1/-2 sentinels.
+    */
+  private def contrastiveSqlFor(centroids: Array[Array[Double]]): String = {
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH $normCte,
+       |sc AS (SELECT vec_id, label, v, nrm, $scoreList AS scores FROM n),
+       |wb AS (SELECT vec_id, label, v, nrm,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |s AS (SELECT a.vec_id AS q_id, a.label AS q_label, b.vec_id AS n_id,
+       |        a.label = b.label AS is_pos,
+       |        round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |      FROM wb a JOIN wb b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id, is_pos ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id AS vec_id, q_label AS label,
+       |  COALESCE(MAX(CASE WHEN is_pos THEN n_id END), -1) AS pos_id,
+       |  COALESCE(MAX(CASE WHEN is_pos THEN cos END), -2.0) AS pos_cos,
+       |  COALESCE(MAX(CASE WHEN NOT is_pos THEN n_id END), -1) AS neg_id,
+       |  COALESCE(MAX(CASE WHEN NOT is_pos THEN cos END), -2.0) AS neg_cos
+       |FROM r WHERE rnk = 1 GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+  }
+
   /** Oracle map including the entries that depend on the data (the
     * k-means IVF centroids are fitted, then exported as literals). Verify
     * dumps THIS map; the static `oracleSql` stays the data-independent
@@ -1161,6 +1195,8 @@ object SparkEntry {
       ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +
       ("ann_knn_graph" -> knnGraphSqlFor(kmeansCentroids(spark, sfDir,
+        Similarity.cellsFor(embCount(spark, sfDir))))) +
+      ("emb_contrastive" -> contrastiveSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +
       ("ann_lsh_multiprobe" -> multiProbeSqlFor(
         Similarity.planesFor(embCount(spark, sfDir)))) +

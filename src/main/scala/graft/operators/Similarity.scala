@@ -426,6 +426,26 @@ object Similarity {
       .write.bucketBy(buckets, "cell").sortBy("cell")
       .mode("overwrite").saveAsTable(table)
 
+  /** Append a NEW vector batch into an existing persisted IVF index —
+    * index MAINTENANCE without a rebuild: the batch is cell-assigned
+    * under the SAME centroids the index was built with and written as
+    * additional bucket files (Spark's Hive-style bucketing buckets each
+    * insert independently; the read side still reports `Bucketed: true`
+    * and serves with no index-side exchange). Serving from the appended
+    * index is identical to serving from a from-scratch build over the
+    * union — asserted in ScaleSpec. Cost is O(batch), not O(index): the
+    * daily-ingest shape for a billion-vector index. Centroids must stay
+    * fixed across appends (drift is a rebuild, not an append).
+    */
+  def ivfIndexAppend(emb: DataFrame, centroids: Array[Array[Double]],
+      table: String, buckets: Int = 8): Unit =
+    withNorm(emb)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("vec_id", "v", "nrm", "cell")
+      .write.bucketBy(buckets, "cell").sortBy("cell")
+      .mode("append").saveAsTable(table)
+
   /** Serve top-k from a persisted index. The query batch recomputes its
     * probe cells from the same centroid literals (tiny side); the index
     * side streams straight out of its buckets. Results are identical to
@@ -958,6 +978,45 @@ object Similarity {
     val b = wb.hint("shuffle_hash").select(col("cell").as("cell_b"),
       col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
     rank(a.join(b, col("cell") === col("cell_b") && col("q_id") =!= col("n_id")), k)
+  }
+
+  /** Contrastive pair mining — the training-data operator for embedding
+    * models: for EVERY vector, its hardest in-cell positive (most-similar
+    * neighbor with the SAME label) and hardest in-cell negative
+    * (most-similar neighbor with a DIFFERENT label — the "semi-hard"
+    * negative that actually moves a contrastive loss, since easy faraway
+    * negatives contribute ~zero gradient). Blocking, exchange reuse, and
+    * the literal-export oracle discipline all follow `knnGraph`; missing
+    * cases (no same/other-label neighbor in the cell) surface as -1/-2
+    * sentinels, not nulls — nullable columns break hash parity through
+    * the comparison frame.
+    */
+  def contrastivePairs(emb: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val wb = withNorm(emb)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("vec_id", "label", "v", "nrm", "cell")
+    val a = wb.select(col("cell"), col("vec_id").as("q_id"),
+      col("label").as("q_label"), col("v").as("qv"), col("nrm").as("qn"))
+    val b = wb.hint("shuffle_hash").select(col("cell").as("cell_b"),
+      col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val scored = a
+      .join(b, col("cell") === col("cell_b") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
+      .withColumn("is_pos", col("q_label") === col("n_label"))
+    val w = Window.partitionBy(col("q_id"), col("is_pos"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("q_id").as("vec_id"), col("q_label").as("label"))
+      .agg(
+        coalesce(max(when(col("is_pos"), col("n_id"))), lit(-1L)).as("pos_id"),
+        coalesce(max(when(col("is_pos"), col("cos"))), lit(-2.0d)).as("pos_cos"),
+        coalesce(max(when(!col("is_pos"), col("n_id"))), lit(-1L)).as("neg_id"),
+        coalesce(max(when(!col("is_pos"), col("cos"))), lit(-2.0d)).as("neg_cos"))
+      .orderBy("vec_id")
   }
 
   /** Mean-pooled embedding per label — the class-centroid/pooling step

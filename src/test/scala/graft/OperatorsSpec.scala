@@ -1262,6 +1262,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall(e => cluster1.contains(e._1) == cluster1.contains(e._3)))
   }
 
+  test("contrastive mining picks hardest in-cell positive and negative with sentinels") {
+    import graft.operators.Similarity
+    def v(axis: Int, eps: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1f else if (i == 63) eps else 0f)
+    // cell 0: labels 0,0,1 -> every vector has both a positive and a
+    // negative; cell 1: both label 2 -> negatives are impossible there
+    val rows = Seq(
+      (1L, v(0, 0.1f), 0), (2L, v(0, 0.2f), 0), (3L, v(0, 0.4f), 1),
+      (5L, v(1, 0.1f), 2), (6L, v(1, 0.5f), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val centroids = Array(
+      Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+      Array.tabulate(64)(i => if (i == 1) 1.0 else 0.0))
+    val got = Similarity.contrastivePairs(emb, centroids)
+      .as[(Long, Int, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    assert(got(1L) === ((0, 2L, 3L))) // pos: the other label-0; neg: the label-1
+    assert(got(2L) === ((0, 1L, 3L)))
+    // the lone label-1 vector: no in-cell positive (sentinel), nearest
+    // label-0 as negative (2 is closer to 3 than 1 is, via the eps axis)
+    assert(got(3L) === ((1, -1L, 2L)))
+    // cell 1: same-label pair, no negative -> sentinel
+    assert(got(5L) === ((2, 6L, -1L)))
+    assert(got(6L) === ((2, 5L, -1L)))
+    val negCos = Similarity.contrastivePairs(emb, centroids)
+      .filter($"vec_id" === 5L).select("neg_cos").as[Double].head()
+    assert(negCos === -2.0)
+  }
+
   test("Misra-Gries sketch honors the superset and error-bound guarantees") {
     import graft.functions.MisraGries
     import org.apache.spark.sql.functions.{col, explode}

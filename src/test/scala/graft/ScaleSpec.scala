@@ -80,6 +80,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index append: incremental batch equals a from-scratch rebuild and stays bucketed") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.fitCentroids(emb, nCentroids = 8)
+    try {
+      // day 0: index the first slice; day 1: append the rest
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), centroids,
+        "ivf_inc", buckets = 4)
+      Similarity.ivfIndexAppend(emb.filter(col("vec_id") >= 300), centroids,
+        "ivf_inc", buckets = 4)
+      Similarity.buildIvfIndex(emb, centroids, "ivf_full", buckets = 4)
+      val inc = Similarity.ivfTopKIndexed(spark, "ivf_inc", centroids)
+      val full = Similarity.ivfTopKIndexed(spark, "ivf_full", centroids)
+      assert(inc.collect().toSeq === full.collect().toSeq)
+      // the appended table still reads as bucketed (no index-side exchange)
+      val scanned = spark.table("ivf_inc")
+        .select(col("vec_id").as("n_id"), col("cell").as("n_cell"))
+      val probes = spark.table("ivf_inc").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("cell").as("probe"))
+      val joined = probes.hint("merge").join(scanned, col("probe") === col("n_cell"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"appended index scan not bucketed:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_inc")
+      spark.sql("DROP TABLE IF EXISTS ivf_full")
+    }
+  }
+
   test("persisted IVF index: bucketed layout serves probes without re-shuffling") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, dir, "embeddings")
