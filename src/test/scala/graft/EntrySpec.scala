@@ -139,6 +139,16 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_decontaminate" -> 455L,
     "dedup_centrality" -> 49L,
     "q_events_anomaly" -> 12L,
+    "dedup_setsim_pairs" -> 28L,
+    "ann_knn_graph" -> 1500L,
+    "emb_contrastive" -> 500L,
+    "pipeline_snapshot_diff" -> 137L,
+    "mm_phash" -> 500L,
+    "mm_phash_pairs" -> 28L,
+    "text_boilerplate" -> 500L,
+    "text_lm_bigram" -> 500L,
+    "q_events_asof_next" -> 1000L,
+    "q_events_session_overlap" -> 201L,
   )
 
   test("entry() returns rows") {
@@ -157,7 +167,7 @@ class EntrySpec extends AnyFunSuite {
     */
   private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
-    "ann_mips_lsh", "ann_ivf2_topk", "text_topics")
+    "ann_mips_lsh", "ann_ivf2_topk", "text_topics", "ann_knn_graph", "emb_contrastive")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
