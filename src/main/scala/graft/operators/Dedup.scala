@@ -732,6 +732,71 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** EXACT set-similarity LOOKUP — the batch-vs-corpus form of
+    * `setSimilarityPairs`, and the one that runs in production on every
+    * ingest: for each incoming document, every EXISTING corpus document
+    * whose shingle set reaches Jaccard >= `threshold`. Same lossless
+    * prefix-filter machinery (global rarest-first order over the union,
+    * size-ratio + position prunes, exact verify), but the candidate join
+    * is batch-prefix x corpus-prefix, so its volume is
+    * batch_share x the self-join's — LINEAR in the corpus for a bounded
+    * ingest batch, where the all-pairs self-join is governed by the df
+    * distribution and goes quadratic on a fixed-vocabulary corpus. The
+    * self-join stays the offline-compaction tool; this is the at-scale
+    * operating shape (same split as dropIncrementalDuplicates vs
+    * `exact`).
+    */
+  def setSimilarityLookup(batch: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    PolyHash.register(batch.sparkSession)
+    def setsOf(df: DataFrame) = withShingles(df)
+      .select(col("doc_id"),
+        array_distinct(expr("transform(shingles, s -> graft_poly_hash(s))")).as("sset"))
+    val bSets = setsOf(batch)
+    val cSets = setsOf(corpus)
+    // document frequency over the UNION fixes one global element order
+    // for both sides' prefixes (any shared total order is lossless;
+    // rarest-first keeps the posting lists short)
+    val dfreq = bSets.unionByName(cSets)
+      .select(explode(col("sset")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    def prefixOf(sets: DataFrame) = {
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+      sets.select(col("doc_id"), size(col("sset")).as("sz"),
+          explode(col("sset")).as("s"))
+        .join(dfreq, "s")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <=
+          col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+        .select(col("s"), col("doc_id"), col("sz"), col("rk"))
+    }
+    val minOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
+    val cand = prefixOf(bSets).alias("a")
+      .join(prefixOf(cSets).hint("shuffle_hash").alias("b"),
+        col("a.s") === col("b.s") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9) &&
+        (lit(1) + least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")))
+          .cast("double") >= minOverlap)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = bSets.alias("sa")
+    val sb = cSets.hint("shuffle_hash").alias("sb")
+    cand
+      .join(sa, col("doc_a") === col("sa.doc_id"))
+      .join(sb, col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long").as("n_inter"),
+        (size(col("sa.sset")) + size(col("sb.sset"))).as("sz_sum"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Canonical-representative centrality — fixed-point PageRank over the
     * near-dup candidate graph, the signal that picks WHICH duplicate to
     * keep: `nearDupClusters` says what belongs together, this ranks each

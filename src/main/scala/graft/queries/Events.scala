@@ -333,20 +333,148 @@ object Events {
       .drop("bin")
   }
 
+  /** Distributed rank join (a batched `searchsorted`): for each query
+    * row's threshold `t`, the COUNT of `values` strictly below t
+    * (`strict = true`) or at-or-below. The primitive that turns
+    * interval-overlap COUNTING from a pair join into two lookups — and
+    * generally any "how many observations precede X" question — into
+    * span-bounded work.
+    *
+    * Three-level prefix decomposition (incidentWindowCountsOf's
+    * pattern pointed at an unbounded range): (1) per-minute value
+    * counts DENSIFIED over the observed span (absent minutes would
+    * break a cumulative join) carry an exclusive running sum — the
+    * cum table is bounded by the time span, never the value volume;
+    * (2) the query's own minute resolves through the per-second
+    * aggregate via a ≤59-row explode (absent seconds drop out of the
+    * inner join); (3) only the query's own SECOND touches raw values.
+    * Queries clamp: below the span → 0, above it → the grand total.
+    */
+  def rankJoin(values: DataFrame, queries: DataFrame,
+      strict: Boolean = true, binMs: Long = 60 * 1000L,
+      secMs: Long = 1000L): DataFrame = {
+    val off = if (strict) 0L else 1L // v <= t  ⟺  v < t+1 on integer ms
+    rankJoinKeyed(values.select(lit(0).as("k"), col("v")),
+        queries.select(col("qid"), lit(0).as("k"),
+          (col("t") + off).as("t")), binMs, secMs)
+      .select("qid", "n_below")
+  }
+
+  /** `rankJoin` over SEVERAL value multisets in one pass: values carry a
+    * kind column `k`, queries name the kind they rank against, and every
+    * level of the decomposition partitions by k — so a caller needing
+    * two ranks over projections of the SAME expensive table (overlap
+    * counting: session starts and ends) pays for that table once
+    * instead of once per rank. Thresholds are STRICT (`v < t`);
+    * at-or-below on integer ms is `t + 1`.
+    */
+  def rankJoinKeyed(values: DataFrame, queries: DataFrame,
+      binMs: Long = 60 * 1000L, secMs: Long = 1000L): DataFrame = {
+    require(binMs % secMs == 0 && secMs > 0)
+    // ONE pass over the (possibly expensive) values pipeline collapses
+    // it to distinct (k, v) with multiplicities; every coarser grain —
+    // second, minute, span — regroups that value-level aggregate, and
+    // the raw edge level joins it too, so the values pipeline is never
+    // re-scanned
+    val vAgg = values.select(col("k"), col("v"))
+      .groupBy("k", "v").agg(count(lit(1)).as("vn"))
+      .withColumn("sec", floor(col("v") / secMs))
+    val secAgg = vAgg.groupBy("k", "sec").agg(sum(col("vn")).as("sn"))
+    val binAgg = secAgg
+      .withColumn("bin", floor(col("sec") * secMs / binMs))
+      .groupBy("k", "bin").agg(sum(col("sn")).as("bn"))
+    val span = binAgg.groupBy("k").agg(min("bin").as("b_min"),
+      max("bin").as("b_max"), sum("bn").as("total"))
+    // dense per-kind minute grid (span-bounded) -> EXCLUSIVE cumulative
+    // counts. The ordered window runs over the bounded grid, not the data.
+    val wOrd = Window.partitionBy("k").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = broadcast(span).select(col("k"),
+        explode(sequence(col("b_min"), col("b_max"))).as("bin"))
+      .join(binAgg, Seq("k", "bin"), "left")
+      .withColumn("bn", coalesce(col("bn"), lit(0L)))
+      .withColumn("cum_excl", sum(col("bn")).over(wOrd) - col("bn"))
+      .select("k", "bin", "cum_excl")
+    val q = queries.select(col("qid"), col("k"), col("t"))
+      .withColumn("qbin", floor(col("t") / binMs))
+      .withColumn("qsec", floor(col("t") / secMs))
+    val qs = q.join(broadcast(span), Seq("k"))
+    // level 1: values in minutes strictly before the query's minute
+    val lvl1 = qs.join(cum, col("qbin") === col("bin") && qs("k") === cum("k"), "left")
+      .withColumn("n1",
+        when(col("qbin") < col("b_min"), lit(0L))
+          .when(col("qbin") > col("b_max"), col("total"))
+          .otherwise(coalesce(col("cum_excl"), lit(0L))))
+      .select(qs("qid"), qs("k"), col("t"), col("qbin"), col("qsec"), col("n1"))
+    // level 2: within-minute second prefix, served as ONE equi-join
+    // lookup per query from a dense per-ACTIVE-minute second grid
+    // (active minutes × spb rows, prefix window partitioned by minute —
+    // tiny partitions). A per-query explode of the minute's seconds was
+    // the first spelling and dominated at scale: with q queries it
+    // joins q × (spb−1) rows, 59M at the 10× point. Queries landing in
+    // an inactive minute LEFT-join to nothing → 0, which is exact: such
+    // a minute holds no values at all.
+    val spb = binMs / secMs
+    val wSec = Window.partitionBy("k", "bin").orderBy("sec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val secCum = binAgg.select(col("k"), col("bin"))
+      .withColumn("sec",
+        explode(sequence(col("bin") * spb, col("bin") * spb + (spb - 1))))
+      .join(secAgg, Seq("k", "sec"), "left")
+      .withColumn("sn", coalesce(col("sn"), lit(0L)))
+      .withColumn("scum_excl", sum(col("sn")).over(wSec) - col("sn"))
+      .select(col("k"), col("sec"), col("scum_excl"))
+    val lvl2 = q.join(secCum,
+        q("k") === secCum("k") && col("qsec") === col("sec"), "left")
+      .groupBy(q("qid"), q("k"))
+      .agg(sum(coalesce(col("scum_excl"), lit(0L))).as("n2"))
+    // level 3: value-level aggregate rows only in the query's own second
+    // (strict compare, multiplicities summed)
+    val lvl3 = q.join(vAgg.hint("shuffle_hash"),
+        q("k") === vAgg("k") && col("qsec") === col("sec") && col("v") < col("t"))
+      .groupBy(q("qid"), q("k")).agg(sum(col("vn")).as("n3"))
+    lvl1
+      .join(lvl2, Seq("qid", "k"), "left")
+      .join(lvl3, Seq("qid", "k"), "left")
+      .select(col("qid"), col("k"),
+        (col("n1") + coalesce(col("n2"), lit(0L)) +
+          coalesce(col("n3"), lit(0L))).as("n_below"))
+  }
+
   /** Shipped overlap query: user sessions (gap-based islands, 30 min)
-    * overlapped with incident windows (one hour after each error event):
-    * per incident, how many distinct user sessions were live during it.
-    * Both interval sets derive from the same events scan; the overlap
-    * pairing is the binned equi-join above, so no cross product exists
-    * at any scale.
+    * vs incident windows (one hour after each error event): per
+    * incident, how many user sessions were live at any point inside it.
+    *
+    * NOT the pair join: overlap COUNTING has the closed form
+    * n = |starts < window_end| − |ends <= window_start|, i.e. two rank
+    * joins over the session start/end multisets — work is
+    * incidents × (1 cum lookup + ≤59 second rows + a 1-second raw
+    * term) instead of incidents × concurrent-sessions. The pair join
+    * (`binnedOverlapJoin`) measured 29 s at the 10× point and grows
+    * with incident-density × session-density on the fixed time span
+    * (both densities scale with corpus size → quadratic); this
+    * formulation is linear and differential-tested against the pair
+    * join in sbt. The pairing operator remains the right tool when
+    * the pairs THEMSELVES are the output (who-was-affected listings)
+    * rather than their count.
     */
   def sessionIncidentOverlap(spark: SparkSession, dir: String,
       gapMs: Long = 30 * 60 * 1000L,
       windowMs: Long = 3600 * 1000L): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    sessionIncidentOverlapOf(
+      ev.select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type")),
+      gapMs, windowMs)
+  }
+
+  /** Table-agnostic core of `sessionIncidentOverlap` (ms-grain input;
+    * also the differential-test surface).
+    */
+  def sessionIncidentOverlapOf(ev: DataFrame, gapMs: Long,
+      windowMs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
     val sessions = ev
-      .withColumn("ms", unix_millis(col("ts")))
       .withColumn("prev_ms", lag(col("ms"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
@@ -356,13 +484,24 @@ object Events {
       .agg(min(col("ms")).as("start_ms"),
         (max(col("ms")) + 1).as("end_ms")) // half-open: an instant session still covers its ms
     val incidents = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("incident_id"),
-        unix_millis(col("ts")).as("start_ms"),
-        (unix_millis(col("ts")) + windowMs).as("end_ms"))
-    binnedOverlapJoin(incidents, sessions, windowMs)
-      .groupBy(col("incident_id_a").as("incident_id"))
-      .agg(count(lit(1)).as("n_sessions"),
-        countDistinct(col("user_id_b")).as("n_users"))
+      .select(col("event_id").as("incident_id"), col("ms").as("i_start"))
+      .withColumn("i_end", col("i_start") + windowMs)
+    // overlap count = |session starts < i_end| - |session ends <= i_start|,
+    // both ranks in ONE keyed sweep so the session table computes once
+    // (k=0: starts, strict at i_end; k=1: ends, at-or-below spelled as
+    // strict at i_start+1 on integer ms)
+    val vals = sessions.select(explode(array(
+        struct(lit(0).as("k"), col("start_ms").as("v")),
+        struct(lit(1).as("k"), col("end_ms").as("v")))).as("s"))
+      .select(col("s.k").as("k"), col("s.v").as("v"))
+    val qs = incidents.select(col("incident_id"), explode(array(
+        struct(lit(0).as("k"), col("i_end").as("t")),
+        struct(lit(1).as("k"), (col("i_start") + 1).as("t")))).as("s"))
+      .select(col("incident_id").as("qid"), col("s.k").as("k"), col("s.t").as("t"))
+    rankJoinKeyed(vals, qs)
+      .groupBy(col("qid").as("incident_id"))
+      .agg(sum(when(col("k") === 0, col("n_below"))
+        .otherwise(-col("n_below"))).as("n_sessions"))
       .orderBy("incident_id")
   }
 

@@ -491,6 +491,22 @@ class OperatorsSpec extends AnyFunSuite {
     // sanity on the fixture: every interesting case class is represented
     assert(brute(0.5).map(p => (p._1, p._2)).contains((1L, 2L)))
     assert(brute(0.3).size > brute(0.9).size)
+
+    // batch-vs-corpus LOOKUP form: split the same fixture (odd ids are
+    // the incoming batch) and compare against the batch x corpus brute
+    // force at the shipped threshold
+    def bruteLookup(th: Double) = (for {
+      (ia, sa) <- sets if ia % 2 == 1
+      (ib, sb) <- sets if ib % 2 == 0
+      ni = (sa & sb).size
+      j = ni.toDouble / (sa.size + sb.size - ni) if j >= th
+    } yield (ia, ib, ni.toLong, j)).toSet
+    val gotLookup = Dedup.setSimilarityLookup(
+        d.filter($"doc_id" % 2 === 1), d.filter($"doc_id" % 2 === 0),
+        threshold = 0.3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(gotLookup === bruteLookup(0.3))
+    assert(gotLookup.nonEmpty)
   }
 
   test("bigram LM score matches hand-computed interpolated probabilities") {
@@ -996,6 +1012,48 @@ class OperatorsSpec extends AnyFunSuite {
     // toSeq (not toSet): each overlapping pair must appear EXACTLY once
     // even when it shares several bins
     assert(got.sorted === Seq((1L, 10L), (1L, 30L), (2L, 10L)))
+  }
+
+  test("rank-join sweep overlap counts equal the pair join on a seeded random stream") {
+    import graft.queries.Events
+    // random events incl. second/minute-aligned timestamps (the edge
+    // grains the three-level decomposition must get exactly right)
+    val rnd = new scala.util.Random(23)
+    val base = 1700000000000L
+    val rows = (1L to 600L).map { i =>
+      val ms =
+        if (i % 29 == 0) base + rnd.nextInt(120).toLong * 60000L      // minute-aligned
+        else if (i % 13 == 0) base + rnd.nextInt(7200).toLong * 1000L // second-aligned
+        else base + rnd.nextLong(8L * 3600 * 1000)
+      val tp = if (i % 7 == 0) "error" else "view"
+      (i, i % 37, ms, tp)
+    }
+    val ev = rows.toDF("event_id", "user_id", "ms", "event_type")
+    val got = Events.sessionIncidentOverlapOf(ev, gapMs = 30 * 60 * 1000L,
+        windowMs = 3600 * 1000L)
+      .as[(Long, Long)].collect().toMap
+
+    // pair-join twin over the same session islands
+    import org.apache.spark.sql.functions.{col, lag, lit, max, min, sum, when, count}
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val sessions = ev
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 30 * 60 * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("ms")).as("start_ms"), (max(col("ms")) + 1).as("end_ms"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ms").as("i_start"),
+        (col("ms") + 3600 * 1000L).as("i_end"))
+    val expected = incidents.join(sessions,
+        col("i_start") < col("end_ms") && col("start_ms") < col("i_end"))
+      .groupBy("incident_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.values.forall(_ >= 1L))
   }
 
   test("binned interval join honors [start, end) exactly across bin boundaries") {
