@@ -254,11 +254,22 @@ object Events {
     * timestamp is strictly later (`strict = true`) or at-or-later. Same
     * single-union / single-window physical shape (one exchange on the
     * key, one sort, no join operator), with the frame flipped to
-    * [current row, unbounded following] and a running `min(struct)`
-    * instead of max. Strictness inverts too: under strict semantics a
-    * right row at the SAME timestamp must not count, so right rows sort
-    * BEFORE left rows at equal ts (outside the forward frame); inclusive
-    * puts them after.
+    * the time mirror and a running `min(struct)` instead of max.
+    * Strictness inverts too: under strict semantics a right row at the
+    * SAME timestamp must not count, so it must fall outside the frame.
+    *
+    * Physical subtlety that matters at scale: the frame is NOT spelled
+    * [current row, unbounded following] — Spark's
+    * UnboundedFollowingWindowFunctionFrame re-evaluates the aggregate
+    * from scratch at every row, O(rows x suffix) per partition, which
+    * measured 84 s at the 100x point vs 3.5 s for the backward twin.
+    * Instead the sort is REVERSED (ts desc, side desc) and the frame is
+    * the running [unbounded preceding, current row] — the O(n)
+    * running-aggregate processor — which contains exactly the
+    * later-in-time rows. Under the descending side order, strict
+    * forward semantics puts equal-ts right rows (side -1) AFTER the
+    * left row, outside the running frame; inclusive (side +1) before
+    * it.
     */
   def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
       tsMs: String, rightPayload: Seq[String],
@@ -274,8 +285,9 @@ object Events {
     val lNorm = left
       .withColumn("__side", lit(0))
       .withColumn("__p", lit(null).cast(rNorm.schema("__p").dataType))
-    val w = Window.partitionBy(key).orderBy(col(tsMs), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsMs).desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lNorm.unionByName(rNorm)
       .select(col("*"),
         min(when(col("__side") === rightSide, col("__p"))).over(w).as("asof"),
