@@ -363,8 +363,8 @@ object Events {
     * Queries clamp: below the span → 0, above it → the grand total.
     */
   def rankJoin(values: DataFrame, queries: DataFrame,
-      strict: Boolean = true, binMs: Long = 60 * 1000L,
-      secMs: Long = 1000L): DataFrame = {
+      strict: Boolean = true, binMs: Long = 600 * 1000L,
+      secMs: Long = 10 * 1000L): DataFrame = {
     val off = if (strict) 0L else 1L // v <= t  ⟺  v < t+1 on integer ms
     rankJoinKeyed(values.select(lit(0).as("k"), col("v")),
         queries.select(col("qid"), lit(0).as("k"),
@@ -381,7 +381,7 @@ object Events {
     * at-or-below on integer ms is `t + 1`.
     */
   def rankJoinKeyed(values: DataFrame, queries: DataFrame,
-      binMs: Long = 60 * 1000L, secMs: Long = 1000L): DataFrame = {
+      binMs: Long = 600 * 1000L, secMs: Long = 10 * 1000L): DataFrame = {
     require(binMs % secMs == 0 && secMs > 0)
     // ONE pass over the (possibly expensive) values pipeline collapses
     // it to distinct (k, v) with multiplicities; every coarser grain —
