@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and json-parses the LAST
+// non-empty stdout line. Two sbt default behaviors break that contract:
+// (a) forked-run output is re-logged behind an "[info] " prefix, and
+// (b) sbt appends a "[success] Total time: ..." line after the run.
+// StdoutOutput passes the forked JVM's stdout through verbatim;
+// showSuccess drops the trailing success line. Unscoped so every
+// delegation path (run, Compile/runMain, Test) picks it up.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,6 +21,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Several queries intentionally run a global window over an aggregated,
+    // calendar/vocab-bounded table (audited in VERDICT r7 #4); WindowExec
+    // warns once per task, flooding the driver's bounded stdout/stderr tail
+    // with thousands of identical lines that bury the headline JSON.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -57,24 +64,38 @@ object Bench {
     if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
 
+    // One query per operator family PLUS the full top-10 by 100x-scale cost
+    // (SCALE_CURVE.txt) — the queries where scale regressions actually live:
+    // dedup_setsim_lookup, q_events_asof_next, pipeline_contamination,
+    // text_boilerplate, dedup_apply_near, dedup_ngram_jaccard, dedup_clusters,
+    // dedup_minhash_sig, q_events_session_overlap, pipeline_decontaminate.
     val headline = Seq(
       "wordcount", "wordcount_topk", "wordcount_windowed",
       "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
       "q7_nation_volume", "q9_product_profit", "q18_large_orders",
       "q21_waiting_suppliers", "q_running_total", "q_order_percentiles",
       "q_events_hourly", "q_events_sessions", "q_events_incident_window",
-      "q_events_trailing_hour", "dedup_exact", "dedup_minhash_pairs",
-      "dedup_clusters", "dedup_semantic", "dedup_spans", "ann_topk",
+      "q_events_trailing_hour", "q_events_asof_next",
+      "q_events_session_overlap", "dedup_exact", "dedup_minhash_sig",
+      "dedup_minhash_pairs", "dedup_clusters", "dedup_semantic",
+      "dedup_spans", "dedup_setsim_lookup", "dedup_apply_near",
+      "dedup_ngram_jaccard", "ann_topk",
       "ann_ivf_kmeans", "ann_quantized_topk", "ann_ivfpq_topk",
       "emb_top_pairs", "text_tfidf",
       "text_tokens", "text_inverted_index", "text_bpe_encode",
-      "pipeline_curation", "pipeline_quality_scores", "pipeline_pack",
+      "text_boilerplate", "pipeline_curation", "pipeline_quality_scores",
+      "pipeline_pack", "pipeline_contamination", "pipeline_decontaminate",
       "mm_features")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,""" +
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""queries":${fmt(head)},"sf":"$sfDir"}""")
+      s""""queries":${fmt(head)},"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing: executor/shutdown log lines must not land
+    // after the headline JSON — the driver json-parses the LAST non-empty
+    // stdout line (sbt decoration is disabled via run/outputStrategy +
+    // showSuccess in build.sbt).
     spark.stop()
+    println(line)
   }
 }
