@@ -111,12 +111,24 @@ object SparkEntry {
     // and goes quadratic on this fixed-vocabulary corpus (measured: the
     // 10x point cost 10 s and the 100x point minutes), while the
     // lookup is linear in the corpus for a bounded batch.
+    // Serving goes through the PERSISTED prefix index (built once per
+    // session per sf dir; the second bench run and every later ingest
+    // batch pay only the serve cost — VERDICT r7 #3). The ingest batch is
+    // the %31==0 residue PLUS an "echo" slice of corpus docs re-keyed out
+    // of the id space (doc_id + 10^9): guaranteed jaccard-1.0 matches
+    // against their originals at EVERY scale, so the gate answer is
+    // provably nonzero and the hash match exercises the machinery
+    // (ADVICE r7: at sf1 the old split answered 0 rows).
     "dedup_setsim_lookup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
       val docs = Tables.load(s, d, "documents")
-      val m = org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.lit(31L))
-      Dedup.setSimilarityLookup(docs.filter(m === 0), docs.filter(m =!= 0))
+      val m = pmod(col("doc_id"), lit(31L))
+      val echo = docs.filter(m =!= 0)
+        .filter(pmod(col("doc_id"), lit(97L)) === 1)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      Dedup.setSimilarityLookupIndexed(
+        docs.filter(m === 0).unionByName(echo), ensureSetSimIndex(s, d),
+        threshold = 0.8)
     }),
     // no oracleSql: iterative fixpoint (connected components) is not
     // single-statement SQL -> rows-only check; the union-find differential
@@ -628,11 +640,16 @@ object SparkEntry {
        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
        |    (h, c) -> (h * 31 + c) % $M))) AS s FROM sh),
+       |bb AS (
+       |  SELECT doc_id, s FROM ss WHERE doc_id % 31 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, s FROM ss
+       |  WHERE doc_id % 31 <> 0 AND doc_id % 97 = 1),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    length(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
        |    length(a.s) + length(b.s) AS sz_sum
-       |  FROM ss a JOIN ss b ON a.doc_id % 31 = 0 AND b.doc_id % 31 <> 0)
+       |  FROM bb a JOIN ss b ON b.doc_id % 31 <> 0)
        |SELECT doc_a, doc_b, n_inter,
        |  CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) AS jaccard
        |FROM p
@@ -852,6 +869,25 @@ object SparkEntry {
     */
   private val kmeansCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  /** Build-once guard for the persisted set-similarity prefix index on
+    * (session, sf dir); serving entries call this and join the returned
+    * tables. A previous JVM may have left the physical location without a
+    * catalog entry — dropManagedTable clears both before rebuilding, so a
+    * stale index can never serve a regenerated corpus.
+    */
+  private def ensureSetSimIndex(s: SparkSession, d: String): String = synchronized {
+    val name = "graft_setsim_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(d.hashCode))
+    if (!s.catalog.tableExists(name + "_postings")) {
+      Seq("_postings", "_df", "_sets").foreach(x => Tables.dropManagedTable(s, name + x))
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = Tables.load(s, d, "documents")
+      Dedup.buildSetSimIndex(
+        docs.filter(pmod(col("doc_id"), lit(31L)) =!= 0), name, threshold = 0.8)
+    }
+    name
+  }
+
   private def kmeansCentroids(s: SparkSession, d: String,
       nCells: Int = 16): Array[Array[Double]] =
     kmeansCache.getOrElseUpdate(s"$d#$nCells",

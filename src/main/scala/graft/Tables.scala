@@ -58,6 +58,20 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new GraftExtensions)
 
+  /** Drop a managed table AND its on-disk warehouse location. A previous
+    * JVM may have left files under the warehouse dir that this session's
+    * in-memory catalog has no entry for — then `DROP TABLE IF EXISTS` is a
+    * no-op and a later managed CREATE fails with LOCATION_ALREADY_EXISTS.
+    * Physical deletion goes through the Hadoop FileSystem API so the same
+    * code works against any warehouse filesystem.
+    */
+  def dropManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(wh, name.toLowerCase), true)
+  }
+
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

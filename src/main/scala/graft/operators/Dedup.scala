@@ -797,6 +797,114 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def hashedSets(docs: DataFrame): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    withShingles(docs).select(col("doc_id"),
+      array_distinct(expr("transform(shingles, s -> graft_poly_hash(s))")).as("sset"))
+  }
+
+  private def prefixLen(threshold: Double): Column =
+    col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1
+
+  /** Persist the CORPUS side of `setSimilarityLookup` once — the
+    * `buildIvfIndex` analogue for exact set-similarity serving. Three
+    * tables, each bucketed by its lookup-join key so serving never
+    * shuffles the corpus side again:
+    *
+    *   `<table>_postings (s, doc_id, sz, rk)` — rarest-first prefix rows
+    *       only, bucketed by shingle hash `s` (the candidate-join key);
+    *   `<table>_df (s, df)` — the corpus document-frequency table that
+    *       DEFINES the global element order, bucketed by `s` (batches
+    *       join it to order their own prefixes identically);
+    *   `<table>_sets (doc_id, sset)` — the verify-side shingle sets,
+    *       bucketed by `doc_id`.
+    *
+    * Lossless under any lookup threshold >= the build threshold: the
+    * stored prefix is the LONGEST one any such lookup needs
+    * (p = sz - ceil(t*sz) + 1 shrinks as t rises), and serving re-filters
+    * `rk` to its own threshold's length. The order is corpus-df rather
+    * than the ad-hoc lookup's union-df — any single total order shared by
+    * both sides satisfies the prefix lemma, so the VERIFIED output is
+    * identical (asserted against the unindexed path in OperatorsSpec);
+    * only the candidate set differs.
+    *
+    * Scale (100 TB): this turns every ingest-batch lookup from
+    * O(corpus scan + corpus window) into O(batch + probed buckets) — the
+    * prefix pipeline (scan, shingle, hash, df join, per-doc window) runs
+    * once at build, not once per lookup, and the three serving joins all
+    * land on bucketed layouts with no corpus-side exchange (plan-asserted
+    * in ScaleSpec).
+    */
+  def buildSetSimIndex(corpus: DataFrame, table: String,
+      threshold: Double = 0.5, buckets: Int = 16): Unit = {
+    val sets = hashedSets(corpus)
+    val ex = sets.select(col("doc_id"), size(col("sset")).as("sz"),
+      explode(col("sset")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen(threshold))
+      .select(col("s"), col("doc_id"), col("sz"), col("rk"))
+      .write.bucketBy(buckets, "s").sortBy("s")
+      .mode("overwrite").saveAsTable(s"${table}_postings")
+    dfreq.write.bucketBy(buckets, "s").sortBy("s")
+      .mode("overwrite").saveAsTable(s"${table}_df")
+    sets.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable(s"${table}_sets")
+  }
+
+  /** Serve one ingest batch against a persisted set-similarity index —
+    * same lossless AllPairs/PPJoin pruning and exact-Jaccard verify as
+    * `setSimilarityLookup`, with the corpus-side prefix pipeline replaced
+    * by the bucketed tables `buildSetSimIndex` wrote. The batch orders
+    * its prefix by the PERSISTED df table (left join; elements the corpus
+    * has never seen get df=0 and sort first — they occupy prefix slots
+    * but can never match a posting, so losslessness is unaffected).
+    * `threshold` must be >= the index's build threshold: the stored
+    * prefix is re-filtered to this threshold's length.
+    */
+  def setSimilarityLookupIndexed(batch: DataFrame, table: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val bSets = hashedSets(batch)
+    val dfreq = spark.table(s"${table}_df")
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val bPrefix = bSets
+      .select(col("doc_id"), size(col("sset")).as("sz"), explode(col("sset")).as("s"))
+      .join(dfreq, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen(threshold))
+      .select(col("s"), col("doc_id"), col("sz"), col("rk"))
+    val cPost = spark.table(s"${table}_postings")
+      .filter(col("rk") <= prefixLen(threshold))
+    val minOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
+    val cand = bPrefix.alias("a")
+      .join(cPost.alias("b"),
+        col("a.s") === col("b.s") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9) &&
+        (lit(1) + least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")))
+          .cast("double") >= minOverlap)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sb = spark.table(s"${table}_sets").alias("sb")
+    cand
+      .join(bSets.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sb, col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long").as("n_inter"),
+        (size(col("sa.sset")) + size(col("sb.sset"))).as("sz_sum"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Canonical-representative centrality — fixed-point PageRank over the
     * near-dup candidate graph, the signal that picks WHICH duplicate to
     * keep: `nearDupClusters` says what belongs together, this ranks each

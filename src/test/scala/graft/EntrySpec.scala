@@ -139,7 +139,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_decontaminate" -> 455L,
     "dedup_centrality" -> 49L,
     "q_events_anomaly" -> 12L,
-    "dedup_setsim_lookup" -> 2L,
+    "dedup_setsim_lookup" -> 8L,
     "ann_knn_graph" -> 1500L,
     "emb_contrastive" -> 500L,
     "pipeline_snapshot_diff" -> 137L,

@@ -507,6 +507,27 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(gotLookup === bruteLookup(0.3))
     assert(gotLookup.nonEmpty)
+
+    // the PERSISTED-index path must reproduce the ad-hoc lookup exactly:
+    // its element order is corpus-df (vs the ad-hoc union-df) — a
+    // different candidate set, but losslessness means the VERIFIED
+    // output is identical. Also exercises serving at a threshold above
+    // the build threshold (stored prefixes re-filtered).
+    val idxName = "optest_setsim"
+    try {
+      Seq("_postings", "_df", "_sets")
+        .foreach(x => Tables.dropManagedTable(spark, idxName + x))
+      Dedup.buildSetSimIndex(d.filter($"doc_id" % 2 === 0), idxName, threshold = 0.3)
+      val gotIdx = Dedup.setSimilarityLookupIndexed(
+          d.filter($"doc_id" % 2 === 1), idxName, threshold = 0.3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(gotIdx === gotLookup)
+      val gotIdxHi = Dedup.setSimilarityLookupIndexed(
+          d.filter($"doc_id" % 2 === 1), idxName, threshold = 0.5)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(gotIdxHi === bruteLookup(0.5))
+    } finally Seq("_postings", "_df", "_sets")
+      .foreach(x => Tables.dropManagedTable(spark, idxName + x))
   }
 
   test("bigram LM score matches hand-computed interpolated probabilities") {

@@ -143,6 +143,44 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted set-sim index: bucketed postings/sets serve without index-side exchange") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, dir, "documents")
+    try {
+      Seq("_postings", "_df", "_sets")
+        .foreach(x => Tables.dropManagedTable(spark, "sstest" + x))
+      Dedup.buildSetSimIndex(docs.filter(col("doc_id") % 2 === 0), "sstest",
+        threshold = 0.5, buckets = 4)
+      // end-to-end serve stays correct off the persisted layout
+      val served = Dedup.setSimilarityLookupIndexed(
+        docs.filter(col("doc_id") % 2 === 1), "sstest", threshold = 0.5)
+      assert(served.count() >= 0)
+      // candidate-join shape: batch prefixes probe the postings on `s`.
+      // Force the non-broadcast join (a 100 TB corpus side cannot be
+      // broadcast) and assert the postings scan feeds it with no hash
+      // exchange of its own — the one exchange belongs to the probe side.
+      val post = spark.table("sstest_postings")
+      val probes = post.filter(col("doc_id") % 7 === 0)
+        .select(col("s").as("qs"), col("doc_id").as("q_id"))
+      val cand = probes.hint("merge").join(post, col("qs") === col("s"))
+      cand.collect()
+      val candPlan = cand.queryExecution.executedPlan.toString
+      assert(candPlan.contains("Bucketed: true"), s"postings scan not bucketed:\n$candPlan")
+      assert("Exchange hashpartitioning".r.findAllIn(candPlan).size <= 1,
+        s"postings side must not re-shuffle:\n$candPlan")
+      // verify-join shape: candidates probe the sets on doc_id
+      val sets = spark.table("sstest_sets")
+      val ids = sets.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("cid"))
+      val ver = ids.hint("merge").join(sets, col("cid") === col("doc_id"))
+      ver.collect()
+      val verPlan = ver.queryExecution.executedPlan.toString
+      assert(verPlan.contains("Bucketed: true"), s"sets scan not bucketed:\n$verPlan")
+      assert("Exchange hashpartitioning".r.findAllIn(verPlan).size <= 1,
+        s"sets side must not re-shuffle:\n$verPlan")
+    } finally Seq("_postings", "_df", "_sets")
+      .foreach(x => Tables.dropManagedTable(spark, "sstest" + x))
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // The no-code skew path that complements Salting: AQE reads real
     // shuffle sizes and splits an oversized partition into parallel
