@@ -122,12 +122,17 @@ object SparkEntry {
     "dedup_setsim_lookup" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val docs = Tables.load(s, d, "documents")
+      // BOUNDED ingest batch (doc_id < 5000, the decontaminate convention):
+      // a real ingest batch does not grow with the corpus; an unbounded
+      // batch residue made the serve cost quadratic on this fixed-vocab
+      // corpus (measured 59.7 s at 100x vs 7.3 s bounded).
+      val inBatch = col("doc_id") < 5000
       val m = pmod(col("doc_id"), lit(31L))
-      val echo = docs.filter(m =!= 0)
+      val echo = docs.filter(m =!= 0 && inBatch)
         .filter(pmod(col("doc_id"), lit(97L)) === 1)
         .withColumn("doc_id", col("doc_id") + lit(1000000000L))
       Dedup.setSimilarityLookupIndexed(
-        docs.filter(m === 0).unionByName(echo), ensureSetSimIndex(s, d),
+        docs.filter(m === 0 && inBatch).unionByName(echo), ensureSetSimIndex(s, d),
         threshold = 0.8)
     }),
     // no oracleSql: iterative fixpoint (connected components) is not
@@ -215,8 +220,17 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
     "pipeline_pack" -> ((s, d) => Curation.packSequences(Tables.load(s, d, "documents"))),
-    "pipeline_contamination" -> ((s, d) =>
-      Dedup.benchmarkContamination(Tables.load(s, d, "documents"))),
+    // Bounded-eval contamination (the at-scale form — VERDICT r7 #4): the
+    // eval suite is the FIXED slice doc_id%100==7 within the first 5000
+    // ids (same stand-in as pipeline_decontaminate), so output is linear
+    // in the corpus; the corpus-proportional %100 carve-out stays as the
+    // documented offline-audit twin (Dedup.benchmarkContamination).
+    "pipeline_contamination" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = Tables.load(s, d, "documents")
+      val isEval = pmod(col("doc_id"), lit(100L)) === 7 && col("doc_id") < 5000
+      Dedup.benchmarkContaminationBounded(docs.filter(!isEval), docs.filter(isEval))
+    }),
     // decontamination APPLY: drop training docs sharing >= 2 distinct
     // 3-grams with a BOUNDED eval slice (doc_id % 100 == 7 within the
     // first 5000 ids — a fixed-size stand-in for an external benchmark
@@ -641,10 +655,10 @@ object SparkEntry {
        |    list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
        |    (h, c) -> (h * 31 + c) % $M))) AS s FROM sh),
        |bb AS (
-       |  SELECT doc_id, s FROM ss WHERE doc_id % 31 = 0
+       |  SELECT doc_id, s FROM ss WHERE doc_id % 31 = 0 AND doc_id < 5000
        |  UNION ALL
        |  SELECT doc_id + 1000000000, s FROM ss
-       |  WHERE doc_id % 31 <> 0 AND doc_id % 97 = 1),
+       |  WHERE doc_id % 31 <> 0 AND doc_id % 97 = 1 AND doc_id < 5000),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    length(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
@@ -1537,10 +1551,12 @@ object SparkEntry {
   private val contaminationSql =
     s"""WITH $shCte,
        |g AS (SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh),
-       |bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 100 = 7),
+       |bench AS (SELECT doc_id AS bench_id, gram FROM g
+       |          WHERE doc_id % 100 = 7 AND doc_id < 5000),
        |bsz AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bench GROUP BY 1),
        |ov AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_overlap
-       |       FROM (SELECT * FROM g WHERE doc_id % 100 <> 7) c
+       |       FROM (SELECT * FROM g
+       |             WHERE NOT (doc_id % 100 = 7 AND doc_id < 5000)) c
        |       JOIN bench b ON c.gram = b.gram GROUP BY 1, 2)
        |SELECT ov.doc_id, ov.bench_id, ov.n_overlap,
        |  round(CAST(ov.n_overlap AS DOUBLE) / bsz.bench_grams, 6) AS coverage

@@ -599,6 +599,33 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Bounded-eval benchmark contamination — the at-scale operating form:
+    * the eval suite is an EXPLICIT corpus that does not grow with the
+    * training corpus (a real benchmark suite is a few thousand docs), so
+    * its gram set is force-broadcast and the corpus streams once with no
+    * pre-aggregation shuffle; the output (corpus x bounded-eval pairs) is
+    * LINEAR in the corpus. The `% benchMod` carve-out twin above remains
+    * the offline self-audit form — its eval side is corpus-proportional,
+    * so on a fixed-vocabulary corpus its OUTPUT grows quadratically
+    * (measured 106x at 100x data, SCALE_CURVE r7); run it as a one-off
+    * audit, never on every ingest.
+    */
+  def benchmarkContaminationBounded(corpus: DataFrame, evalDocs: DataFrame,
+      n: Int = 3): DataFrame = {
+    def gramsOf(df: DataFrame) = withShingles(df, n)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("gram"))
+    val bench = gramsOf(evalDocs).select(col("doc_id").as("bench_id"), col("gram"))
+    val benchSized = bench.groupBy("bench_id").agg(count(lit(1)).as("bench_grams"))
+    gramsOf(corpus)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(broadcast(benchSized), "bench_id")
+      .select(col("doc_id"), col("bench_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("bench_grams"), 6).as("coverage"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Exact n-gram Jaccard verify over MinHash candidate pairs: candidates
     * come from `minhashCandidatePairs` (bucketed LSH join, bounded by
     * `MaxBandBucket`), then the exact Jaccard over distinct word 3-gram
