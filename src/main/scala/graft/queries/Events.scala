@@ -410,7 +410,12 @@ object Events {
     val q = queries.select(col("qid"), col("k"), col("t"))
       .withColumn("qbin", floor(col("t") / binMs))
       .withColumn("qsec", floor(col("t") / secMs))
-    val qs = q.join(broadcast(span), Seq("k"))
+    // LEFT join: a kind with no values rows must answer n_below = 0, not
+    // vanish (an inner join silently dropped such queries — latent
+    // contract gap, ADVICE r7). With a null span every clamp predicate
+    // below is null/false, so the row falls through to
+    // coalesce(cum_excl, 0) = 0; levels 2/3 join on `q` and coalesce.
+    val qs = q.join(broadcast(span), Seq("k"), "left")
     // level 1: values in minutes strictly before the query's minute
     val lvl1 = qs.join(cum, col("qbin") === col("bin") && qs("k") === cum("k"), "left")
       .withColumn("n1",

@@ -1077,6 +1077,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.forall(_ >= 1L))
   }
 
+  test("rank-join keyed answers n_below=0 for kinds with no values rows") {
+    // contract gap flagged in ADVICE r7: an inner span join silently
+    // DROPPED queries whose kind had no values; they must answer 0
+    import graft.queries.Events
+    val values = Seq((0, 1000L), (0, 2000L), (0, 3000L)).toDF("k", "v")
+    val queries = Seq(
+      (1L, 0, 2500L), // kind present: 2 values strictly below
+      (2L, 1, 2500L), // kind ABSENT from values entirely
+      (3L, 0, 500L))  // kind present, below its span
+      .toDF("qid", "k", "t")
+    val got = Events.rankJoinKeyed(values, queries,
+        binMs = 600L * 1000L, secMs = 10L * 1000L)
+      .select("qid", "n_below").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("binned interval join honors [start, end) exactly across bin boundaries") {
     import graft.queries.Events
     val points = Seq((1L, 0L), (2L, 999L), (3L, 1000L), (4L, 1500L), (5L, 2000L))
