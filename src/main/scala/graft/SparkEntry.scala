@@ -283,9 +283,11 @@ object SparkEntry {
           .otherwise(org.apache.spark.sql.functions.col("text")))
       Curation.snapshotDiff(v1, v2)
     }),
-    // no oracleSql for the trainer (iterative fit is not single-statement
-    // SQL -> rows-only; exact single-threaded differential in sbt); the
-    // SCORER gets a dynamic oracle with the trained weights as literals.
+    // trainer history is hash-locked by a DYNAMIC oracle (the trained
+    // trajectory re-stated as DOUBLE literals — the fit is Decimal-exact
+    // and deterministic); the independent correctness anchor is the
+    // single-threaded differential in sbt. The SCORER's dynamic oracle
+    // inlines the final weights the same way.
     "pipeline_quality_model" -> ((s, d) =>
       operators.QualityModel.historyDF(s, qualityFit(s, d))),
     "pipeline_quality_scores" -> ((s, d) =>
@@ -1268,7 +1270,30 @@ object SparkEntry {
         ivf2Fine(spark, sfDir))) +
       ("pipeline_quality_scores" -> qualityScoresSqlFor(
         qualityFit(spark, sfDir).last._3)) +
+      ("pipeline_quality_model" -> qualityModelSqlFor(qualityFit(spark, sfDir))) +
       ("text_bpe_encode" -> bpeEncodeSqlFor(bpeMerges(spark, sfDir)))
+
+  /** pipeline_quality_model's dynamic oracle: the engine-trained history
+    * re-stated as literal VALUES (Double.toString round-trips exactly;
+    * DuckDB parses scientific/decimal notation back to the same double
+    * under the explicit DOUBLE cast — bare decimal literals would land as
+    * DECIMAL and break schema parity). This hash-locks the Decimal-exact
+    * fit's determinism at the driver gate; the independent correctness
+    * anchor remains the single-threaded differential in OperatorsSpec.
+    */
+  private def qualityModelSqlFor(hist: Seq[(Int, Double, Array[Double])]): String = {
+    // STRING-cast, not bare literal: DuckDB parses a bare decimal literal
+    // as DECIMAL first, and the DECIMAL->DOUBLE conversion lands 1 ulp off
+    // the engine's double for ~half the values; the string->double parse
+    // is correctly rounded (measured: 11 of 96 cells differed by 1 ulp).
+    def dd(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val rows = hist.map { case (t, loss, w) =>
+      s"($t, ${dd(loss)}, ${dd(w(0))}, ${dd(w(1))}, ${dd(w(2))}, " +
+        s"${dd(w(3))}, ${dd(w(4))}, ${dd(w(5))})"
+    }.mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS t(iter, loss, w_bias, w_len, " +
+      "w_punct, w_stop, w_digit, w_tok_len) ORDER BY iter"
+  }
 
   /** Mirrors QualityModel.scoreWith: the trained weights inlined as
     * literals (Double.toString round-trips exactly; DuckDB parses back the

@@ -159,7 +159,7 @@ class EntrySpec extends AnyFunSuite {
     * across engines by construction) — driver does a rows-only check.
     */
   private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx",
-    "text_heavyhitters_sketch", "text_bpe_merges", "pipeline_quality_model")
+    "text_heavyhitters_sketch", "text_bpe_merges")
 
   /** Queries whose oracle is data-dependent (fitted centroids exported as
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,
@@ -167,7 +167,8 @@ class EntrySpec extends AnyFunSuite {
     */
   private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
-    "ann_mips_lsh", "ann_ivf2_topk", "text_topics", "ann_knn_graph", "emb_contrastive")
+    "ann_mips_lsh", "ann_ivf2_topk", "text_topics", "ann_knn_graph", "emb_contrastive",
+    "pipeline_quality_model")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
