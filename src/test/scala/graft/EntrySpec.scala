@@ -40,7 +40,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_ngram_jaccard" -> 30L,
     "dedup_simhash" -> 500L,
     "dedup_simhash_pairs" -> 23L,
-    "dedup_embedding" -> 20L,
+    "dedup_embedding" -> 123L,
     "pipeline_curation" -> 466L,
     "pipeline_split" -> 54L,
     "pipeline_pack" -> 62L,
@@ -168,7 +168,7 @@ class EntrySpec extends AnyFunSuite {
   private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
     "ann_mips_lsh", "ann_ivf2_topk", "text_topics", "ann_knn_graph", "emb_contrastive",
-    "pipeline_quality_model")
+    "pipeline_quality_model", "dedup_embedding")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
