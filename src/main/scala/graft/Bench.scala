@@ -21,6 +21,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Volume-scaled shuffle width (Tuning): the static 32 above is right
+    // for the sf0.1 gate, but the same binary also runs the 10x/100x
+    // scale-curve dirs — there the width must follow the input volume or
+    // a 2 GiB heap spills the widest shuffles. AQE coalesces back down,
+    // so oversizing costs nothing at the small end.
+    graft.Tuning.configureForInput(spark, sfDir)
     // Several queries intentionally run a global window over an aggregated,
     // calendar/vocab-bounded table (audited in VERDICT r7 #4); WindowExec
     // warns once per task, flooding the driver's bounded stdout/stderr tail

@@ -27,6 +27,32 @@ object Tuning {
     math.max(totalCores, bySize)
   }
 
+  /** On-disk bytes under a dataset directory — the volume signal the
+    * harness feeds `configureForInput` (at cluster scale the same walk is
+    * one FileSystem.getContentSummary call).
+    */
+  def dirBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  /** Volume-scaled session sizing from an input directory: shuffled bytes
+    * are estimated as `expansion` × the on-disk (compressed) input —
+    * snappy parquet typically decompresses ~3× and the widest stages
+    * shuffle a projection of comparable size. Oversizing is safe under
+    * AQE (it coalesces down); undersizing is what spills a 100× run in a
+    * small heap.
+    */
+  def configureForInput(spark: SparkSession, dir: String,
+      expansion: Double = 3.0): Unit =
+    configure(spark, (dirBytes(dir) * expansion).toLong)
+
   /** Apply the sizing to a session (shuffle width + scan split size).
     * With AQE on (our default), `spark.sql.shuffle.partitions` acts as the
     * initial/maximum width and AQE coalesces down — so sizing UP for the

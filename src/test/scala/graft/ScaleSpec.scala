@@ -419,6 +419,22 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("input-volume tuning reads the dataset dir and floors at core count") {
+    import graft.Tuning
+    // the sf0.001 dir is small: the width must floor at defaultParallelism,
+    // never below it, and the scan split target must be applied
+    assert(Tuning.dirBytes(dir) > 0L)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Tuning.configureForInput(spark, dir)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ===
+        spark.sparkContext.defaultParallelism)
+      // a synthetic 1 TB dir estimate must scale the width up
+      Tuning.configure(spark, (1L << 40))
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt === 8192)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("salted join returns exactly the plain join's result") {
     val customer = Tables.load(spark, dir, "customer")
     val nation = Tables.load(spark, dir, "nation")
