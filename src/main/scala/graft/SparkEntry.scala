@@ -135,6 +135,26 @@ object SparkEntry {
         docs.filter(m === 0 && inBatch).unionByName(echo), ensureSetSimIndex(s, d),
         threshold = 0.8)
     }),
+    // Incremental LSH candidate lookup served from the PERSISTED MinHash
+    // band index (built once per session per sf dir): per ingest batch,
+    // every corpus doc sharing >= 1 band. Oracle = brute-force batch x
+    // corpus band equality with the corpus-side MaxBandBucket cap —
+    // exactly the build-time capped index contents.
+    "dedup_minhash_lookup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = Tables.load(s, d, "documents")
+      // bounded batch + the re-keyed echo slice (setsim convention): echo
+      // docs share ALL bands with their originals, so the gate answer is
+      // provably nonzero at every scale
+      val inBatch = col("doc_id") < 5000
+      val m = pmod(col("doc_id"), lit(31L))
+      val echo = docs.filter(m =!= 0 && inBatch)
+        .filter(pmod(col("doc_id"), lit(97L)) === 1)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      Dedup.minhashLookupIndexed(
+        docs.filter(m === 0 && inBatch).unionByName(echo),
+        ensureMinhashIndex(s, d))
+    }),
     // no oracleSql: iterative fixpoint (connected components) is not
     // single-statement SQL -> rows-only check; the union-find differential
     // in OperatorsSpec is the correctness anchor.
@@ -251,6 +271,10 @@ object SparkEntry {
         minOverlap = 2)
     }),
     "text_scrub" -> ((s, d) => Scrub.scrub(Tables.load(s, d, "documents"))),
+    // leakage-safe split: near-dup clusters never straddle train/eval
+    // (assignSplits' content-hash buckets have exactly that hole)
+    "pipeline_split_safe" -> ((s, d) =>
+      Curation.leakageSafeSplit(Tables.load(s, d, "documents"))),
     "pipeline_split" -> ((s, d) => Curation.assignSplits(Tables.load(s, d, "documents"))
       .groupBy("split", "source")
       .agg(org.apache.spark.sql.functions.count(
@@ -466,16 +490,41 @@ object SparkEntry {
   /** bands CTE mirroring Dedup.minhashBandBuckets incl. the MaxBandBucket
     * skew cap (QUALIFY = Spark's window-count filter).
     */
-  private val bandsCte = {
-    val bandRows = (0 until 4).map { b =>
+  private def bandRowsSql(whereClause: String): String =
+    (0 until 4).map { b =>
       val fold = (b * 4 until b * 4 + 4)
         .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + m$i) % $M")
-      s"SELECT doc_id, $b AS band_idx, $fold AS band_hash FROM sig"
+      s"SELECT doc_id, $b AS band_idx, $fold AS band_hash FROM sig $whereClause"
     }.mkString("\n  UNION ALL ")
+
+  private val bandsCte = {
+    val bandRows = bandRowsSql("")
     s"""bands AS (
        |  SELECT * FROM ($bandRows)
        |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBandBucket})""".stripMargin
   }
+
+  /** dedup_minhash_lookup oracle: brute-force batch x corpus band
+    * equality. The MaxBandBucket cap is applied to the CORPUS side only —
+    * exactly the capped contents `buildMinhashIndex` persists; the batch
+    * side probes uncapped, mirroring the engine.
+    */
+  private val minhashLookupSql =
+    s"""WITH $sigCte,
+       |cb AS (
+       |  SELECT * FROM (${bandRowsSql("WHERE doc_id % 31 <> 0")})
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBandBucket}),
+       |bb AS (
+       |  SELECT * FROM (${bandRowsSql("WHERE doc_id % 31 = 0 AND doc_id < 5000")})
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000 AS doc_id, band_idx, band_hash
+       |  FROM (${bandRowsSql(
+                  "WHERE doc_id % 31 <> 0 AND doc_id % 97 = 1 AND doc_id < 5000")}))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+       |FROM bb a JOIN cb b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |GROUP BY 1, 2
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val candPairsSelect =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
@@ -686,8 +735,11 @@ object SparkEntry {
     * small), so the oracle stays cheap even though closure is quadratic
     * per component.
     */
-  private val dedupClustersSql =
-    s"""WITH RECURSIVE $sigCte,
+  /** The recursive transitive-closure chain shared by the clusters oracle
+    * and the leakage-safe split oracle.
+    */
+  private val clustersCteChain =
+    s"""$sigCte,
        |$bandsCte,
        |cand AS ($candPairsSelect),
        |ss AS (SELECT doc_id, list_distinct(shingles) AS shingle_set FROM sh),
@@ -705,9 +757,26 @@ object SparkEntry {
        |reach(a, b) AS (
        |  SELECT a, b FROM edges
        |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $clustersCteChain
        |SELECT least(a, min(b)) AS cluster_id, a AS doc_id
        |FROM reach GROUP BY a ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Mirrors Curation.leakageSafeSplit: cluster labels from the same
+    * transitive closure, singletons label themselves, split =
+    * cluster_id % 10.
+    */
+  private val splitSafeSql =
+    s"""WITH RECURSIVE $clustersCteChain,
+       |cl AS (SELECT least(a, min(b)) AS cluster_id, a AS doc_id
+       |       FROM reach GROUP BY a)
+       |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+       |  CASE WHEN COALESCE(cl.cluster_id, d.doc_id) % 10 = 0
+       |       THEN 'eval' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private val normCte =
     """n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -911,6 +980,22 @@ object SparkEntry {
       val docs = Tables.load(s, d, "documents")
       Dedup.buildSetSimIndex(
         docs.filter(pmod(col("doc_id"), lit(31L)) =!= 0), name, threshold = 0.8)
+    }
+    name
+  }
+
+  /** Build-once guard for the persisted MinHash band index — same
+    * lifecycle contract as `ensureSetSimIndex`.
+    */
+  private def ensureMinhashIndex(s: SparkSession, d: String): String = synchronized {
+    val name = "graft_mh_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(d.hashCode))
+    if (!s.catalog.tableExists(name + "_bands")) {
+      Tables.dropManagedTable(s, name + "_bands")
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = Tables.load(s, d, "documents")
+      Dedup.buildMinhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(31L)) =!= 0), name)
     }
     name
   }
@@ -2311,6 +2396,7 @@ object SparkEntry {
     "dedup_incremental_bloom" -> incrementalSql,
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_minhash_lookup" -> minhashLookupSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "pipeline_curation" -> curationSql,
@@ -2334,6 +2420,7 @@ object SparkEntry {
          |  round(CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_ratio
          |FROM sx JOIN d USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
+    "pipeline_split_safe" -> splitSafeSql,
     "dedup_centrality" -> centralitySql,
     "ann_topk" -> annTopkSql,
     "ann_filtered_topk" -> annFilteredSql,

@@ -61,6 +61,34 @@ object Curation {
     * prevents train/test leakage when a corpus is rebuilt. Pure per-row
     * expression; no shuffle.
     */
+  /** Leakage-safe train/eval split: the assignment unit is the NEAR-DUP
+    * CLUSTER, not the document — two near-duplicates must never straddle
+    * the train/eval boundary, or the eval set silently measures
+    * memorization (the same failure mode benchmark decontamination guards
+    * from the other side; `assignSplits`' content-hash split has exactly
+    * this hole, since near-dups hash differently). Cluster labels come
+    * from `Dedup.nearDupClusters` (min-reachable-doc_id); docs outside
+    * any cluster form their own. The decision is
+    * cluster_id % evalMod == 0 — deterministic, re-ingestion-stable, and
+    * restatable verbatim in the SQL oracle.
+    *
+    * Scale: the cluster table is duplicate-proportional (small), so the
+    * assignment is one left join against it plus per-row arithmetic — no
+    * corpus shuffle beyond the join's own; the cluster computation itself
+    * is the measured-size CC contract documented on nearDupClusters.
+    */
+  def leakageSafeSplit(docs: DataFrame, evalMod: Int = 10): DataFrame = {
+    val clusters = Dedup.nearDupClusters(docs)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(col("cluster_id"), lit(evalMod.toLong)) === 0, lit("eval"))
+          .otherwise(lit("train")))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
   def assignSplits(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct + valPct < 100, "train+val must leave room for test")
     val bucket = pmod(PolyHash(col("text")), lit(100L))

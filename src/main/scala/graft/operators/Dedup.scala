@@ -599,6 +599,45 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Persist the corpus's banded MinHash buckets once — the LSH analogue
+    * of `buildSetSimIndex`: table `<table>_bands (doc_id, band_idx,
+    * band_hash)` with the `MaxBandBucket` skew cap applied against the
+    * CORPUS bucket distribution at build time, bucketed by `band_hash`
+    * (the probe join key) so ingest lookups consume the layout with no
+    * index-side exchange. Build is one signature pass over the corpus;
+    * the index holds bands×8-byte rows per doc, no text.
+    */
+  def buildMinhashIndex(corpus: DataFrame, table: String, k: Int = 16,
+      bands: Int = 4, buckets: Int = 16): Unit =
+    minhashBandBuckets(corpus, k, bands)
+      .write.bucketBy(buckets, "band_hash").sortBy("band_hash")
+      .mode("overwrite").saveAsTable(s"${table}_bands")
+
+  /** Serve an ingest batch against a persisted MinHash band index: for
+    * each batch doc, every corpus doc sharing >= 1 band (the LSH
+    * candidate set) with the shared-band count — the incremental form of
+    * `minhashCandidatePairs`. Cost is O(batch signatures + probed
+    * buckets) per ingest instead of re-running the corpus signature
+    * pipeline every time. The batch side explodes its own bands UNCAPPED:
+    * the skew guard is a property of the corpus distribution and was
+    * applied at build (a batch doc landing in a capped-away hot bucket
+    * matches nothing there, exactly as in the self-join form).
+    */
+  def minhashLookupIndexed(batch: DataFrame, table: String, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val sig = minhashSignatures(batch, k, bands)
+    val bandArr = array((0 until bands).map(b => col(s"band$b")): _*)
+    val bq = sig.select(col("doc_id").as("doc_a"),
+      posexplode(bandArr).as(Seq("b_idx", "b_hash")))
+    val idx = spark.table(s"${table}_bands")
+    bq.join(idx,
+        col("b_idx") === col("band_idx") && col("b_hash") === col("band_hash"))
+      .groupBy(col("doc_a"), col("doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Bounded-eval benchmark contamination — the at-scale operating form:
     * the eval suite is an EXPLICIT corpus that does not grow with the
     * training corpus (a real benchmark suite is a few thousand docs), so

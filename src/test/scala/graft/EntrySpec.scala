@@ -140,6 +140,8 @@ class EntrySpec extends AnyFunSuite {
     "dedup_centrality" -> 49L,
     "q_events_anomaly" -> 12L,
     "dedup_setsim_lookup" -> 8L,
+    "dedup_minhash_lookup" -> 8L,
+    "pipeline_split_safe" -> 500L,
     "ann_knn_graph" -> 1500L,
     "emb_contrastive" -> 500L,
     "pipeline_snapshot_diff" -> 137L,

@@ -530,6 +530,64 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(x => Tables.dropManagedTable(spark, idxName + x))
   }
 
+  test("persisted minhash band index serves the same candidates as inline banding") {
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g z"),
+      (3L, "p q r s t u v w"), (4L, "p q r s t u v w"),
+      (5L, "k l m n o k l m n o"), (6L, "k l m n o k l m n q"))
+    val batch = d.filter($"doc_id" % 2 === 1)
+    val corpus = d.filter($"doc_id" % 2 === 0)
+    // inline twin: batch bands (uncapped) x corpus capped band buckets
+    import org.apache.spark.sql.functions.{array, col, count, lit, posexplode}
+    val sig = Dedup.minhashSignatures(batch)
+    val bq = sig.select(col("doc_id").as("doc_a"),
+      posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+        .as(Seq("b_idx", "b_hash")))
+    val expected = bq.join(Dedup.minhashBandBuckets(corpus),
+        col("b_idx") === col("band_idx") && col("b_hash") === col("band_hash"))
+      .groupBy(col("doc_a"), col("doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val idxName = "optest_mh"
+    try {
+      Tables.dropManagedTable(spark, idxName + "_bands")
+      Dedup.buildMinhashIndex(corpus, idxName, buckets = 2)
+      val got = Dedup.minhashLookupIndexed(batch, idxName)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+      // 3 and 4 are exact dups across the split: all 4 bands shared
+      assert(got.contains((3L, 4L, 4L)))
+    } finally Tables.dropManagedTable(spark, idxName + "_bands")
+  }
+
+  test("leakage-safe split keeps every near-dup cluster on one side") {
+    import graft.operators.Curation
+    // 1-2 near-dups (cluster 1), 5-6 near-dups (cluster 5), 3 + 9 singletons
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g z"),
+      (3L, "p q r s t u v w"),
+      (5L, "k l m n o k l m n o"), (6L, "k l m n o k l m n q"),
+      (9L, "x y z w v u t s"))
+    val got = Curation.leakageSafeSplit(d, evalMod = 2)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 5L, 6L, 9L))
+    // cluster labels: min doc_id within the cluster; singletons label themselves
+    assert(got(1L)._1 === 1L && got(2L)._1 === 1L)
+    assert(got(5L)._1 === 5L && got(6L)._1 === 5L)
+    assert(got(3L)._1 === 3L && got(9L)._1 === 9L)
+    // THE property: near-dup pairs never straddle the boundary
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(d, threshold = 0.01)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(got(a)._2 === got(b)._2, s"pair ($a,$b) straddles the split")
+    }
+    // split is cluster-keyed: odd clusters train, even eval (evalMod=2)
+    assert(got(5L)._2 === "train" && got(6L)._2 === "train")
+  }
+
   test("bigram LM score matches hand-computed interpolated probabilities") {
     // corpus: a appears 3x, b 2x, c 1x (T=6); bigrams (a,b) 2x, (a,c) 1x
     val d = docs((1L, "a b"), (2L, "a b"), (3L, "a c"))
@@ -1673,22 +1731,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === refBpe(words, 24))
   }
 
-  test("cellsFor keeps expected cell occupancy bounded as the corpus grows") {
+  test("cellsFor balances assignment and candidate cost at sqrt(n)") {
     import graft.operators.Similarity.cellsFor
     // floor: tiny corpora still get the 16-cell minimum
     assert(cellsFor(100) === 16)
     assert(cellsFor(500) === 16)
-    // linear regime: expected occupancy n/cells stays at ~the target, so
-    // the within-cell pair join is O(n * occupancy) — this is the property
-    // the fixed-16-cell version violated (occupancy grew linearly with n)
+    // small-n regime keeps the 60-occupancy target (recall floor)
+    assert(cellsFor(3000) === 50)
+    // sqrt regime: cells ~ occupancy ~ sqrt(n), so the TOTAL of per-row
+    // assignment (∝ cells) and per-row candidate work (∝ occupancy)
+    // grows as n^1.5 — either extreme (fixed cells or fixed occupancy)
+    // makes one term quadratic; the linear-cells version of this rule
+    // was the measured 11.7-15.6x 10x->100x curve step (VERDICT r7 #5)
     for (n <- Seq(5000L, 50000L, 200000L)) {
-      val occ = n.toDouble / cellsFor(n)
-      assert(occ <= 60.0 + 1e-9, s"occupancy $occ at n=$n exceeds the target")
-      assert(occ >= 30.0, s"occupancy $occ at n=$n — cells overshot 2x")
+      val cells = cellsFor(n)
+      val occ = n.toDouble / cells
+      val root = math.sqrt(n.toDouble)
+      assert(cells <= root * 1.1 + 1, s"cells $cells at n=$n outgrew sqrt(n)=$root")
+      assert(occ <= root * 1.1 + 1, s"occupancy $occ at n=$n outgrew sqrt(n)=$root")
     }
-    // cap: past it the score-array plan would outgrow codegen; the
-    // documented switch to a two-level fit takes over there
-    assert(cellsFor(10_000_000L) === 4096)
+    // cap: past cells=4096 (n ≳ 16.8M at sqrt occupancy) the score-array
+    // plan would outgrow codegen; the documented two-level fit takes over
+    assert(cellsFor(20_000_000L) === 4096)
   }
 
   test("near-dup centrality equals a serial integer PageRank; pairs computed once") {

@@ -181,6 +181,28 @@ class ScaleSpec extends AnyFunSuite {
       .foreach(x => Tables.dropManagedTable(spark, "sstest" + x))
   }
 
+  test("persisted minhash band index: bucketed bands serve with no index-side exchange") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, dir, "documents")
+    try {
+      Tables.dropManagedTable(spark, "mhtest_bands")
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "mhtest",
+        buckets = 4)
+      val served = Dedup.minhashLookupIndexed(
+        docs.filter(col("doc_id") % 2 === 1), "mhtest")
+      assert(served.count() >= 0)
+      val bands = spark.table("mhtest_bands")
+      val probes = bands.filter(col("doc_id") % 7 === 0)
+        .select(col("band_hash").as("qh"), col("doc_id").as("q_id"))
+      val j = probes.hint("merge").join(bands, col("qh") === col("band_hash"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"bands scan not bucketed:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+        s"bands side must not re-shuffle:\n$plan")
+    } finally Tables.dropManagedTable(spark, "mhtest_bands")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // The no-code skew path that complements Salting: AQE reads real
     // shuffle sizes and splits an oversized partition into parallel
