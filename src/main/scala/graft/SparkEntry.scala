@@ -380,6 +380,10 @@ object SparkEntry {
     "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.load(s, d, "documents"))),
     "text_search" -> ((s, d) => TextAnalysis.search(Tables.load(s, d, "documents"),
       Seq("spark", "hash", "merge"))),
+    // BM25 disjunctive ranking over the same query terms (OR semantics —
+    // `text_search` is the conjunctive AND twin)
+    "text_search_bm25" -> ((s, d) => TextAnalysis.searchBm25(
+      Tables.load(s, d, "documents"), Seq("spark", "hash", "merge"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
@@ -2627,6 +2631,33 @@ object SparkEntry {
          |      GROUP BY 1)
          |SELECT doc_id, score FROM s WHERE n_terms = 3
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Mirrors TextAnalysis.searchBm25 operation-for-operation: constants
+    // exported from the SAME Scala doubles via string-cast (bare decimal
+    // literals land as DECIMAL and convert 1 ulp off), Decimal
+    // accumulation, identical left-associative arithmetic order.
+    "text_search_bm25" -> {
+      def dd(x: Double) = s"CAST('$x' AS DOUBLE)"
+      val (k1p1, k1c, omb, bc) = (dd(1.2 + 1.0), dd(1.2), dd(1.0 - 0.75), dd(0.75))
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+         |dl AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+         |av AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen FROM dl),
+         |pd AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+         |       WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+         |d AS (SELECT term, COUNT(*) AS df FROM pd GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |ws AS (SELECT p.doc_id,
+         |        ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |          * (p.tf * $k1p1)
+         |          / (p.tf + $k1c * ($omb + $bc * dl.len / av.avglen)) AS w
+         |      FROM pd p JOIN d USING (term) JOIN dl USING (doc_id)
+         |      CROSS JOIN n CROSS JOIN av),
+         |s AS (SELECT doc_id, COUNT(*) AS n_terms,
+         |        round(CAST(SUM(CAST(w AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+         |      FROM ws GROUP BY 1)
+         |SELECT doc_id, n_terms, score FROM s
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
     // Mirrors Curation.mixtureReport: fixed quality bands over the shared
     // quality CTE, corpus share as one deterministic double division
     "pipeline_mix_report" ->

@@ -524,6 +524,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25-ranked DISJUNCTIVE retrieval — the standard lexical ranker
+    * (Okapi BM25; idf in the always-nonnegative Lucene spelling). Unlike
+    * `search`'s conjunctive AND, any matching term contributes:
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen))
+    *   idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *
+    * Plan shape at scale: document lengths are one grouped count off the
+    * token explode; avglen and N are 1-row broadcasts; per-term df is a
+    * term-sized broadcast; the length join is doc-keyed. Per-doc scores
+    * accumulate in Decimal with a fixed operation order (the
+    * cross-engine ln/round discipline `search` established); top-k is
+    * the output-edge sort+limit only — everything before it is
+    * aggregation-shaped and fully distributed.
+    */
+  def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "searchBm25 needs at least one term")
+    val tk = docs.select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
+    val dlen = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val avg = dlen.agg(
+      (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    val perDoc = tk.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    perDoc
+      .join(broadcast(dfT), Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avg))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double"), 6).as("score"))
+      .select("doc_id", "n_terms", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Hot-key guard for the fuzzy-pair deletion buckets: a deletion variant
     * shared by more than this many vocabulary words is dropped before the
     * self-join (short hub keys — think the del-2 residues of every 4-letter

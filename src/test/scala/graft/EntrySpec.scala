@@ -142,6 +142,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_setsim_lookup" -> 8L,
     "dedup_minhash_lookup" -> 8L,
     "pipeline_split_safe" -> 500L,
+    "text_search_bm25" -> 20L,
     "ann_knn_graph" -> 1500L,
     "emb_contrastive" -> 500L,
     "pipeline_snapshot_diff" -> 137L,

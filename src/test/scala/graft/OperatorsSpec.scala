@@ -530,6 +530,21 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(x => Tables.dropManagedTable(spark, idxName + x))
   }
 
+  test("bm25 search matches the closed-form score on a tiny corpus") {
+    val d = docs((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
+    val got = TextAnalysis.searchBm25(d, Seq("a"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // N=3, df(a)=2, idf=ln(1+(3-2+0.5)/(2+0.5)); lens 3,2,3; avglen=8/3
+    def bm25(tf: Long, len: Long): Double = {
+      val idf = math.log(1.0 + (3L - 2L + 0.5) / (2L + 0.5))
+      val w = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / (8.0 / 3.0)))
+      BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === Seq((1L, 1L, bm25(2L, 3L)), (2L, 1L, bm25(1L, 2L))))
+    // doc 1 has the higher tf and ranks first; doc 3 matches nothing
+    assert(got.head._1 === 1L && got.head._3 > got(1)._3)
+  }
+
   test("persisted minhash band index serves the same candidates as inline banding") {
     val d = docs(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g z"),
