@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * k+1 array materializations per document. Arithmetic is identical to
   * the affine family in the SQL oracle, so parity holds.
   */
-case class MinHashBands(child: Expression, k: Int, bands: Int)
+case class MinHashBands(child: Expression, k: Int, bands: Int,
+    preHashed: Boolean = false)
     extends UnaryExpression {
 
   require(k % bands == 0, s"k=$k must divide evenly into bands=$bands")
@@ -31,14 +32,14 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashBands.compute(input.asInstanceOf[ArrayData], k, bands)
+    MinHashBands.compute(input.asInstanceOf[ArrayData], k, bands, preHashed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val result = ctx.freshName("mhb")
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $result =
-         |  graft.functions.MinHashBands.compute($c, $k, $bands);
+         |  graft.functions.MinHashBands.compute($c, $k, $bands, $preHashed);
          |if ($result == null) { ${ev.isNull} = true; } else { ${ev.value} = $result; }
        """.stripMargin
     })
@@ -52,12 +53,24 @@ object MinHashBands {
   def apply(c: Column, k: Int, bands: Int): Column =
     ColumnBridge.column(MinHashBands(ColumnBridge.expression(c), k, bands))
 
+  /** Over ALREADY-HASHED shingles (ARRAY<BIGINT>, e.g. `ShingleHashes`
+    * output): skips the per-shingle PolyHash and runs only the affine
+    * minima + band fold — the zero-string-churn pairing used by the
+    * signature pipeline.
+    */
+  def overHashes(c: Column, k: Int, bands: Int): Column =
+    ColumnBridge.column(
+      MinHashBands(ColumnBridge.expression(c), k, bands, preHashed = true))
+
   /** Static so generated code dispatches with one monomorphic call.
     * Returns null for an empty shingle array (mirrors array_min's null on
     * empty input in the built-ins spelling); callers filter those out
-    * upstream via the >= n-token shingle guard.
+    * upstream via the >= n-token shingle guard. `preHashed` selects
+    * whether elements are shingle STRINGS (PolyHash applied here) or
+    * 64-bit base hashes (applied upstream by `ShingleHashes`).
     */
-  def compute(shingles: ArrayData, k: Int, bands: Int): ArrayData = {
+  def compute(shingles: ArrayData, k: Int, bands: Int,
+      preHashed: Boolean = false): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
     val M = PolyHash.Mod
@@ -65,7 +78,8 @@ object MinHashBands {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = PolyHash.compute(shingles.getUTF8String(j))
+      val h = if (preHashed) shingles.getLong(j)
+        else PolyHash.compute(shingles.getUTF8String(j))
       var i = 0
       while (i < k) {
         val v = ((2L * i + 1) * h + (i.toLong * 1000003L) % M) % M

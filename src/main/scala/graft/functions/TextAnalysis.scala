@@ -331,18 +331,27 @@ object TextAnalysis {
     * operator here keys on).
     */
   def boilerplate(docs: DataFrame, minDf: Long = 3): DataFrame = {
-    PolyHash.register(docs.sparkSession)
     val sh = docs
       .withColumn("tokens", WordCount.tokens(col("text")))
       .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(tokens) - 2)," +
-          " i -> graft_poly_hash(concat_ws(' ', slice(tokens, i, 3))))"))).as("s"))
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    sh.join(dfreq, "s")
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.ShingleHashes(col("tokens"), 3))).as("s"))
+    // Only shingles at df >= minDf matter downstream, so filter BEFORE the
+    // join: the join's build side is then the boiler set, not the full
+    // distinct-shingle df table. On natural corpora hapax shingles
+    // dominate, so the boiler set is a small fraction of the df table and
+    // AQE can turn the tag join into a broadcast — pass 2 then runs
+    // shuffle-free until the per-doc aggregation. The left join keeps
+    // every shingle row for the denominator; count(b) counts only
+    // matched (boiler) rows — same answer as tagging against the full df
+    // table and summing `df >= minDf`.
+    val boiler = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("s"), lit(1).as("b"))
+    sh.join(boiler, Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+        count(col("b")).as("n_boiler"))
       .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
         round(col("n_boiler").cast("double") / col("n_shingles"), 6).as("boiler_ratio"))
       .orderBy("doc_id")

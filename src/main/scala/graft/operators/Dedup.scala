@@ -112,6 +112,19 @@ object Dedup {
       .withColumn("shingles",
         expr(s"transform(sequence(1, size(tokens) - ${n - 1}), i -> concat_ws(' ', slice(tokens, i, $n)))"))
 
+  /** Hashed twin of `withShingles`: `shs` holds one PolyHash per word
+    * n-gram, computed by the fused `ShingleHashes` expression straight
+    * off the token array — no shingle strings are ever materialized.
+    * Values are bitwise-equal to `graft_poly_hash(concat_ws(' ', ...))`
+    * (differential spec in FunctionsSpec), so every consumer of hashed
+    * shingle identities can switch spelling without touching its oracle.
+    */
+  private def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("tokens", WordCount.tokens(col("text")))
+      .filter(size(col("tokens")) >= n)
+      .withColumn("shs", graft.functions.ShingleHashes(col("tokens"), n))
+
   /** Affine-family multiplier/offset for minhash function i (odd multiplier
     * -> universal-ish family; all arithmetic stays under 2^37 so both
     * engines compute it exactly in int64).
@@ -133,8 +146,8 @@ object Dedup {
     * insert a needless range-partition exchange under downstream joins.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
-    val sig = withShingles(docs)
-      .withColumn("mhb", graft.functions.MinHashBands(col("shingles"), k, bands))
+    val sig = withShingleHashes(docs)
+      .withColumn("mhb", graft.functions.MinHashBands.overHashes(col("shs"), k, bands))
     sig.select(col("doc_id") +:
       (0 until bands).map(b => element_at(col("mhb"), b + 1).as(s"band$b")): _*)
   }
@@ -739,10 +752,8 @@ object Dedup {
     * under collision.
     */
   def setSimilarityPairsRaw(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    PolyHash.register(docs.sparkSession)
-    val sets = withShingles(docs)
-      .select(col("doc_id"),
-        array_distinct(expr("transform(shingles, s -> graft_poly_hash(s))")).as("sset"))
+    val sets = withShingleHashes(docs)
+      .select(col("doc_id"), array_distinct(col("shs")).as("sset"))
     val ex = sets.select(col("doc_id"), size(col("sset")).as("sz"),
       explode(col("sset")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -814,10 +825,8 @@ object Dedup {
     */
   def setSimilarityLookup(batch: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8): DataFrame = {
-    PolyHash.register(batch.sparkSession)
-    def setsOf(df: DataFrame) = withShingles(df)
-      .select(col("doc_id"),
-        array_distinct(expr("transform(shingles, s -> graft_poly_hash(s))")).as("sset"))
+    def setsOf(df: DataFrame) = withShingleHashes(df)
+      .select(col("doc_id"), array_distinct(col("shs")).as("sset"))
     val bSets = setsOf(batch)
     val cSets = setsOf(corpus)
     // document frequency over the UNION fixes one global element order
@@ -863,11 +872,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def hashedSets(docs: DataFrame): DataFrame = {
-    PolyHash.register(docs.sparkSession)
-    withShingles(docs).select(col("doc_id"),
-      array_distinct(expr("transform(shingles, s -> graft_poly_hash(s))")).as("sset"))
-  }
+  private def hashedSets(docs: DataFrame): DataFrame =
+    withShingleHashes(docs)
+      .select(col("doc_id"), array_distinct(col("shs")).as("sset"))
 
   private def prefixLen(threshold: Double): Column =
     col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1

@@ -38,9 +38,8 @@ object StreamNearDup {
     docs
       .withColumn("tokens", graft.core.WordCount.tokens(col("text")))
       .filter(size(col("tokens")) >= 3)
-      .withColumn("shingles", expr(
-        "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', slice(tokens, i, 3)))"))
-      .withColumn("mhb", graft.functions.MinHashBands(col("shingles"), k, bands))
+      .withColumn("shs", graft.functions.ShingleHashes(col("tokens"), 3))
+      .withColumn("mhb", graft.functions.MinHashBands.overHashes(col("shs"), k, bands))
       .select(col("doc_id"), posexplode(col("mhb")).as(Seq("band_idx", "band_hash")))
       .select((col("band_idx").cast("long") * lit(PolyHash.Mod + 1)
         + col("band_hash")).as("bucket"), col("doc_id"))

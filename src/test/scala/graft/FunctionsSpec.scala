@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{PolyHash, RollingFingerprint, VectorDot}
+import graft.functions.{PolyHash, RollingFingerprint, ShingleHashes, VectorDot}
 
 /** Direct unit tests of the native expressions' compute kernels (the same
   * code both the interpreted eval path and generated code dispatch to),
@@ -22,6 +22,29 @@ class FunctionsSpec extends AnyFunSuite {
     // stays inside [0, 2^31-1) for long input
     val big = PolyHash.compute(UTF8String.fromString("x" * 10000))
     assert(big >= 0L && big < PolyHash.Mod)
+  }
+
+  test("ShingleHashes equals PolyHash over the concat_ws shingle strings") {
+    def arr(tokens: String*): ArrayData =
+      ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray)
+    def direct(tokens: Seq[String], n: Int): Seq[Long] =
+      tokens.sliding(n).map(w =>
+        PolyHash.compute(UTF8String.fromString(w.mkString(" ")))).toSeq
+    val toks = Seq("the", "quick", "brown", "fox", "jumps")
+    for (n <- 1 to 4) {
+      val got = ShingleHashes.compute(arr(toks: _*), n)
+      assert(got.toLongArray().toSeq === direct(toks, n), s"n=$n")
+    }
+    // non-BMP codepoints fold as codepoints, not UTF-16 units
+    val uni = Seq("café", "😀token", "x")
+    assert(ShingleHashes.compute(arr(uni: _*), 2).toLongArray().toSeq ===
+      direct(uni, 2))
+    // fewer tokens than the window: empty, never null (callers guard)
+    assert(ShingleHashes.compute(arr("one", "two"), 3).numElements() === 0)
+    assert(ShingleHashes.compute(arr(), 3).numElements() === 0)
+    // empty-string tokens still contribute the joining space
+    assert(ShingleHashes.compute(arr("", "a"), 2).toLongArray().toSeq ===
+      direct(Seq("", "a"), 2))
   }
 
   test("RollingFingerprint matches a direct polynomial computation") {
