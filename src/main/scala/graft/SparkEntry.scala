@@ -682,11 +682,14 @@ object SparkEntry {
   }
 
   // MinHash candidates -> exact-Jaccard verify, mirroring Dedup.ngramJaccardPairs.
+  // Set elements are the PolyHash-hashed shingles (hashed-identity
+  // semantics, same fold as the engine's ShingleHashes — parity exact
+  // even under collision); `hs` is already defined inside sigCte.
   private val ngramJaccardSql =
     s"""WITH $sigCte,
        |$bandsCte,
        |cand AS ($candPairsSelect),
-       |ss AS (SELECT doc_id, list_distinct(shingles) AS shingle_set FROM sh),
+       |ss AS (SELECT doc_id, list_distinct(hs) AS shingle_set FROM hs),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b,
        |    length(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
@@ -2382,7 +2385,7 @@ object SparkEntry {
       s"""WITH $sigCte,
          |$bandsCte,
          |cand AS ($candPairsSelect),
-         |ss AS (SELECT doc_id, list_distinct(shingles) AS shingle_set FROM sh),
+         |ss AS (SELECT doc_id, list_distinct(hs) AS shingle_set FROM hs),
          |scored AS (
          |  SELECT c.doc_a, c.doc_b,
          |    length(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,

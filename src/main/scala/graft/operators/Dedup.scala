@@ -696,8 +696,12 @@ object Dedup {
   def ngramJaccardPairsRaw(docs: DataFrame, threshold: Double = 0.01,
       k: Int = 16, bands: Int = 4): DataFrame = {
     val cands = minhashCandidatePairsRaw(docs, k, bands).select("doc_a", "doc_b")
-    val sets = withShingles(docs)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("shingle_set"))
+    // Hashed-identity set elements (8-byte keys, long-compare
+    // intersections), the same semantics setSimilarityPairsRaw documents:
+    // the oracle applies the identical fold, so parity is exact even
+    // under hash collision.
+    val sets = withShingleHashes(docs)
+      .select(col("doc_id"), array_distinct(col("shs")).as("shingle_set"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b")), "doc_b")
