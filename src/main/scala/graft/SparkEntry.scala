@@ -1680,7 +1680,10 @@ object SparkEntry {
   // shared sh CTE; bench side = doc_id % 100 == 7).
   private val contaminationSql =
     s"""WITH $shCte,
-       |g AS (SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(shingles, s ->
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % $M)))) AS gram FROM sh),
        |bench AS (SELECT doc_id AS bench_id, gram FROM g
        |          WHERE doc_id % 100 = 7 AND doc_id < 5000),
        |bsz AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bench GROUP BY 1),
@@ -1698,7 +1701,10 @@ object SparkEntry {
   // with fewer than 3 tokens have no shingles and always survive.
   private val decontaminateSql =
     s"""WITH $shCte,
-       |g AS (SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(shingles, s ->
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % $M)))) AS gram FROM sh),
        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 7 AND doc_id < 5000),
        |cont AS (SELECT doc_id FROM g JOIN eg USING (gram)
        |         GROUP BY doc_id HAVING COUNT(*) >= 2)

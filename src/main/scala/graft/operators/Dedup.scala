@@ -594,8 +594,10 @@ object Dedup {
     */
   def benchmarkContamination(docs: DataFrame, benchMod: Int = 100,
       benchRem: Int = 7, n: Int = 3, evalIsBounded: Boolean = false): DataFrame = {
-    val grams = withShingles(docs, n)
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("gram"))
+    // Hashed-identity grams (ShingleHashes): 8-byte join keys, no shingle
+    // strings materialized; oracle applies the identical fold.
+    val grams = withShingleHashes(docs, n)
+      .select(col("doc_id"), explode(array_distinct(col("shs"))).as("gram"))
     val bench = grams.filter(pmod(col("doc_id"), lit(benchMod)) === benchRem)
     val benchSized = bench
       .groupBy(col("doc_id").as("bench_id")).agg(count(lit(1)).as("bench_grams"))
@@ -664,8 +666,8 @@ object Dedup {
     */
   def benchmarkContaminationBounded(corpus: DataFrame, evalDocs: DataFrame,
       n: Int = 3): DataFrame = {
-    def gramsOf(df: DataFrame) = withShingles(df, n)
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("gram"))
+    def gramsOf(df: DataFrame) = withShingleHashes(df, n)
+      .select(col("doc_id"), explode(array_distinct(col("shs"))).as("gram"))
     val bench = gramsOf(evalDocs).select(col("doc_id").as("bench_id"), col("gram"))
     val benchSized = bench.groupBy("bench_id").agg(count(lit(1)).as("bench_grams"))
     gramsOf(corpus)
@@ -1091,10 +1093,10 @@ object Dedup {
     */
   def decontaminate(docs: DataFrame, eval: DataFrame, n: Int = 3,
       minOverlap: Int = 1): DataFrame = {
-    val corpusGrams = withShingles(docs, n)
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("gram"))
-    val evalGrams = eval.transform(withShingles(_, n))
-      .select(explode(col("shingles")).as("gram")).distinct()
+    val corpusGrams = withShingleHashes(docs, n)
+      .select(col("doc_id"), explode(array_distinct(col("shs"))).as("gram"))
+    val evalGrams = eval.transform(withShingleHashes(_, n))
+      .select(explode(col("shs")).as("gram")).distinct()
     val contaminated = corpusGrams
       .join(broadcast(evalGrams), "gram")
       .groupBy("doc_id")
