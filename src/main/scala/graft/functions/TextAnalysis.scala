@@ -94,6 +94,17 @@ object TextAnalysis {
   def tokenStats(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws_tokens", size(WordCount.tokens(col("text"))).cast("long"))
+      .withColumn("bpe_tokens", BpeTokenCount(col("text")).cast("long"))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars")
+      .orderBy("doc_id")
+
+  /** Built-ins-only spelling of `tokenStats` (identical output), kept as
+    * the no-custom-code fallback and the differential check for the
+    * count-only `BpeTokenCount` walk.
+    */
+  def tokenStatsBuiltins(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(WordCount.tokens(col("text"))).cast("long"))
       .withColumn("bpe_tokens",
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))

@@ -47,6 +47,26 @@ class FunctionsSpec extends AnyFunSuite {
       direct(Seq("", "a"), 2))
   }
 
+  test("BpeTokenCount equals the java.util.regex match count") {
+    val p = java.util.regex.Pattern.compile("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]")
+    def direct(s: String): Int = {
+      val m = p.matcher(s); var c = 0; while (m.find()) c += 1; c
+    }
+    val cases = Seq(
+      "", " \t\n", "hello world123 ok", "abcdefghij", "1234567890",
+      "héllo wörld", "漢字テスト", "🙂🙃 mixed 🙂ascii", "a1b2c3",
+      "  trailing space ", "punct!?;:,.", "ümlaut-führer 42",
+      " nbsp ls", "x" * 9 + "9" * 7 + "!" * 3)
+    val rnd = new scala.util.Random(29)
+    val vocab = "aA zZ 09 é 漢 🙂 . ! \t \n _ - ~".split(" ").toSeq :+ " "
+    val fuzz = (1 to 200).map(_ =>
+      Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString)
+    for (s <- cases ++ fuzz) {
+      assert(graft.functions.BpeTokenCount.compute(UTF8String.fromString(s))
+        === direct(s), s"input=${s.take(40)}")
+    }
+  }
+
   test("RollingFingerprint matches a direct polynomial computation") {
     def direct(s: String): String = {
       val pows = (0 until 8).map(j => (0 until 7 - j).foldLeft(1L)((a, _) => a * 31L))

@@ -62,6 +62,10 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.minhashSignaturesBuiltins(d).orderBy("doc_id").collect().toSeq)
     assert(Dedup.simhash(d).collect().toSeq ===
       Dedup.simhashBuiltins(d).collect().toSeq)
+    val dn = d.withColumn("n_chars", org.apache.spark.sql.functions
+      .length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    assert(TextAnalysis.tokenStats(dn).collect().toSeq ===
+      TextAnalysis.tokenStatsBuiltins(dn).collect().toSeq)
   }
 
   test("fused SimHash64 kernel matches the built-ins explode/aggregate formulation") {
