@@ -302,13 +302,23 @@ object TextAnalysis {
     */
   def lmScoreBigram(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
     val tok = docs
-      .select(col("doc_id"), posexplode(WordCount.tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("w"))
     val uni = tok.groupBy("w").agg(count(lit(1)).as("n1"))
     val total = uni.agg(sum(col("n1")).as("t1"))
-    val dw = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val bg = tok.withColumn("v", lag(col("w"), 1).over(dw))
-      .filter(col("v").isNotNull)
+    // Adjacency is row-local in the token array: build (pos, v, w) by
+    // index instead of a lag window — the corpus-wide doc_id/pos sort
+    // exchange the window needed disappears entirely. pos is the 0-based
+    // index of `w`, exactly what posexplode+lag produced; docs with < 2
+    // tokens contribute no bigrams either way (the guard replaces the
+    // lag-null filter, and keeps sequence() from going descending).
+    val bg = docs
+      .withColumn("tokens", WordCount.tokens(col("text")))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tokens) - 1)," +
+          " i -> struct(i AS pos, tokens[i-1] AS v, tokens[i] AS w))")).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.v").as("v"), col("b.w").as("w"))
     val big = bg.groupBy("v", "w").agg(count(lit(1)).as("n2"))
     bg.join(big, Seq("v", "w"))
       .join(uni.select(col("w").as("v"), col("n1").as("nv")), "v")
