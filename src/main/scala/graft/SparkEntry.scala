@@ -135,6 +135,22 @@ object SparkEntry {
         docs.filter(m === 0 && inBatch).unionByName(echo), ensureSetSimIndex(s, d),
         threshold = 0.8)
     }),
+    // Exact containment (|A∩B|/|A|) of the ingest batch against the
+    // corpus — the quote/excerpt/superset signal Jaccard misses; same
+    // bounded-batch + echo-slice convention as dedup_setsim_lookup, so
+    // the gate answer is provably nonzero at every scale.
+    "dedup_containment" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = Tables.load(s, d, "documents")
+      val inBatch = col("doc_id") < 5000
+      val m = pmod(col("doc_id"), lit(31L))
+      val echo = docs.filter(m =!= 0 && inBatch)
+        .filter(pmod(col("doc_id"), lit(97L)) === 1)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      Dedup.containmentLookup(
+        docs.filter(m === 0 && inBatch).unionByName(echo),
+        docs.filter(m =!= 0), threshold = 0.7)
+    }),
     // Incremental LSH candidate lookup served from the PERSISTED MinHash
     // band index (built once per session per sf dir): per ingest batch,
     // every corpus doc sharing >= 1 band. Oracle = brute-force batch x
@@ -734,6 +750,34 @@ object SparkEntry {
        |WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dedup_containment oracle: brute-force batch x corpus containment
+    * |A∩B|/|A| over the same hashed shingle sets and echo-slice batch
+    * convention as setsimSql — deliberately NOT the engine's
+    * broadcast-count shape, so a lost candidate or a miscounted
+    * intersection surfaces as a hash mismatch.
+    */
+  private val containmentSql =
+    s"""WITH $shCte,
+       |ss AS (SELECT doc_id, list_distinct(list_transform(shingles, s ->
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % $M))) AS s FROM sh),
+       |bb AS (
+       |  SELECT doc_id, s FROM ss WHERE doc_id % 31 = 0 AND doc_id < 5000
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, s FROM ss
+       |  WHERE doc_id % 31 <> 0 AND doc_id % 97 = 1 AND doc_id < 5000),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    length(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
+       |    length(a.s) AS sz_a
+       |  FROM bb a JOIN ss b ON b.doc_id % 31 <> 0 AND a.doc_id <> b.doc_id)
+       |SELECT doc_a, doc_b, n_inter,
+       |  round(CAST(n_inter AS DOUBLE) / sz_a, 6) AS containment
+       |FROM p
+       |WHERE CAST(n_inter AS DOUBLE) >= 0.7 * sz_a - 1e-9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Mirrors Dedup.nearDupClusters: the ngramJaccard verified pairs feed a
     * WITH RECURSIVE transitive closure (UNION dedupe terminates it), and
     * each node's cluster id is the min doc_id it can reach — the
@@ -749,7 +793,7 @@ object SparkEntry {
     s"""$sigCte,
        |$bandsCte,
        |cand AS ($candPairsSelect),
-       |ss AS (SELECT doc_id, list_distinct(shingles) AS shingle_set FROM sh),
+       |ss AS (SELECT doc_id, list_distinct(hs) AS shingle_set FROM hs),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b,
        |    length(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
@@ -2419,6 +2463,7 @@ object SparkEntry {
     "text_scrub" -> scrubSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_setsim_lookup" -> setsimSql,
+    "dedup_containment" -> containmentSql,
     // Mirrors TextAnalysis.boilerplate: distinct hashed shingles, df
     // table, per-doc common-shingle share
     "text_boilerplate" ->

@@ -882,6 +882,44 @@ object Dedup {
     withShingleHashes(docs)
       .select(col("doc_id"), array_distinct(col("shs")).as("sset"))
 
+  /** EXACT containment lookup (batch vs corpus): pairs where
+    * |A ∩ B| / |A| >= `threshold`, A = the batch doc's distinct hashed
+    * word-3-shingle set, B = a corpus doc's. Containment is the
+    * partial-duplication signal Jaccard structurally misses: a short
+    * document quoted whole inside a long one scores near-zero Jaccard
+    * (the union is dominated by the long doc) but containment 1.0 —
+    * the excerpt/quote/superset case a training-data pipeline must
+    * catch separately from near-dup pairs.
+    *
+    * Shape: because a real ingest batch is bounded while the corpus
+    * grows, the batch's exploded set elements broadcast, and |A ∩ B| is
+    * counted DIRECTLY by the shingle-key join — set elements are
+    * distinct per doc, so each (batch, corpus, shingle) match is unique
+    * and the per-pair count IS the intersection size; no second verify
+    * join, no prefix machinery, exactness free. The corpus streams once
+    * (one scan, map-side combine on the pair count); the only shuffle is
+    * the (doc_a, doc_b) aggregation, whose volume is the candidate pair
+    * count — linear in the corpus for a bounded batch. Self-pairs are
+    * excluded by id.
+    */
+  def containmentLookup(batch: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val bEx = hashedSets(batch)
+      .select(col("doc_id").as("doc_a"), size(col("sset")).as("sz_a"),
+        explode(col("sset")).as("s"))
+    val cEx = hashedSets(corpus)
+      .select(col("doc_id").as("doc_b"), explode(col("sset")).as("s"))
+    cEx.join(broadcast(bEx), "s")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a")
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter").cast("double") >=
+        lit(threshold) * col("sz_a") - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("sz_a"), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def prefixLen(threshold: Double): Column =
     col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1
 

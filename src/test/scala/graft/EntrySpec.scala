@@ -140,6 +140,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_centrality" -> 49L,
     "q_events_anomaly" -> 12L,
     "dedup_setsim_lookup" -> 8L,
+    "dedup_containment" -> 8L,
     "dedup_minhash_lookup" -> 8L,
     "pipeline_split_safe" -> 500L,
     "text_search_bm25" -> 20L,

@@ -534,6 +534,48 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(x => Tables.dropManagedTable(spark, idxName + x))
   }
 
+  test("containment lookup matches brute force and catches the quote case Jaccard misses") {
+    def polyHash(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    def shingles(t: String): Set[Long] = {
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(g => polyHash(g.mkString(" "))).toSet
+    }
+    val short = "alpha beta gamma delta"
+    val long = "intro words here " + short + " and a very long tail " +
+      (1 to 30).map(i => s"tail$i").mkString(" ")
+    val rows = Seq(
+      (1L, short),                       // batch: quoted whole inside 2
+      (3L, "alpha beta gamma unrelated"),// batch: partial overlap with 2
+      (2L, long),                        // corpus: the quoting superset
+      (4L, "completely different words entirely here today"))
+    val d = docs(rows: _*)
+    val sets = rows.map { case (id, t) => id -> shingles(t) }
+    def brute(th: Double) = (for {
+      (ia, sa) <- sets if ia % 2 == 1 && sa.nonEmpty
+      (ib, sb) <- sets if ib % 2 == 0 && sb.nonEmpty && ia != ib
+      ni = (sa & sb).size
+      c = ni.toDouble / sa.size if c >= th - 1e-9
+    } yield (ia, ib, ni.toLong,
+        BigDecimal(ni.toDouble / sa.size).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    for (th <- Seq(0.3, 0.7, 1.0)) {
+      val got = Dedup.containmentLookup(
+          d.filter($"doc_id" % 2 === 1), d.filter($"doc_id" % 2 === 0),
+          threshold = th)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === brute(th), s"threshold $th")
+    }
+    // the defining case: doc 1 is fully contained in doc 2 (containment
+    // 1.0) while their Jaccard is tiny — pair invisible to the Jaccard
+    // path at any usable threshold
+    assert(brute(1.0).exists(p => p._1 == 1L && p._2 == 2L))
+    val s1 = sets.toMap.apply(1L); val s2 = sets.toMap.apply(2L)
+    val jac = (s1 & s2).size.toDouble / (s1 | s2).size
+    assert(jac < 0.2)
+  }
+
   test("bm25 search matches the closed-form score on a tiny corpus") {
     val d = docs((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
     val got = TextAnalysis.searchBm25(d, Seq("a"), k = 10)
