@@ -20,6 +20,10 @@ run / fork := true
 // delegation path (run, Compile/runMain, Test) picks it up.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not a task — exclude it
+// from the unused-key lint so the warning doesn't land in the driver's
+// captured stdout.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

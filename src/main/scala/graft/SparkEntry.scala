@@ -2084,16 +2084,16 @@ object SparkEntry {
     // Mirrors TextAnalysis.lmScore: same position-ordered fold as emb_pool.
     "text_lm_score" ->
       s"""WITH $tokCte,
-         |x AS (SELECT doc_id,
-         |        CAST(unnest(generate_series(1, length(tokens))) AS INT) - 1 AS pos,
-         |        unnest(tokens) AS w
-         |      FROM tok),
+         |x AS (SELECT doc_id, unnest(tokens) AS w FROM tok),
          |lm AS (SELECT w, COUNT(*) AS n1 FROM x GROUP BY w),
          |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM lm),
-         |s AS (SELECT x.doc_id, x.pos, ln(CAST(lm.n1 AS DOUBLE) / t.t1) AS logp
-         |      FROM x JOIN lm ON x.w = lm.w, t),
-         |d AS (SELECT doc_id, COUNT(*) AS n_tokens,
-         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM x GROUP BY 1, 2),
+         |s AS (SELECT tf.doc_id, tf.w, tf.tf,
+         |        tf.tf * ln(CAST(lm.n1 AS DOUBLE) / t.t1) AS term_logp
+         |      FROM tf JOIN lm ON tf.w = lm.w, t),
+         |d AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list(term_logp ORDER BY w)),
          |          (a, b) -> a + b) AS sum_logp
          |      FROM s GROUP BY doc_id)
          |SELECT doc_id, n_tokens, round(sum_logp / n_tokens, 6) AS mean_logp
@@ -2103,15 +2103,14 @@ object SparkEntry {
     // fold per doc
     "text_lm_bigram" ->
       s"""WITH $tokCte,
-         |x AS (SELECT doc_id,
-         |        CAST(unnest(generate_series(1, length(tokens))) AS INT) - 1 AS pos,
-         |        unnest(tokens) AS w
-         |      FROM tok),
+         |x AS (SELECT doc_id, unnest(tokens) AS w FROM tok),
          |lm AS (SELECT w, COUNT(*) AS n1 FROM x GROUP BY w),
          |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM lm),
-         |b2 AS (SELECT * FROM (
-         |        SELECT doc_id, pos, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS v, w
-         |        FROM x) WHERE v IS NOT NULL),
+         |b2 AS (SELECT doc_id,
+         |        CAST(unnest(generate_series(1, length(tokens) - 1)) AS INT) AS pos,
+         |        unnest(tokens[1:length(tokens)-1]) AS v,
+         |        unnest(tokens[2:length(tokens)]) AS w
+         |      FROM tok WHERE length(tokens) >= 2),
          |c2 AS (SELECT v, w, COUNT(*) AS n2 FROM b2 GROUP BY 1, 2),
          |s AS (SELECT b.doc_id, b.pos,
          |        ln(${0.7} * c2.n2 / lv.n1 + ${1.0 - 0.7} * lw.n1 / t.t1) AS logp

@@ -259,22 +259,35 @@ object TextAnalysis {
     * signal: mean log-probability of the document's tokens under the
     * corpus's own unigram distribution (higher = more typical text;
     * boilerplate and noise score low). The corpus LM is one hash
-    * aggregation; scoring joins each token against its probability and
-    * folds per document IN TOKEN-POSITION ORDER (sorted fold, like
-    * emb_pool) so the double sum is cross-engine exact. One scan for the
-    * LM, one for the scoring — both keyed shuffles, no driver state.
+    * aggregation; scoring groups tokens to per-(doc, term) counts, joins
+    * each distinct term against its probability once, and folds
+    * tf * logp per document IN TERM ORDER (sorted fold over the unique
+    * term key, like emb_pool) so the double sum has one defined order
+    * both engines replicate — tf * logp is a single multiply, so it is
+    * cross-engine exact where a repeated-addition spelling would not be.
+    * One scan for the LM, one for the scoring; the per-doc shuffle
+    * carries distinct (doc, term) rows (map-side combined), not every
+    * token occurrence.
     */
   def lmScore(docs: DataFrame): DataFrame = {
     val tok = docs
-      .select(col("doc_id"), posexplode(WordCount.tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("w"))
     val lm = tok.groupBy("w").agg(count(lit(1)).as("n1"))
     val total = lm.agg(sum(col("n1")).as("t1"))
-    tok.join(lm, "w").crossJoin(broadcast(total))
-      .withColumn("logp", log(col("n1").cast("double") / col("t1")))
+    // Fold per DISTINCT term, not per token: tf * logp is one multiply
+    // (deterministic), and the per-doc ordered fold runs over struct(w,
+    // term_logp) sorted by the unique term — so the float sum has ONE
+    // defined order both engines replicate, same contract as the
+    // positional fold but with the doc_id shuffle carrying distinct
+    // (doc, term) rows (map-side combined) instead of every token.
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    tf.join(lm, "w").crossJoin(broadcast(total))
+      .withColumn("term_logp",
+        col("tf").cast("double") * log(col("n1").cast("double") / col("t1")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +
-          "cast(0.0 as double), (a, s) -> a + s.logp)").as("sum_logp"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("aggregate(array_sort(collect_list(struct(w, term_logp))), " +
+          "cast(0.0 as double), (a, s) -> a + s.term_logp)").as("sum_logp"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sum_logp") / col("n_tokens"), 6).as("mean_logp"))
       .orderBy("doc_id")
@@ -288,9 +301,10 @@ object TextAnalysis {
     * unigram back-off term keeps p > 0 for bigrams unseen under a
     * smaller training slice, so the score is defined for every doc.
     *
-    * Determinism contract (same as lmScore): per-doc log-probs are
-    * summed by an ORDERED fold over (pos, logp) structs — float addition
-    * doesn't commute, a plain SUM would dither with task order. Both
+    * Determinism contract (same family as lmScore): per-doc log-probs
+    * are summed by an ORDERED fold over (pos, logp) structs — float
+    * addition doesn't commute, a plain SUM would dither with task
+    * order. Both
     * interpolation coefficients are exported to the oracle via
     * Double.toString round-trip, so (1-lambda)'s last-ulp value is
     * identical in both engines.
@@ -320,6 +334,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("b.pos").as("pos"),
         col("b.v").as("v"), col("b.w").as("w"))
     val big = bg.groupBy("v", "w").agg(count(lit(1)).as("n2"))
+    // NOTE: unlike lmScore, this keeps the per-INSTANCE fold (by pos).
+    // Bigrams rarely repeat within a document, so a (doc, v, w)
+    // pre-aggregation collapses almost nothing and just adds a shuffle
+    // of two-string keys — measured 8.9 -> 12.1 s at 100x when tried.
     bg.join(big, Seq("v", "w"))
       .join(uni.select(col("w").as("v"), col("n1").as("nv")), "v")
       .join(uni, "w")
