@@ -233,6 +233,10 @@ object SparkEntry {
       Tables.load(s, d, "embeddings"), kmeansCentroids(s, d), pqBooks(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(
       Tables.load(s, d, "embeddings"), kmeansCentroids(s, d), pqBooks(s, d))),
+    // ADC candidates re-ranked by exact cosine over the fetched
+    // full-precision vectors — the two-stage refine serve
+    "ann_ivfpq_refine" -> ((s, d) => Similarity.ivfPqRefineTopK(
+      Tables.load(s, d, "embeddings"), kmeansCentroids(s, d), pqBooks(s, d))),
     // two-level (hierarchical) IVF: the documented switch past the
     // single-level cell cap — 8 coarse x 8 fine fitted cells, flat probe
     // key, sqrt-sized score branches; oracle re-states both levels as
@@ -1257,7 +1261,10 @@ object SparkEntry {
     * with the code-fetched codebook entry, left-folded by an explicit `+`
     * chain in the same order as the engine's fold.
     */
-  private def ivfPqSqlFor(coarse: Array[Array[Double]],
+  /** The shared ADC ranking chain (normCte .. ranked `r`) of the IVF-PQ
+    * oracles.
+    */
+  private def ivfPqAdcCtes(coarse: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): String = {
     val coarseTerm =
       s"list_inner_product(q.qv, (CAST(${duckLit2(coarse)} AS DOUBLE[][]))[c.cell])"
@@ -1266,7 +1273,7 @@ object SparkEntry {
       val hi = (m + 1) * Similarity.PqSub
       s"list_inner_product(q.qv[$lo:$hi], (CAST(${duckLit2(books(m))} AS DOUBLE[][]))[cd.code$m])"
     }.mkString("\n        + ")
-    s"""WITH $normCte,
+    s"""$normCte,
        |${pqCodeCtes(coarse, books)},
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
        |        unnest(list_distinct(list_transform(generate_series(1, 2),
@@ -1277,9 +1284,29 @@ object SparkEntry {
        |        + $adcTerms) / (q.qn * c.nrm), 6) AS adc_cos
        |      FROM q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id
        |        JOIN cd ON cd.vec_id = c.vec_id),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_cos DESC, n_id) AS rnk FROM s)
-       |SELECT q_id, rnk, n_id, adc_cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_cos DESC, n_id) AS rnk FROM s)""".stripMargin
   }
+
+  private def ivfPqSqlFor(coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${ivfPqAdcCtes(coarse, books)}
+       |SELECT q_id, rnk, n_id, adc_cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** ann_ivfpq_refine oracle: ADC top-20 per query (the same ranked chain
+    * as ann_ivfpq_topk), then exact-cosine rescore over the candidates'
+    * full vectors and a fresh top-5 — mirroring the engine's two-stage
+    * serve stage for stage.
+    */
+  private def ivfPqRefineSqlFor(coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${ivfPqAdcCtes(coarse, books)},
+       |cand AS (SELECT q_id, n_id FROM r WHERE rnk <= 20),
+       |e AS (SELECT c.q_id, c.n_id,
+       |        round(list_inner_product(qq.v, nn.v) / (qq.nrm * nn.nrm), 6) AS cos
+       |      FROM cand c JOIN n qq ON qq.vec_id = c.q_id
+       |        JOIN n nn ON nn.vec_id = c.n_id),
+       |f AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM e)
+       |SELECT q_id, rnk, n_id, cos FROM f WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** dedup_semantic oracle: same cell-assignment spelling as the k-means
     * IVF oracle (fitted centroids as round-tripping double literals), then
@@ -1402,6 +1429,8 @@ object SparkEntry {
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
+        pqBooks(spark, sfDir))) +
+      ("ann_ivfpq_refine" -> ivfPqRefineSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +

@@ -794,6 +794,36 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF-PQ with exact REFINEMENT — the standard two-stage serve that
+    * recovers the recall ADC quantization loses: stage 1 ranks a widened
+    * candidate list (`rerank` per query) by the compressed ADC score
+    * exactly as `ivfPqTopK` does; stage 2 fetches ONLY those candidates'
+    * full-precision vectors and re-ranks by exact cosine, returning the
+    * top `k`. At 100 TB the economics are the point: the index scan
+    * touches ~40 B/candidate codes, and the expensive full vectors are
+    * read for `nQueries * rerank` rows total — point lookups against the
+    * primary store, never a second corpus scan shuffled anywhere (the
+    * candidate list is tiny, so both refine joins broadcast it).
+    */
+  def ivfPqRefineTopK(emb: DataFrame, coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nQueries: Int = 5, k: Int = 5,
+      nProbe: Int = 2, rerank: Int = 20): DataFrame = {
+    val cand = ivfPqTopK(emb, coarse, books, nQueries, rerank, nProbe)
+      .select(col("q_id"), col("n_id"))
+    val vecs = withNorm(emb)
+    val q = vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"))
+    val exact = broadcast(cand).join(q, "q_id").join(c, "n_id")
+      .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Persist an IVF-PQ index: cell + PqM residual codes + precomputed
     * norm, BUCKETED BY the probe join key — and NOTHING else. Unlike
     * `buildIvfIndex`, the full-precision vectors are not in the index at

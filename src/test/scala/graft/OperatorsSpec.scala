@@ -841,6 +841,45 @@ class OperatorsSpec extends AnyFunSuite {
       f"single-probe $singleProbe%.3f should not beat multi-probe $multiProbe%.3f")
   }
 
+  test("IVF-PQ refine equals exact rescoring of the ADC candidates and never loses recall") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val coarse = Similarity.fitCentroids(emb)
+    val books = Similarity.fitPqCodebooks(emb, coarse, nCentroids = 8, iters = 3)
+    val nq = 50
+    val truth = recallVs(topSets(Similarity.bruteForceTopK(emb, nQueries = nq))) _
+    val adcRecall = truth(topSets(
+      Similarity.ivfPqTopK(emb, coarse, books, nQueries = nq)))
+    val refined = Similarity.ivfPqRefineTopK(emb, coarse, books, nQueries = nq)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val refRecall = truth(refined.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap)
+    info(f"recall@5 over $nq queries: adc=$adcRecall%.3f refine=$refRecall%.3f")
+    // stage 2 re-ranks a SUPERSET of what ADC returned, by the true
+    // metric — it can reorder but never drop a true neighbor ADC kept
+    assert(refRecall >= adcRecall,
+      f"refine recall $refRecall%.3f below ADC $adcRecall%.3f")
+    // exactness: the refine output IS the exact-cosine ranking of the
+    // ADC top-20 candidate set (driver rescore, same fold/round/tiebreak)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def dotd(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+    def cos6(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      BigDecimal(dotd(va, vb) / (math.sqrt(dotd(va, va)) * math.sqrt(dotd(vb, vb))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = Similarity.ivfPqTopK(emb, coarse, books, nQueries = nq, k = 20)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+        cands.map(c => (q, c._2, cos6(q, c._2)))
+          .sortBy { case (_, nId, cos) => (-cos, nId) }
+          .take(5).zipWithIndex
+          .map { case ((qId, nId, cos), i) => (qId, i + 1, nId, cos) }
+      }.sortBy(t => (t._1, t._2))
+    assert(refined.sortBy(t => (t._1, t._2)) === expected)
+  }
+
   test("joint PQ codebook fit equals a per-subspace fitCentroids loop exactly") {
     // The joint fit's one-job-per-iteration aggregation must be a pure
     // batching of PqM independent subspace fits over the coarse residuals:
