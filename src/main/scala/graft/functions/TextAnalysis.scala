@@ -201,19 +201,28 @@ object TextAnalysis {
     * to catch. Docs with < 2 tokens have no bigrams and are excluded.
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val tok = docs
+    // Every statistic here is a function of ONE document's token array,
+    // so the whole computation stays in the row: the top-bigram count is
+    // the longest equal run of the doc's SORTED bigram list (a fold, no
+    // per-(doc, bigram) shuffle, no join back). Values are integer-exact,
+    // so the grouped-aggregation oracle is unchanged. The '' run
+    // sentinel can't collide: whitespace tokens are non-empty, so every
+    // bigram has length >= 3.
+    docs
       .select(col("doc_id"), WordCount.tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) >= 2)
-    val bigrams = tok.select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(tokens) - 1), " +
-          "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))")).as("bigram"))
-      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
-    val toks = tok.select(col("doc_id"),
-      size(col("tokens")).cast("long").as("n_tokens"),
-      size(array_distinct(col("tokens"))).cast("long").as("n_uniq"))
-    toks.join(bigrams, "doc_id")
+      .withColumn("bgs", expr("array_sort(transform(sequence(1, size(tokens) - 1), " +
+        "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1))))"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tokens"))).cast("long").as("n_uniq"),
+        expr("aggregate(bgs, " +
+          "named_struct('prev', '', 'cur', cast(0 as bigint), 'best', cast(0 as bigint)), " +
+          "(a, x) -> named_struct('prev', x, " +
+          "  'cur', if(x = a.prev, a.cur + 1, cast(1 as bigint)), " +
+          "  'best', greatest(a.best, if(x = a.prev, a.cur + 1, cast(1 as bigint)))), " +
+          "a -> a.best)").as("top_c"),
+        (size(col("tokens")) - 1).cast("long").as("n_bigrams"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_token_ratio"),
         round(col("top_c").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"))
