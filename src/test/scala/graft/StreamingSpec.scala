@@ -480,6 +480,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_serve_idx")
   }
 
+  test("streaming ingest guard admits each batch exactly as the batch decontaminate would") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.StreamIngestGuard
+    // eval suite: two fixed documents; incoming docs 1 and 4 quote them
+    val evalRows = Seq(
+      (9001L, "eval", 30L, "the quick brown fox jumps over the lazy dog"),
+      (9002L, "eval", 20L, "pack my box with five dozen liquor jugs"))
+    val evalDf = evalRows.toDF("doc_id", "source", "n_chars", "text")
+    val batch1 = Seq(
+      (1L, "web", 40L, "prefix words the quick brown fox jumps here"), // contaminated
+      (2L, "web", 25L, "entirely original content about something else"))
+    val batch2 = Seq(
+      (3L, "web", 30L, "more clean text with no benchmark overlap at all"),
+      (4L, "web", 35L, "quote pack my box with five dozen liquor jugs end")) // contaminated
+    val input = MemoryStream[(Long, String, Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    val q = StreamIngestGuard.serve(
+      input.toDF().toDF("doc_id", "source", "n_chars", "text"),
+      () => evalDf, minOverlap = 2) { (admitted, batchId) =>
+      results ++= admitted.as[(Long, String, Long)].collect()
+        .map(r => (batchId, r._1, r._2, r._3))
+    }
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      assert(results.map(_._2).toSet === Set(2L), "batch 1 admits only the clean doc")
+      input.addData(batch2)
+      q.processAllAvailable()
+      assert(results.map(_._2).toSet === Set(2L, 3L))
+      // admission decided in the arrival batch, each doc exactly once
+      assert(results.groupBy(_._2).values.forall(_.size === 1))
+      // batch twin on the union equals the streamed union
+      val twin = Dedup.decontaminate(
+          (batch1 ++ batch2).toDF("doc_id", "source", "n_chars", "text"),
+          evalDf, minOverlap = 2)
+        .as[(Long, String, Long)].collect().toSet
+      assert(results.map(r => (r._2, r._3, r._4)).toSet === twin)
+    } finally q.stop()
+  }
+
   test("streaming top-k leaderboard re-ranks on every batch in complete mode") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, desc, explode, upper}
