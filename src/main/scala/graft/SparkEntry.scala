@@ -82,6 +82,9 @@ object SparkEntry {
     // driver records a rows-only check; the exact twin is the anchor.
     "q_events_daily_active_approx" -> (Events.dailyActiveApprox _),
     "q_events_asof_purchase" -> ((s, d) => Events.asOfLastPurchase(s, d)),
+    // merge_asof's tolerance knob: same join bounded to a 24 h lookback
+    // (stale matches discarded, count restricted to the horizon)
+    "q_events_asof_tolerance" -> ((s, d) => Events.asOfLastPurchaseTolerance(s, d)),
     // FORWARD as-of: each event's time-to-next-error (min-struct over the
     // flipped window frame — see Events.asOfJoinForward)
     "q_events_asof_next" -> ((s, d) => Events.asOfNextError(s, d)),
@@ -2587,6 +2590,28 @@ object SparkEntry {
          |SELECT source, rnk, doc_id, n_chars, skey
          |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q_events_asof_purchase" -> asofPurchaseSql,
+    // Mirrors Events.asOfLastPurchaseTolerance: the same union stream
+    // with the tolerance as a RANGE frame [t - 24h, t - 1] over ms
+    "q_events_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, 0 AS side, event_id, event_type,
+        |         CAST(NULL AS BIGINT) AS p_ms, CAST(NULL AS DOUBLE) AS p_value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 1, NULL, NULL, epoch_ms(ts), value
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, ms, side, event_id, event_type,
+        |        max(CASE WHEN side = 1 THEN {'ms': p_ms, 'v': p_value} END)
+        |          OVER win AS lastp,
+        |        count(CASE WHEN side = 1 THEN 1 END) OVER win AS n_tol
+        |      FROM u
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ms
+        |                     RANGE BETWEEN 86400000 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ms, event_type,
+        |  CAST(COALESCE(lastp.ms, -1) AS BIGINT) AS last_purchase_ms,
+        |  COALESCE(lastp.v, -1.0) AS last_purchase_value,
+        |  CAST(n_tol AS BIGINT) AS n_recent_purchases
+        |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin,
     // Mirrors Events.asOfNextError: the forward frame with min(struct);
     // strict semantics put error copies (side -1) BEFORE their event row
     "q_events_asof_next" ->

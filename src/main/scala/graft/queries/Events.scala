@@ -249,6 +249,61 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Tolerance-bounded backward as-of join — the `merge_asof(tolerance=)`
+    * knob every as-of implementation grows: each left row matches the
+    * latest right row with the same key whose timestamp is STRICTLY
+    * earlier by at most `toleranceMs` (stale matches beyond the horizon
+    * are discarded, and `n_asof` counts only right rows inside it).
+    * Same single-union / single-window physical shape as `asOfJoin` (one
+    * exchange on the key, one sort, no join operator) — the tolerance is
+    * simply the window's RANGE frame [t - tol, t - 1] over the millisecond
+    * order, so bounding the lookback costs nothing extra; strictness
+    * falls out of the -1 upper bound (same-timestamp right rows sit
+    * outside the frame, which also keeps a right row that is its own
+    * left copy from matching itself).
+    */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      tsMs: String, rightPayload: Seq[String], toleranceMs: Long): DataFrame = {
+    require(toleranceMs >= 1, s"toleranceMs=$toleranceMs must be >= 1")
+    val payload = struct((col(tsMs) +: rightPayload.map(col)): _*)
+    val rNorm = right.select(
+      left.columns.map {
+        case c if c == key => col(key)
+        case c if c == tsMs => col(tsMs)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ lit(1).as("__side") :+ payload.as("__p"): _*)
+    val lNorm = left
+      .withColumn("__side", lit(0))
+      .withColumn("__p", lit(null).cast(rNorm.schema("__p").dataType))
+    val w = Window.partitionBy(key).orderBy(col(tsMs))
+      .rangeBetween(-toleranceMs, -1)
+    lNorm.unionByName(rNorm)
+      .select(col("*"),
+        max(when(col("__side") === 1, col("__p"))).over(w).as("asof"),
+        count(when(col("__side") === 1, lit(1))).over(w).as("n_asof"))
+      .filter(col("__side") === 0)
+      .drop("__side", "__p")
+  }
+
+  /** Shipped tolerance query: `asOfLastPurchase` bounded to a 24-hour
+    * lookback — the freshness contract a feature-store join runs under
+    * (a week-old purchase must NOT leak into a "recent purchase"
+    * feature). Sentinel conventions match the unbounded twin.
+    */
+  def asOfLastPurchaseTolerance(spark: SparkSession, dir: String,
+      toleranceMs: Long = 24L * 3600 * 1000): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    asOfJoinTolerance(ev, purchases, "user_id", "ms", Seq("value"), toleranceMs)
+      .select(col("event_id"), col("user_id"), col("ms"), col("event_type"),
+        coalesce(col("asof.ms"), lit(-1L)).as("last_purchase_ms"),
+        coalesce(col("asof.value"), lit(-1.0d)).as("last_purchase_value"),
+        col("n_asof").as("n_recent_purchases"))
+      .orderBy("event_id")
+  }
+
   /** FORWARD as-of join — `asOfJoin`'s time mirror: each left row picks
     * the payload of the EARLIEST right row with the same key whose
     * timestamp is strictly later (`strict = true`) or at-or-later. Same

@@ -123,6 +123,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_sample" -> 302L,
     "dedup_semantic" -> 246L,
     "q_events_asof_purchase" -> 1000L,
+    "q_events_asof_tolerance" -> 1000L,
     "q_events_incident_window" -> 157L,
     "q_events_latest_state" -> 15L,
     "q_events_scd_history" -> 1000L,

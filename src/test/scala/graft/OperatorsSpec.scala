@@ -1150,6 +1150,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inclusive("A") === ((Some(10L), 1L)))
   }
 
+  test("tolerance as-of join: stale matches discarded, horizon-bounded count, strict at equal ts") {
+    import graft.queries.Events
+    val left = Seq((1L, 100L, "A"), (1L, 125L, "B"), (1L, 500L, "C"),
+        (2L, 60L, "D"))
+      .toDF("user_id", "ms", "tag")
+    val right = Seq((1L, 100L, 5.0), (1L, 120L, 7.0), (1L, 122L, 6.0),
+        (2L, 90L, 9.0))
+      .toDF("user_id", "ms", "value")
+    val got = Events.asOfJoinTolerance(left, right, "user_id", "ms",
+        Seq("value"), toleranceMs = 30L)
+      .select($"tag", $"asof.ms", $"asof.value", $"n_asof")
+      .as[(String, Option[Long], Option[Double], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // A: the equal-ts right row sits outside the [t-30, t-1] frame (strict)
+    assert(got("A") === ((None, None, 0L)))
+    // B: frame [95, 124] holds all three right rows; latest (122) wins
+    assert(got("B") === ((Some(122L), Some(6.0), 3L)))
+    // C: every right row is older than 30 ms -> stale, no match, count 0
+    //    (the unbounded asOfJoin would have matched 122 here)
+    assert(got("C") === ((None, None, 0L)))
+    // D: right row is LATER than the left row -> never matches backward
+    assert(got("D") === ((None, None, 0L)))
+    // agreement with the unbounded join whenever the match is in-horizon
+    val unbounded = Events.asOfJoin(left, right, "user_id", "ms", Seq("value"))
+      .select($"tag", $"asof.ms").as[(String, Option[Long])].collect().toMap
+    assert(unbounded("B") === got("B")._1)
+    assert(unbounded("C") === Some(122L)) // the stale match tolerance discards
+  }
+
   test("forward as-of join: earliest strictly-later payload per key, inclusive opt-in") {
     import graft.queries.Events
     val left = Seq((1L, 10L, "A"), (1L, 25L, "B"), (2L, 50L, "C"))
