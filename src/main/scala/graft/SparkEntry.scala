@@ -229,6 +229,11 @@ object SparkEntry {
     // literals — see oracleSqlDynamic.
     "ann_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopKWith(Tables.load(s, d, "embeddings"), kmeansCentroids(s, d))),
+    // the PERSISTED-index serve of the same search: bucketed index built
+    // once per session per sf dir; must reproduce the in-memory answer,
+    // so it shares ann_ivf_kmeans' oracle
+    "ann_ivf_indexed" -> ((s, d) =>
+      Similarity.ivfTopKIndexed(s, ensureIvfIndex(s, d), kmeansCentroids(s, d))),
     // Product quantization: fitted subspace codebooks are deterministic
     // like the IVF fit, so both oracles re-state them as literals — see
     // oracleSqlDynamic.
@@ -240,6 +245,13 @@ object SparkEntry {
     // full-precision vectors — the two-stage refine serve
     "ann_ivfpq_refine" -> ((s, d) => Similarity.ivfPqRefineTopK(
       Tables.load(s, d, "embeddings"), kmeansCentroids(s, d), pqBooks(s, d))),
+    // the code-only PERSISTED-index ADC serve (cell + 8 codes + norm, no
+    // vectors): shares ann_ivfpq_topk's oracle — indexed == in-memory
+    "ann_ivfpq_indexed" -> ((s, d) => Similarity.ivfPqTopKIndexed(
+      s, ensureIvfPqIndex(s, d),
+      Tables.load(s, d, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      kmeansCentroids(s, d), pqBooks(s, d))),
     // two-level (hierarchical) IVF: the documented switch past the
     // single-level cell cap — 8 coarse x 8 fine fitted cells, flat probe
     // key, sqrt-sized score branches; oracle re-states both levels as
@@ -1058,6 +1070,34 @@ object SparkEntry {
     name
   }
 
+  /** Build-once guards for the persisted vector indexes — same lifecycle
+    * contract as `ensureSetSimIndex`: the serve queries below are then
+    * gate-verified against the SAME oracles as their in-memory twins
+    * (indexed serving must reproduce the in-memory answer exactly; the
+    * parity is also plan-asserted in ScaleSpec).
+    */
+  private def ensureIvfIndex(s: SparkSession, d: String): String = synchronized {
+    val name = "graft_ivf_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(d.hashCode))
+    if (!s.catalog.tableExists(name)) {
+      Tables.dropManagedTable(s, name)
+      Similarity.buildIvfIndex(
+        Tables.load(s, d, "embeddings"), kmeansCentroids(s, d), name)
+    }
+    name
+  }
+
+  private def ensureIvfPqIndex(s: SparkSession, d: String): String = synchronized {
+    val name = "graft_ivfpq_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(d.hashCode))
+    if (!s.catalog.tableExists(name)) {
+      Tables.dropManagedTable(s, name)
+      Similarity.buildIvfPqIndex(Tables.load(s, d, "embeddings"),
+        kmeansCentroids(s, d), pqBooks(s, d), name)
+    }
+    name
+  }
+
   private def kmeansCentroids(s: SparkSession, d: String,
       nCells: Int = 16): Array[Array[Double]] =
     kmeansCache.getOrElseUpdate(s"$d#$nCells",
@@ -1434,6 +1474,10 @@ object SparkEntry {
       ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("ann_ivfpq_refine" -> ivfPqRefineSqlFor(kmeansCentroids(spark, sfDir),
+        pqBooks(spark, sfDir))) +
+      // indexed serves must reproduce the in-memory answers exactly
+      ("ann_ivf_indexed" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("ann_ivfpq_indexed" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +

@@ -20,6 +20,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_pq_encode" -> 4000L,
     "ann_ivfpq_topk" -> 25L,
     "ann_ivfpq_refine" -> 25L,
+    "ann_ivf_indexed" -> 25L,
+    "ann_ivfpq_indexed" -> 25L,
     "q_cube_returns" -> 12L,
     "q10_returned_items" -> 20L,
     "q_order_percentiles" -> 5L,
@@ -173,7 +175,8 @@ class EntrySpec extends AnyFunSuite {
     */
   private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
-    "ann_ivfpq_refine", "ann_mips_lsh", "ann_ivf2_topk", "text_topics", "ann_knn_graph",
+    "ann_ivfpq_refine", "ann_ivf_indexed", "ann_ivfpq_indexed", "ann_mips_lsh",
+    "ann_ivf2_topk", "text_topics", "ann_knn_graph",
     "emb_contrastive", "pipeline_quality_model", "dedup_embedding")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
