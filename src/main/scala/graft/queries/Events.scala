@@ -418,99 +418,94 @@ object Events {
     * Queries clamp: below the span → 0, above it → the grand total.
     */
   def rankJoin(values: DataFrame, queries: DataFrame,
-      strict: Boolean = true, binMs: Long = 600 * 1000L,
-      secMs: Long = 10 * 1000L): DataFrame = {
+      strict: Boolean = true, binMs: Long = 600 * 1000L): DataFrame = {
     val off = if (strict) 0L else 1L // v <= t  ⟺  v < t+1 on integer ms
     rankJoinKeyed(values.select(lit(0).as("k"), col("v")),
         queries.select(col("qid"), lit(0).as("k"),
-          (col("t") + off).as("t")), binMs, secMs)
+          (col("t") + off).as("t")), binMs)
       .select("qid", "n_below")
   }
 
   /** `rankJoin` over SEVERAL value multisets in one pass: values carry a
-    * kind column `k`, queries name the kind they rank against, and every
-    * level of the decomposition partitions by k — so a caller needing
-    * two ranks over projections of the SAME expensive table (overlap
-    * counting: session starts and ends) pays for that table once
-    * instead of once per rank. Thresholds are STRICT (`v < t`);
-    * at-or-below on integer ms is `t + 1`.
+    * kind column `k`, queries name the kind they rank against, so a
+    * caller needing two ranks over projections of the SAME expensive
+    * table (overlap counting: session starts and ends) pays for that
+    * table once instead of once per rank. Thresholds are STRICT
+    * (`v < t`); at-or-below on integer ms is `t + 1`.
+    *
+    * Probe-merge decomposition (r9; replaces the r7 three-level
+    * cum/second-grid/raw form whose per-query second-grid and raw-edge
+    * joins carried a density term): rank(t) splits into
+    *
+    *   cum(k, bin(t))     — values in bins strictly before t's bin, from
+    *                        a per-kind SPAN-BOUNDED dense bin prefix
+    *                        table (kinds × span/binMs rows)
+    *   + within-bin count — served by MERGING the probes INTO the value
+    *                        stream: union zero-count probe rows with the
+    *                        values, one window partitioned by (k, bin)
+    *                        ordered by (v, is_value) computes every
+    *                        probe's running count in a single pass.
+    *                        Probes sort BEFORE values at equal v, making
+    *                        the prefix strict.
+    *
+    * Per-probe cost is O(1) and total work is one shuffle-sort of
+    * values+probes in span-bounded (k, bin) partitions — no
+    * probes × within-bin-density join anywhere. A kind with no values
+    * rows answers n_below = 0 (ADVICE r7 contract), served by the LEFT
+    * span join + clamps; probes past a kind's span clamp to its total.
+    * Skew lever: binMs sets the window partition width (~density·binMs
+    * rows); shrink it if one bin ever outgrows a task — the prefix table
+    * grows with span/binMs but the probe cost stays O(1).
     */
   def rankJoinKeyed(values: DataFrame, queries: DataFrame,
-      binMs: Long = 600 * 1000L, secMs: Long = 10 * 1000L): DataFrame = {
-    require(binMs % secMs == 0 && secMs > 0)
-    // ONE pass over the (possibly expensive) values pipeline collapses
-    // it to distinct (k, v) with multiplicities; every coarser grain —
-    // second, minute, span — regroups that value-level aggregate, and
-    // the raw edge level joins it too, so the values pipeline is never
-    // re-scanned
-    val vAgg = values.select(col("k"), col("v"))
-      .groupBy("k", "v").agg(count(lit(1)).as("vn"))
-      .withColumn("sec", floor(col("v") / secMs))
-    val secAgg = vAgg.groupBy("k", "sec").agg(sum(col("vn")).as("sn"))
-    val binAgg = secAgg
-      .withColumn("bin", floor(col("sec") * secMs / binMs))
-      .groupBy("k", "bin").agg(sum(col("sn")).as("bn"))
+      binMs: Long = 600 * 1000L): DataFrame = {
+    require(binMs > 0)
+    val vb = values.select(col("k"), col("v"),
+      floor(col("v") / binMs).as("bin"))
+    val binAgg = vb.groupBy("k", "bin").agg(count(lit(1)).as("bn"))
     val span = binAgg.groupBy("k").agg(min("bin").as("b_min"),
       max("bin").as("b_max"), sum("bn").as("total"))
-    // dense per-kind minute grid (span-bounded) -> EXCLUSIVE cumulative
-    // counts. The ordered window runs over the bounded grid, not the data.
+    // dense per-kind bin grid (span-bounded) -> EXCLUSIVE cumulative
+    // counts. The ordered window runs over the bounded grid, not the
+    // data. NOTE: the broadcast hint goes on binAgg (the RIGHT side) — a
+    // left-outer join can only broadcast-build its right side; hinting
+    // the exploded grid is ignored by Spark and floods the log with
+    // HintErrorLogger warnings (r8 verdict item 2).
     val wOrd = Window.partitionBy("k").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = broadcast(span).select(col("k"),
+    val cum = span.select(col("k"),
         explode(sequence(col("b_min"), col("b_max"))).as("bin"))
-      .join(binAgg, Seq("k", "bin"), "left")
+      .join(broadcast(binAgg), Seq("k", "bin"), "left")
       .withColumn("bn", coalesce(col("bn"), lit(0L)))
       .withColumn("cum_excl", sum(col("bn")).over(wOrd) - col("bn"))
       .select("k", "bin", "cum_excl")
     val q = queries.select(col("qid"), col("k"), col("t"))
-      .withColumn("qbin", floor(col("t") / binMs))
-      .withColumn("qsec", floor(col("t") / secMs))
-    // LEFT join: a kind with no values rows must answer n_below = 0, not
-    // vanish (an inner join silently dropped such queries — latent
-    // contract gap, ADVICE r7). With a null span every clamp predicate
-    // below is null/false, so the row falls through to
-    // coalesce(cum_excl, 0) = 0; levels 2/3 join on `q` and coalesce.
-    val qs = q.join(broadcast(span), Seq("k"), "left")
-    // level 1: values in minutes strictly before the query's minute
-    val lvl1 = qs.join(cum, col("qbin") === col("bin") && qs("k") === cum("k"), "left")
-      .withColumn("n1",
-        when(col("qbin") < col("b_min"), lit(0L))
-          .when(col("qbin") > col("b_max"), col("total"))
-          .otherwise(coalesce(col("cum_excl"), lit(0L))))
-      .select(qs("qid"), qs("k"), col("t"), col("qbin"), col("qsec"), col("n1"))
-    // level 2: within-minute second prefix, served as ONE equi-join
-    // lookup per query from a dense per-ACTIVE-minute second grid
-    // (active minutes × spb rows, prefix window partitioned by minute —
-    // tiny partitions). A per-query explode of the minute's seconds was
-    // the first spelling and dominated at scale: with q queries it
-    // joins q × (spb−1) rows, 59M at the 10× point. Queries landing in
-    // an inactive minute LEFT-join to nothing → 0, which is exact: such
-    // a minute holds no values at all.
-    val spb = binMs / secMs
-    val wSec = Window.partitionBy("k", "bin").orderBy("sec")
+      .withColumn("bin", floor(col("t") / binMs))
+    // probe-merge: values carry count 1, probes carry 0 plus identity;
+    // at equal position the probe sorts first (is_value 0 < 1) so its
+    // running sum excludes values AT t — the rank stays strict
+    val qidType = queries.schema("qid").dataType
+    val merged = vb
+      .select(col("k"), col("bin"), col("v"), lit(1L).as("n"),
+        lit(1).as("is_value"), lit(null).cast(qidType).as("qid"))
+      .unionByName(q.select(col("k"), col("bin"), col("t").as("v"),
+        lit(0L).as("n"), lit(0).as("is_value"), col("qid")))
+    val wM = Window.partitionBy("k", "bin").orderBy(col("v"), col("is_value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val secCum = binAgg.select(col("k"), col("bin"))
-      .withColumn("sec",
-        explode(sequence(col("bin") * spb, col("bin") * spb + (spb - 1))))
-      .join(secAgg, Seq("k", "sec"), "left")
-      .withColumn("sn", coalesce(col("sn"), lit(0L)))
-      .withColumn("scum_excl", sum(col("sn")).over(wSec) - col("sn"))
-      .select(col("k"), col("sec"), col("scum_excl"))
-    val lvl2 = q.join(secCum,
-        q("k") === secCum("k") && col("qsec") === col("sec"), "left")
-      .groupBy(q("qid"), q("k"))
-      .agg(sum(coalesce(col("scum_excl"), lit(0L))).as("n2"))
-    // level 3: value-level aggregate rows only in the query's own second
-    // (strict compare, multiplicities summed)
-    val lvl3 = q.join(vAgg.hint("shuffle_hash"),
-        q("k") === vAgg("k") && col("qsec") === col("sec") && col("v") < col("t"))
-      .groupBy(q("qid"), q("k")).agg(sum(col("vn")).as("n3"))
-    lvl1
-      .join(lvl2, Seq("qid", "k"), "left")
-      .join(lvl3, Seq("qid", "k"), "left")
+    val prefixed = merged
+      .select(col("k"), col("bin"), col("is_value"), col("qid"),
+        sum(col("n")).over(wM).as("pn"))
+      .filter(col("is_value") === 0)
+    // assemble: span LEFT join keeps absent-kind probes (null span -> all
+    // clamps null/false -> coalesce 0); past-span probes sit in a bin
+    // partition with no values (prefix 0) and clamp to the kind's total
+    prefixed
+      .join(cum, Seq("k", "bin"), "left")
+      .join(broadcast(span), Seq("k"), "left")
       .select(col("qid"), col("k"),
-        (col("n1") + coalesce(col("n2"), lit(0L)) +
-          coalesce(col("n3"), lit(0L))).as("n_below"))
+        (when(col("bin") > col("b_max"), col("total"))
+          .otherwise(coalesce(col("cum_excl"), lit(0L))) + col("pn"))
+          .as("n_below"))
   }
 
   /** Shipped overlap query: user sessions (gap-based islands, 30 min)
@@ -637,120 +632,110 @@ object Events {
       .orderBy("incident_id")
   }
 
-  /** Pre-aggregated (hierarchical-binning) interval counting, same output
-    * as the naive twin: events first collapse to per-minute bin counts —
-    * a table bounded by the TIME SPAN, not the event volume — then each
-    * window [t, t+W) decomposes into up to 59 full interior minutes summed
-    * from that bounded aggregate, plus two partial edge minutes resolved
-    * at SECOND grain: a dense per-minute second grid with within-minute
-    * prefix sums (span-bounded: active minutes × 60 rows) turns each
-    * partial minute into ONE cumulative lookup, leaving only two
-    * 1-SECOND ranges per incident to count from raw events. The
-    * incident's own row always lies inside its window, so "other
-    * events" = total − 1, no per-row id exclusion needed.
+  /** Rank-decomposed interval counting, same output as the naive twin:
+    * count[t, t+W) = rank(t+W) − rank(t), where rank(x) = |events with
+    * ms < x| — so each incident costs TWO rank probes instead of a
+    * per-incident range scan. Each rank splits once:
     *
-    * Scale analysis: the naive join touches incidents × density·W rows —
-    * quadratic when density grows with corpus size on a fixed span. Here
-    * the interior join is incidents × 59 rows against a span-bounded
-    * aggregate (linear in incidents), the edge full-seconds are ≤ 118
-    * exploded rows per incident against the span-bounded second
-    * aggregate, and the only density term left is the two 1-second raw
-    * ranges — the r5 minute-grain edges carried incidents × density·2min
-    * and dominated the 10× step (the pack's worst scaling ratio, 8.5×);
-    * the second-grain split shrinks that term 60×. Measured on the 10×
-    * twins (tools.IncidentBench): minute-grain edges 2.00 s → 12.22 s
-    * (6.1×); second-grain edges 2.12 s → 8.19 s (3.9×) — +6% constant at
-    * 1× buys a 33% cut at 10× and the removed term is the one that grows
-    * with density. (A dense per-second grid with within-minute prefix
-    * sums was tried first and rejected: the window over the 2.6M-row
-    * grid added ~4.6 s of fixed cost at 1×.) The pattern is the
-    * segment-tree/prefix-sum decomposition every at-scale range-counting
-    * engine uses, taken one level deeper.
+    *   rank(x) = cum(minute(x))            — minutes strictly before x's
+    *                                         minute, from a SPAN-BOUNDED
+    *                                         dense minute prefix table
+    *                                         (broadcast lookup)
+    *           + within-minute prefix at x — served by MERGING the probes
+    *                                         INTO the event stream: union
+    *                                         the 2·incidents zero-count
+    *                                         probe rows with the raw
+    *                                         events, one window partitioned
+    *                                         by minute ordered by (ms,
+    *                                         is_event) computes every
+    *                                         probe's running count in a
+    *                                         single pass. Probes sort
+    *                                         BEFORE events at equal ms, so
+    *                                         the prefix is strict (< x).
+    *
+    * Both measures (all events, errors) ride the same pass. The
+    * incident's own row (ms = t) lands in rank(t+W) but not rank(t), so
+    * "other events" = diff − 1, as in the naive twin.
+    *
+    * Scale analysis: the r5–r8 hierarchical forms decomposed the WINDOW
+    * (interior minutes + edge seconds + raw edges) and paid an exploded
+    * 59–177 rows per incident — with incidents ∝ corpus size that term
+    * was ~294M joined rows at the 100× point and the pack's worst scaling
+    * ratio (16.2×, BENCH_gen100x r8). Probe-merging makes the per-probe
+    * cost O(1): total work is one shuffle-sort of events+probes in
+    * span-bounded minute partitions (~minute-density rows each) plus a
+    * broadcast cum lookup — linear in events, no density×incidents term
+    * anywhere. Measured 1×/10×/100× (TimeQuery min-of-3):
+    * 1.15/2.21/4.33 s vs the r8 hierarchical form's 1.36/5.80/22.1 s
+    * single-pass — r100 16.2× → ~3.8×. The
+    * minute grain (`binMs`) tunes the partition width: the prefix table
+    * stays span/binMs rows (43k for a month of minutes; broadcastable up
+    * to multi-year spans), and window partitions hold ~density·binMs
+    * rows — drop binMs if a 100 TB flash-crowd minute ever outgrows a
+    * task (the merge is a running sum, so finer grains only grow the
+    * broadcast table, never the probe cost).
     */
   def incidentWindowCountsOf(ev: DataFrame, windowMs: Long = 3600 * 1000L,
-      binMs: Long = 60 * 1000L, secMs: Long = 1000L): DataFrame = {
-    require(windowMs % binMs == 0, "window must be a whole number of bins")
-    require(binMs % secMs == 0 && secMs > 0,
-      "bin must be a whole number of edge grains")
-    val nFull = (windowMs / binMs).toInt
-    val spb = (binMs / secMs).toInt // edge grains per bin
+      binMs: Long = 60 * 1000L): DataFrame = {
+    require(binMs > 0 && windowMs > 0)
     val isErr = when(col("event_type") === "error", 1L).otherwise(0L)
-    val binned = ev.withColumn("bin", floor(col("ms") / binMs))
-      .withColumn("sec", floor(col("ms") / secMs))
+    val binned = ev.select(col("ms"), isErr.as("e"),
+      floor(col("ms") / binMs).as("bin"),
+      (col("event_type") === "error").as("is_incident"), col("event_id"))
     val binAgg = binned.groupBy("bin")
-      .agg(count(lit(1)).as("bn"), sum(isErr).as("be"))
-    // per-second aggregate: the edge-grain twin of binAgg, bounded by
-    // min(event count, span seconds) — span-bounded once density exceeds
-    // one event per second
-    val secAgg = binned.groupBy("sec")
-      .agg(count(lit(1)).as("sn"), sum(isErr).as("sErr"))
-    val incidents = binned.filter(col("event_type") === "error")
-      .select(col("event_id").as("incident_id"), col("ms").as("t"),
-        col("bin").as("b0"), col("sec").as("s0"))
-      .withColumn("tail_bin", col("b0") + nFull)
-      .withColumn("eEx", col("t") + windowMs) // exclusive window end
-      .withColumn("se", floor(col("eEx") / secMs))
-      .withColumn("sm1", col("se") - 1)
-    // interior: full bins b0+1 .. b0+nFull-1 from the bounded aggregate.
-    // When the window is a single bin (nFull == 1) there IS no interior —
-    // and sequence(b0+1, b0) would be the DESCENDING [b0+1, b0] in Spark,
-    // double-counting both edge bins — so the branch must be skipped, not
-    // merely empty-ranged.
-    val mid =
-      if (nFull >= 2)
-        incidents
-          .select(col("incident_id"),
-            explode(sequence(col("b0") + 1, col("b0") + (nFull - 1))).as("bin"))
-          .join(binAgg, Seq("bin"))
-          .groupBy("incident_id")
-          .agg(sum("bn").as("mid_n"), sum("be").as("mid_e"))
-      else
-        incidents.select(col("incident_id"), lit(0L).as("mid_n"),
-          lit(0L).as("mid_e")).limit(0)
-    // edge FULL seconds from the second-grain aggregate: head seconds
-    // (s0, end of minute b0] and tail seconds [start of minute
-    // tail_bin, se). Each side is <= spb-1 bins; empty-range guards
-    // matter because Spark's sequence(a, b) with a > b DESCENDS instead
-    // of being empty (head: t in the minute's last second; tail: the
-    // window end inside the tail minute's first second).
-    val headEnd = (col("b0") + 1) * spb - 1
-    val headSecs = when(col("s0") < headEnd,
-      sequence(col("s0") + 1, headEnd)).otherwise(array().cast("array<long>"))
-    val tailSecs = when(col("sm1") >= col("tail_bin") * spb,
-      sequence(col("tail_bin") * spb, col("sm1")))
-      .otherwise(array().cast("array<long>"))
-    val full = incidents
-      .select(col("incident_id"), explode(concat(headSecs, tailSecs)).as("sec"))
-      .join(secAgg, Seq("sec"))
-      .groupBy("incident_id")
-      .agg(sum("sn").as("full_n"), sum("sErr").as("full_e"))
-    // the only raw-event term left: the two PARTIAL SECONDS — head
-    // [t, (s0+1)·sec) and tail [se·sec, t+W). Each matches ~density·sec
-    // events, 60× fewer than the r5 partial-minute ranges; the head
-    // range contains the incident's own row (ms = t), restored by the
-    // final −1. When t is second-aligned the head covers the whole
-    // second s0 and the tail range is empty — still exact.
-    val edge = incidents
-      .select(col("incident_id"), explode(array(
-        struct(col("s0").as("sec"), col("t").as("lo"),
-          ((col("s0") + 1) * secMs).as("hi")),
-        struct(col("se").as("sec"), (col("se") * secMs).as("lo"),
-          col("eEx").as("hi")))).as("e"))
-      .select(col("incident_id"), col("e.sec").as("sec"),
-        col("e.lo").as("lo"), col("e.hi").as("hi"))
-      .join(binned, Seq("sec"))
-      .filter(col("ms") >= col("lo") && col("ms") < col("hi"))
-      .groupBy("incident_id")
-      .agg(count(lit(1)).as("edge_n"), sum(isErr).as("edge_e"))
-    incidents.select("incident_id")
-      .join(mid, Seq("incident_id"), "left")
-      .join(full, Seq("incident_id"), "left")
-      .join(edge, Seq("incident_id"), "left")
-      .select(col("incident_id"),
-        (coalesce(col("mid_n"), lit(0L)) + coalesce(col("full_n"), lit(0L)) +
-          coalesce(col("edge_n"), lit(0L)) - 1).as("n_events"),
-        (coalesce(col("mid_e"), lit(0L)) + coalesce(col("full_e"), lit(0L)) +
-          coalesce(col("edge_e"), lit(0L)) - 1).as("n_errors"))
+      .agg(count(lit(1)).as("bn"), sum(col("e")).as("be"))
+    val span = binAgg.agg(min("bin").as("b_min"), max("bin").as("b_max"),
+      sum("bn").as("total_n"), sum("be").as("total_e"))
+    // dense minute grid with EXCLUSIVE prefix sums: span-bounded (never
+    // event-volume-bounded), one global window over span/binMs rows —
+    // small enough to broadcast to every probe
+    val wB = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = span.select(explode(sequence(col("b_min"), col("b_max"))).as("bin"))
+      .join(binAgg, Seq("bin"), "left")
+      .select(col("bin"),
+        (sum(coalesce(col("bn"), lit(0L))).over(wB) -
+          coalesce(col("bn"), lit(0L))).as("cum_n"),
+        (sum(coalesce(col("be"), lit(0L))).over(wB) -
+          coalesce(col("be"), lit(0L))).as("cum_e"))
+    // two probes per incident: rank(t) contributes −1, rank(t+W) +1
+    val probes = binned.filter(col("is_incident"))
+      .select(col("event_id").as("incident_id"), explode(array(
+        struct(lit(-1L).as("side"), col("ms").as("x")),
+        struct(lit(1L).as("side"), (col("ms") + windowMs).as("x")))).as("p"))
+      .select(col("incident_id"), col("p.side").as("side"), col("p.x").as("x"))
+      .withColumn("bin", floor(col("x") / binMs))
+    // probe-merge: events carry their counts, probes carry zeros plus
+    // identity; at equal ms the probe sorts FIRST (is_event 0 < 1) so its
+    // running sum excludes events AT x — rank is strict, keeping the
+    // half-open [t, t+W) exact
+    val merged = binned
+      .select(col("bin"), col("ms"), lit(1L).as("n"), col("e"),
+        lit(1).as("is_event"), lit(0L).as("incident_id"), lit(0L).as("side"))
+      .unionByName(probes.select(col("bin"), col("x").as("ms"),
+        lit(0L).as("n"), lit(0L).as("e"), lit(0).as("is_event"),
+        col("incident_id"), col("side")))
+    val wM = Window.partitionBy("bin").orderBy(col("ms"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inMin = merged
+      .select(col("bin"), col("is_event"), col("incident_id"), col("side"),
+        sum(col("n")).over(wM).as("pn"), sum(col("e")).over(wM).as("pe"))
+      .filter(col("is_event") === 0)
+    // assemble rank(x): probes in minutes past the span clamp to the grand
+    // total (their window partition holds no events → prefix 0); minutes
+    // before the span cannot occur (every probe minute ≥ the incident's
+    // own event minute ≥ b_min)
+    val ranks = inMin
+      .join(broadcast(cum), Seq("bin"), "left")
+      .crossJoin(broadcast(span).select("b_max", "total_n", "total_e"))
+      .select(col("incident_id"), col("side"),
+        (when(col("bin") > col("b_max"), col("total_n"))
+          .otherwise(coalesce(col("cum_n"), lit(0L))) + col("pn")).as("rank_n"),
+        (when(col("bin") > col("b_max"), col("total_e"))
+          .otherwise(coalesce(col("cum_e"), lit(0L))) + col("pe")).as("rank_e"))
+    ranks.groupBy("incident_id")
+      .agg((sum(col("side") * col("rank_n")) - 1).as("n_events"),
+        (sum(col("side") * col("rank_e")) - 1).as("n_errors"))
       .filter(col("n_events") > 0)
       .orderBy("incident_id")
   }

@@ -1275,7 +1275,7 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 0, 500L))  // kind present, below its span
       .toDF("qid", "k", "t")
     val got = Events.rankJoinKeyed(values, queries,
-        binMs = 600L * 1000L, secMs = 10L * 1000L)
+        binMs = 600L * 1000L)
       .select("qid", "n_below").as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
   }
