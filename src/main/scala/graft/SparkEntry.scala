@@ -152,7 +152,8 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + lit(1000000000L))
       Dedup.containmentLookup(
         docs.filter(m === 0 && inBatch).unionByName(echo),
-        docs.filter(m =!= 0), threshold = 0.7)
+        docs.filter(m =!= 0), threshold = 0.7,
+        hintBroadcastBatch = true) // batch bounded by construction (doc_id < 5000)
     }),
     // Incremental LSH candidate lookup served from the PERSISTED MinHash
     // band index (built once per session per sf dir): per ingest batch,
@@ -1035,6 +1036,23 @@ object SparkEntry {
     */
   private val kmeansCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  /** Index names key on the dir path AND a data fingerprint (total bytes +
+    * newest mtime of the source parquet): if the dataset under the same
+    * path is regenerated mid-session — or a persistent metastore ever
+    * carries entries across runs — the name changes and the index is
+    * rebuilt instead of a stale one being silently served (ADVICE r8).
+    */
+  private def indexKey(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    val files =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+      else Seq(f)
+    val bytes = files.map(_.length).sum
+    val mtime = if (files.nonEmpty) files.map(_.lastModified).max else 0L
+    java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(s"$d#$bytes#$mtime".hashCode))
+  }
+
   /** Build-once guard for the persisted set-similarity prefix index on
     * (session, sf dir); serving entries call this and join the returned
     * tables. A previous JVM may have left the physical location without a
@@ -1042,10 +1060,10 @@ object SparkEntry {
     * stale index can never serve a regenerated corpus.
     */
   private def ensureSetSimIndex(s: SparkSession, d: String): String = synchronized {
-    val name = "graft_setsim_" + java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val name = "graft_setsim_" + indexKey(d, "documents")
     if (!s.catalog.tableExists(name + "_postings")) {
-      Seq("_postings", "_df", "_sets").foreach(x => Tables.dropManagedTable(s, name + x))
+      Seq("_postings", "_df", "_sets", "_meta")
+        .foreach(x => Tables.dropManagedTable(s, name + x))
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val docs = Tables.load(s, d, "documents")
       Dedup.buildSetSimIndex(
@@ -1058,8 +1076,7 @@ object SparkEntry {
     * lifecycle contract as `ensureSetSimIndex`.
     */
   private def ensureMinhashIndex(s: SparkSession, d: String): String = synchronized {
-    val name = "graft_mh_" + java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val name = "graft_mh_" + indexKey(d, "documents")
     if (!s.catalog.tableExists(name + "_bands")) {
       Tables.dropManagedTable(s, name + "_bands")
       import org.apache.spark.sql.functions.{col, lit, pmod}
@@ -1077,8 +1094,7 @@ object SparkEntry {
     * parity is also plan-asserted in ScaleSpec).
     */
   private def ensureIvfIndex(s: SparkSession, d: String): String = synchronized {
-    val name = "graft_ivf_" + java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val name = "graft_ivf_" + indexKey(d, "embeddings")
     if (!s.catalog.tableExists(name)) {
       Tables.dropManagedTable(s, name)
       Similarity.buildIvfIndex(
@@ -1088,8 +1104,7 @@ object SparkEntry {
   }
 
   private def ensureIvfPqIndex(s: SparkSession, d: String): String = synchronized {
-    val name = "graft_ivfpq_" + java.lang.Long.toHexString(
-      java.lang.Integer.toUnsignedLong(d.hashCode))
+    val name = "graft_ivfpq_" + indexKey(d, "embeddings")
     if (!s.catalog.tableExists(name)) {
       Tables.dropManagedTable(s, name)
       Similarity.buildIvfPqIndex(Tables.load(s, d, "embeddings"),

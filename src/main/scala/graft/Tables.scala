@@ -58,18 +58,38 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new GraftExtensions)
 
-  /** Drop a managed table AND its on-disk warehouse location. A previous
-    * JVM may have left files under the warehouse dir that this session's
+  /** Drop a managed table AND its on-disk location. A previous JVM may
+    * have left files under the warehouse dir that this session's
     * in-memory catalog has no entry for — then `DROP TABLE IF EXISTS` is a
     * no-op and a later managed CREATE fails with LOCATION_ALREADY_EXISTS.
+    *
+    * The location is resolved from CATALOG METADATA while the entry still
+    * exists — hard-coding `<warehouse>/<name>` deletes the wrong path for
+    * a table in a non-default database or with a custom LOCATION (ADVICE
+    * r8). EXTERNAL tables keep their files by Spark's own contract: only
+    * the entry is dropped. The warehouse-path convention remains only as
+    * the fallback for catalog-less orphans, which nothing else can name.
     * Physical deletion goes through the Hadoop FileSystem API so the same
     * code works against any warehouse filesystem.
     */
   def dropManagedTable(spark: SparkSession, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val catalog = spark.sessionState.catalog
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val toDelete: Option[Path] =
+      if (catalog.tableExists(id)) {
+        val meta = catalog.getTableMetadata(id)
+        if (meta.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+          Some(new Path(meta.location)) // the table's REAL location
+        else None // external: never delete user data
+      } else
+        Some(new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),
+          name.toLowerCase)) // orphaned files from a previous JVM
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(wh, name.toLowerCase), true)
+    toDelete.foreach { p => // idempotent: DROP already removed managed files
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Register every table as a temp view (for spark.sql entry points). */

@@ -48,41 +48,57 @@ object ShingleHashes {
   def apply(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
 
-  /** Hash of tokens[from..from+n) joined by single spaces, as one fold:
-    * h advances over each token's codepoints with `h*31 + cp mod M`, and
-    * over an implicit 32 (' ') between consecutive tokens.
+  /** Static so generated code dispatches with one monomorphic call.
+    * Returns an EMPTY array when the document has fewer than n tokens
+    * (callers guard with `size(tokens) >= n` exactly as the string
+    * spelling does, so the empty case never reaches a consumer).
+    *
+    * Each token is decoded and codepoint-folded EXACTLY ONCE: the fold
+    * `h*31 + cp (mod M)` is linear in h, so a token contributes to any
+    * window through just its own hash h_t and length power p_t = 31^len
+    * — appending token t to running state h is `h*p_t + h_t (mod M)`.
+    * The n windows containing a token then combine per-token (h_t, p_t)
+    * pairs arithmetically, with the implicit `' '` (32) folded between
+    * tokens. The first spelling re-decoded every token in every window —
+    * O(windows × n) String allocations on the engine's most-executed
+    * expression (ADVICE r8); this one allocates O(tokens) and is
+    * bitwise-identical (differential spec vs the concat_ws lambda
+    * spelling). Products stay in range: M = 2^31−1, so h·p < 2^62.
     */
-  private def hashWindow(tokens: ArrayData, from: Int, n: Int): Long = {
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val sz = tokens.numElements()
+    if (sz < n) return new GenericArrayData(Array.emptyLongArray)
     val M = PolyHash.Mod
-    var h = 0L
-    var t = 0
-    while (t < n) {
-      if (t > 0) h = (h * 31 + 32) % M
-      val str = tokens.getUTF8String(from + t).toString
+    val th = new Array[Long](sz) // per-token codepoint fold from 0
+    val tp = new Array[Long](sz) // 31^(codepoint count) mod M
+    var j = 0
+    while (j < sz) {
+      val str = tokens.getUTF8String(j).toString
       val len = str.length
+      var h = 0L
+      var p = 1L
       var i = 0
       while (i < len) {
         val cp = str.codePointAt(i)
         i += Character.charCount(cp)
         h = (h * 31 + cp) % M
+        p = (p * 31) % M
       }
-      t += 1
+      th(j) = h
+      tp(j) = p
+      j += 1
     }
-    h
-  }
-
-  /** Static so generated code dispatches with one monomorphic call.
-    * Returns an EMPTY array when the document has fewer than n tokens
-    * (callers guard with `size(tokens) >= n` exactly as the string
-    * spelling does, so the empty case never reaches a consumer).
-    */
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
-    val sz = tokens.numElements()
-    if (sz < n) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](sz - n + 1)
     var i = 0
     while (i <= sz - n) {
-      out(i) = hashWindow(tokens, i, n)
+      var h = th(i)
+      var t = 1
+      while (t < n) {
+        h = (h * 31 + 32) % M            // the separator space
+        h = (h * tp(i + t) + th(i + t)) % M // append token i+t in O(1)
+        t += 1
+      }
+      out(i) = h
       i += 1
     }
     new GenericArrayData(out)

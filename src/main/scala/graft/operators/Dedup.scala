@@ -901,15 +901,24 @@ object Dedup {
     * the (doc_a, doc_b) aggregation, whose volume is the candidate pair
     * count — linear in the corpus for a bounded batch. Self-pairs are
     * excluded by id.
+    *
+    * `hintBroadcastBatch` defaults to FALSE: the bounded-batch
+    * assumption is the caller's, so the general operator lets AQE pick
+    * the join from the batch's RUNTIME size (an oversized batch degrades
+    * to a shuffle join instead of OOMing the driver — ADVICE r8). The
+    * benched gate entry, whose batch is bounded by construction, passes
+    * true to pin the broadcast.
     */
   def containmentLookup(batch: DataFrame, corpus: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
-    val bEx = hashedSets(batch)
+      threshold: Double = 0.7,
+      hintBroadcastBatch: Boolean = false): DataFrame = {
+    val bEx0 = hashedSets(batch)
       .select(col("doc_id").as("doc_a"), size(col("sset")).as("sz_a"),
         explode(col("sset")).as("s"))
+    val bEx = if (hintBroadcastBatch) broadcast(bEx0) else bEx0
     val cEx = hashedSets(corpus)
       .select(col("doc_id").as("doc_b"), explode(col("sset")).as("s"))
-    cEx.join(broadcast(bEx), "s")
+    cEx.join(bEx, "s")
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b", "sz_a")
       .agg(count(lit(1)).as("n_inter"))
@@ -969,6 +978,14 @@ object Dedup {
       .mode("overwrite").saveAsTable(s"${table}_df")
     sets.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable(s"${table}_sets")
+    // one-row meta table: the build threshold is part of the index's
+    // CONTRACT (stored prefixes are only long enough for lookups at or
+    // above it) — persisting it lets the serve path enforce the bound
+    // instead of silently dropping candidates (ADVICE r8)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(threshold).toDF("build_threshold")
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
   }
 
   /** Serve one ingest batch against a persisted set-similarity index —
@@ -979,11 +996,24 @@ object Dedup {
     * has never seen get df=0 and sort first — they occupy prefix slots
     * but can never match a posting, so losslessness is unaffected).
     * `threshold` must be >= the index's build threshold: the stored
-    * prefix is re-filtered to this threshold's length.
+    * prefix is re-filtered to this threshold's length. The bound is
+    * ENFORCED against the persisted `<table>_meta` row — serving below
+    * the build threshold would silently lose candidates (the stored
+    * prefixes are too short), so it fails fast instead. Indexes built
+    * before the meta table existed serve unchecked (documented legacy).
     */
   def setSimilarityLookupIndexed(batch: DataFrame, table: String,
       threshold: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
+    if (spark.catalog.tableExists(s"${table}_meta")) {
+      val built = spark.table(s"${table}_meta")
+        .select("build_threshold").head().getDouble(0)
+      require(threshold >= built - 1e-9,
+        s"lookup threshold $threshold is below the index's build " +
+          s"threshold $built: stored prefixes are too short and " +
+          "candidates would be silently lost — rebuild the index at " +
+          "the lower threshold instead")
+    }
     val bSets = hashedSets(batch)
     val dfreq = spark.table(s"${table}_df")
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))

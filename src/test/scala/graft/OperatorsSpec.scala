@@ -519,7 +519,7 @@ class OperatorsSpec extends AnyFunSuite {
     // the build threshold (stored prefixes re-filtered).
     val idxName = "optest_setsim"
     try {
-      Seq("_postings", "_df", "_sets")
+      Seq("_postings", "_df", "_sets", "_meta")
         .foreach(x => Tables.dropManagedTable(spark, idxName + x))
       Dedup.buildSetSimIndex(d.filter($"doc_id" % 2 === 0), idxName, threshold = 0.3)
       val gotIdx = Dedup.setSimilarityLookupIndexed(
@@ -530,7 +530,15 @@ class OperatorsSpec extends AnyFunSuite {
           d.filter($"doc_id" % 2 === 1), idxName, threshold = 0.5)
         .as[(Long, Long, Long, Double)].collect().toSet
       assert(gotIdxHi === bruteLookup(0.5))
-    } finally Seq("_postings", "_df", "_sets")
+      // serving BELOW the build threshold would silently lose candidates
+      // (stored prefixes too short) — the persisted meta row makes it
+      // fail fast instead (ADVICE r8)
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.setSimilarityLookupIndexed(
+          d.filter($"doc_id" % 2 === 1), idxName, threshold = 0.2)
+      }
+      assert(ex.getMessage.contains("build"))
+    } finally Seq("_postings", "_df", "_sets", "_meta")
       .foreach(x => Tables.dropManagedTable(spark, idxName + x))
   }
 

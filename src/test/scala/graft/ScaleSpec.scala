@@ -147,7 +147,7 @@ class ScaleSpec extends AnyFunSuite {
     import graft.operators.Dedup
     val docs = Tables.load(spark, dir, "documents")
     try {
-      Seq("_postings", "_df", "_sets")
+      Seq("_postings", "_df", "_sets", "_meta")
         .foreach(x => Tables.dropManagedTable(spark, "sstest" + x))
       Dedup.buildSetSimIndex(docs.filter(col("doc_id") % 2 === 0), "sstest",
         threshold = 0.5, buckets = 4)
@@ -177,7 +177,7 @@ class ScaleSpec extends AnyFunSuite {
       assert(verPlan.contains("Bucketed: true"), s"sets scan not bucketed:\n$verPlan")
       assert("Exchange hashpartitioning".r.findAllIn(verPlan).size <= 1,
         s"sets side must not re-shuffle:\n$verPlan")
-    } finally Seq("_postings", "_df", "_sets")
+    } finally Seq("_postings", "_df", "_sets", "_meta")
       .foreach(x => Tables.dropManagedTable(spark, "sstest" + x))
   }
 
