@@ -975,10 +975,28 @@ object Similarity {
     */
   def semanticNearDupPairs(emb: DataFrame, centroids: Array[Array[Double]],
       threshold: Double = 0.3): DataFrame = {
-    val wb = withNorm(emb)
-      .withColumn("scores", cellScores(centroids))
-      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
-      .select("vec_id", "v", "nrm", "cell")
+    val wb = assignCells(emb, centroids)
+    // whole-cell kernel: ONE aggregation row per cell (occupancy-bounded
+    // by the cellsFor rule), every in-cell pair scored in a primitive
+    // loop — replaces the self-join that materialized a ~1 KB UnsafeRow
+    // per candidate pair (see CellPairs scaladoc; the join spelling
+    // remains below as the differential twin)
+    wb.groupBy("cell")
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("members"))
+      .select(col("cell"),
+        explode(graft.functions.CellNearDupPairs(col("members"), threshold)).as("p"))
+      .select(col("cell"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cos").as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Join+window spelling of `semanticNearDupPairs` — the differential
+    * twin (bit-equality asserted in OperatorsSpec) and the shape to fall
+    * back to if a cell ever outgrew the kernel's per-group state bound.
+    */
+  private[graft] def semanticNearDupPairsJoin(emb: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double = 0.3): DataFrame = {
+    val wb = assignCells(emb, centroids)
     val a = wb.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"))
     // shuffle join (not broadcast) so both sides reuse the cell-assignment
@@ -991,6 +1009,16 @@ object Similarity {
       .select("cell", "id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
+
+  /** Shared cell assignment for the blocked operators: nearest fitted
+    * centroid per vector via the native `CellScores` pass.
+    */
+  private def assignCells(emb: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    withNorm(emb)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .drop("scores")
 
   /** Blocked k-NN graph: EVERY vector's top-k cosine neighbors within its
     * k-means cell — the bulk companion to the query-side top-k operators
@@ -1011,11 +1039,19 @@ object Similarity {
     * anywhere — the graph streams straight to the sink.
     */
   def knnGraph(emb: DataFrame, centroids: Array[Array[Double]],
-      k: Int = 3): DataFrame = {
-    val wb = withNorm(emb)
-      .withColumn("scores", cellScores(centroids))
-      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
-      .select("vec_id", "v", "nrm", "cell")
+      k: Int = 3): DataFrame =
+    assignCells(emb, centroids)
+      .groupBy("cell")
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("members"))
+      .select(explode(graft.functions.CellKnn(col("members"), k)).as("r"))
+      .select(col("r.q_id").as("q_id"), col("r.rnk").as("rnk"),
+        col("r.n_id").as("n_id"), col("r.cos").as("cos"))
+      .orderBy("q_id", "rnk")
+
+  /** Join+window spelling of `knnGraph` — the differential twin. */
+  private[graft] def knnGraphJoin(emb: DataFrame,
+      centroids: Array[Array[Double]], k: Int = 3): DataFrame = {
+    val wb = assignCells(emb, centroids)
     val a = wb.select(col("cell"), col("vec_id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn"))
     val b = wb.hint("shuffle_hash").select(col("cell").as("cell_b"),
@@ -1035,11 +1071,21 @@ object Similarity {
     * the comparison frame.
     */
   def contrastivePairs(emb: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    assignCells(emb, centroids)
+      .groupBy("cell")
+      .agg(collect_list(
+        struct(col("vec_id"), col("label"), col("v"), col("nrm"))).as("members"))
+      .select(explode(graft.functions.CellContrastive(col("members"))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.label").as("label"),
+        col("r.pos_id").as("pos_id"), col("r.pos_cos").as("pos_cos"),
+        col("r.neg_id").as("neg_id"), col("r.neg_cos").as("neg_cos"))
+      .orderBy("vec_id")
+
+  /** Join+window spelling of `contrastivePairs` — the differential twin. */
+  private[graft] def contrastivePairsJoin(emb: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
-    val wb = withNorm(emb)
-      .withColumn("scores", cellScores(centroids))
-      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
-      .select("vec_id", "label", "v", "nrm", "cell")
+    val wb = assignCells(emb, centroids)
     val a = wb.select(col("cell"), col("vec_id").as("q_id"),
       col("label").as("q_label"), col("v").as("qv"), col("nrm").as("qn"))
     val b = wb.hint("shuffle_hash").select(col("cell").as("cell_b"),

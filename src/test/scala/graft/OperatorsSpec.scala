@@ -1581,6 +1581,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(negCos === -2.0)
   }
 
+  test("cell kernels are bit-identical to the join+window spellings on random embeddings") {
+    // the blocked trio runs through whole-cell CellPairs kernels; the
+    // retired self-join spellings stay as differential twins — random
+    // vectors + several labels + a low threshold exercise dense outputs,
+    // top-k ties, and the -1/-2 sentinel paths
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 300L).map { i =>
+      (i, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f), (i % 5).toInt)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.fitCentroids(emb, 6)
+    val a1 = Similarity.semanticNearDupPairs(emb, cents, 0.1).collect().toSeq
+    val b1 = Similarity.semanticNearDupPairsJoin(emb, cents, 0.1).collect().toSeq
+    assert(a1 === b1)
+    val a2 = Similarity.knnGraph(emb, cents, k = 3).collect().toSeq
+    val b2 = Similarity.knnGraphJoin(emb, cents, k = 3).collect().toSeq
+    assert(a2 === b2)
+    val a3 = Similarity.contrastivePairs(emb, cents).collect().toSeq
+    val b3 = Similarity.contrastivePairsJoin(emb, cents).collect().toSeq
+    assert(a3 === b3)
+    assert(a1.nonEmpty && a2.nonEmpty && a3.nonEmpty)
+  }
+
   test("Misra-Gries sketch honors the superset and error-bound guarantees") {
     import graft.functions.MisraGries
     import org.apache.spark.sql.functions.{col, explode}
