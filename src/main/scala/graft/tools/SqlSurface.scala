@@ -53,6 +53,13 @@ object SqlSurface {
     s = s.replace("quantile_cont(", "percentile(")
       .replace("json_extract_string(", "get_json_object(")
       .replace("date_diff('day',", "timestampdiff(DAY,")
+    // DuckDB struct literal {'k': v, ...} → named_struct('k', v, ...).
+    // Field access (x.k), struct max/comparison order, and NULL struct
+    // handling agree between the engines; the quoted-key pattern cannot
+    // collide with regex quantifiers ({2,}) inside string literals.
+    s = """\{('[A-Za-z_]+'\s*:\s*[^,{}]+(?:,\s*'[A-Za-z_]+'\s*:\s*[^,{}]+)*)\}""".r
+      .replaceAllIn(s, m =>
+        "named_struct(" + m.group(1).replace(":", ",") + ")")
     s
   }
 

@@ -26,6 +26,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   /** Oracle SQL that Spark runs verbatim (pure ANSI). */
   private val verbatim = Set(
+    "pipeline_quality_model",
     "q10_returned_items", "q11_important_stock", "q12_late_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_part_cnt", "q17_small_quantity", "q19_disjunctive",
@@ -37,18 +38,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_nations_both_sides", "q_priority_customers", "q_rollup_returns",
     "q_top_suppliers_per_nation")
 
-  /** Oracle SQL that runs after the dialect mapping. */
+  /** Oracle SQL that runs after the dialect mapping (r9 additions: the
+    * three as-of joins via the struct-literal→named_struct mapping, the
+    * session-overlap rank sweep, BM25, the anomaly z-score query).
+    */
   private val translated = Set(
-    "q18_large_orders", "q3_shipping_priority", "q_events_daily_active",
+    "q18_large_orders", "q3_shipping_priority", "q_events_anomaly",
+    "q_events_asof_next", "q_events_asof_purchase", "q_events_asof_tolerance",
+    "q_events_daily_active",
     "q_events_funnel", "q_events_hourly", "q_events_incident_window",
     "q_events_latest_state", "q_events_moving_avg", "q_events_props",
     "q_events_retention", "q_events_scd_history", "q_events_sessions",
+    "q_events_session_overlap",
     "q_events_trailing_hour", "q_events_user_gaps", "q_order_percentiles",
     "q_running_total", "q_top_orders", "text_heavyhitters", "text_oov",
-    "text_search", "text_tfidf", "text_vocab", "wordcount",
-    "wordcount_windowed")
+    "text_search", "text_search_bm25", "text_tfidf", "text_vocab",
+    "wordcount", "wordcount_windowed")
 
-  test("52 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("59 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
