@@ -70,28 +70,33 @@ object Bench {
     if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
 
-    // One query per operator family PLUS the full top-10 by 100x-scale cost
-    // (SCALE_CURVE.txt) — the queries where scale regressions actually live:
-    // dedup_setsim_lookup, q_events_asof_next, pipeline_contamination,
-    // text_boilerplate, dedup_apply_near, dedup_ngram_jaccard, dedup_clusters,
-    // dedup_minhash_sig, q_events_session_overlap, pipeline_decontaminate.
+    // One query per operator family PLUS the full top-12 by 100x-scale
+    // cost of the r9 curve — the queries where scale regressions actually
+    // live: q18_large_orders, q21_waiting_suppliers, text_lm_bigram,
+    // q7_nation_volume, q8_market_share, q_events_session_overlap,
+    // text_tfidf, q10_returned_items, text_fuzzy_apply, text_lm_score,
+    // q_events_asof_tolerance, text_boilerplate (re-synced per r8 verdict
+    // item 3; re-check against each round's committed curve).
     val headline = Seq(
-      "wordcount", "wordcount_topk", "wordcount_windowed",
-      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-      "q7_nation_volume", "q9_product_profit", "q18_large_orders",
+      "wordcount", "wordcount_windowed",
+      "q1_pricing_summary", "q5_region_revenue",
+      "q7_nation_volume", "q8_market_share", "q9_product_profit",
+      "q10_returned_items", "q18_large_orders",
       "q21_waiting_suppliers", "q_running_total", "q_order_percentiles",
       "q_events_hourly", "q_events_sessions", "q_events_incident_window",
       "q_events_trailing_hour", "q_events_asof_next",
+      "q_events_asof_tolerance",
       "q_events_session_overlap", "dedup_exact", "dedup_minhash_sig",
       "dedup_minhash_pairs", "dedup_clusters", "dedup_semantic",
       "dedup_spans", "dedup_setsim_lookup", "dedup_apply_near",
       "dedup_ngram_jaccard", "ann_topk",
       "ann_ivf_kmeans", "ann_quantized_topk", "ann_ivfpq_topk",
-      "emb_top_pairs", "text_tfidf",
+      "ann_knn_graph", "emb_contrastive", "emb_top_pairs", "text_tfidf",
       "text_tokens", "text_inverted_index", "text_bpe_encode",
-      "text_boilerplate", "pipeline_curation", "pipeline_quality_scores",
+      "text_boilerplate", "text_lm_bigram", "text_lm_score",
+      "text_fuzzy_apply", "pipeline_curation", "pipeline_quality_scores",
       "pipeline_pack", "pipeline_contamination", "pipeline_decontaminate",
-      "mm_features")
+      "pipeline_split_safe", "mm_features")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,""" +

@@ -53,14 +53,22 @@ object ClusterSmoke {
     }
 
     // stateful streaming: the flatMapGroupsWithState closure + state encoder
-    // must survive executor serialization too
+    // must survive executor serialization too. State store: RocksDB (the
+    // production provider — its native-lib loading and changelog files
+    // must work inside real executor JVMs, not just local[*]; r8 verdict
+    // item 8), with a unique checkpoint per run.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm")
     val input = MemoryStream[SessionEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cluster_smoke_ckpt").toString
     val q = Sessionize.sessions(input.toDS(), gapMs = 30 * 60 * 1000L,
         watermarkDelayMs = 10 * 60 * 1000L)
       .writeStream.format("memory").queryName("cluster_smoke_sessions")
+      .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try {
       input.addData(SessionEvent(1L, ts("10:00:00")), SessionEvent(1L, ts("10:20:00")))
