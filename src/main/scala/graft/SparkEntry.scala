@@ -420,6 +420,12 @@ object SparkEntry {
     // `text_search` is the conjunctive AND twin)
     "text_search_bm25" -> ((s, d) => TextAnalysis.searchBm25(
       Tables.load(s, d, "documents"), Seq("spark", "hash", "merge"))),
+    // the same BM25 query served from the PERSISTED inverted index
+    // (built once per session per sf dir); per-query cost is the query
+    // terms' postings, never the corpus — shares text_search_bm25's
+    // oracle because serving is bit-exact to the ad-hoc ranking
+    "text_search_bm25_indexed" -> ((s, d) => TextAnalysis.searchBm25Indexed(
+      s, ensureBm25Index(s, d), Seq("spark", "hash", "merge"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
@@ -1093,6 +1099,21 @@ object SparkEntry {
     * (indexed serving must reproduce the in-memory answer exactly; the
     * parity is also plan-asserted in ScaleSpec).
     */
+  /** Build-once guard for the persisted BM25 inverted index — same
+    * lifecycle contract as `ensureSetSimIndex`. Built over the FULL
+    * documents table: the indexed serve shares `text_search_bm25`'s
+    * oracle, so the indexed corpus must be the ad-hoc query's corpus.
+    */
+  private def ensureBm25Index(s: SparkSession, d: String): String = synchronized {
+    val name = "graft_bm25_" + indexKey(d, "documents")
+    if (!s.catalog.tableExists(name + "_postings")) {
+      Seq("_postings", "_df", "_lens", "_stats")
+        .foreach(x => Tables.dropManagedTable(s, name + x))
+      functions.TextAnalysis.buildBm25Index(Tables.load(s, d, "documents"), name)
+    }
+    name
+  }
+
   private def ensureIvfIndex(s: SparkSession, d: String): String = synchronized {
     val name = "graft_ivf_" + indexKey(d, "embeddings")
     if (!s.catalog.tableExists(name)) {
@@ -1967,7 +1988,15 @@ object SparkEntry {
   /** DuckDB oracle SQL, one per queries key (same columns, same ordering).
     * Numeric parity strategy documented at queries.Relational.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlStatic ++ Map(
+    // the persisted-index BM25 serve must reproduce the ad-hoc ranking
+    // BIT-EXACTLY (same decimal fold, df over the full vocabulary
+    // restricted to the query terms == the ad-hoc per-query df), so it
+    // shares the same oracle — the ann_ivf_indexed pattern applied to
+    // lexical search
+    "text_search_bm25_indexed" -> oracleSqlStatic("text_search_bm25"))
+
+  private lazy val oracleSqlStatic: Map[String, String] = Map(
     "wordcount" ->
       """SELECT word, COUNT(*) AS cnt
         |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS word

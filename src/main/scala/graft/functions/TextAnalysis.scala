@@ -606,11 +606,20 @@ object TextAnalysis {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    bm25Score(perDoc, dfT, dlen, n.crossJoin(avg), k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared by the ad-hoc and the indexed serve:
+    * decimal accumulation in a fixed operation order, Lucene nonnegative
+    * idf, output-edge sort+limit only. `stats` is the 1-row
+    * (n_docs, avglen) frame.
+    */
+  private def bm25Score(perDoc: DataFrame, dfT: DataFrame, dlen: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame =
     perDoc
       .join(broadcast(dfT), Seq("term"))
       .join(dlen, Seq("doc_id"))
-      .crossJoin(broadcast(n))
-      .crossJoin(broadcast(avg))
+      .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("w",
@@ -623,6 +632,109 @@ object TextAnalysis {
       .select("doc_id", "n_terms", "score")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+
+  /** Persist the corpus side of `searchBm25` once — the lexical-search
+    * member of the persisted-index family (`buildSetSimIndex` /
+    * `buildMinhashIndex` / `buildIvfIndex`). Four tables, each bucketed
+    * by its serve-join key so queries never shuffle the corpus side:
+    *
+    *   `<table>_postings (term, doc_id, tf)` — the inverted index,
+    *       bucketed by `term` (the probe key; a query scans only its
+    *       terms' buckets);
+    *   `<table>_df (term, df)` — per-term document frequency over the
+    *       FULL vocabulary, bucketed by `term`;
+    *   `<table>_lens (doc_id, len)` — document lengths, bucketed by
+    *       `doc_id` (the score join's key);
+    *   `<table>_stats (avglen, n_docs)` — one row.
+    *
+    * Scale (100 TB): the tokenize + tf/df/length aggregations — the
+    * whole corpus-proportional cost of `searchBm25` — run ONCE at build;
+    * each query then touches its query terms' postings plus a
+    * term-count-sized df broadcast, with the doc-length join consuming
+    * the bucketed layout. Serving reproduces the ad-hoc ranking
+    * BIT-EXACTLY (same decimal fold, same idf arithmetic, df over the
+    * full vocabulary restricted to the query terms equals the ad-hoc
+    * per-query df), so `text_search_bm25_indexed` shares
+    * `text_search_bm25`'s oracle — asserted in OperatorsSpec, bucketed
+    * no-exchange shape asserted in ScaleSpec.
+    */
+  def buildBm25Index(docs: DataFrame, table: String, buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    val tk = docs.select(col("doc_id"),
+      explode(WordCount.tokens(col("text"))).as("term"))
+    tk.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.bucketBy(buckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${table}_postings")
+    // df derives from the persisted postings (one bucketed scan) instead
+    // of re-running the corpus tokenize
+    spark.table(s"${table}_postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.bucketBy(buckets, "term").sortBy("term")
+      .mode("overwrite").saveAsTable(s"${table}_df")
+    val dlen = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    dlen.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable(s"${table}_lens")
+    // avglen over docs WITH tokens (dlen rows), n_docs over ALL docs —
+    // exactly the ad-hoc pair of scalars
+    dlen.agg((sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .write.mode("overwrite").saveAsTable(s"${table}_stats")
+  }
+
+  /** Serve a BM25 query from the persisted inverted index — same output
+    * contract and bit-exact ranking as `searchBm25` over the indexed
+    * corpus, at per-query cost O(query-term postings), never the corpus.
+    */
+  def searchBm25Indexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "searchBm25Indexed needs at least one term")
+    val perDoc = spark.table(s"${table}_postings")
+      .filter(col("term").isin(terms: _*))
+    val dfT = spark.table(s"${table}_df")
+      .filter(col("term").isin(terms: _*))
+    bm25Score(perDoc, dfT, spark.table(s"${table}_lens"),
+      spark.table(s"${table}_stats"), k, k1, b)
+  }
+
+  /** Serve a BATCH of BM25 queries from the persisted index in one job —
+    * the per-micro-batch kernel `StreamSearchServe` runs: `queries` is
+    * (q_id: long, terms: array<string>); every query's top-k lands in
+    * the one output frame as (q_id, rnk, doc_id, n_terms, score), each
+    * ranking bit-exact to `searchBm25Indexed` over that query's terms
+    * (differential-asserted in OperatorsSpec). The (tiny) exploded
+    * query-term side joins the bucketed postings; per-batch cost is the
+    * matched postings, never the corpus, and the per-query top-k is a
+    * WindowGroupLimit rank — no driver-side per-query loop.
+    */
+  def searchBm25IndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col("q_id"),
+      explode(array_distinct(col("terms"))).as("term"))
+    val perDoc = spark.table(s"${table}_postings")
+      .join(broadcast(qt), Seq("term"))
+    val dfT = spark.table(s"${table}_df")
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+    val scored = perDoc
+      .join(broadcast(dfT), Seq("term"))
+      .join(spark.table(s"${table}_lens"), Seq("doc_id"))
+      .crossJoin(broadcast(spark.table(s"${table}_stats")))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id", "n_terms", "score")
+      .orderBy("q_id", "rnk")
   }
 
   /** Hot-key guard for the fuzzy-pair deletion buckets: a deletion variant

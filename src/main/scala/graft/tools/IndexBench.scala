@@ -104,6 +104,20 @@ object IndexBench {
         graft.Tables.dropManagedTable(spark, tbl + "_bands")
       }
 
+      // --- BM25 inverted index ---
+      locally {
+        val tbl = "ixbench_bm25"
+        val sfx = Seq("_postings", "_df", "_lens", "_stats")
+        sfx.foreach(x => graft.Tables.dropManagedTable(spark, tbl + x))
+        val terms = Seq("spark", "hash", "merge")
+        val buildS = once(graft.functions.TextAnalysis.buildBm25Index(docs, tbl))
+        val serveS = best2(graft.functions.TextAnalysis
+          .searchBm25Indexed(spark, tbl, terms))
+        val adhocS = best2(graft.functions.TextAnalysis.searchBm25(docs, terms))
+        emit("bm25", 0.0, buildS, serveS, adhocS)
+        sfx.foreach(x => graft.Tables.dropManagedTable(spark, tbl + x))
+      }
+
       // --- IVF index ---
       val (cents, fitIvfS) = {
         var c: Array[Array[Double]] = null

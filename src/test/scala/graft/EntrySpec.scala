@@ -148,6 +148,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_minhash_lookup" -> 8L,
     "pipeline_split_safe" -> 500L,
     "text_search_bm25" -> 20L,
+    "text_search_bm25_indexed" -> 20L,
     "ann_knn_graph" -> 1500L,
     "emb_contrastive" -> 500L,
     "pipeline_snapshot_diff" -> 137L,

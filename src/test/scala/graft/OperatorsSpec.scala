@@ -599,6 +599,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head._1 === 1L && got.head._3 > got(1)._3)
   }
 
+  test("persisted bm25 index serves the ad-hoc ranking bit-exactly") {
+    // richer corpus: repeated terms, multi-term disjunction, docs
+    // matching a strict subset of the query, an empty doc (n_docs
+    // counts it, avglen does not)
+    val d = docs(
+      (1L, "spark spark hash join"), (2L, "merge sort hash"),
+      (3L, "spark merge hash hash"), (4L, "sort join shuffle"),
+      (5L, ""), (6L, "spark"))
+    val idx = "optest_bm25"
+    val sfx = Seq("_postings", "_df", "_lens", "_stats")
+    try {
+      sfx.foreach(x => Tables.dropManagedTable(spark, idx + x))
+      TextAnalysis.buildBm25Index(d, idx, buckets = 4)
+      for (terms <- Seq(Seq("spark", "hash", "merge"), Seq("hash"),
+          Seq("spark", "shuffle"))) {
+        val adhoc = TextAnalysis.searchBm25(d, terms, k = 10)
+          .as[(Long, Long, Double)].collect().toSeq
+        val served = TextAnalysis.searchBm25Indexed(spark, idx, terms, k = 10)
+          .as[(Long, Long, Double)].collect().toSeq
+        assert(served === adhoc, s"terms=$terms")
+        assert(adhoc.nonEmpty)
+      }
+    } finally sfx.foreach(x => Tables.dropManagedTable(spark, idx + x))
+  }
+
   test("persisted minhash band index serves the same candidates as inline banding") {
     val d = docs(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g z"),

@@ -203,6 +203,32 @@ class ScaleSpec extends AnyFunSuite {
     } finally Tables.dropManagedTable(spark, "mhtest_bands")
   }
 
+  test("persisted bm25 index: bucketed postings/lens serve with no index-side exchange") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents")
+    val sfx = Seq("_postings", "_df", "_lens", "_stats")
+    try {
+      sfx.foreach(x => Tables.dropManagedTable(spark, "bmtest" + x))
+      TextAnalysis.buildBm25Index(docs, "bmtest", buckets = 4)
+      val served = TextAnalysis.searchBm25Indexed(spark, "bmtest",
+        Seq("spark", "hash", "merge"))
+      served.collect()
+      // AQE's plan string carries BOTH the final and the initial plan;
+      // assert on the final one only
+      val full = served.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==").head
+      // postings and lens both read their bucketed layouts
+      // (SelectedBucketsCount shows the query-term posting buckets
+      // pruned); the one legal hash exchange is the per-doc score
+      // aggregation — the corpus-sized index tables must not re-shuffle
+      assert(plan.contains("Bucketed: true"), s"index scans not bucketed:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"posting buckets not pruned by the term filter:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+        s"index side must not re-shuffle:\n$plan")
+    } finally sfx.foreach(x => Tables.dropManagedTable(spark, "bmtest" + x))
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // The no-code skew path that complements Salting: AQE reads real
     // shuffle sizes and splits an oversized partition into parallel

@@ -52,10 +52,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_events_session_overlap",
     "q_events_trailing_hour", "q_events_user_gaps", "q_order_percentiles",
     "q_running_total", "q_top_orders", "text_heavyhitters", "text_oov",
-    "text_search", "text_search_bm25", "text_tfidf", "text_vocab",
+    "text_search", "text_search_bm25", "text_search_bm25_indexed",
+    "text_tfidf", "text_vocab",
     "wordcount", "wordcount_windowed")
 
-  test("59 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("60 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)

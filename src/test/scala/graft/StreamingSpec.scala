@@ -480,6 +480,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_serve_idx")
   }
 
+  test("streaming BM25 serving answers each query batch from the persisted index, equal to the indexed twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextAnalysis
+    import graft.streaming.StreamSearchServe
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sfx = Seq("_postings", "_df", "_lens", "_stats")
+    try {
+      sfx.foreach(x => Tables.dropManagedTable(spark, "bm25_serve_idx" + x))
+      TextAnalysis.buildBm25Index(docs, "bm25_serve_idx", buckets = 4)
+      val input = MemoryStream[(Long, Seq[String])]
+      val results = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Long, Long, Double)]
+      val q = StreamSearchServe.serve(
+        input.toDF().toDF("q_id", "terms"), "bm25_serve_idx", k = 5) {
+        (answers, batchId) =>
+          results ++= answers.as[(Long, Int, Long, Long, Double)].collect()
+            .map(r => (batchId, r._1, r._2, r._3, r._4, r._5))
+      }
+      try {
+        input.addData((1L, Seq("spark", "hash")), (2L, Seq("merge")))
+        q.processAllAvailable()
+        val afterFirst = results.size
+        assert(afterFirst > 0)
+        input.addData((3L, Seq("spark", "hash", "merge")))
+        q.processAllAvailable()
+        assert(results.size > afterFirst)
+        // each query answered in exactly its own arrival batch
+        val batchOf = results.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+        assert(batchOf.values.forall(_.size === 1))
+        assert(batchOf(1L) != batchOf(3L))
+        // per-query parity with the single-query indexed serve: the
+        // streaming top-k must be the indexed ranking exactly
+        for ((qid, terms) <- Seq(1L -> Seq("spark", "hash"),
+            2L -> Seq("merge"), 3L -> Seq("spark", "hash", "merge"))) {
+          val single = TextAnalysis
+            .searchBm25Indexed(spark, "bm25_serve_idx", terms, k = 5)
+            .as[(Long, Long, Double)].collect().toSeq
+            .map { case (doc, nt, sc) => (doc, nt, sc) }
+          val got = results.filter(_._2 == qid).sortBy(_._3)
+            .map(r => (r._4, r._5, r._6)).toSeq
+          assert(got === single, s"q_id=$qid terms=$terms")
+        }
+      } finally q.stop()
+    } finally sfx.foreach(x => Tables.dropManagedTable(spark, "bm25_serve_idx" + x))
+  }
+
   test("streaming ingest guard admits each batch exactly as the batch decontaminate would") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
