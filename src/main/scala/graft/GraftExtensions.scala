@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharClassCounts, MinHashBands, MisraGries, PolyHash, RollingFingerprint, SimHash64, TokenCount, TokenCountRewrite, VectorDot, WhitespaceTokens, WinnowFingerprint}
+import graft.functions.{CharClassCounts, DamerauLevenshtein, JaroWinkler, MinHashBands, MisraGries, PolyHash, RollingFingerprint, SimHash64, TokenCount, TokenCountRewrite, VectorDot, WhitespaceTokens, WinnowFingerprint}
 
 /** Spark extension point: `--conf spark.sql.extensions=graft.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) registers every graft native
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intLiteral("graft_misra_gries", "k", exprs(1)))))
     ext.injectFunction(fn("graft_token_count", classOf[TokenCount],
       exprs => TokenCount(exprs.head)))
+    ext.injectFunction(fn("graft_jaro_winkler", classOf[JaroWinkler],
+      exprs => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction(fn("graft_damerau_levenshtein", classOf[DamerauLevenshtein],
+      exprs => DamerauLevenshtein(exprs(0), exprs(1))))
     ext.injectFunction(fn("graft_char_counts", classOf[CharClassCounts],
       exprs => CharClassCounts(exprs.head)))
     // optimizer rule: size(whitespacetokens(x)) -> TokenCount(x), the

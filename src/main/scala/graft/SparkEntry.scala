@@ -50,6 +50,8 @@ object SparkEntry {
     "q_priority_customers" -> (Relational.qPriorityCustomers _),
     "q_rollup_returns" -> (Relational.qRollupReturns _),
     "q_cube_returns" -> (Relational.qCubeReturns _),
+    "q_grouping_sets_returns" -> (Relational.qGroupingSetsReturns _),
+    "q_pivot_priority" -> (Relational.qPivotPriority _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q_order_percentiles" -> (Relational.qOrderPercentiles _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
@@ -412,6 +414,8 @@ object SparkEntry {
       Tables.load(s, d, "documents"), topicCentroids(s, d))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.load(s, d, "documents"))),
     "text_fuzzy_pairs" -> ((s, d) => TextAnalysis.fuzzyWordPairs(Tables.load(s, d, "documents"))),
+    "text_fuzzy_dl" -> ((s, d) => TextAnalysis.fuzzyWordPairsDL(Tables.load(s, d, "documents"))),
+    "text_fuzzy_jw" -> ((s, d) => TextAnalysis.jaroWinklerLinkage(Tables.load(s, d, "documents"))),
     "text_fuzzy_apply" -> ((s, d) => TextAnalysis.applyFuzzyCorrections(Tables.load(s, d, "documents"))),
     "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(Tables.load(s, d, "documents"))),
     "text_search" -> ((s, d) => TextAnalysis.search(Tables.load(s, d, "documents"),
@@ -2143,6 +2147,23 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_grouping_sets_returns" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_pivot_priority" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q_nations_both_sides" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT
@@ -2910,6 +2931,42 @@ object SparkEntry {
           |  cnt_a, cnt_b
           |FROM cand WHERE levenshtein(word_a, word_b) <= 2
           |ORDER BY word_a, word_b""".stripMargin),
+    // Mirrors TextAnalysis.fuzzyWordPairsDL: same SymSpell candidates,
+    // verified with UNRESTRICTED Damerau-Levenshtein (DuckDB's
+    // damerau_levenshtein is the full Lowrance-Wagner DP, dl('ca','abc')=2,
+    // bit-equal to the native DamerauLevenshtein expression on 3000 random
+    // differential pairs).
+    "text_fuzzy_dl" ->
+      ("WITH " + fuzzyCandCte + "\n" +
+        """SELECT word_a, word_b,
+          |  CAST(damerau_levenshtein(word_a, word_b) AS INT) AS dl_dist,
+          |  CAST(levenshtein(word_a, word_b) AS INT) AS lev_dist,
+          |  cnt_a, cnt_b
+          |FROM cand WHERE damerau_levenshtein(word_a, word_b) <= 2
+          |ORDER BY word_a, word_b""".stripMargin),
+    // Mirrors TextAnalysis.jaroWinklerLinkage: distinct first-5-token
+    // headline keys, first-token blocking, the 50% length-ratio lossless
+    // prefilter (floor(100*(3*(0.9-0.4)/0.6-2)) = 50 in IEEE doubles,
+    // same value the Scala side derives), threshold compared on the
+    // ROUNDED similarity. jaro_winkler_similarity is bit-identical to the
+    // native JaroWinkler expression (4000-pair differential, zero ULP
+    // mismatches).
+    "text_fuzzy_jw" ->
+      s"""WITH $tokCte,
+         |hl AS (SELECT array_to_string(tokens[1:5], ' ') AS hl, doc_id FROM tok),
+         |k AS (SELECT hl, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs,
+         |        string_split(hl, ' ')[1] AS blk, length(hl) AS len
+         |      FROM hl GROUP BY 1),
+         |cand AS (
+         |  SELECT a.hl AS key_a, b.hl AS key_b,
+         |    round(jaro_winkler_similarity(a.hl, b.hl), 6) AS sim,
+         |    a.rep_id AS rep_a, b.rep_id AS rep_b,
+         |    a.n_docs AS docs_a, b.n_docs AS docs_b
+         |  FROM k a JOIN k b ON a.blk = b.blk AND a.hl < b.hl
+         |    AND a.len * 100 >= b.len * 50 AND b.len * 100 >= a.len * 50)
+         |SELECT key_a, key_b, sim, rep_a, rep_b, docs_a, docs_b
+         |FROM cand WHERE sim >= 0.9
+         |ORDER BY key_a, key_b""".stripMargin,
     // Mirrors TextAnalysis.applyFuzzyCorrections: unambiguous rare->canon
     // directions (10x frequency imbalance), most-frequent canon per rare
     // (lexicographic tiebreak), positional token rewrite + reassembly.

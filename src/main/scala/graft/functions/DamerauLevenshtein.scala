@@ -1,0 +1,104 @@
+package graft.functions
+
+import java.util.{HashMap => JHashMap}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native UNRESTRICTED Damerau–Levenshtein distance (true edit distance
+  * with adjacent transposition as a unit operation, Lowrance–Wagner 1975)
+  * over two string columns. Spark's built-in `levenshtein` has no
+  * transposition op, so the common typo class `teh` -> `the` costs 2
+  * there but 1 here — the distinction the fuzzy vocabulary-folding pass
+  * cares about. This is the full alphabet-indexed DP (not the restricted
+  * "optimal string alignment" variant): `dl("ca","abc") = 2`, where OSA
+  * gives 3. Differentially verified bit-equal to DuckDB's
+  * `damerau_levenshtein` on 3000 random pairs (FuzzyLinkageSpec).
+  *
+  * Cost is O(|a|*|b|) time and one (|a|+2)x(|b|+2) int matrix per call —
+  * pair volume must already be blocked/capped upstream, same contract as
+  * the `levenshtein` verify in `fuzzyWordPairs`. Comparison is per
+  * UTF-16 char (exact for the ASCII corpus this engine scores).
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    DamerauLevenshtein.compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.DamerauLevenshtein.compute($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+
+  /** Column-level entry point. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DamerauLevenshtein(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Static so generated code dispatches with one monomorphic call. */
+  def compute(a: UTF8String, b: UTF8String): Int = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val la = s1.length
+    val lb = s2.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    // d is (la+2) x (lb+2) with a sentinel row/col of `inf` guarding the
+    // transposition lookback; da maps char -> last row index where it
+    // appeared in s1 (the Lowrance–Wagner alphabet index).
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) {
+      d((i + 1) * w) = inf
+      d((i + 1) * w + 1) = i
+      i += 1
+    }
+    var j = 0
+    while (j <= lb) {
+      d(j + 1) = inf
+      d(w + j + 1) = j
+      j += 1
+    }
+    val da = new JHashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val kBoxed = da.get(s2.charAt(j - 1))
+        val k = if (kBoxed == null) 0 else kBoxed.intValue()
+        val l = db
+        var cost = 1
+        if (s1.charAt(i - 1) == s2.charAt(j - 1)) {
+          cost = 0
+          db = j
+        }
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        d((i + 1) * w + j + 1) =
+          math.min(math.min(sub, ins), math.min(del, trans))
+        j += 1
+      }
+      da.put(s1.charAt(i - 1), i)
+      i += 1
+    }
+    d((la + 1) * w + lb + 1)
+  }
+}

@@ -815,7 +815,49 @@ object TextAnalysis {
   }
 
   def fuzzyWordPairs(docs: DataFrame, maxDist: Int = 2, minLen: Int = 3,
-      maxWordLen: Int = 32, minCount: Long = 1): DataFrame = {
+      maxWordLen: Int = 32, minCount: Long = 1): DataFrame =
+    fuzzyCandidates(docs, maxDist, minLen, maxWordLen, minCount)
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("word_a"), col("word_b"), col("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy("word_a", "word_b")
+
+  /** Transposition-aware fuzzy vocabulary pairs: same SymSpell deletion
+    * blocking as `fuzzyWordPairs`, verified with UNRESTRICTED
+    * Damerau–Levenshtein instead of Levenshtein, and emitting both
+    * distances — the rows where `dl_dist < lev_dist` are exactly the
+    * transposition-typo class (`teh` -> `the` is dl 1 / lev 2) that a pure
+    * Levenshtein fold over-penalizes.
+    *
+    * The depth-k deletion blocking is lossless for dl <= k too: each DL
+    * unit op is repaired by at most one deletion per side (insert: delete
+    * the inserted char on the longer side; delete: symmetric; substitute:
+    * delete the substituted char on both sides; adjacent transposition
+    * a..xy.. / a..yx..: delete x from both sides — both reach the common
+    * a..y..), so dl(a,b) <= k implies the depth-k neighborhoods
+    * intersect and the self-join finds every true pair. Hub-key capping
+    * (`MaxDeletionBucket`) is mirrored verbatim in the oracle, so parity
+    * is unaffected by the cap.
+    */
+  def fuzzyWordPairsDL(docs: DataFrame, maxDist: Int = 2, minLen: Int = 3,
+      maxWordLen: Int = 32, minCount: Long = 1): DataFrame =
+    fuzzyCandidates(docs, maxDist, minLen, maxWordLen, minCount)
+      .withColumn("dl_dist", DamerauLevenshtein(col("word_a"), col("word_b")))
+      .filter(col("dl_dist") <= maxDist)
+      .withColumn("lev_dist", levenshtein(col("word_a"), col("word_b")))
+      .select(col("word_a"), col("word_b"), col("dl_dist"), col("lev_dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy("word_a", "word_b")
+
+  /** Shared SymSpell candidate generation for the fuzzy-pair family:
+    * vocabulary aggregation, deletion-neighborhood keys to depth
+    * `maxDist`, hub-key cap, variant-key self-join. Runs on the
+    * AGGREGATED vocabulary (never the corpus), so cost follows Heaps'-law
+    * vocabulary growth, not corpus size.
+    */
+  private def fuzzyCandidates(docs: DataFrame, maxDist: Int, minLen: Int,
+      maxWordLen: Int, minCount: Long): DataFrame = {
     require(maxDist == 1 || maxDist == 2, "deletion depth implemented for 1 and 2")
     val vocab = docs
       .select(explode(WordCount.tokens(col("text"))).as("word"))
@@ -848,10 +890,55 @@ object TextAnalysis {
       .filter(col("word_a") < col("word_b"))
       .select("word_a", "word_b", "cnt_a", "cnt_b")
       .distinct()
-      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
-      .filter(col("dist") <= maxDist)
-      .select(col("word_a"), col("word_b"), col("dist"),
-        col("cnt_a"), col("cnt_b"))
-      .orderBy("word_a", "word_b")
+  }
+
+  /** Jaro–Winkler record linkage over headline keys — the
+    * Fellegi–Sunter-style block-and-score pass of entity resolution,
+    * applied to the first `nTokens` tokens of each document as the
+    * linkage key (title/headline matching: the near-identical openings
+    * exact dedup misses when a single word is edited).
+    *
+    * Mechanism: keys are DISTINCT headlines (canonicalize-then-compare —
+    * the self-join runs on the aggregated key table, never the corpus),
+    * blocked on the first token; within a block a lossless length-ratio
+    * prefilter discards pairs that cannot reach the threshold before the
+    * JW kernel runs: jw >= t implies jaro >= (t - 0.4)/0.6 (the Winkler
+    * bonus adds at most 0.4*(1-jaro)), and jaro >= j implies
+    * min(len)/max(len) >= 3j - 2 (two of the three Jaro terms are <= 1),
+    * so for t = 0.9 any true pair has a length ratio >= 0.5. Scoring is
+    * the native `JaroWinkler` expression (codegen'd, bit-identical to the
+    * oracle engine's kernel); the final filter compares the ROUNDED
+    * similarity so the threshold boundary is parity-safe.
+    *
+    * Scale shape: pair volume is quadratic only within a block after the
+    * ratio prefilter; block-key cardinality governs parallelism and AQE's
+    * skew-join split handles oversized blocks. The blocking key is part
+    * of the operator contract (mirrored verbatim in the oracle), same as
+    * `MaxDeletionBucket` in the deletion-neighborhood family.
+    */
+  def jaroWinklerLinkage(docs: DataFrame, threshold: Double = 0.9,
+      nTokens: Int = 5): DataFrame = {
+    // floor(100 * (3*(threshold - 0.4)/0.6 - 2)) — see scaladoc derivation
+    val ratioPct = math.floor(100.0 * (3.0 * (threshold - 0.4) / 0.6 - 2.0)).toInt
+    val keys = docs
+      .select(col("doc_id"), WordCount.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), 1, nTokens), " ").as("hl"))
+      .groupBy("hl")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      .withColumn("blk", substring_index(col("hl"), " ", 1))
+      .withColumn("len", char_length(col("hl")))
+    val a = keys.select(col("hl").as("key_a"), col("rep_id").as("rep_a"),
+      col("n_docs").as("docs_a"), col("blk"), col("len").as("len_a"))
+    val b = keys.select(col("hl").as("key_b"), col("rep_id").as("rep_b"),
+      col("n_docs").as("docs_b"), col("blk"), col("len").as("len_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("key_a") < col("key_b") &&
+        col("len_a") * 100 >= col("len_b") * ratioPct &&
+        col("len_b") * 100 >= col("len_a") * ratioPct)
+      .withColumn("sim", round(JaroWinkler(col("key_a"), col("key_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select("key_a", "key_b", "sim", "rep_a", "rep_b", "docs_a", "docs_b")
+      .orderBy("key_a", "key_b")
   }
 }

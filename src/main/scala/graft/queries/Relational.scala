@@ -498,6 +498,58 @@ object Relational {
         col("n_items"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
+  /** Arbitrary GROUPING SETS — the asymmetric lattice neither ROLLUP nor
+    * CUBE yields: the (returnflag x linestatus) cells, the linestatus
+    * margins, and the grand total, via Spark 4's native
+    * `Dataset.groupingSets`. Same base-aggregate-first lowering as the
+    * rollup/cube pair: the 3-set Expand replicates the <= dozen
+    * pre-aggregated partial rows, never fact rows, and the decimal
+    * partials re-aggregate exactly.
+    */
+  def qGroupingSetsReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items_p"),
+           sum(dec2(col("l_quantity"))).as("sum_qty_p"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")),
+            Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n_items_p")).as("n_items"),
+           sum(col("sum_qty_p")).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** PIVOT: per-year order counts spread across the five priority classes
+    * as columns — the wide-format report shape. Spark's pivot with an
+    * EXPLICIT value list compiles to ONE pass of conditional aggregates
+    * (no distinct-values pre-scan, no extra shuffle — the plan is a
+    * single partial/final HashAggregate pair on o_year); absent
+    * (year, priority) cells surface as null counts and are coalesced to
+    * zero so the frame is dense. Row count is bounded by distinct years,
+    * so the result never grows with fact volume.
+    */
+  def qPivotPriority(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("urgent", "high", "medium", "not_specified", "low")
+    val pivoted = Tables.load(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .groupBy("o_year")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+    val dense = priorities.zip(names).foldLeft(pivoted) { case (df, (v, n)) =>
+      df.withColumn(n, coalesce(df(v), lit(0L)))
+    }
+    dense
+      .select((col("o_year") +: names.map(col)) :+
+        names.map(col).reduce(_ + _).as("n_orders"): _*)
+      .orderBy("o_year")
+  }
+
   /** Set operation: nations present among BOTH customers and suppliers. */
   def qNationsBothSides(spark: SparkSession, dir: String): DataFrame = {
     val cn = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))

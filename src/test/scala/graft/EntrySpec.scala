@@ -23,6 +23,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_indexed" -> 25L,
     "ann_ivfpq_indexed" -> 25L,
     "q_cube_returns" -> 12L,
+    "q_grouping_sets_returns" -> 9L,
+    "q_pivot_priority" -> 7L,
     "q10_returned_items" -> 20L,
     "q_order_percentiles" -> 5L,
     "q_order_percentiles_approx" -> 5L,
@@ -98,6 +100,8 @@ class EntrySpec extends AnyFunSuite {
     "text_bpe_merges" -> 12L,
     "text_bpe_encode" -> 500L,
     "text_fuzzy_pairs" -> 6L,
+    "text_fuzzy_dl" -> 6L,
+    "text_fuzzy_jw" -> 9L,
     "text_fuzzy_apply" -> 500L,
     "dedup_spans" -> 500L,
     "q8_market_share" -> 7L,

@@ -164,4 +164,81 @@ class FunctionsSpec extends AnyFunSuite {
     val viaSql = strs.toDF("s").select(PolyHash(col("s"))).as[Long].collect().toSeq
     assert(viaSql === strs.map(s => PolyHash.compute(UTF8String.fromString(s))))
   }
+
+  test("JaroWinkler and DamerauLevenshtein match DuckDB bitwise on pinned pairs") {
+    import graft.functions.{DamerauLevenshtein, JaroWinkler}
+    def u(x: String) = UTF8String.fromString(x)
+    // (a, b, jaro_winkler_similarity(a, b), damerau_levenshtein(a, b))
+    // computed by DuckDB; the 24 random rows are from the same seeded
+    // generator as the 4000-pair offline differential (zero ULP
+    // mismatches), the rest are textbook/edge cases: Winkler's MARTHA
+    // family, the 4-char prefix cap, the transposition-vs-substitution
+    // discriminator teh/the (dl 1), the unrestricted-DL witness ca/abc
+    // (OSA would give 3), zero-window short strings, empties (DuckDB
+    // scores ANY empty side 0.0, including both empty), and a
+    // common-prefix pair below the 0.7 boost threshold (no bonus).
+    val pinned = Seq(
+      ("scan", "scan window spark fast", 0.8363636363636363, 18),
+      ("slow window row slow slow", "row spark", 0.4518518518518519, 20),
+      ("spark", "key slow table spark", 0.47222222222222215, 15),
+      ("hash", "window key", 0.0, 10),
+      ("part scan window batch", "value table window", 0.654040404040404, 15),
+      ("value order key spark hash", "hash part hash spark", 0.6032967032967033, 18),
+      ("value fast value window", "batch agg", 0.4561191626409018, 20),
+      ("hash row slow fast", "batch", 0.337037037037037, 17),
+      ("part slow row agg", "key slow scan", 0.6500754147812972, 10),
+      ("value window key slow table", "value order", 0.6801346801346803, 19),
+      ("order table", "key agg row scan", 0.37121212121212127, 15),
+      ("hash order part", "agg", 0.4666666666666666, 14),
+      ("value", "agg", 0.5111111111111111, 4),
+      ("window", "agg hash fast order", 0.0, 18),
+      ("order key value", "slow part order spark", 0.45714285714285713, 16),
+      ("key spark row hash", "window", 0.48148148148148145, 16),
+      ("batch", "value row hash spark", 0.5, 18),
+      ("fast value slow agg", "window fast", 0.4392344497607656, 16),
+      ("batch", "hash slow spark batch", 0.33174603174603173, 16),
+      ("slow window key value", "value agg value value fast", 0.5202686202686203, 18),
+      ("slow scan value row slow", "key value order value", 0.5238095238095238, 17),
+      ("row", "scan part agg value agg", 0.45893719806763283, 22),
+      ("agg spark table fast key", "spark slow spark window spark", 0.54584017515052, 22),
+      ("part spark window part table", "agg key spark fast hash", 0.5995779582736104, 20),
+      ("martha", "marhta", 0.9611111111111111, 1),
+      ("dwayne", "duane", 0.8400000000000001, 2),
+      ("dixon", "dicksonx", 0.8133333333333332, 4),
+      ("", "", 0.0, 0),
+      ("", "abc", 0.0, 3),
+      ("prefixes", "prefixed", 0.95, 1),
+      ("teh", "the", 0.5555555555555555, 1),
+      ("ca", "abc", 0.0, 2),
+      ("abcdefgh", "abzzzzzz", 0.5, 6))
+    for ((a, b, jw, dl) <- pinned) {
+      assert(JaroWinkler.compute(u(a), u(b)) === jw, s"jw($a, $b)")
+      assert(DamerauLevenshtein.compute(u(a), u(b)) === dl, s"dl($a, $b)")
+    }
+  }
+
+  test("fuzzy kernel properties: symmetry, bounds, dl <= lev") {
+    import graft.functions.{DamerauLevenshtein, JaroWinkler}
+    def u(x: String) = UTF8String.fromString(x)
+    def lev(a: String, b: String): Int = {
+      // reference Wagner-Fischer, independent of the expression under test
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rng = new scala.util.Random(99)
+    val alpha = "abcde"
+    val strs = Seq.fill(120)((0 until rng.nextInt(9)).map(_ => alpha(rng.nextInt(alpha.length))).mkString)
+    for (a <- strs.take(40); b <- strs.take(40)) {
+      val jw = JaroWinkler.compute(u(a), u(b))
+      val dl = DamerauLevenshtein.compute(u(a), u(b))
+      assert(jw >= 0.0 && jw <= 1.0)
+      assert(jw === JaroWinkler.compute(u(b), u(a)), s"jw symmetry $a/$b")
+      assert(dl === DamerauLevenshtein.compute(u(b), u(a)), s"dl symmetry $a/$b")
+      assert(dl <= lev(a, b), s"dl > lev for $a/$b")
+      if (a == b && a.nonEmpty) { assert(jw === 1.0); assert(dl === 0) }
+    }
+  }
 }

@@ -2080,4 +2080,58 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("ts", "event_id")
     assert(graft.queries.Events.volumeAnomaliesOf(flat).count() === 0)
   }
+
+  test("fuzzyWordPairsDL: deletion blocking is lossless for dl <= 2 (brute equality)") {
+    // The pigeonhole claim in the scaladoc, checked end-to-end: every DL
+    // unit op is repaired by <= 1 deletion per side, so depth-2 deletion
+    // neighborhoods intersect for every dl<=2 pair. The sf0.001 vocabulary
+    // is small enough that no hub cap bites, so the blocked operator must
+    // equal the brute vocabulary cross product exactly — including the
+    // transposition pairs plain Levenshtein would cost 2 extra for.
+    val d = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextAnalysis.fuzzyWordPairsDL(d)
+      .select("word_a", "word_b", "dl_dist", "lev_dist")
+      .as[(String, String, Int, Int)].collect().toSet
+    val vocab = d
+      .select(org.apache.spark.sql.functions.explode(
+        graft.core.WordCount.tokens(col("text"))).as("word"))
+      .filter(org.apache.spark.sql.functions.char_length(col("word")).between(3, 32))
+      .distinct()
+    val brute = vocab.select(col("word").as("word_a"))
+      .crossJoin(vocab.select(col("word").as("word_b")))
+      .filter(col("word_a") < col("word_b"))
+      .withColumn("dl_dist", graft.functions.DamerauLevenshtein(col("word_a"), col("word_b")))
+      .filter(col("dl_dist") <= 2)
+      .withColumn("lev_dist", org.apache.spark.sql.functions.levenshtein(col("word_a"), col("word_b")))
+      .select("word_a", "word_b", "dl_dist", "lev_dist")
+      .as[(String, String, Int, Int)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  test("jaroWinklerLinkage: length-ratio prefilter is lossless within blocks") {
+    // Same construction with the ratio prefilter dropped must give the
+    // same result set: the prefilter only removes pairs that cannot reach
+    // the threshold (jw >= 0.9 -> jaro >= 0.8333 -> len ratio >= 0.5).
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextAnalysis.jaroWinklerLinkage(d)
+      .select("key_a", "key_b", "sim")
+      .as[(String, String, Double)].collect().toSet
+    val keys = d
+      .select(col("doc_id"), graft.core.WordCount.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_join(slice(col("toks"), 1, 5), " ").as("hl"))
+      .groupBy("hl").agg(min(col("doc_id")).as("rep_id"))
+      .withColumn("blk", substring_index(col("hl"), " ", 1))
+    val a = keys.select(col("hl").as("key_a"), col("blk"))
+    val b = keys.select(col("hl").as("key_b"), col("blk"))
+    val noPrefilter = a.join(b, Seq("blk"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("sim", round(graft.functions.JaroWinkler(col("key_a"), col("key_b")), 6))
+      .filter(col("sim") >= 0.9)
+      .select("key_a", "key_b", "sim")
+      .as[(String, String, Double)].collect().toSet
+    assert(got === noPrefilter)
+    assert(got.nonEmpty)
+  }
 }

@@ -35,7 +35,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q5_region_revenue", "q6_revenue_filter", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q_big_spenders",
     "q_brand_volume", "q_cube_returns", "q_customers_no_orders",
-    "q_nations_both_sides", "q_priority_customers", "q_rollup_returns",
+    "q_grouping_sets_returns", "q_nations_both_sides",
+    "q_pivot_priority", "q_priority_customers", "q_rollup_returns",
     "q_top_suppliers_per_nation")
 
   /** Oracle SQL that runs after the dialect mapping (r9 additions: the
@@ -56,7 +57,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "text_tfidf", "text_vocab",
     "wordcount", "wordcount_windowed")
 
-  test("60 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("62 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
@@ -67,6 +68,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       val viaDf = SqlSurface.canon(SparkEntry.queries(name)(spark, dir))
       assert(viaSql === viaDf, s"SQL/DataFrame divergence on $name")
     }
+  }
+
+  test("registered fuzzy SQL functions evaluate through spark.sql") {
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS jw, " +
+        "graft_damerau_levenshtein('ca', 'abc') AS dl").head()
+    assert(r.getDouble(0) === 0.9611111111111111)
+    assert(r.getInt(1) === 2)
   }
 
   test("dialect mapping leaves pure-ANSI text untouched") {
