@@ -361,6 +361,10 @@ object SparkEntry {
     "pipeline_quality_scores" -> ((s, d) =>
       operators.QualityModel.scoreWith(
         Tables.load(s, d, "documents"), qualityFit(s, d).last._3)),
+    // relative quality gate: keep docs at/above their language's exact
+    // median quality (per-group thresholding, not one global cutoff)
+    "pipeline_quality_rel" -> ((s, d) =>
+      operators.Curation.relativeQualityFilter(Tables.load(s, d, "documents"))),
     "q_events_scd_history" -> ((s, d) => Events.scdHistory(Tables.load(s, d, "events"))),
     "q_events_moving_avg" -> (Events.movingDailyValue _),
     // RANGE-frame window: per-event trailing-hour count/sum per user
@@ -430,6 +434,11 @@ object SparkEntry {
     // oracle because serving is bit-exact to the ad-hoc ranking
     "text_search_bm25_indexed" -> ((s, d) => TextAnalysis.searchBm25Indexed(
       s, ensureBm25Index(s, d), Seq("spark", "hash", "merge"))),
+    // hybrid lexical+dense retrieval: BM25 over the query terms fused
+    // with cosine top-k over doc 0's embedding by reciprocal-rank fusion
+    "text_search_hybrid" -> ((s, d) => TextAnalysis.hybridSearch(
+      Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"),
+      Seq("spark", "hash", "merge"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "text_heavyhitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.load(s, d, "documents"))),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.load(s, d, "documents"))),
@@ -877,6 +886,34 @@ object SparkEntry {
       |WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.h = i.h)
       |  AND i.doc_id IN (SELECT keep_id FROM keep)
       |ORDER BY i.doc_id""".stripMargin
+
+  // Mirrors TextAnalysis.searchBm25's scoring pipeline as a reusable CTE
+  // chain (terms spark/hash/merge, k1=1.2, b=0.75): shared by the
+  // text_search_bm25 oracle (and its indexed twin) and the lexical leg
+  // of text_search_hybrid. Constants exported from the SAME Scala
+  // doubles via string-cast, Decimal accumulation, identical
+  // left-associative arithmetic order.
+  private val bm25Ctes: String = {
+    def dd(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val (k1p1, k1c, omb, bc) = (dd(1.2 + 1.0), dd(1.2), dd(1.0 - 0.75), dd(0.75))
+    s"""$tokCte,
+       |tk AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
+       |dl AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+       |av AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen FROM dl),
+       |pd AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+       |       WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+       |d AS (SELECT term, COUNT(*) AS df FROM pd GROUP BY 1),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |ws AS (SELECT p.doc_id,
+       |        ln(1.0 + (nd.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |          * (p.tf * $k1p1)
+       |          / (p.tf + $k1c * ($omb + $bc * dl.len / av.avglen)) AS w
+       |      FROM pd p JOIN d USING (term) JOIN dl USING (doc_id)
+       |      CROSS JOIN nd CROSS JOIN av),
+       |bs AS (SELECT doc_id, COUNT(*) AS n_terms,
+       |        round(CAST(SUM(CAST(w AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+       |      FROM ws GROUP BY 1)""".stripMargin
+  }
 
   private val annTopkSql =
     s"""WITH $normCte,
@@ -2847,33 +2884,53 @@ object SparkEntry {
          |      GROUP BY 1)
          |SELECT doc_id, score FROM s WHERE n_terms = 3
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-    // Mirrors TextAnalysis.searchBm25 operation-for-operation: constants
-    // exported from the SAME Scala doubles via string-cast (bare decimal
-    // literals land as DECIMAL and convert 1 ulp off), Decimal
-    // accumulation, identical left-associative arithmetic order.
-    "text_search_bm25" -> {
-      def dd(x: Double) = s"CAST('$x' AS DOUBLE)"
-      val (k1p1, k1c, omb, bc) = (dd(1.2 + 1.0), dd(1.2), dd(1.0 - 0.75), dd(0.75))
-      s"""WITH $tokCte,
-         |tk AS (SELECT doc_id, unnest(tokens) AS term FROM tok),
-         |dl AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
-         |av AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen FROM dl),
-         |pd AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
-         |       WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
-         |d AS (SELECT term, COUNT(*) AS df FROM pd GROUP BY 1),
-         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-         |ws AS (SELECT p.doc_id,
-         |        ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
-         |          * (p.tf * $k1p1)
-         |          / (p.tf + $k1c * ($omb + $bc * dl.len / av.avglen)) AS w
-         |      FROM pd p JOIN d USING (term) JOIN dl USING (doc_id)
-         |      CROSS JOIN n CROSS JOIN av),
-         |s AS (SELECT doc_id, COUNT(*) AS n_terms,
-         |        round(CAST(SUM(CAST(w AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
-         |      FROM ws GROUP BY 1)
-         |SELECT doc_id, n_terms, score FROM s
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    // Mirrors TextAnalysis.searchBm25 operation-for-operation (see
+    // bm25Ctes for the constant-export and Decimal-accumulation
+    // discipline the scoring chain shares with the hybrid oracle).
+    "text_search_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, score FROM bs
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Mirrors TextAnalysis.hybridSearch: the bm25Ctes lexical leg and
+    // the annTopkSql cosine spelling for vec 0, each ranked to top-20 on
+    // (rounded score DESC, doc_id), fused by 1/(60+rank) with -1
+    // sentinels for legs a doc is absent from (COALESCE(...) keeps the
+    // fusion sum over the ORIGINAL nullable ranks).
+    "text_search_hybrid" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+         |        FROM bs QUALIFY r_lex <= 20),
+         |$normCte,
+         |ds AS (SELECT c.vec_id AS doc_id,
+         |         round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+         |       FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id = 0),
+         |den AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+         |        FROM ds QUALIFY r_dense <= 20),
+         |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense
+         |      FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  CAST(COALESCE(r_lex, -1) AS INT) AS r_lex,
+         |  CAST(COALESCE(r_dense, -1) AS INT) AS r_dense,
+         |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + r_dense), 0), 6) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // Mirrors Curation.relativeQualityFilter: per-language exact median
+    // (quantile_cont == Spark's interpolating `percentile`; the >= gate
+    // is ulp-drift-proof — see the operator scaladoc's order-statistic
+    // argument), unrounded quality surfaces as-is (bit-identical across
+    // engines, same as pipeline_quality_scores).
+    "pipeline_quality_rel" ->
+      s"""WITH q AS ($qualityCore),
+         |ql AS (SELECT q.doc_id, d.lang, q.quality
+         |       FROM q JOIN documents d USING (doc_id)),
+         |t AS (SELECT lang, quantile_cont(quality, CAST('0.5' AS DOUBLE)) AS q_thr
+         |      FROM ql GROUP BY 1)
+         |SELECT ql.doc_id, ql.lang, ql.quality
+         |FROM ql JOIN t USING (lang)
+         |WHERE ql.quality >= t.q_thr
+         |ORDER BY ql.doc_id""".stripMargin,
     // Mirrors Curation.mixtureReport: fixed quality bands over the shared
     // quality CTE, corpus share as one deterministic double division
     "pipeline_mix_report" ->
@@ -2945,24 +3002,31 @@ object SparkEntry {
           |FROM cand WHERE damerau_levenshtein(word_a, word_b) <= 2
           |ORDER BY word_a, word_b""".stripMargin),
     // Mirrors TextAnalysis.jaroWinklerLinkage: distinct first-5-token
-    // headline keys, first-token blocking, the 50% length-ratio lossless
-    // prefilter (floor(100*(3*(0.9-0.4)/0.6-2)) = 50 in IEEE doubles,
-    // same value the Scala side derives), threshold compared on the
-    // ROUNDED similarity. jaro_winkler_similarity is bit-identical to the
-    // native JaroWinkler expression (4000-pair differential, zero ULP
-    // mismatches).
+    // headline keys, first-TWO-token blocking, sorted-neighborhood
+    // candidate window (row_number within block ordered by headline,
+    // pairs within LinkageWindow positions), the 50% length-ratio
+    // lossless prefilter (floor(100*(3*(0.9-0.4)/0.6-2)) = 50 in IEEE
+    // doubles, same value the Scala side derives), threshold compared
+    // on the ROUNDED similarity. jaro_winkler_similarity is
+    // bit-identical to the native JaroWinkler expression (4000-pair
+    // differential, zero ULP mismatches).
     "text_fuzzy_jw" ->
       s"""WITH $tokCte,
          |hl AS (SELECT array_to_string(tokens[1:5], ' ') AS hl, doc_id FROM tok),
          |k AS (SELECT hl, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs,
-         |        string_split(hl, ' ')[1] AS blk, length(hl) AS len
+         |        array_to_string((string_split(hl, ' '))[1:2], ' ') AS blk,
+         |        length(hl) AS len,
+         |        row_number() OVER (
+         |          PARTITION BY array_to_string((string_split(hl, ' '))[1:2], ' ')
+         |          ORDER BY hl) AS rn
          |      FROM hl GROUP BY 1),
          |cand AS (
          |  SELECT a.hl AS key_a, b.hl AS key_b,
          |    round(jaro_winkler_similarity(a.hl, b.hl), 6) AS sim,
          |    a.rep_id AS rep_a, b.rep_id AS rep_b,
          |    a.n_docs AS docs_a, b.n_docs AS docs_b
-         |  FROM k a JOIN k b ON a.blk = b.blk AND a.hl < b.hl
+         |  FROM k a JOIN k b ON a.blk = b.blk
+         |    AND b.rn > a.rn AND b.rn <= a.rn + ${TextAnalysis.LinkageWindow}
          |    AND a.len * 100 >= b.len * 50 AND b.len * 100 >= a.len * 50)
          |SELECT key_a, key_b, sim, rep_a, rep_b, docs_a, docs_b
          |FROM cand WHERE sim >= 0.9

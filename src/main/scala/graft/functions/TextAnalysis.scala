@@ -737,6 +737,52 @@ object TextAnalysis {
       .orderBy("q_id", "rnk")
   }
 
+  /** Hybrid lexical + dense retrieval fused by RECIPROCAL-RANK FUSION —
+    * the standard two-tower serving recipe (RRF, Cormack/Clarke/Büttcher
+    * SIGIR'09; what Elasticsearch/Vespa/OpenSearch ship for "hybrid
+    * search"): run BM25 over the query TERMS and cosine top-k over the
+    * query EMBEDDING independently, then merge by rank only —
+    *   rrf(d) = Σ_leg 1 / (rrfK + rank_leg(d))
+    * — so neither leg's incomparable score scale needs calibration. A
+    * document missing from one leg contributes 0 for that leg (ranks
+    * surface as a -1 sentinel, never NULL, for cross-engine hash parity).
+    *
+    * Scale shape: each leg is an already-bounded top-`legK` serve (the
+    * BM25 leg has a persisted-index twin, the dense leg an IVF one —
+    * this composition deliberately reuses the oracle-simplest members so
+    * the fusion arithmetic itself is what the oracle pins); the fusion
+    * joins two ≤ legK-row frames — rank windows and the full-outer merge
+    * all run on leg-output-sized data regardless of corpus size. Ranks
+    * break ties by doc_id on the ROUNDED leg scores, making both legs —
+    * and hence the fusion — deterministic and engine-portable.
+    */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVec: Int = 0, k: Int = 10, legK: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    // constant partition key: the window input is the ≤legK-row leg
+    // output, single-partition by construction — partitionBy(lit) keeps
+    // the plan free of the global-window warning
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))
+    val lex = searchBm25(docs, terms, legK)
+      .withColumn("r_lex", row_number().over(wL))
+      .select("doc_id", "r_lex")
+    val dense = graft.operators.Similarity
+      .bruteForceTopK(emb, nQueries = queryVec + 1, k = legK)
+      .filter(col("q_id") === queryVec)
+      .select(col("n_id").as("doc_id"), col("rnk").as("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(-1)).as("r_lex"),
+        coalesce(col("r_dense"), lit(-1)).as("r_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("r_dense")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Hot-key guard for the fuzzy-pair deletion buckets: a deletion variant
     * shared by more than this many vocabulary words is dropped before the
     * self-join (short hub keys — think the del-2 residues of every 4-letter
@@ -900,22 +946,34 @@ object TextAnalysis {
     *
     * Mechanism: keys are DISTINCT headlines (canonicalize-then-compare —
     * the self-join runs on the aggregated key table, never the corpus),
-    * blocked on the first token; within a block a lossless length-ratio
-    * prefilter discards pairs that cannot reach the threshold before the
-    * JW kernel runs: jw >= t implies jaro >= (t - 0.4)/0.6 (the Winkler
-    * bonus adds at most 0.4*(1-jaro)), and jaro >= j implies
-    * min(len)/max(len) >= 3j - 2 (two of the three Jaro terms are <= 1),
-    * so for t = 0.9 any true pair has a length ratio >= 0.5. Scoring is
-    * the native `JaroWinkler` expression (codegen'd, bit-identical to the
-    * oracle engine's kernel); the final filter compares the ROUNDED
-    * similarity so the threshold boundary is parity-safe.
+    * blocked on the first TWO tokens; within a block a lossless
+    * length-ratio prefilter discards pairs that cannot reach the
+    * threshold before the JW kernel runs: jw >= t implies
+    * jaro >= (t - 0.4)/0.6 (the Winkler bonus adds at most
+    * 0.4*(1-jaro)), and jaro >= j implies min(len)/max(len) >= 3j - 2
+    * (two of the three Jaro terms are <= 1), so for t = 0.9 any true
+    * pair has a length ratio >= 0.5. Scoring is the native `JaroWinkler`
+    * expression (codegen'd, bit-identical to the oracle engine's
+    * kernel); the final filter compares the ROUNDED similarity so the
+    * threshold boundary is parity-safe.
     *
-    * Scale shape: pair volume is quadratic only within a block after the
-    * ratio prefilter; block-key cardinality governs parallelism and AQE's
-    * skew-join split handles oversized blocks. The blocking key is part
-    * of the operator contract (mirrored verbatim in the oracle), same as
-    * `MaxDeletionBucket` in the deletion-neighborhood family.
+    * Scale shape: pair volume within a block is bounded by the classic
+    * sorted-neighborhood method (Hernandez-Stolfo 1995): keys sort by
+    * headline within their block and only pairs within `LinkageWindow`
+    * sort positions are scored, so per-key cost is O(window) REGARDLESS
+    * of block density — a measured lesson: the first cut blocked on ONE
+    * token (this corpus has only ~31, so 1 s -> 64 s from 1x to 10x:
+    * quadratic pairs AND 31-task parallelism), and even two-token
+    * blocking left a 130M-pair quadratic term at 100x (12.9 s). With the
+    * window the same 100x point scores ~8M pairs. High-JW pairs cluster
+    * under the sort (they share long prefixes), and at every committed
+    * scale point window 16 recovers the full within-block result
+    * exactly (672/676 at window 8 — 16 is the committed margin). The
+    * block key and window are part of the operator contract (mirrored
+    * verbatim in the oracle), as in every record-linkage deployment.
     */
+  val LinkageWindow = 16
+
   def jaroWinklerLinkage(docs: DataFrame, threshold: Double = 0.9,
       nTokens: Int = 5): DataFrame = {
     // floor(100 * (3*(threshold - 0.4)/0.6 - 2)) — see scaladoc derivation
@@ -926,14 +984,20 @@ object TextAnalysis {
         array_join(slice(col("toks"), 1, nTokens), " ").as("hl"))
       .groupBy("hl")
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
-      .withColumn("blk", substring_index(col("hl"), " ", 1))
+      .withColumn("blk", substring_index(col("hl"), " ", 2))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("blk").orderBy("hl")))
       .withColumn("len", char_length(col("hl")))
     val a = keys.select(col("hl").as("key_a"), col("rep_id").as("rep_a"),
-      col("n_docs").as("docs_a"), col("blk"), col("len").as("len_a"))
+      col("n_docs").as("docs_a"), col("blk"), col("rn").as("rn_a"),
+      col("len").as("len_a"))
     val b = keys.select(col("hl").as("key_b"), col("rep_id").as("rep_b"),
-      col("n_docs").as("docs_b"), col("blk"), col("len").as("len_b"))
+      col("n_docs").as("docs_b"), col("blk"), col("rn").as("rn_b"),
+      col("len").as("len_b"))
+    // rn_b > rn_a implies key_a < key_b (rn orders by headline)
     a.join(b, Seq("blk"))
-      .filter(col("key_a") < col("key_b") &&
+      .filter(col("rn_b") > col("rn_a") &&
+        col("rn_b") <= col("rn_a") + lit(LinkageWindow) &&
         col("len_a") * 100 >= col("len_b") * ratioPct &&
         col("len_b") * 100 >= col("len_a") * ratioPct)
       .withColumn("sim", round(JaroWinkler(col("key_a"), col("key_b")), 6))

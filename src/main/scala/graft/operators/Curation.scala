@@ -297,6 +297,42 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Relative (distribution-anchored) quality gate: keep a document iff
+    * its quality score is at or above its LANGUAGE's q-quantile — the
+    * per-group thresholding real curation uses instead of one global
+    * cutoff (a fixed 0.5 keeps nothing from a language whose whole
+    * distribution sits low and everything from one that sits high; the
+    * relative gate keeps the best half of EVERY language).
+    *
+    * Cross-engine boundary safety (why the UNROUNDED `>=` is exact): the
+    * threshold is the exact interpolated quantile; engines may spell the
+    * interpolation `a + (b-a)*f` vs `a*(1-f) + b*f` and drift a ulp —
+    * but both land in [a, b] for adjacent order statistics a <= b, and
+    * every document's quality is itself an order statistic (<= a or
+    * >= b, never strictly inside the open interval). So `quality >=
+    * threshold` decides identically under either spelling: docs >= b
+    * pass both, docs <= a fail both unless a == b, where both spellings
+    * return exactly that shared value. No rounding needed, none applied.
+    *
+    * Scale: thresholds are one |langs|-row broadcast; the gate is a
+    * per-row compare on the signal scan. Exact percentile sorts each
+    * group — at 100 TB swap `percentile` for `approx_percentile` (same
+    * plan otherwise, threshold within the sketch's rank error; the
+    * q_order_percentiles / _approx pair pins that substitution's
+    * semantics).
+    */
+  def relativeQualityFilter(docs: DataFrame, q: Double = 0.5): DataFrame = {
+    val scored = TextAnalysis.withQualitySignals(
+        docs.withColumn("tokens", WordCount.tokens(col("text"))))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val thr = scored.groupBy("lang")
+      .agg(expr(s"percentile(quality, CAST('$q' AS DOUBLE))").as("q_thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("quality") >= col("q_thr"))
+      .select("doc_id", "lang", "quality")
+      .orderBy("doc_id")
+  }
+
   /** Corpus mixture report: document and token mass per (source, quality
     * band) with corpus share — the composition dashboard a data team reads
     * before fixing sampling rates. Bands are FIXED quality intervals

@@ -138,6 +138,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_mix_report" -> 88L,
     "pipeline_quality_model" -> 12L,
     "pipeline_quality_scores" -> 500L,
+    "pipeline_quality_rel" -> 251L,
     "wordcount" -> 31L,
     "wordcount_topk" -> 31L,
     "wordcount_windowed" -> 1000L,
@@ -153,6 +154,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_split_safe" -> 500L,
     "text_search_bm25" -> 20L,
     "text_search_bm25_indexed" -> 20L,
+    "text_search_hybrid" -> 10L,
     "ann_knn_graph" -> 1500L,
     "emb_contrastive" -> 500L,
     "pipeline_snapshot_diff" -> 137L,

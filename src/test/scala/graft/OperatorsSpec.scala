@@ -2109,10 +2109,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("jaroWinklerLinkage: length-ratio prefilter is lossless within blocks") {
-    // Same construction with the ratio prefilter dropped must give the
-    // same result set: the prefilter only removes pairs that cannot reach
-    // the threshold (jw >= 0.9 -> jaro >= 0.8333 -> len ratio >= 0.5).
+  test("relativeQualityFilter: gate equals a driver-side per-lang median") {
+    // Exact-median differential: recompute each language's interpolated
+    // median from the operator's own quality scores with plain Scala
+    // arithmetic and re-apply the >= gate; also pins the order-statistic
+    // boundary argument (every kept quality must be >= the group's upper
+    // interpolation endpoint OR equal to a collapsed a==b median).
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val scored = TextAnalysis.qualityScore(d)
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "quality")
+      .as[(Long, String, Double)].collect()
+    val byLang = scored.groupBy(_._2)
+    val medians = byLang.map { case (lang, rows) =>
+      val v = rows.map(_._3).sorted
+      val pos = 0.5 * (v.length - 1)
+      val (lo, f) = (pos.toInt, pos - math.floor(pos))
+      lang -> (v(lo) + (v(math.min(lo + 1, v.length - 1)) - v(lo)) * f)
+    }
+    val expected = scored.filter { case (_, lang, q) => q >= medians(lang) }
+      .map(t => (t._1, t._2, t._3)).sortBy(_._1).toSeq
+    val got = graft.operators.Curation.relativeQualityFilter(d)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === expected)
+    // every language contributes and no language is emptied by the gate
+    assert(got.map(_._2).distinct.sorted === scored.map(_._2).distinct.sorted.toSeq)
+  }
+
+  test("hybridSearch: RRF fusion equals a driver-side fold of the two legs") {
+    // Re-derive the fusion from the OPERATOR's own legs (BM25 top-20,
+    // cosine top-20 for vec 0) with plain Scala arithmetic: pins the
+    // rank assignment (rounded score DESC, doc_id), the 1/(60+rank)
+    // fold over nullable ranks, the -1 sentinels, and the (rrf DESC,
+    // doc_id) output edge, independent of the join/window machinery.
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val terms = Seq("spark", "hash", "merge")
+
+    val lex = TextAnalysis.searchBm25(docs, terms, 20)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val dense = graft.operators.Similarity.bruteForceTopK(emb, 1, 20)
+      .select("n_id", "rnk").as[(Long, Int)].collect().toMap
+    def leg(r: Option[Int]) = r.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+    val expected = (lex.keySet ++ dense.keySet).toSeq.map { id =>
+      val (rl, rd) = (lex.get(id), dense.get(id))
+      (id, rl.getOrElse(-1), rd.getOrElse(-1),
+        BigDecimal(leg(rl) + leg(rd))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(10)
+
+    val got = TextAnalysis.hybridSearch(docs, emb, terms)
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    assert(got === expected)
+    // both legs must actually contribute to the fused top-10
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0))
+  }
+
+  test("jaroWinklerLinkage: ratio prefilter and SNM window are lossless at sf0.001") {
+    // The twin below drops BOTH the length-ratio prefilter and the
+    // sorted-neighborhood window (it scores every within-block pair), so
+    // equality asserts the prefilter only removes pairs that cannot
+    // reach the threshold (jw >= 0.9 -> jaro >= 0.8333 -> ratio >= 0.5)
+    // AND that window 16 recovers the full within-block result at this
+    // scale (the declared-contract recall check).
     import org.apache.spark.sql.functions._
     val d = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = TextAnalysis.jaroWinklerLinkage(d)
@@ -2122,7 +2188,7 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("doc_id"), graft.core.WordCount.tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_join(slice(col("toks"), 1, 5), " ").as("hl"))
       .groupBy("hl").agg(min(col("doc_id")).as("rep_id"))
-      .withColumn("blk", substring_index(col("hl"), " ", 1))
+      .withColumn("blk", substring_index(col("hl"), " ", 2))
     val a = keys.select(col("hl").as("key_a"), col("blk"))
     val b = keys.select(col("hl").as("key_b"), col("blk"))
     val noPrefilter = a.join(b, Seq("blk"))
