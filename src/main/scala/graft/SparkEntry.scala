@@ -74,6 +74,9 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
     // -- Events (stream-shaped table) --
     "q_events_hourly" -> (Events.hourlyByType _),
+    // OHLC bars: first/last (deterministic min_by/max_by over the unique
+    // (ts,event_id) struct) + extremes per (event_type, hour)
+    "q_events_ohlc" -> (Events.hourlyOhlc _),
     "q_events_props" -> (Events.propsByType _),
     "q_events_user_gaps" -> (Events.userGaps _),
     "q_events_daily_active" -> (Events.dailyActive _),
@@ -2487,6 +2490,22 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Mirrors Events.hourlyOhlc: open/close select the value at the
+    // asc/desc-first (ts, event_id) — the composite-key tiebreak DuckDB's
+    // arg_min/arg_max can't express, spelled as row_number windows here.
+    "q_events_ohlc" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS h, event_type, value,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |                       ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  MAX(CASE WHEN rf = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rl = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_events
+        |FROM b GROUP BY h, event_type ORDER BY hour, event_type""".stripMargin,
     "q_events_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

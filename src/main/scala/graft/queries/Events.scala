@@ -28,6 +28,31 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** OHLC bars — the first/last/extreme aggregate shape (finance bars,
+    * sensor rollups, per-entity session summaries): per (event_type,
+    * hour), value at the EARLIEST event (open), max (high), min (low),
+    * value at the LATEST event (close). First/last are `min_by`/`max_by`
+    * over the UNIQUE (ts, event_id) struct — deterministic under ts ties
+    * where a bare min_by(value, ts) is engine-arbitrary; the oracle
+    * spells the same selection as asc/desc row_number windows (DuckDB's
+    * arg_min/arg_max take no composite key). One hash aggregation, no
+    * window on the Spark side: first/last ride the same partial/final
+    * combine as max/min — nothing is sorted, nothing shuffles twice.
+    */
+  def hourlyOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n_events"))
+      .orderBy("hour", "event_type")
+
   /** JSON extraction from the props column (get_json_object), grouped. */
   def propsByType(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -139,6 +139,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_quality_model" -> 12L,
     "pipeline_quality_scores" -> 500L,
     "pipeline_quality_rel" -> 251L,
+    "q_events_ohlc" -> 868L,
     "wordcount" -> 31L,
     "wordcount_topk" -> 31L,
     "wordcount_windowed" -> 1000L,

@@ -2109,6 +2109,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("hourlyOhlc: min_by/max_by selection equals the window spelling") {
+    // The aggregate form (one hash agg, no sort) must pick the same
+    // open/close as the explicit asc/desc row_number twin — the
+    // deterministic-under-ties contract the (ts, event_id) struct key
+    // exists for.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Events.hourlyOhlc(spark, dir).collect().toSeq
+    val e = graft.Tables.load(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        col("value"), col("ts"), col("event_id"))
+    val wf = Window.partitionBy("h", "event_type").orderBy(col("ts"), col("event_id"))
+    val wl = Window.partitionBy("h", "event_type").orderBy(col("ts").desc, col("event_id").desc)
+    val twin = e
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rl", row_number().over(wl))
+      .groupBy("h", "event_type")
+      .agg(max(when(col("rf") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(when(col("rl") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n_events"))
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(got === twin)
+    assert(got.nonEmpty)
+  }
+
   test("relativeQualityFilter: gate equals a driver-side per-lang median") {
     // Exact-median differential: recompute each language's interpolated
     // median from the operator's own quality scores with plain Scala

@@ -48,7 +48,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_events_asof_next", "q_events_asof_purchase", "q_events_asof_tolerance",
     "q_events_daily_active",
     "q_events_funnel", "q_events_hourly", "q_events_incident_window",
-    "q_events_latest_state", "q_events_moving_avg", "q_events_props",
+    "q_events_latest_state", "q_events_moving_avg", "q_events_ohlc",
+    "q_events_props",
     "q_events_retention", "q_events_scd_history", "q_events_sessions",
     "q_events_session_overlap",
     "q_events_trailing_hour", "q_events_user_gaps", "q_order_percentiles",
@@ -57,7 +58,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "text_tfidf", "text_vocab",
     "wordcount", "wordcount_windowed")
 
-  test("62 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("63 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)

@@ -526,6 +526,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally sfx.foreach(x => Tables.dropManagedTable(spark, "bm25_serve_idx" + x))
   }
 
+  test("streaming hybrid serving fuses both persisted-index legs, equal to the fused batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextAnalysis
+    import graft.operators.Similarity
+    import graft.streaming.StreamHybridServe
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.fitCentroids(emb, nCentroids = 8)
+    val sfx = Seq("_postings", "_df", "_lens", "_stats")
+    try {
+      sfx.foreach(x => Tables.dropManagedTable(spark, "hyb_bm25_idx" + x))
+      TextAnalysis.buildBm25Index(docs, "hyb_bm25_idx", buckets = 4)
+      Similarity.buildIvfIndex(emb, centroids, "hyb_ivf_idx", buckets = 4)
+      // queries carry BOTH legs' inputs: terms + a real corpus vector
+      val qs = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+        .zip(Seq(Seq("spark", "hash"), Seq("merge"), Seq("spark", "merge")))
+        .map { case ((id, v), terms) => (1000L + id, terms, v) }
+      val input = MemoryStream[(Long, Seq[String], Array[Float])]
+      val results = scala.collection.mutable
+        .ArrayBuffer.empty[(Long, Long, Int, Long, Int, Int, Double)]
+      val q = StreamHybridServe.serve(
+        input.toDF().toDF("q_id", "terms", "qv"), "hyb_bm25_idx",
+        () => spark.table("hyb_ivf_idx"), centroids, k = 5, legK = 10) {
+        (answers, batchId) =>
+          results ++= answers.as[(Long, Int, Long, Int, Int, Double)].collect()
+            .map(r => (batchId, r._1, r._2, r._3, r._4, r._5, r._6))
+      }
+      try {
+        input.addData(qs.take(2).toSeq)
+        q.processAllAvailable()
+        val afterFirst = results.size
+        assert(afterFirst === 10, s"2 queries x k=5 expected, got $afterFirst")
+        input.addData(qs.drop(2).toSeq)
+        q.processAllAvailable()
+        assert(results.size === 15)
+        // each query answered exactly once, in its own arrival batch
+        val batchOf = results.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+        assert(batchOf.values.forall(_.size === 1))
+        assert(batchOf(qs.head._1) != batchOf(qs.last._1))
+        // every fused row must name at least one contributing leg, and
+        // both legs must contribute somewhere in the answer set
+        assert(results.forall(r => r._5 > 0 || r._6 > 0))
+        assert(results.exists(_._5 > 0) && results.exists(_._6 > 0))
+        // fused-batch twin: same queries through the same legs statically
+        val staticQ = qs.toSeq.toDF("q_id", "terms", "qv")
+        val twin = StreamHybridServe.fuseBatch(
+            TextAnalysis.searchBm25IndexedBatch(spark, "hyb_bm25_idx",
+              staticQ.select("q_id", "terms"), 10),
+            Similarity.ivfServeBatch(staticQ.select("q_id", "qv"),
+              spark.table("hyb_ivf_idx"), centroids, 10, 2), k = 5)
+          .as[(Long, Int, Long, Int, Int, Double)].collect().toSet
+        assert(results.map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSet === twin)
+      } finally q.stop()
+    } finally {
+      sfx.foreach(x => Tables.dropManagedTable(spark, "hyb_bm25_idx" + x))
+      spark.sql("DROP TABLE IF EXISTS hyb_ivf_idx")
+    }
+  }
+
   test("streaming ingest guard admits each batch exactly as the batch decontaminate would") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
