@@ -303,6 +303,22 @@ object SparkEntry {
     // first 5000 ids — a fixed-size stand-in for an external benchmark
     // suite; it does not grow with the corpus, so the eval gram set is
     // force-broadcast and the corpus streams once)
+    // NEAR-dup contamination: LSH band candidates between a bounded
+    // eval suite (broadcast) and the corpus, exact hashed-shingle
+    // Jaccard verify — catches the paraphrase/partial-quote leak exact
+    // n-gram coverage under-measures. Eval side is the echo-slice
+    // convention (dedup_setsim_lookup/dedup_minhash_lookup): corpus
+    // docs %31==0 re-identified as external benchmark ids — the
+    // "benchmark leaked into training" scenario this operator detects,
+    // so the gate answer is nonzero at every scale
+    "pipeline_contamination_near" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = Tables.load(s, d, "documents")
+      val evalDocs = docs
+        .filter(pmod(col("doc_id"), lit(31L)) === 0 && col("doc_id") < 5000)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      Dedup.nearContamination(docs, evalDocs)
+    }),
     "pipeline_decontaminate" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       val f = org.apache.spark.sql.functions
@@ -587,6 +603,43 @@ object SparkEntry {
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |GROUP BY 1, 2
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** pipeline_contamination_near oracle: the minhashLookupSql convention
+    * aimed at the bounded eval slice — corpus bands capped (QUALIFY,
+    * computed over the corpus side only, as `minhashBandBuckets` does),
+    * eval bands uncapped, exact hashed-shingle Jaccard verify on the
+    * distinct candidates. Band arithmetic and the hashed-identity fold
+    * are the shared sigCte machinery, so LSH recall is mirrored
+    * band-for-band.
+    */
+  private val nearContaminationSql = {
+    val evalWhere = "WHERE doc_id % 31 = 0 AND doc_id < 5000"
+    s"""WITH $sigCte,
+       |cb AS (
+       |  SELECT * FROM (${bandRowsSql("")})
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBandBucket}),
+       |eb AS (SELECT doc_id + 1000000000 AS doc_id, band_idx, band_hash
+       |       FROM (${bandRowsSql(evalWhere)})),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+       |  FROM cb c JOIN eb e
+       |    ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash),
+       |ss AS (SELECT doc_id, list_distinct(hs) AS s FROM hs),
+       |es AS (SELECT doc_id + 1000000000 AS doc_id, list_distinct(hs) AS s
+       |       FROM hs $evalWhere),
+       |scored AS (
+       |  SELECT cand.doc_id, cand.eval_id,
+       |    length(list_filter(sc.s, x -> list_contains(se.s, x))) AS n_inter,
+       |    length(sc.s) + length(se.s) AS sz_sum
+       |  FROM cand
+       |  JOIN ss sc ON cand.doc_id = sc.doc_id
+       |  JOIN es se ON cand.eval_id = se.doc_id)
+       |SELECT doc_id, eval_id, n_inter,
+       |  CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) AS jaccard
+       |FROM scored
+       |WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.05
+       |ORDER BY doc_id, eval_id""".stripMargin
+  }
 
   private val candPairsSelect =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
@@ -2655,6 +2708,7 @@ object SparkEntry {
     "pipeline_curation" -> curationSql,
     "pipeline_pack" -> packSql,
     "pipeline_contamination" -> contaminationSql,
+    "pipeline_contamination_near" -> nearContaminationSql,
     "pipeline_decontaminate" -> decontaminateSql,
     "text_scrub" -> scrubSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -680,6 +680,48 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** NEAR-duplicate benchmark contamination — the harder leak
+    * `benchmarkContaminationBounded`'s exact n-gram overlap
+    * under-measures: a lightly paraphrased or partially quoted eval doc
+    * shares few exact grams but lands in the same MinHash band. Candidate
+    * generation is the LSH band join RESTRICTED to the bounded eval side
+    * (eval bands broadcast uncapped — a real benchmark suite is a few
+    * thousand docs; corpus bands through `minhashBandBuckets`' capped,
+    * skew-guarded form), then the exact hashed-shingle Jaccard verifies
+    * candidates only — `ngramJaccardPairs`' candidate/verify split, aimed
+    * cross-set. Per-ingest cost: corpus streams once past a broadcast;
+    * candidate volume is bounded by the LSH design, never corpus².
+    * The LSH recall contract (bands can miss a true near-pair) is part of
+    * the operator's semantics and mirrored band-for-band in the oracle,
+    * exactly as in `dedup_minhash_pairs`.
+    */
+  def nearContamination(corpus: DataFrame, evalDocs: DataFrame,
+      threshold: Double = 0.05, k: Int = 16, bands: Int = 4): DataFrame = {
+    val corpBands = minhashBandBuckets(corpus, k, bands)
+    val bandArr = array((0 until bands).map(b => col(s"band$b")): _*)
+    val evalBands = minhashSignatures(evalDocs, k, bands)
+      .select(col("doc_id").as("eval_id"),
+        posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    val cands = corpBands.join(broadcast(evalBands), Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    def setsOf(df: DataFrame) = withShingleHashes(df)
+      .select(col("doc_id"), array_distinct(col("shs")).as("shingle_set"))
+    cands
+      .join(setsOf(corpus), "doc_id")
+      .join(broadcast(setsOf(evalDocs)
+        .select(col("doc_id").as("eval_id"), col("shingle_set").as("set_e"))),
+        "eval_id")
+      .select(col("doc_id"), col("eval_id"),
+        size(array_intersect(col("shingle_set"), col("set_e")))
+          .cast("long").as("n_inter"),
+        (size(col("shingle_set")) + size(col("set_e"))).as("sz_sum"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "eval_id", "n_inter", "jaccard")
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** Exact n-gram Jaccard verify over MinHash candidate pairs: candidates
     * come from `minhashCandidatePairs` (bucketed LSH join, bounded by
     * `MaxBandBucket`), then the exact Jaccard over distinct word 3-gram

@@ -50,6 +50,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_split" -> 54L,
     "pipeline_pack" -> 62L,
     "pipeline_contamination" -> 177L,
+    "pipeline_contamination_near" -> 19L,
     "text_scrub" -> 500L,
     "emb_top_pairs" -> 100L,
     "emb_quantize" -> 500L,

@@ -2109,6 +2109,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("nearContamination: sound vs brute force, and every echoed doc hits its twin") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val evalDocs = docs
+      .filter(pmod(col("doc_id"), lit(31L)) === 0 && col("doc_id") < 5000)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val got = Dedup.nearContamination(docs, evalDocs)
+      .select("doc_id", "eval_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    // self-echo: every eval doc's corpus twin is reported at jaccard 1.0
+    // (identical shingle sets always share all bands — LSH cannot miss
+    // an exact copy)
+    val evalIds = evalDocs.select("doc_id").as[Long].collect().toSet
+    val selfHits = got.filter { case (d, e, _) => d + 1000000000L == e }
+    assert(selfHits.map(_._2).toSet === evalIds)
+    assert(selfHits.forall(_._3 === 1.0))
+    // soundness: every reported pair is in the brute-force >= threshold
+    // set (LSH may MISS pairs — the documented recall contract — but
+    // must never invent one, and never report below threshold)
+    val sets = docs
+      .select(col("doc_id"),
+        array_distinct(graft.functions.ShingleHashes(
+          graft.core.WordCount.tokens(col("text")), 3)).as("s"))
+      .as[(Long, Array[Long])].collect().toMap
+    got.foreach { case (d, e, j) =>
+      val (a, b) = (sets(d).toSet, sets(e - 1000000000L).toSet)
+      val brute = (a & b).size.toDouble / (a | b).size
+      assert(math.abs(brute - j) < 1e-9 && j >= 0.05, s"($d,$e)")
+    }
+  }
+
   test("hourlyOhlc: min_by/max_by selection equals the window spelling") {
     // The aggregate form (one hash agg, no sort) must pick the same
     // open/close as the explicit asc/desc row_number twin — the
