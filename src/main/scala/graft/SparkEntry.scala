@@ -77,6 +77,8 @@ object SparkEntry {
     // OHLC bars: first/last (deterministic min_by/max_by over the unique
     // (ts,event_id) struct) + extremes per (event_type, hour)
     "q_events_ohlc" -> (Events.hourlyOhlc _),
+    // cross-kind per-minute rate correlation from exact integer moments
+    "q_events_corr" -> (Events.eventRateCorrelation _),
     "q_events_props" -> (Events.propsByType _),
     "q_events_user_gaps" -> (Events.userGaps _),
     "q_events_daily_active" -> (Events.dailyActive _),
@@ -2543,6 +2545,37 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Mirrors Events.eventRateCorrelation: zero-filled per-minute count
+    // series over the global span, five exact HUGEINT moments (== the
+    // engine's Decimal(38,0)), r in the same fixed-order IEEE expression.
+    "q_events_corr" ->
+      """WITH ev AS (SELECT epoch_ms(date_trunc('minute', ts)) // 60000 AS m, event_type
+        |           FROM events),
+        |cnt AS (SELECT m, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(m) AS m_min, MAX(m) AS m_max FROM cnt),
+        |grid AS (SELECT unnest(generate_series(m_min, m_max)) AS m FROM span),
+        |kinds AS (SELECT DISTINCT event_type FROM cnt),
+        |dense AS (SELECT g.m, k.event_type, COALESCE(c.c, 0) AS c
+        |          FROM grid g CROSS JOIN kinds k
+        |          LEFT JOIN cnt c ON g.m = c.m AND k.event_type = c.event_type),
+        |mom AS (SELECT a.event_type AS kind_a, b.event_type AS kind_b,
+        |    COUNT(*) AS n_minutes,
+        |    SUM(CAST(a.c AS HUGEINT)) AS sx, SUM(CAST(b.c AS HUGEINT)) AS sy,
+        |    SUM(CAST(a.c AS HUGEINT) * a.c) AS sxx,
+        |    SUM(CAST(b.c AS HUGEINT) * b.c) AS syy,
+        |    SUM(CAST(a.c AS HUGEINT) * b.c) AS sxy
+        |  FROM dense a JOIN dense b ON a.m = b.m AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |d AS (SELECT kind_a, kind_b, n_minutes,
+        |    n_minutes * sxy - sx * sy AS num,
+        |    n_minutes * sxx - sx * sx AS dx,
+        |    n_minutes * syy - sy * sy AS dy
+        |  FROM mom)
+        |SELECT kind_a, kind_b, n_minutes,
+        |  round(CAST(num AS DOUBLE) /
+        |    (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6) AS r
+        |FROM d WHERE dx > 0 AND dy > 0
+        |ORDER BY kind_a, kind_b""".stripMargin,
     // Mirrors Events.hourlyOhlc: open/close select the value at the
     // asc/desc-first (ts, event_id) — the composite-key tiebreak DuckDB's
     // arg_min/arg_max can't express, spelled as row_number windows here.

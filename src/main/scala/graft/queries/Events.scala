@@ -28,6 +28,64 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Cross-kind event-rate correlation: Pearson r between the per-minute
+    * count series of every event-type pair — the co-movement signal
+    * (errors spiking with deploys, purchases tracking views) ops
+    * dashboards compute. Series are ZERO-FILLED over the global minute
+    * span (a kind absent in a minute is rate 0, not a missing sample —
+    * skipping it would bias r toward co-active minutes).
+    *
+    * Determinism (why not the `corr` aggregate): both engines' corr
+    * accumulates IEEE running moments whose value depends on partition
+    * merge order — not reproducible, not comparable. Counts are
+    * integers, so all five moments (Σx, Σy, Σx², Σy², Σxy) are EXACT in
+    * Decimal(38,0)/HUGEINT and r derives from them in one fixed-order
+    * IEEE expression — the `volumeAnomalies` exact-moment discipline,
+    * extended to the bivariate case:
+    *   r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))
+    *
+    * Scale: per-kind dense series are span-bounded (|kinds| · minutes
+    * rows regardless of event volume — the incident-window grid
+    * argument); the pair join fans each minute row to |kinds|−1
+    * partners, with |kinds| small by construction; moments are one
+    * partial/final hash aggregation. Constant series (zero variance)
+    * are dropped rather than emitting an engine-specific NaN/NULL.
+    */
+  def eventRateCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ev = Tables.load(spark, dir, "events")
+      .select((unix_millis(date_trunc("minute", col("ts"))) / lit(60000L))
+        .cast("long").as("m"), col("event_type"))
+    val cnt = ev.groupBy("m", "event_type").agg(count(lit(1)).as("c"))
+    val span = cnt.agg(min("m").as("m_min"), max("m").as("m_max"))
+    val kinds = cnt.select("event_type").distinct()
+    val dense = span.select(explode(sequence(col("m_min"), col("m_max"))).as("m"))
+      .crossJoin(broadcast(kinds))
+      .join(cnt, Seq("m", "event_type"), "left")
+      .select(col("m"), col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+    val a = dense.select(col("m"), col("event_type").as("kind_a"), col("c").as("x"))
+    val b = dense.select(col("m"), col("event_type").as("kind_b"), col("c").as("y"))
+    val mom = a.join(b, Seq("m")).filter(col("kind_a") < col("kind_b"))
+      .groupBy("kind_a", "kind_b")
+      .agg(count(lit(1)).as("n_minutes"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+    val n = col("n_minutes").cast(dec)
+    val (num, dx, dy) = (n * col("sxy") - col("sx") * col("sy"),
+      n * col("sxx") - col("sx") * col("sx"),
+      n * col("syy") - col("sy") * col("sy"))
+    mom
+      .withColumn("num", num).withColumn("dx", dx).withColumn("dy", dy)
+      .filter(col("dx") > 0 && col("dy") > 0)
+      .select(col("kind_a"), col("kind_b"), col("n_minutes"),
+        round(col("num").cast("double") /
+          (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))),
+          6).as("r"))
+      .orderBy("kind_a", "kind_b")
+  }
+
   /** OHLC bars — the first/last/extreme aggregate shape (finance bars,
     * sensor rollups, per-entity session summaries): per (event_type,
     * hour), value at the EARLIEST event (open), max (high), min (low),

@@ -141,6 +141,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_quality_scores" -> 500L,
     "pipeline_quality_rel" -> 251L,
     "q_events_ohlc" -> 868L,
+    "q_events_corr" -> 10L,
     "wordcount" -> 31L,
     "wordcount_topk" -> 31L,
     "wordcount_windowed" -> 1000L,

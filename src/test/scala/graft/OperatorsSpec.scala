@@ -2109,6 +2109,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("eventRateCorrelation: r equals a driver-side BigInt moment fold") {
+    // Recompute every pair's r from the raw events with arbitrary-
+    // precision integer moments and the same one fixed-order IEEE tail —
+    // pins the zero-fill span semantics, the exact-moment arithmetic,
+    // and that the result is a true Pearson r (|r| <= 1).
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Events.eventRateCorrelation(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val raw = graft.Tables.load(spark, dir, "events")
+      .select((unix_millis(date_trunc("minute", col("ts"))) / lit(60000L))
+        .cast("long").as("m"), col("event_type"))
+      .as[(Long, String)].collect()
+    val cnt = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (mMin, mMax) = (raw.map(_._1).min, raw.map(_._1).max)
+    val kinds = raw.map(_._2).distinct.sorted
+    def series(k: String): Seq[Long] =
+      (mMin to mMax).map(m => cnt.getOrElse((m, k), 0L))
+    val expected = (for {
+      i <- kinds.indices; j <- i + 1 until kinds.length
+      (xs, ys) = (series(kinds(i)), series(kinds(j)))
+      n = BigInt(xs.length)
+      (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+      sxx = xs.map(x => BigInt(x) * x).sum
+      syy = ys.map(y => BigInt(y) * y).sum
+      sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+      (num, dx, dy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      if dx > 0 && dy > 0
+    } yield (kinds(i), kinds(j), xs.length.toLong,
+      BigDecimal(num.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+    assert(got === expected)
+    assert(got.forall(r => math.abs(r._4) <= 1.0))
+  }
+
   test("nearContamination: sound vs brute force, and every echoed doc hits its twin") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
