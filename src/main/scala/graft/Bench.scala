@@ -94,7 +94,8 @@ object Bench {
       "ann_knn_graph", "emb_contrastive", "emb_top_pairs", "text_tfidf",
       "text_tokens", "text_inverted_index", "text_bpe_encode",
       "text_boilerplate", "text_lm_bigram", "text_lm_score",
-      "text_fuzzy_apply", "pipeline_curation", "pipeline_quality_scores",
+      "text_fuzzy_apply", "text_fuzzy_jw", "text_search_hybrid",
+      "pipeline_curation", "pipeline_quality_scores",
       "pipeline_pack", "pipeline_contamination", "pipeline_decontaminate",
       "pipeline_split_safe", "mm_features")
     val byName = results.toMap

@@ -3121,7 +3121,7 @@ object SparkEntry {
          |hl AS (SELECT array_to_string(tokens[1:5], ' ') AS hl, doc_id FROM tok),
          |k AS (SELECT hl, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs,
          |        array_to_string((string_split(hl, ' '))[1:2], ' ') AS blk,
-         |        length(hl) AS len,
+         |        strlen(hl) AS len,
          |        row_number() OVER (
          |          PARTITION BY array_to_string((string_split(hl, ' '))[1:2], ' ')
          |          ORDER BY hl) AS rn

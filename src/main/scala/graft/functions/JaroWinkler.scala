@@ -26,9 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (strict), common-prefix length L capped at 4;
   *   - EITHER side empty -> 0.0, including both empty (DuckDB's
   *     convention; the textbook 1.0 for two empties differs).
-  * Comparison is per UTF-16 char of the decoded string (equivalent to
-  * per-code-point for the ASCII corpus this engine scores; surrogate
-  * pairs would count as two units).
+  * Comparison is per UTF-8 BYTE, directly on the unsafe string — that is
+  * DuckDB's kernel's unit (measured: jaro_winkler_similarity('排a','排b')
+  * = 0.8833..., the 3-byte CJK prefix counting as 3 matches, where a
+  * per-character walk gives 0.6667 — a divergence the first, decoded
+  * per-UTF-16-char cut of this expression hit on the zh corpus at the
+  * 10x oracle gate; note DuckDB's levenshtein/damerau_levenshtein are
+  * per-CHARACTER, so the two kernels in this file intentionally use
+  * different units, each matching its oracle twin). Byte-level also
+  * means zero decode: the loops read UTF8String bytes in place.
   */
 case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -57,20 +63,18 @@ object JaroWinkler {
 
   /** Static so generated code dispatches with one monomorphic call. */
   def compute(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString
-    val s2 = b.toString
-    val j = jaro(s1, s2)
+    val l1 = a.numBytes
+    val l2 = b.numBytes
+    val j = jaro(a, b, l1, l2)
     if (j > BoostThreshold) {
       var pl = 0
-      val cap = math.min(MaxPrefix, math.min(s1.length, s2.length))
-      while (pl < cap && s1.charAt(pl) == s2.charAt(pl)) pl += 1
+      val cap = math.min(MaxPrefix, math.min(l1, l2))
+      while (pl < cap && a.getByte(pl) == b.getByte(pl)) pl += 1
       j + pl * PrefixWeight * (1.0 - j)
     } else j
   }
 
-  private def jaro(s1: String, s2: String): Double = {
-    val l1 = s1.length
-    val l2 = s2.length
+  private def jaro(s1: UTF8String, s2: UTF8String, l1: Int, l2: Int): Double = {
     if (l1 == 0 || l2 == 0) return 0.0
     val window = math.max(math.max(l1, l2) / 2 - 1, 0)
     val m1 = new Array[Boolean](l1)
@@ -83,7 +87,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1.getByte(i) == s2.getByte(j)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -97,7 +101,7 @@ object JaroWinkler {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1.getByte(i) != s2.getByte(k)) t += 1
         k += 1
       }
       i += 1

@@ -987,7 +987,11 @@ object TextAnalysis {
       .withColumn("blk", substring_index(col("hl"), " ", 2))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("blk").orderBy("hl")))
-      .withColumn("len", char_length(col("hl")))
+      // BYTE length (octet_length): the JW kernel scores bytes (DuckDB
+      // unit — see JaroWinkler scaladoc), so the lossless ratio bound
+      // must be derived in byte space; a char-length ratio does not
+      // bound the byte ratio on mixed-script pairs
+      .withColumn("len", octet_length(col("hl")))
     val a = keys.select(col("hl").as("key_a"), col("rep_id").as("rep_a"),
       col("n_docs").as("docs_a"), col("blk"), col("rn").as("rn_a"),
       col("len").as("len_a"))

@@ -215,6 +215,26 @@ class FunctionsSpec extends AnyFunSuite {
       assert(JaroWinkler.compute(u(a), u(b)) === jw, s"jw($a, $b)")
       assert(DamerauLevenshtein.compute(u(a), u(b)) === dl, s"dl($a, $b)")
     }
+    // NON-ASCII: DuckDB's jaro_winkler_similarity scores UTF-8 BYTES
+    // (a 3-byte CJK prefix counts as 3 matches) and the kernel matches
+    // it bitwise — the unit that bit the zh corpus at the 10x gate when
+    // this kernel briefly decoded to UTF-16 chars. Values below are
+    // DuckDB's own output on these pairs.
+    val pinnedUtf8 = Seq(
+      ("排a", "排b", 0.8833333333333334),
+      ("排序 分组 流 分组 流", "排序 分组 表 分组 排序", 0.8778902023642556),
+      ("排序x", "x排序", 0.9047619047619048),
+      ("値段", "値打ち", 0.8222222222222222),
+      ("сорт", "сортировка", 0.88))
+    for ((a, b, jw) <- pinnedUtf8)
+      assert(JaroWinkler.compute(u(a), u(b)) === jw, s"jw($a, $b)")
+    // DamerauLevenshtein deliberately stays per-CHARACTER (the linguistic
+    // edit distance; DuckDB's damerau_levenshtein is per-byte — it gives
+    // 5 here, counting intra-character byte edits). The divergence is
+    // unreachable through the oracle gate: text_fuzzy_dl's vocabulary
+    // filter (3..32 chars) admits no multi-byte word in this corpus
+    // family (zh tokens are 1-2 chars), asserted in OperatorsSpec.
+    assert(DamerauLevenshtein.compute(u("値段"), u("値打ち")) === 2)
   }
 
   test("fuzzy kernel properties: symmetry, bounds, dl <= lev") {

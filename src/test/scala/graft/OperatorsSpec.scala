@@ -2107,6 +2107,15 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(String, String, Int, Int)].collect().toSet
     assert(got === brute)
     assert(got.nonEmpty)
+    // unit-contract guard (see FunctionsSpec): the per-CHARACTER DL
+    // kernel vs DuckDB's per-byte one can only diverge on multi-byte
+    // words, and the 3..32-char vocabulary filter admits none in this
+    // corpus family — if this ever fires, the dl oracle needs the
+    // byte-unit treatment text_fuzzy_jw got
+    val nonAscii = vocab.filter(org.apache.spark.sql.functions
+      .octet_length(col("word")) =!=
+      org.apache.spark.sql.functions.char_length(col("word"))).count()
+    assert(nonAscii === 0L)
   }
 
   test("eventRateCorrelation: r equals a driver-side BigInt moment fold") {
