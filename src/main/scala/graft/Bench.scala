@@ -71,12 +71,12 @@ object Bench {
     java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
 
     // One query per operator family PLUS the full top-12 by 100x-scale
-    // cost of the r9 curve — the queries where scale regressions actually
-    // live: q18_large_orders, q21_waiting_suppliers, text_lm_bigram,
-    // q7_nation_volume, q8_market_share, q_events_session_overlap,
-    // text_tfidf, q10_returned_items, text_fuzzy_apply, text_lm_score,
-    // q_events_asof_tolerance, text_boilerplate (re-synced per r8 verdict
-    // item 3; re-check against each round's committed curve).
+    // cost of the committed r9 curve — the queries where scale
+    // regressions actually live: q18_large_orders, text_lm_bigram,
+    // q21_waiting_suppliers, q7_nation_volume, q_events_session_overlap,
+    // text_oov, text_fuzzy_apply, text_tfidf, q_events_asof_tolerance,
+    // text_lm_score, q8_market_share, q10_returned_items (re-synced per
+    // r8 verdict item 3; re-check against each round's committed curve).
     val headline = Seq(
       "wordcount", "wordcount_windowed",
       "q1_pricing_summary", "q5_region_revenue",
@@ -92,7 +92,7 @@ object Bench {
       "dedup_ngram_jaccard", "ann_topk",
       "ann_ivf_kmeans", "ann_quantized_topk", "ann_ivfpq_topk",
       "ann_knn_graph", "emb_contrastive", "emb_top_pairs", "text_tfidf",
-      "text_tokens", "text_inverted_index", "text_bpe_encode",
+      "text_tokens", "text_inverted_index", "text_bpe_encode", "text_oov",
       "text_boilerplate", "text_lm_bigram", "text_lm_score",
       "text_fuzzy_apply", "text_fuzzy_jw", "text_search_hybrid",
       "pipeline_curation", "pipeline_quality_scores",
