@@ -433,23 +433,36 @@ object TextAnalysis {
   /** Out-of-vocabulary rate per document: tokens absent from the corpus
     * vocabulary (terms seen >= minCount times), the coverage metric that
     * decides whether a tokenizer/vocab fits a corpus before training on
-    * it. Token explode + a left-anti-shaped aggregation: each token row
-    * left-joins the vocab (bounded: vocab size tracks DISTINCT terms, so
-    * AQE broadcasts it when it fits) and per-doc counts follow — no
-    * quadratic term anywhere; the corpus streams once past the vocab.
+    * it.
+    *
+    * PAIR-FORM dataflow (the r9 rework of the pack's worst r100 ratio):
+    * raw token rows collapse to (doc_id, term, tf) in the FIRST
+    * aggregation — partial combine shrinks the corpus stream before the
+    * one exchange that touches it — and every later step runs on pair
+    * rows: global term counts are a pair-row aggregation, the OOV term
+    * set is the RARE tail (count < minCount — term-bounded, the
+    * complement of the vocab the old spelling joined), the oov join is
+    * pair-rows x rare-terms, and per-doc totals are pair-row sums. The
+    * old spelling term-shuffled every raw TOKEN row into a corpus-wide
+    * left join; token rows now cross exactly one exchange, already
+    * combined. Output is identical row-for-row (tf-weighted counts ==
+    * token-row counts), so the oracle is untouched.
     */
   def oovRate(docs: DataFrame, minCount: Long = 2): DataFrame = {
-    val tok = docs
+    val tf = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
-    val vocab = tok.groupBy("term").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
-      .select(col("term"), lit(1).as("in_vocab"))
-    tok.join(vocab, Seq("term"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
-      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_ratio"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val rare = tf.groupBy("term").agg(sum(col("tf")).as("n"))
+      .filter(col("n") < minCount)
+      .select("term")
+    val perDoc = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_tokens"))
+    val oov = tf.join(rare, Seq("term"))
+      .groupBy("doc_id").agg(sum(col("tf")).as("oov_cnt"))
+    perDoc.join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("oov_cnt"), lit(0L)).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
       .orderBy("doc_id")
   }
 
