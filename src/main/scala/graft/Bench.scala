@@ -79,7 +79,7 @@ object Bench {
     // r8 verdict item 3; re-check against each round's committed curve).
     val headline = Seq(
       "wordcount", "wordcount_windowed",
-      "q1_pricing_summary", "q5_region_revenue",
+      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
       "q7_nation_volume", "q8_market_share", "q9_product_profit",
       "q10_returned_items", "q18_large_orders",
       "q21_waiting_suppliers", "q_running_total", "q_order_percentiles",
