@@ -242,6 +242,11 @@ object SparkEntry {
     // so it shares ann_ivf_kmeans' oracle
     "ann_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKIndexed(s, ensureIvfIndex(s, d), kmeansCentroids(s, d))),
+    // recall@k of the IVF serve vs exact brute force — the index-quality
+    // eval; both legs deterministic, so even the EVALUATION is
+    // oracle-checked (dynamic: fitted centroids as literals)
+    "ann_recall_report" -> ((s, d) =>
+      Similarity.ivfRecallReport(Tables.load(s, d, "embeddings"), kmeansCentroids(s, d))),
     // Product quantization: fitted subspace codebooks are deterministic
     // like the IVF fit, so both oracles re-state them as literals — see
     // oracleSqlDynamic.
@@ -1337,6 +1342,44 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** ann_recall_report oracle: the annTopkSql brute leg and the
+    * ivfKmeansSqlFor probe leg (same centroid literals as the engine's
+    * fit) re-stated side by side, intersected per query. Both legs rank
+    * on (rounded cos DESC, n_id), so the report is exact.
+    */
+  private def ivfRecallSqlFor(centroids: Array[Array[Double]]): String = {
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH $normCte,
+       |es AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |       FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+       |er AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM es),
+       |exact AS (SELECT q_id, n_id FROM er WHERE rnk <= 5),
+       |sc AS (SELECT vec_id, v, nrm, $scoreList AS scores FROM n),
+       |wb AS (SELECT vec_id, v, nrm, scores,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |        unnest(list_distinct(list_transform(generate_series(1, 2),
+       |          r -> CAST(list_position(scores, list_sort(scores)[r]) AS INT)))) AS probe
+       |      FROM wb WHERE vec_id < 5),
+       |ap AS (SELECT q.q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+       |      FROM qp q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),
+       |ar AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM ap),
+       |approx AS (SELECT q_id, n_id FROM ar WHERE rnk <= 5),
+       |h AS (SELECT e.q_id, COUNT(*) AS n_hits
+       |      FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+       |      GROUP BY 1),
+       |ex2 AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+       |SELECT ex2.q_id, ex2.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+       |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
+       |FROM ex2 LEFT JOIN h ON ex2.q_id = h.q_id
+       |ORDER BY ex2.q_id""".stripMargin
+  }
+
   /** ann_ivf2_topk oracle: both centroid levels as literals. The fine
     * level is a CASE over the (coarse) cell — one score list per branch,
     * mirroring the engine's lazily-evaluated `fineScores` column — used
@@ -1604,6 +1647,7 @@ object SparkEntry {
     oracleSql +
       ("text_topics" -> topicsSqlFor(topicCentroids(spark, sfDir))) +
       ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("ann_recall_report" -> ivfRecallSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),

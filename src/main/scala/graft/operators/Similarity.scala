@@ -422,6 +422,36 @@ object Similarity {
     rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
   }
 
+  /** Recall@k report for the IVF serve vs exact brute force — the
+    * index-quality evaluation every ANN deployment runs before trusting
+    * an approximate index (probe count and cell sizing are tuned against
+    * exactly this number). Per query: |IVF top-k ∩ exact top-k| / k,
+    * with k the exact-leg size. Both legs are deterministic (rounded
+    * cosine, doc-id tiebreaks), so the report itself is exactly
+    * oracle-checkable — unusual for an ANN EVALUATION, and the reason
+    * this is a query and not just a spec assertion.
+    *
+    * Scale: the eval runs on a FIXED query panel (nQueries), so the
+    * exact leg's brute-force cost is panel × corpus — the one-off
+    * measurement price, not a serving-path cost; the join/aggregate run
+    * on two k-row-per-query frames.
+    */
+  def ivfRecallReport(emb: DataFrame, centroids: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(emb, nQueries, k).select("q_id", "n_id")
+    val approx = ivfTopKWith(emb, centroids, nQueries, k, nProbe)
+      .select("q_id", "n_id")
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_exact"), 6))
+      .orderBy("q_id")
+  }
+
   /** Persist an IVF index: cell-assigned vectors written as a table
     * BUCKETED BY the probe join key. Build once, serve many query
     * batches: every later probe join consumes the bucketed layout

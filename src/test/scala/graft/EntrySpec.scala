@@ -21,6 +21,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivfpq_topk" -> 25L,
     "ann_ivfpq_refine" -> 25L,
     "ann_ivf_indexed" -> 25L,
+    "ann_recall_report" -> 5L,
     "ann_ivfpq_indexed" -> 25L,
     "q_cube_returns" -> 12L,
     "q_grouping_sets_returns" -> 9L,
@@ -201,7 +202,8 @@ class EntrySpec extends AnyFunSuite {
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,
     * not present in the static map.
     */
-  private val dynamicOracle = Set("ann_ivf_kmeans", "ann_lsh_multiprobe", "dedup_semantic",
+  private val dynamicOracle = Set("ann_ivf_kmeans", "ann_recall_report",
+    "ann_lsh_multiprobe", "dedup_semantic",
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
     "ann_ivfpq_refine", "ann_ivf_indexed", "ann_ivfpq_indexed", "ann_mips_lsh",
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",

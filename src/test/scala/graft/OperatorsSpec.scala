@@ -2118,6 +2118,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nonAscii === 0L)
   }
 
+  test("ivfRecallReport: hits equal a driver-side intersection of the two legs") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.fitCentroids(emb, 16)
+    val got = Similarity.ivfRecallReport(emb, cents)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val exact = Similarity.bruteForceTopK(emb, 5, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+    val approx = Similarity.ivfTopKWith(emb, cents)
+      .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+    val expected = (0L until 5L).map { q =>
+      val e = exact(q).map(_._2).toSet
+      val a = approx.getOrElse(q, Array.empty[(Long, Long)]).map(_._2).toSet
+      val hits = (e & a).size.toLong
+      (q, e.size.toLong, hits,
+        BigDecimal(hits.toDouble / e.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === expected)
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
   test("eventRateCorrelation: r equals a driver-side BigInt moment fold") {
     // Recompute every pair's r from the raw events with arbitrary-
     // precision integer moments and the same one fixed-order IEEE tail —
