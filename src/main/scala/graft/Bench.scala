@@ -108,6 +108,12 @@ object Bench {
     // stdout line (sbt decoration is disabled via run/outputStrategy +
     // showSuccess in build.sbt).
     spark.stop()
+    // Fail LOUDLY if the headline line ever outgrows the driver's bounded
+    // stdout-tail capture (the BENCH_r06 "parsed:null" failure mode) —
+    // a too-long line must break the bench here, not silently truncate
+    // downstream. Trim the headline list above if this trips.
+    require(line.length < 2000,
+      s"bench headline line is ${line.length} chars (>= 2000): trim the headline subset")
     println(line)
   }
 }

@@ -17,12 +17,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * cares about. This is the full alphabet-indexed DP (not the restricted
   * "optimal string alignment" variant): `dl("ca","abc") = 2`, where OSA
   * gives 3. Differentially verified bit-equal to DuckDB's
-  * `damerau_levenshtein` on 3000 random pairs (FuzzyLinkageSpec).
+  * `damerau_levenshtein` on 3000 random pairs (FunctionsSpec).
   *
   * Cost is O(|a|*|b|) time and one (|a|+2)x(|b|+2) int matrix per call —
   * pair volume must already be blocked/capped upstream, same contract as
   * the `levenshtein` verify in `fuzzyWordPairs`. Comparison is per
   * UTF-16 char (exact for the ASCII corpus this engine scores).
+  *
+  * Input bound: because the expression is also registered on the SQL
+  * surface as `graft_damerau_levenshtein`, where nothing upstream caps
+  * string length, `compute` refuses pairs whose DP matrix would exceed
+  * [[DamerauLevenshtein.MaxCells]] cells (~16 MB) — the same defensive
+  * posture as Spark's builtin `levenshtein` threshold guard. The
+  * internal caller (`fuzzyCandidates`, 3..32-char vocabulary) can never
+  * trip it.
   */
 case class DamerauLevenshtein(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,6 +55,12 @@ object DamerauLevenshtein {
     ColumnBridge.column(
       DamerauLevenshtein(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** DP matrix cap: (|a|+2)*(|b|+2) ints must stay under ~16 MB so a
+    * document-length string fed through the SQL registration fails loudly
+    * instead of attempting a multi-GB allocation per row.
+    */
+  val MaxCells: Long = 4L * 1024 * 1024
+
   /** Static so generated code dispatches with one monomorphic call. */
   def compute(a: UTF8String, b: UTF8String): Int = {
     val s1 = a.toString
@@ -55,6 +69,11 @@ object DamerauLevenshtein {
     val lb = s2.length
     if (la == 0) return lb
     if (lb == 0) return la
+    if ((la + 2).toLong * (lb + 2).toLong > MaxCells) {
+      throw new IllegalArgumentException(
+        s"graft_damerau_levenshtein: inputs of length $la x $lb exceed the " +
+          s"$MaxCells-cell DP bound; block or truncate pairs upstream")
+    }
     val inf = la + lb
     // d is (la+2) x (lb+2) with a sentinel row/col of `inf` guarding the
     // transposition lookback; da maps char -> last row index where it

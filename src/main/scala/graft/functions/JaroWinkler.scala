@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Exact semantics, chosen to be BIT-IDENTICAL to DuckDB's
   * `jaro_winkler_similarity` (differentially verified on 4000 random
-  * pairs, zero ULP mismatches — FuzzyLinkageSpec):
+  * pairs, zero ULP mismatches — FunctionsSpec):
   *   - match window = max(max(|a|,|b|)/2 - 1, 0); transpositions counted
   *     over matched sequences, halved by integer division;
   *   - jaro = (m/|a| + m/|b| + (m-t)/m) / 3 evaluated in exactly that

@@ -57,9 +57,13 @@ object SqlSurface {
     // Field access (x.k), struct max/comparison order, and NULL struct
     // handling agree between the engines; the quoted-key pattern cannot
     // collide with regex quantifiers ({2,}) inside string literals.
+    // Only the key-value separator colon is rewritten (keyed on the
+    // quoted-identifier prefix) so a colon INSIDE a value — e.g. a time
+    // string '10:00:00' — survives untouched.
     s = """\{('[A-Za-z_]+'\s*:\s*[^,{}]+(?:,\s*'[A-Za-z_]+'\s*:\s*[^,{}]+)*)\}""".r
       .replaceAllIn(s, m =>
-        "named_struct(" + m.group(1).replace(":", ",") + ")")
+        "named_struct(" +
+          """('[A-Za-z_]+')\s*:""".r.replaceAllIn(m.group(1), "$1,") + ")")
     s
   }
 

@@ -261,4 +261,20 @@ class FunctionsSpec extends AnyFunSuite {
       if (a == b && a.nonEmpty) { assert(jw === 1.0); assert(dl === 0) }
     }
   }
+
+  test("DamerauLevenshtein refuses document-length inputs loudly") {
+    import graft.functions.DamerauLevenshtein
+    def u(x: String) = UTF8String.fromString(x)
+    // The SQL surface registers graft_damerau_levenshtein with no
+    // upstream length cap: a document-length pair must throw the bound
+    // error rather than attempt a multi-GB matrix allocation.
+    val big = "x" * 3000
+    val e = intercept[IllegalArgumentException] {
+      DamerauLevenshtein.compute(u(big), u(big))
+    }
+    assert(e.getMessage.contains("DP bound"))
+    // just under the bound still computes (2046*2046 < 4Mi cells)
+    val ok = "y" * 1000
+    assert(DamerauLevenshtein.compute(u(ok), u(ok)) === 0)
+  }
 }

@@ -79,6 +79,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getInt(1) === 2)
   }
 
+  test("struct-literal rewrite preserves colon-bearing values") {
+    // Only the key-value separator may be rewritten: a colon INSIDE a
+    // value (e.g. a time string) must survive the named_struct mapping.
+    val in = "SELECT max({'t': '10:00:00', 'k': ev}) AS m FROM e"
+    assert(SqlSurface.toSparkSql(in) ===
+      "SELECT max(named_struct('t', '10:00:00', 'k', ev)) AS m FROM e")
+  }
+
   test("dialect mapping leaves pure-ANSI text untouched") {
     // the mapping must be inert on SQL that is already Spark-parseable
     // ANSI (so applying it unconditionally would also be safe)
