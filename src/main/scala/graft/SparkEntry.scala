@@ -182,6 +182,26 @@ object SparkEntry {
         docs.filter(m === 0 && inBatch).unionByName(echo),
         ensureMinhashIndex(s, d))
     }),
+    // Ingest-time near-dup ADMISSION against the persisted band index —
+    // the batch twin StreamNearDupGuard runs per micro-batch: same
+    // batch/echo slice as dedup_minhash_lookup; echo docs share ALL
+    // bands with their indexed originals, so they are provably REJECTED
+    // at every scale, while the %31==0 docs were excluded from the build
+    // and mostly survive. Output = the admitted rows.
+    "dedup_drop_near_indexed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = Tables.load(s, d, "documents")
+      val inBatch = col("doc_id") < 5000
+      val m = pmod(col("doc_id"), lit(31L))
+      val echo = docs.filter(m =!= 0 && inBatch)
+        .filter(pmod(col("doc_id"), lit(97L)) === 1)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      Dedup.dropNearDuplicatesIndexed(
+          docs.filter(m === 0 && inBatch).unionByName(echo),
+          ensureMinhashIndex(s, d))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // no oracleSql: iterative fixpoint (connected components) is not
     // single-statement SQL -> rows-only check; the union-find differential
     // in OperatorsSpec is the correctness anchor.
@@ -610,6 +630,38 @@ object SparkEntry {
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |GROUP BY 1, 2
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dedup_drop_near_indexed oracle: the minhashLookupSql band-match
+    * convention inverted into an admission list — batch rows whose id
+    * never appears as a flagged candidate survive. `NOT IN` is safe:
+    * flagged ids are never NULL (both engines agree on anti-join-via-
+    * NOT-IN only under that condition).
+    */
+  private val dropNearIndexedSql =
+    s"""WITH $sigCte,
+       |cb AS (
+       |  SELECT * FROM (${bandRowsSql("WHERE doc_id % 31 <> 0")})
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBandBucket}),
+       |bb AS (
+       |  SELECT * FROM (${bandRowsSql("WHERE doc_id % 31 = 0 AND doc_id < 5000")})
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000 AS doc_id, band_idx, band_hash
+       |  FROM (${bandRowsSql(
+                  "WHERE doc_id % 31 <> 0 AND doc_id % 97 = 1 AND doc_id < 5000")})),
+       |flagged AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM bb a JOIN cb b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+       |batch AS (
+       |  SELECT doc_id, source, n_chars FROM documents
+       |  WHERE doc_id % 31 = 0 AND doc_id < 5000
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000 AS doc_id, source, n_chars FROM documents
+       |  WHERE doc_id % 31 <> 0 AND doc_id % 97 = 1 AND doc_id < 5000)
+       |SELECT doc_id, source, n_chars
+       |FROM batch
+       |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+       |ORDER BY doc_id""".stripMargin
 
   /** pipeline_contamination_near oracle: the minhashLookupSql convention
     * aimed at the bounded eval slice — corpus bands capped (QUALIFY,
@@ -2780,6 +2832,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_minhash_lookup" -> minhashLookupSql,
+    "dedup_drop_near_indexed" -> dropNearIndexedSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "pipeline_curation" -> curationSql,

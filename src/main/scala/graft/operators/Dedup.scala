@@ -653,6 +653,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** APPLY near-dedup against a PERSISTED corpus band index — the
+    * admission form of `minhashLookupIndexed`: drop every batch doc
+    * sharing >= `minShared` MinHash bands with any indexed corpus doc,
+    * keep the rest. This is the ingest-time near-dup gate
+    * (`StreamNearDupGuard` runs exactly this per micro-batch): cost is
+    * O(batch signatures + probed buckets) per ingest — the corpus is
+    * touched only through its bucketed band index, never re-signed.
+    * The anti-join keys on the batch's own ids, so each arriving doc is
+    * decided exactly once, by its own bands, against the index state at
+    * its arrival.
+    */
+  def dropNearDuplicatesIndexed(batch: DataFrame, table: String,
+      k: Int = 16, bands: Int = 4, minShared: Int = 1): DataFrame =
+    batch.join(
+      minhashLookupIndexed(batch, table, k, bands)
+        .filter(col("n_shared_bands") >= minShared)
+        .select(col("doc_a").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Extend a persisted MinHash band index with newly ADMITTED docs so
+    * the NEXT ingest batch near-dup-checks against them too — the
+    * incremental write half of the streaming admission loop. Appends the
+    * admitted docs' band rows into the bucketed `<table>_bands` layout
+    * (bucket spec must match the build). The batch side appends UNCAPPED:
+    * `MaxBandBucket` is a property of the corpus distribution applied at
+    * build time; a long-running ingest stream should periodically rebuild
+    * to re-apply the cap if hot buckets accrete.
+    */
+  def extendMinhashIndex(admitted: DataFrame, table: String, k: Int = 16,
+      bands: Int = 4, buckets: Int = 16): Unit = {
+    val sig = minhashSignatures(admitted, k, bands)
+    val bandArr = array((0 until bands).map(b => col(s"band$b")): _*)
+    sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+      .write.bucketBy(buckets, "band_hash").sortBy("band_hash")
+      .mode("append").saveAsTable(s"${table}_bands")
+  }
+
   /** Bounded-eval benchmark contamination — the at-scale operating form:
     * the eval suite is an EXPLICIT corpus that does not grow with the
     * training corpus (a real benchmark suite is a few thousand docs), so

@@ -628,6 +628,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup guard admits per batch exactly as the indexed batch twin, extending the index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.StreamNearDupGuard
+    // corpus: three fixed docs, indexed once (the persisted band index)
+    val corpus = Seq(
+      (1L, "web", 44L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "web", 40L, "pack my box with five dozen liquor jugs again"),
+      (3L, "web", 38L, "sphinx of black quartz judge my vow forever")
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val novelA = "entirely original content about quantum basket weaving techniques"
+    val novelB = "another unrelated passage describing alpine cartography methods"
+    val batch1 = Seq(
+      (101L, "web", 50L, corpus.filter($"doc_id" === 1L)
+        .select("text").as[String].head()), // exact copy of an indexed doc -> all bands match -> rejected
+      (102L, "web", 66L, novelA))           // novel -> admitted
+    val batch2 = Seq(
+      (103L, "web", 66L, novelA),           // copy of batch-1 ADMITTED doc -> rejected via index extension
+      (104L, "web", 63L, novelB))           // novel -> admitted
+    Tables.dropManagedTable(spark, "ndg_live_bands")
+    Tables.dropManagedTable(spark, "ndg_twin_bands")
+    Dedup.buildMinhashIndex(corpus, "ndg_live")
+    Dedup.buildMinhashIndex(corpus, "ndg_twin")
+    val input = MemoryStream[(Long, String, Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamNearDupGuard.serve(
+      input.toDF().toDF("doc_id", "source", "n_chars", "text"),
+      "ndg_live", extendIndex = true) { (admitted, batchId) =>
+      results ++= admitted.select("doc_id").as[Long].collect().map(batchId -> _)
+    }
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      val admitted1 = results.map(_._2).toSet
+      input.addData(batch2)
+      q.processAllAvailable()
+      val admitted2 = results.map(_._2).toSet -- admitted1
+      assert(admitted1 === Set(102L),
+        "batch 1: the exact copy of an indexed corpus doc is rejected, the novel doc admitted")
+      assert(admitted2 === Set(104L),
+        "batch 2: the copy of a batch-1 ADMITTED doc is rejected (index extension), the novel doc admitted")
+      // each doc decided exactly once, in its arrival batch
+      assert(results.groupBy(_._2).values.forall(_.size === 1))
+      assert(results.collect { case (b, id) if id == 102L => b }.toSeq === Seq(0L))
+      // per-batch differential twin: dropNearDuplicatesIndexed +
+      // extendMinhashIndex replayed batch-by-batch on a second index copy
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for ((rows, bid) <- Seq(batch1 -> 0L, batch2 -> 1L)) {
+        val twin = Dedup.dropNearDuplicatesIndexed(
+          rows.toDF("doc_id", "source", "n_chars", "text"), "ndg_twin")
+        val ids = twin.select("doc_id").as[Long].collect()
+        Dedup.extendMinhashIndex(twin, "ndg_twin")
+        seen ++= ids.map(bid -> _)
+      }
+      assert(results.sorted === seen.sorted,
+        "streamed per-batch admissions must equal the batch-twin replay")
+    } finally {
+      q.stop()
+      Tables.dropManagedTable(spark, "ndg_live_bands")
+      Tables.dropManagedTable(spark, "ndg_twin_bands")
+    }
+  }
+
   test("streaming top-k leaderboard re-ranks on every batch in complete mode") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, desc, explode, upper}
