@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Similarity
+
+/** ANN index-quality evaluation at measurement width: recall@k of the IVF
+  * probe search vs the exact brute-force leg over a WIDE query panel,
+  * swept across probe counts — the recall/latency frontier every ANN
+  * deployment tunes against before trusting an approximate index
+  * (`ann_recall_report` is the oracle-checked 5-query form of one point
+  * on this curve; this tool is the statistically real version, 100+
+  * panel queries, nProbe ∈ {1,2,4,8}).
+  *
+  * Emits one JSON document (ANNEVAL_rN.json): per-probe mean/micro
+  * recall, min per-query recall, and best-of-`reps` wall seconds for the
+  * IVF leg, plus the exact leg's cost for reference. Latency is measured
+  * through the noop sink (full materialization, bench methodology); the
+  * centroid fit is shared across all points, exactly as a deployment
+  * tunes probes against one built index.
+  *
+  * Usage: tools/run.sh graft.tools.AnnEval [dataDir] [outPath] [panel] [k]
+  */
+object AnnEval {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/graft-scale/gen10x")
+    val out = args.lift(1).getOrElse("ANNEVAL_r10.json")
+    val panel = args.lift(2).map(_.toInt).getOrElse(100)
+    val k = args.lift(3).map(_.toInt).getOrElse(10)
+    val reps = 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ann-eval")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val nVec = emb.count()
+    val centroids = Similarity.fitCentroids(emb)
+
+    def time(f: => Unit): Double = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      runs.min
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warm-up: session + codegen startup must not land on the first point
+    noop(Similarity.bruteForceTopK(emb, panel, k))
+    val exactSec = time(noop(Similarity.bruteForceTopK(emb, panel, k)))
+
+    val points = Seq(1, 2, 4, 8).map { nProbe =>
+      val ivfSec = time(noop(
+        Similarity.ivfTopKWith(emb, centroids, panel, k, nProbe)))
+      val rep = Similarity.ivfRecallReport(emb, centroids, panel, k, nProbe)
+        .select("n_exact", "n_hits", "recall").collect()
+      val nExact = rep.map(_.getLong(0)).sum
+      val nHits = rep.map(_.getLong(1)).sum
+      val micro = nHits.toDouble / nExact
+      val mean = rep.map(_.getDouble(2)).sum / rep.length
+      val minQ = rep.map(_.getDouble(2)).min
+      f"""{"nProbe":$nProbe,"ivf_sec":$ivfSec%.3f,"recall_micro":$micro%.4f,""" +
+        f""""recall_mean":$mean%.4f,"recall_min":$minQ%.4f,"n_panel":${rep.length}}"""
+    }
+
+    val json =
+      f"""{"dataset":"$dir","n_vectors":$nVec,"dim":64,"panel":$panel,"k":$k,""" +
+        f""""n_centroids":${centroids.length},"reps":$reps,""" +
+        f""""exact_sec":$exactSec%.3f,"points":[${points.mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -26,6 +26,7 @@ ARTIFACTS=(
   "SKEW_${SUF}.json"
   "STREAMBENCH_${SUF}.json"
   "FAULT_${SUF}.summary.json"
+  "ANNEVAL_${SUF}.json"
   "CORRECTNESS_sf1.json"
   "SCALE_CURVE.txt"
   "BENCH_gen1x.json"
