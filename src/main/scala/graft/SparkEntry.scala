@@ -558,9 +558,9 @@ object SparkEntry {
 
   private val shCte =
     tokCte + """,
-      |sh AS (SELECT doc_id, source, length(tokens) AS n_tok,
-      |  list_transform(generate_series(1, length(tokens) - 2), i -> array_to_string(tokens[i:i+2], ' ')) AS shingles
-      |  FROM tok WHERE length(tokens) >= 3)""".stripMargin
+      |sh AS (SELECT doc_id, source, len(tokens) AS n_tok,
+      |  list_transform(generate_series(1, len(tokens) - 2), i -> array_to_string(tokens[i:i+2], ' ')) AS shingles
+      |  FROM tok WHERE len(tokens) >= 3)""".stripMargin
 
   // Mirrors Dedup.minhashSignatures: per-shingle base hash via the same
   // polynomial fold PolyHash computes, then the affine minhash family.
@@ -688,8 +688,8 @@ object SparkEntry {
        |       FROM hs $evalWhere),
        |scored AS (
        |  SELECT cand.doc_id, cand.eval_id,
-       |    length(list_filter(sc.s, x -> list_contains(se.s, x))) AS n_inter,
-       |    length(sc.s) + length(se.s) AS sz_sum
+       |    len(list_filter(sc.s, x -> list_contains(se.s, x))) AS n_inter,
+       |    len(sc.s) + len(se.s) AS sz_sum
        |  FROM cand
        |  JOIN ss sc ON cand.doc_id = sc.doc_id
        |  JOIN es se ON cand.eval_id = se.doc_id)
@@ -821,7 +821,7 @@ object SparkEntry {
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_filter(cs, (c, i) -> (i - 1) % 72 = p)),
        |      (h, c) -> (h * 31 + c) % $M)) AS pxs
-       |  FROM pb WHERE length(cs) > 0),
+       |  FROM pb WHERE len(cs) > 0),
        |ph AS (SELECT doc_id,
        |  $partCols
        |  FROM px)""".stripMargin
@@ -862,8 +862,8 @@ object SparkEntry {
        |ss AS (SELECT doc_id, list_distinct(hs) AS shingle_set FROM hs),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b,
-       |    length(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
-       |    length(sa.shingle_set) + length(sb.shingle_set) AS sz_sum
+       |    len(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
+       |    len(sa.shingle_set) + len(sb.shingle_set) AS sz_sum
        |  FROM cand c
        |  JOIN ss sa ON c.doc_a = sa.doc_id
        |  JOIN ss sb ON c.doc_b = sb.doc_id)
@@ -895,8 +895,8 @@ object SparkEntry {
        |  WHERE doc_id % 31 <> 0 AND doc_id % 97 = 1 AND doc_id < 5000),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    length(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
-       |    length(a.s) + length(b.s) AS sz_sum
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
+       |    len(a.s) + len(b.s) AS sz_sum
        |  FROM bb a JOIN ss b ON b.doc_id % 31 <> 0)
        |SELECT doc_a, doc_b, n_inter,
        |  CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) AS jaccard
@@ -923,8 +923,8 @@ object SparkEntry {
        |  WHERE doc_id % 31 <> 0 AND doc_id % 97 = 1 AND doc_id < 5000),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    length(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
-       |    length(a.s) AS sz_a
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
+       |    len(a.s) AS sz_a
        |  FROM bb a JOIN ss b ON b.doc_id % 31 <> 0 AND a.doc_id <> b.doc_id)
        |SELECT doc_a, doc_b, n_inter,
        |  round(CAST(n_inter AS DOUBLE) / sz_a, 6) AS containment
@@ -950,8 +950,8 @@ object SparkEntry {
        |ss AS (SELECT doc_id, list_distinct(hs) AS shingle_set FROM hs),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b,
-       |    length(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
-       |    length(sa.shingle_set) + length(sb.shingle_set) AS sz_sum
+       |    len(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
+       |    len(sa.shingle_set) + len(sb.shingle_set) AS sz_sum
        |  FROM cand c
        |  JOIN ss sa ON c.doc_a = sa.doc_id
        |  JOIN ss sb ON c.doc_b = sb.doc_id),
@@ -1828,7 +1828,7 @@ object SparkEntry {
        |SELECT vec_id, round(scale, 9) AS scale,
        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
        |  list_min(q) AS q_min, list_max(q) AS q_max,
-       |  CAST(length(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+       |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
        |FROM qq ORDER BY vec_id""".stripMargin
 
   // Integer dot products are exact in both engines (64 terms of
@@ -1860,10 +1860,10 @@ object SparkEntry {
   private val langIdSql =
     s"""WITH $tokCte,
        |s AS (SELECT doc_id,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS s_en,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("es")}, t))) AS s_es,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("fr")}, t))) AS s_fr,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("de")}, t))) AS s_de
+       |  len(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS s_en,
+       |  len(list_filter(tokens, t -> list_contains(${stopList("es")}, t))) AS s_es,
+       |  len(list_filter(tokens, t -> list_contains(${stopList("fr")}, t))) AS s_fr,
+       |  len(list_filter(tokens, t -> list_contains(${stopList("de")}, t))) AS s_de
        |  FROM tok)
        |SELECT doc_id, s_en, s_es, s_fr, s_de,
        |  CASE WHEN s_en > 0 AND s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
@@ -1876,12 +1876,12 @@ object SparkEntry {
     s"""WITH $tokCte,
        |j AS (SELECT d.doc_id, d.text, t.tokens FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
        |m AS (SELECT doc_id,
-       |  length(tokens) AS n_tokens,
+       |  len(tokens) AS n_tokens,
        |  length(text) AS n_chars_txt,
        |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS stop_cnt,
-       |  CAST(length(array_to_string(tokens, '')) AS DOUBLE) / greatest(length(tokens), 1) AS avg_token_len
+       |  len(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS stop_cnt,
+       |  CAST(length(array_to_string(tokens, '')) AS DOUBLE) / greatest(len(tokens), 1) AS avg_token_len
        |  FROM j)
        |SELECT doc_id, n_tokens, avg_token_len,
        |  CAST(punct_cnt AS DOUBLE) / greatest(n_chars_txt, 1) AS punct_ratio,
@@ -1914,10 +1914,10 @@ object SparkEntry {
   private val curationSql =
     s"""WITH $tokCte,
        |ls AS (SELECT doc_id,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS s_en,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("es")}, t))) AS s_es,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("fr")}, t))) AS s_fr,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("de")}, t))) AS s_de
+       |  len(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS s_en,
+       |  len(list_filter(tokens, t -> list_contains(${stopList("es")}, t))) AS s_es,
+       |  len(list_filter(tokens, t -> list_contains(${stopList("fr")}, t))) AS s_fr,
+       |  len(list_filter(tokens, t -> list_contains(${stopList("de")}, t))) AS s_de
        |  FROM tok),
        |lp AS (SELECT doc_id,
        |  CASE WHEN s_en > 0 AND s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
@@ -1927,11 +1927,11 @@ object SparkEntry {
        |  FROM ls),
        |j AS (SELECT d.doc_id, d.text, t.tokens FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
        |m AS (SELECT doc_id,
-       |  length(tokens) AS n_tokens,
+       |  len(tokens) AS n_tokens,
        |  length(text) AS n_chars_txt,
        |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
-       |  length(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS stop_cnt
+       |  len(list_filter(tokens, t -> list_contains(${stopList("en")}, t))) AS stop_cnt
        |  FROM j),
        |q AS (SELECT doc_id,
        |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.35
@@ -1950,8 +1950,8 @@ object SparkEntry {
   private val tokenStatsSql =
     s"""WITH $tokCte
        |SELECT d.doc_id,
-       |  length(t.tokens) AS ws_tokens,
-       |  length(regexp_extract_all(d.text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+       |  len(t.tokens) AS ws_tokens,
+       |  len(regexp_extract_all(d.text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS bpe_tokens,
        |  d.n_chars
        |FROM documents d JOIN tok t ON d.doc_id = t.doc_id
        |ORDER BY d.doc_id""".stripMargin
@@ -1971,7 +1971,7 @@ object SparkEntry {
        |  SELECT doc_id, list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS codes
        |  FROM documents WHERE length(text) >= 8)
        |SELECT doc_id,
-       |  array_to_string(list_sort(list_transform(generate_series(1, length(codes) - 7), i ->
+       |  array_to_string(list_sort(list_transform(generate_series(1, len(codes) - 7), i ->
        |    $terms))[1:4], '|') AS fp
        |FROM cs ORDER BY doc_id""".stripMargin
   }
@@ -1981,12 +1981,12 @@ object SparkEntry {
   private val chunksSql =
     s"""WITH $tokCte,
        |t AS (SELECT doc_id, tokens,
-       |        list_transform(generate_series(1, greatest(length(tokens) - 8, 1), 24),
+       |        list_transform(generate_series(1, greatest(len(tokens) - 8, 1), 24),
        |          i -> array_to_string(tokens[i:i+31], ' ')) AS chs,
-       |        list_transform(generate_series(1, greatest(length(tokens) - 8, 1), 24),
-       |          i -> least(32, length(tokens) - i + 1)) AS ns
-       |      FROM tok WHERE length(tokens) > 0)
-       |SELECT doc_id, CAST(unnest(range(length(chs))) AS INT) AS chunk_idx,
+       |        list_transform(generate_series(1, greatest(len(tokens) - 8, 1), 24),
+       |          i -> least(32, len(tokens) - i + 1)) AS ns
+       |      FROM tok WHERE len(tokens) > 0)
+       |SELECT doc_id, CAST(unnest(range(len(chs))) AS INT) AS chunk_idx,
        |  unnest(chs) AS chunk_text, CAST(unnest(ns) AS INT) AS n_tokens
        |FROM t ORDER BY doc_id, chunk_idx""".stripMargin
 
@@ -2021,9 +2021,9 @@ object SparkEntry {
        |  FROM st)
        |SELECT doc_id,
        |  regexp_replace(no_email, '$p', '<PHONE>', 'g') AS clean_text,
-       |  CAST(length(regexp_extract_all(text, '$u')) AS BIGINT) AS n_urls,
-       |  CAST(length(regexp_extract_all(no_url, '$e')) AS BIGINT) AS n_emails,
-       |  CAST(length(regexp_extract_all(no_email, '$p')) AS BIGINT) AS n_phones
+       |  CAST(len(regexp_extract_all(text, '$u')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(no_url, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(no_email, '$p')) AS BIGINT) AS n_phones
        |FROM st2 ORDER BY doc_id""".stripMargin
   }
 
@@ -2066,7 +2066,7 @@ object SparkEntry {
   // Mirrors Curation.packSequences (maxTokens = 512).
   private val packSql =
     s"""WITH $tokCte,
-       |t AS (SELECT doc_id, source, CAST(length(tokens) AS BIGINT) AS n_tokens FROM tok),
+       |t AS (SELECT doc_id, source, CAST(len(tokens) AS BIGINT) AS n_tokens FROM tok),
        |c AS (SELECT source, doc_id, n_tokens,
        |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
@@ -2160,13 +2160,13 @@ object SparkEntry {
   // Mirrors TextAnalysis.repetition: bigram explode + two aggregations.
   private val repetitionSql =
     s"""WITH $tokCte,
-       |t2 AS (SELECT doc_id, tokens FROM tok WHERE length(tokens) >= 2),
-       |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(tokens) - 1),
+       |t2 AS (SELECT doc_id, tokens FROM tok WHERE len(tokens) >= 2),
+       |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tokens) - 1),
        |         i -> tokens[i] || ' ' || tokens[i+1])) AS bigram FROM t2),
        |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
        |tp AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM bc GROUP BY 1),
-       |tt AS (SELECT doc_id, CAST(length(tokens) AS BIGINT) AS n_tokens,
-       |         CAST(length(list_distinct(tokens)) AS BIGINT) AS n_uniq FROM t2)
+       |tt AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq FROM t2)
        |SELECT t.doc_id, t.n_tokens,
        |  round(CAST(t.n_uniq AS DOUBLE) / t.n_tokens, 6) AS uniq_token_ratio,
        |  round(CAST(tp.top_c AS DOUBLE) / tp.n_bigrams, 6) AS top_bigram_frac
@@ -2197,11 +2197,14 @@ object SparkEntry {
         |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS word
         |      FROM documents) t
         |GROUP BY word ORDER BY word""".stripMargin,
+    // upper() OUTSIDE the inner select: generators can't nest inside
+    // expressions on the Spark surface, and DuckDB reads both spellings
+    // identically
     "wordcount_topk" ->
-      """SELECT word, COUNT(*) AS cnt
-        |FROM (SELECT upper(unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0))) AS word
+      """SELECT upper(word) AS word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS word
         |      FROM documents) t
-        |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
     "wordcount_windowed" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |  upper(event_type) AS word, COUNT(*) AS cnt
@@ -2396,11 +2399,11 @@ object SparkEntry {
         |ORDER BY cnt DESC, word""".stripMargin,
     "text_collocations" ->
       s"""WITH $tokCte,
-         |t2f AS (SELECT tokens FROM tok WHERE length(tokens) >= 2),
+         |t2f AS (SELECT tokens FROM tok WHERE len(tokens) >= 2),
          |uc AS (SELECT w, COUNT(*) AS n1
          |       FROM (SELECT unnest(tokens) AS w FROM t2f) GROUP BY w),
          |bc AS (SELECT bigram, COUNT(*) AS n2
-         |       FROM (SELECT unnest(list_transform(generate_series(1, length(tokens) - 1),
+         |       FROM (SELECT unnest(list_transform(generate_series(1, len(tokens) - 1),
          |               i -> tokens[i] || ' ' || tokens[i+1])) AS bigram FROM t2f)
          |       GROUP BY bigram),
          |tt AS (SELECT (SELECT CAST(SUM(n1) AS BIGINT) FROM uc) AS t1,
@@ -2439,10 +2442,10 @@ object SparkEntry {
          |lm AS (SELECT w, COUNT(*) AS n1 FROM x GROUP BY w),
          |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM lm),
          |b2 AS (SELECT doc_id,
-         |        CAST(unnest(generate_series(1, length(tokens) - 1)) AS INT) AS pos,
-         |        unnest(tokens[1:length(tokens)-1]) AS v,
-         |        unnest(tokens[2:length(tokens)]) AS w
-         |      FROM tok WHERE length(tokens) >= 2),
+         |        CAST(unnest(generate_series(1, len(tokens) - 1)) AS INT) AS pos,
+         |        unnest(tokens[1:len(tokens)-1]) AS v,
+         |        unnest(tokens[2:len(tokens)]) AS w
+         |      FROM tok WHERE len(tokens) >= 2),
          |c2 AS (SELECT v, w, COUNT(*) AS n2 FROM b2 GROUP BY 1, 2),
          |s AS (SELECT b.doc_id, b.pos,
          |        ln(${0.7} * c2.n2 / lv.n1 + ${1.0 - 0.7} * lw.n1 / t.t1) AS logp
@@ -2791,10 +2794,10 @@ object SparkEntry {
     "dedup_spans" ->
       s"""WITH $tokCte,
          |t AS (SELECT doc_id, tokens,
-         |        list_transform(generate_series(1, greatest(length(tokens) - 8, 1), 24),
+         |        list_transform(generate_series(1, greatest(len(tokens) - 8, 1), 24),
          |          i -> array_to_string(tokens[i:i+31], ' ')) AS chs
-         |      FROM tok WHERE length(tokens) > 0),
-         |c AS (SELECT doc_id, CAST(unnest(range(length(chs))) AS INT) AS chunk_idx,
+         |      FROM tok WHERE len(tokens) > 0),
+         |c AS (SELECT doc_id, CAST(unnest(range(len(chs))) AS INT) AS chunk_idx,
          |        unnest(chs) AS chunk_text
          |      FROM t),
          |keep AS (SELECT doc_id, chunk_idx, chunk_text FROM c
@@ -2816,8 +2819,8 @@ object SparkEntry {
          |ss AS (SELECT doc_id, list_distinct(hs) AS shingle_set FROM hs),
          |scored AS (
          |  SELECT c.doc_a, c.doc_b,
-         |    length(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
-         |    length(sa.shingle_set) + length(sb.shingle_set) AS sz_sum
+         |    len(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
+         |    len(sa.shingle_set) + len(sb.shingle_set) AS sz_sum
          |  FROM cand c
          |  JOIN ss sa ON c.doc_a = sa.doc_id
          |  JOIN ss sb ON c.doc_b = sb.doc_id),
@@ -3253,7 +3256,7 @@ object SparkEntry {
          |    FROM directed WHERE cnt_canon >= 10.0 * cnt_rare)
          |  WHERE rnk = 1),
          |tk AS (SELECT doc_id, unnest(tokens) AS tok,
-         |         CAST(unnest(range(length(tokens))) AS INT) AS pos
+         |         CAST(unnest(range(len(tokens))) AS INT) AS pos
          |       FROM tok)
          |SELECT t.doc_id,
          |  CAST(SUM(CASE WHEN c.canon IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -3282,7 +3285,7 @@ object SparkEntry {
         |f AS (SELECT doc_id, list_transform(range(1, 9), j ->
         |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
         |          (h, c) -> (h * 31 + c * j) % 2147483647) AS DOUBLE) / 2147483647) AS fv
-        |      FROM b WHERE length(cs) > 0)
+        |      FROM b WHERE len(cs) > 0)
         |SELECT doc_id, 8 AS dim,
         |  list_reduce(list_prepend(0.0, fv), (a, x) -> a + x) AS f_sum,
         |  list_min(fv) AS f_min, list_max(fv) AS f_max,

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * spelling and DuckDB's list_inner_product, so results are bit-identical
   * and oracle parity is unaffected.
   */
-case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression
+    with ColumnBridge.DoubleArrayPairInputs {
 
   override def dataType: DataType = DoubleType
 

@@ -64,6 +64,309 @@ object SqlSurface {
       .replaceAllIn(s, m =>
         "named_struct(" +
           """('[A-Za-z_]+')\s*:""".r.replaceAllIn(m.group(1), "$1,") + ")")
+    // More DuckDB list-function spellings with identical Spark
+    // semantics. list_inner_product maps to the engine's own registered
+    // SQL kernel (graft_vector_dot) — the same left-to-right
+    // accumulation both engines use, so this is the one mapping that
+    // targets the graft surface rather than a Spark builtin.
+    s = s.replace("list_inner_product(", "graft_vector_dot(")
+      .replace("list_position(", "array_position(")
+      .replace("list_min(", "array_min(")
+      .replace("list_max(", "array_max(")
+      .replace("array_to_string(", "array_join(")
+    // DuckDB string_split splits on a LITERAL separator, Spark split on
+    // a regex — identical only for separators without regex metachars
+    // (the single-space separator these oracles use); a metachar
+    // separator would diverge and surface as DIFF.
+    s = s.replace("string_split(", "split(")
+    // string_agg(x, sep ORDER BY k) → listagg (Spark 4 WITHIN GROUP)
+    s = """string_agg\(([^,()]+(?:\([^()]*\))?[^,()]*),\s*('[^']*')\s+ORDER BY ([^()]+)\)""".r
+      .replaceAllIn(s, "listagg($1, $2) WITHIN GROUP (ORDER BY $3)")
+    // typed-array casts: DOUBLE[] → ARRAY<DOUBLE> (before the bracket
+    // scanner below, which would misread the empty [] pair)
+    for (_ <- 1 to 2) // two passes: T[][] resolves outside-in
+      s = """\b(DOUBLE|BIGINT|INT|VARCHAR)\[\]""".r.replaceAllIn(s, m => {
+        val t = if (m.group(1) == "VARCHAR") "STRING" else m.group(1)
+        s"ARRAY<$t>"
+      })
+    // DuckDB's 128-bit HUGEINT accumulator → the widest Spark decimal.
+    // 2^127 ≈ 1.7e38 vs DECIMAL(38): both far beyond these sums' range.
+    s = s.replace("HUGEINT", "DECIMAL(38,0)")
+    // integer floor division; identical for the non-negative operands
+    // these oracles divide (floor-vs-truncate differs only below zero)
+    s = s.replace(" // ", " DIV ")
+    // regexp_replace global flag: Spark replaces ALL matches by default
+    s = s.replace("', 'g')", "')")
+    // scalar bitwise xor function → operator
+    s = """\bxor\(([^(),]+),\s*([^()]+)\)""".r.replaceAllIn(s, "($1 ^ $2)")
+    // codepoint of the first character — identical for BMP input
+    s = s.replace("ord(", "ascii(")
+    // byte length of the UTF-8 encoding — identical semantics
+    s = s.replace("strlen(", "octet_length(")
+    // DuckDB's byte-walking Jaro-Winkler is what the engine's native
+    // kernel replicates bit-for-bit (FunctionsSpec differential), so the
+    // graft SQL registration IS the faithful mapping.
+    s = s.replace("jaro_winkler_similarity(", "graft_jaro_winkler(")
+    s = s.replace("list_concat(", "concat(")
+    // DuckDB parses hex-prefixed strings in int casts; Spark needs conv.
+    // Both spellings of the idiom: concat('0x', X) and ('0x' || X).
+    s = rewriteHexCast(s, "concat('0x', ", emitTail = ")")
+    s = rewriteHexCast(s, "('0x' || ", emitTail = ")")
+    // DuckDB encode(s) is UTF-8; Spark's 2-arg form says so explicitly
+    s = rewriteEncode(s)
+    s = rewriteListReduce(s)
+    s = rewriteQualify(s)
+    s = rewriteBrackets(s)
+    s
+  }
+
+  /** `list_reduce(list_prepend(init, L), lam)` → `aggregate(L, init, lam)`.
+    * DuckDB's list_reduce folds with the FIRST ELEMENT as the seed; this
+    * repo's oracles always prepend an explicit seed, which is exactly
+    * Spark's `aggregate(expr, start, merge)` — same fold order, same
+    * lambda syntax. Bare list_reduce (no prepended seed) has no
+    * one-call Spark equivalent and is left untranslated.
+    */
+  private def rewriteListReduce(s0: String): String = {
+    val marker = "list_reduce(list_prepend("
+    var s = s0
+    var idx = s.indexOf(marker)
+    while (idx >= 0) {
+      val lrOpen = idx + "list_reduce".length
+      val lpOpen = idx + "list_reduce(list_prepend".length
+      val lpClose = findMatch(s, lpOpen, '(', ')')
+      val lrClose = findMatch(s, lrOpen, '(', ')')
+      if (lpClose < 0 || lrClose < 0) return s0
+      val comma = topLevelComma(s, lpOpen + 1, lpClose)
+      if (comma < 0) return s0
+      val init = s.substring(lpOpen + 1, comma).trim
+      val list = s.substring(comma + 1, lpClose).trim
+      val lam = s.substring(lpClose + 1, lrClose).trim.stripPrefix(",").trim
+      s = s.substring(0, idx) + s"aggregate($list, $init, $lam)" +
+        s.substring(lrClose + 1)
+      idx = s.indexOf(marker)
+    }
+    s
+  }
+
+  /** `<marker>X)` → `conv(X, 16, 10)`: the hex-string-to-int cast idiom.
+    * The enclosing `CAST(... AS INT)` then parses conv's decimal output,
+    * which is exactly DuckDB's reading of the '0x...' literal.
+    */
+  private def rewriteHexCast(s0: String, marker: String, emitTail: String): String = {
+    var s = s0
+    var idx = s.indexOf(marker)
+    while (idx >= 0) {
+      // the marker's unmatched '(' is its last '(' character
+      val open = idx + marker.lastIndexOf('(')
+      val close = findMatch(s, open, '(', ')')
+      if (close < 0) return s0
+      val inner = s.substring(idx + marker.length, close).trim
+      s = s.substring(0, idx) + s"conv($inner, 16, 10)" + s.substring(close + 1)
+      idx = s.indexOf(marker)
+    }
+    s
+  }
+
+  /** One-argument `encode(X)` → `encode(X, 'UTF-8')`. */
+  private def rewriteEncode(s0: String): String = {
+    var s = s0
+    var from = 0
+    var idx = s.indexOf("encode(", from)
+    while (idx >= 0) {
+      val open = idx + "encode".length
+      val close = findMatch(s, open, '(', ')')
+      if (close < 0) return s0
+      if (topLevelComma(s, open + 1, close) < 0)
+        s = s.substring(0, close) + ", 'UTF-8')" + s.substring(close + 1)
+      from = idx + 7
+      idx = s.indexOf("encode(", from)
+    }
+    s
+  }
+
+  /** `base[i]` → element_at (both 1-based); `base[a:b]` (DuckDB list
+    * slice, 1-based INCLUSIVE ends) → `slice(base, a, b-a+1)`.
+    */
+  private def subscriptOf(base: String, idx: String): String = {
+    val colon = topLevelColon(idx)
+    if (colon < 0) s"element_at($base, $idx)"
+    else {
+      val a = idx.substring(0, colon).trim
+      val b = idx.substring(colon + 1).trim
+      s"slice($base, $a, ($b) - ($a) + 1)"
+    }
+  }
+
+  /** Position of the first ':' at paren/bracket depth 0, or -1. */
+  private def topLevelColon(s: String): Int = {
+    var i = 0; var d = 0; var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(' || c == '[') d += 1
+      else if (c == ')' || c == ']') d -= 1
+      else if (c == ':' && d == 0) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Position of the first comma at paren depth 0 in s[from, until). */
+  private def topLevelComma(s: String, from: Int, until: Int): Int = {
+    var i = from; var d = 0; var inQ = false
+    while (i < until) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(' || c == '[') d += 1
+      else if (c == ')' || c == ']') d -= 1
+      else if (c == ',' && d == 0) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Forward scan for the position of the `cc` matching the `oc` at
+    * `open`, skipping single-quoted literals. -1 if unbalanced.
+    */
+  private def findMatch(s: String, open: Int, oc: Char, cc: Char): Int = {
+    var d = 0; var i = open; var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == oc) d += 1
+      else if (c == cc) { d -= 1; if (d == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** DuckDB bracket syntax → Spark, in one quote-aware scan:
+    * - list LITERAL `[a, b]` (bracket not preceded by a value) →
+    *   `array(a, b)`; nesting handled by continuing the scan inside.
+    * - SUBSCRIPT `base[i]` (bracket after an identifier or call) →
+    *   `element_at(base, i)` — BOTH are 1-based, so this is the exact
+    *   mapping (`base[i]` in Spark would be 0-based and silently wrong).
+    * Subscripts after a `]` (e.g. `x[1][2]`) are left untranslated and
+    * surface as NOSQL rather than risk a bad rewrite.
+    */
+  private def rewriteBrackets(s0: String): String = {
+    var s = s0
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { inQ = true; i += 1 }
+      else if (c == '[') {
+        val close = findMatch(s, i, '[', ']')
+        if (close < 0) i += 1
+        else {
+          var p = i - 1
+          while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+          val prev = if (p >= 0) s.charAt(p) else ' '
+          if (prev.isLetterOrDigit || prev == '_') {
+            var b = p
+            while (b >= 0 && (s.charAt(b).isLetterOrDigit ||
+              s.charAt(b) == '_' || s.charAt(b) == '.')) b -= 1
+            val base = s.substring(b + 1, p + 1)
+            val idx = s.substring(i + 1, close)
+            s = s.substring(0, b + 1) + subscriptOf(base, idx) +
+              s.substring(close + 1)
+            i = b + 1
+          } else if (prev == ')') {
+            // call subscript: walk back over the balanced parens + name
+            var d = 0; var b = p; var found = false
+            while (b >= 0 && !found) {
+              s.charAt(b) match {
+                case ')' => d += 1
+                case '(' => d -= 1; if (d == 0) found = true
+                case _ =>
+              }
+              if (!found) b -= 1
+            }
+            var b2 = b - 1
+            while (b2 >= 0 && (s.charAt(b2).isLetterOrDigit ||
+              s.charAt(b2) == '_' || s.charAt(b2) == '.')) b2 -= 1
+            val base = s.substring(b2 + 1, p + 1)
+            val idx = s.substring(i + 1, close)
+            s = s.substring(0, b2 + 1) + subscriptOf(base, idx) +
+              s.substring(close + 1)
+            i = b2 + 1
+          } else {
+            // list literal
+            s = s.substring(0, i) + "array(" + s.substring(i + 1, close) +
+              ")" + s.substring(close + 1)
+            i += "array(".length
+          }
+        }
+      } else i += 1
+    }
+    s
+  }
+
+  /** `SELECT <list> <rest> QUALIFY <pred>` → window-in-subquery:
+    * `SELECT * FROM (SELECT <list>, <pred> AS __qN <rest>) WHERE __qN`.
+    * Exactly the textbook QUALIFY lowering; the helper column rides
+    * along in the CTE output, which is harmless because every QUALIFY
+    * here feeds a downstream projection with explicit columns (a final
+    * `SELECT *` consumer would surface as DIFF in the parity check).
+    * Alias-referencing predicates (`QUALIFY r <= 20` where r is a
+    * select-list alias) resolve via Spark's lateral column aliases.
+    */
+  private def rewriteQualify(s0: String): String = {
+    var s = s0
+    var qn = 0
+    var idx = s.indexOf("QUALIFY")
+    while (idx >= 0) {
+      // predicate extends until the enclosing scope closes
+      var i = idx + 7; var d = 0; var inQ = false; var end = s.length
+      var brk = false
+      while (i < s.length && !brk) {
+        val c = s.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (c == '\'') inQ = true
+        else if (c == '(') d += 1
+        else if (c == ')') { if (d == 0) { end = i; brk = true } else d -= 1 }
+        if (!brk) i += 1
+      }
+      val pred = s.substring(idx + 7, end).trim
+      // owning SELECT: nearest preceding SELECT at balanced depth
+      var j = idx - 1; var dd = 0; var selStart = -1
+      while (j >= 0 && selStart < 0) {
+        val c = s.charAt(j)
+        if (c == ')') dd += 1
+        else if (c == '(') dd -= 1
+        if (dd == 0 && c == 'S' && s.regionMatches(j, "SELECT", 0, 6)) selStart = j
+        j -= 1
+      }
+      val body = s.substring(selStart, idx)
+      // top-level FROM splits the select list from the rest
+      var k = 6; var d3 = 0; var q3 = false; var fromPos = -1
+      while (k < body.length && fromPos < 0) {
+        val c = body.charAt(k)
+        if (q3) { if (c == '\'') q3 = false }
+        else if (c == '\'') q3 = true
+        else if (c == '(') d3 += 1
+        else if (c == ')') d3 -= 1
+        else if (d3 == 0 && (c == 'F') && body.regionMatches(k, "FROM", 0, 4) &&
+          !body.charAt(k - 1).isLetterOrDigit &&
+          (k + 4 >= body.length || !body.charAt(k + 4).isLetterOrDigit)) fromPos = k
+        k += 1
+      }
+      if (fromPos < 0) return s0 // malformed; leave untouched
+      qn += 1
+      val alias = s"__q$qn"
+      val selList = body.substring(6, fromPos).trim.stripSuffix(",")
+      val rest = body.substring(fromPos).trim
+      s = s.substring(0, selStart) +
+        s"SELECT * FROM (SELECT $selList, $pred AS $alias $rest) WHERE $alias" +
+        s.substring(end)
+      idx = s.indexOf("QUALIFY")
+    }
     s
   }
 
@@ -97,15 +400,21 @@ object SqlSurface {
       graft.SparkEntry.oracleSqlDynamic(spark, dir)).toSeq.sortBy(_._1)
     var matched, xlated, diff, nosql = List.empty[String]
     for ((name, sql) <- all) {
+      var lastErr: Throwable = null
       def run(q: String): Option[Seq[String]] =
-        try Some(canon(spark.sql(q))) catch { case _: Throwable => None }
+        try Some(canon(spark.sql(q)))
+        catch { case e: Throwable => lastErr = e; None }
       val verbatim = run(sql)
       val (viaSql, tag) = verbatim match {
         case Some(v) => (Some(v), "verbatim")
         case None => (run(toSparkSql(sql)), "xlate")
       }
       viaSql match {
-        case None => nosql ::= name
+        case None =>
+          nosql ::= name
+          if (sys.env.contains("SQL_SURFACE_VERBOSE"))
+            println(s"NOSQL-WHY $name: ${Option(lastErr).map(_.getMessage)
+              .getOrElse("?").linesIterator.take(2).mkString(" | ").take(300)}")
         case Some(s) =>
           val viaDf =
             try canon(graft.SparkEntry.queries(name)(spark, dir))

@@ -23,6 +23,20 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Mix-in declaring a (array<double>, array<double>) input contract
+    * with implicit coercion. Lives in the sql package tree because
+    * `AbstractDataType` is `private[sql]`; graft expressions mix it in
+    * so SQL-surface callers passing DECIMAL-typed array literals get a
+    * Catalyst cast instead of a runtime ClassCastException (DataFrame
+    * callers already pass array<double> — nothing is inserted there).
+    */
+  trait DoubleArrayPairInputs
+      extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+      Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+  }
+
   /** The RDD backing a `localCheckpoint`-ed Dataset (its plan is a single
     * LogicalRDD). Lets iterative algorithms unpersist a superseded round's
     * checkpoint blocks instead of leaking them until context shutdown.
