@@ -47,11 +47,15 @@ object Bench {
     }
 
     runOnce("q1_pricing_summary") // warm-up: session + codegen startup
-    // best-of-2 per query: local[32] timings vary ±15% run-to-run (GC,
-    // page cache); the min is the stable engine-cost signal
+    // best-of-N per query (default 2): local[32] timings vary ±15%
+    // run-to-run (GC, page cache); the min is the stable engine-cost
+    // signal. The scale-curve harness sets 3 so committed cross-scale
+    // RATIOS measure scaling, not residual session overhead in a small
+    // 1x base (verdict r9 item 6).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      val a = runOnce(n); val b = runOnce(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val runs = (1 to reps).map(_ => runOnce(n))
+      n -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => k }

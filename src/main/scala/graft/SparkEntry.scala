@@ -451,7 +451,12 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
-    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"))),
+    // The rolling Karp-Rabin winnowing fingerprint is the benched
+    // spelling; the md5-per-position variant (TextAnalysis.fingerprint)
+    // was retired from the pack in r10 — an md5 call per character
+    // position is the wrong constant at 100 TB (14.4x on the r9 100x
+    // curve, data-inherent) — and stays covered by four OperatorsSpec
+    // differentials against the builtins spelling.
     "text_fingerprint_rolling" -> ((s, d) => TextAnalysis.fingerprintRolling(Tables.load(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
@@ -1956,12 +1961,6 @@ object SparkEntry {
        |FROM documents d JOIN tok t ON d.doc_id = t.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  private val fingerprintSql =
-    """SELECT doc_id,
-      |  md5(array_to_string(list_sort(list_transform(generate_series(1, length(text) - 7), i -> md5(text[i:i+7])))[1:4], '|')) AS fp
-      |FROM documents WHERE length(text) >= 8
-      |ORDER BY doc_id""".stripMargin
-
   // Mirrors TextAnalysis.fingerprintRolling: 8-gram polynomial hash over a
   // precomputed codepoint list (DuckDB lists are 1-indexed like element_at).
   private val fingerprintRollingSql = {
@@ -2918,7 +2917,6 @@ object SparkEntry {
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokenStatsSql,
-    "text_fingerprint" -> fingerprintSql,
     "text_fingerprint_rolling" -> fingerprintRollingSql,
     "text_chunks" -> chunksSql,
     "text_tfidf" -> tfidfSql,

@@ -116,7 +116,6 @@ class EntrySpec extends AnyFunSuite {
     "q_running_total" -> 1500L,
     "q_top_orders" -> 20L,
     "q_top_suppliers_per_nation" -> 10L,
-    "text_fingerprint" -> 500L,
     "text_fingerprint_rolling" -> 500L,
     "text_chunks" -> 1249L,
     "text_tfidf" -> 1500L,

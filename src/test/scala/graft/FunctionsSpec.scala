@@ -262,6 +262,15 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("JW linkage probe-explode spelling is bit-identical to the block-join twin") {
+    val spark = TestSpark.spark
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fast = graft.functions.TextAnalysis.jaroWinklerLinkage(docs).collect().toSeq
+    val twin = graft.functions.TextAnalysis.jaroWinklerLinkageJoin(docs).collect().toSeq
+    assert(fast === twin)
+    assert(fast.nonEmpty)
+  }
+
   test("DamerauLevenshtein refuses document-length inputs loudly") {
     import graft.functions.DamerauLevenshtein
     def u(x: String) = UTF8String.fromString(x)
