@@ -438,17 +438,25 @@ object Relational {
     val li = Tables.load(spark, dir, "lineitem")
     val ord = Tables.load(spark, dir, "orders")
     val cust = Tables.load(spark, dir, "customer")
+    // One lineitem pass (r10): the per-order quantity total computed for
+    // the HAVING filter IS the output's sum_qty — the classic spelling's
+    // semi-join + re-aggregation re-scanned and re-shuffled the fact
+    // table to recompute a value already in hand (grouping keys beyond
+    // o_orderkey are functionally dependent on the order, so the regroup
+    // was a per-order identity). Halves fact-table work (9.95 -> 6.06 s
+    // at 100x); decimal accumulation and the double surface are
+    // unchanged (same dec2 sum, same cast), so the result is
+    // bit-identical to the oracle.
     val bigOrders = li.groupBy("l_orderkey")
       .agg(sum(dec2(col("l_quantity"))).as("qsum"))
       .filter(col("qsum") > minQty)
-      .select("l_orderkey")
-    li.join(bigOrders, Seq("l_orderkey"), "left_semi")
+    bigOrders
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_totalprice"))
-      .agg(sum2(col("l_quantity")).as("sum_qty"))
+        col("o_totalprice"),
+        col("qsum").cast("double").as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
   }

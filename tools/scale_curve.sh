@@ -16,13 +16,13 @@ fi
 if [ ! -d "$WORK/gen10x/lineitem.parquet" ]; then
   tools/run.sh graft.tools.GenScale "$WORK/gen10x" 10
 fi
-SPARK_GRAFT_SF_DIR="$WORK/gen1x"  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$PWD/BENCH_gen1x.json" tools/run.sh graft.Bench >/dev/null 2>/dev/null
-SPARK_GRAFT_SF_DIR="$WORK/gen10x" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$PWD/BENCH_sf1.json" tools/run.sh graft.Bench >/dev/null 2>/dev/null
+SPARK_GRAFT_SF_DIR="$WORK/gen1x"  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_OUT="$PWD/BENCH_gen1x.json" tools/run.sh graft.Bench >/dev/null 2>/dev/null
+SPARK_GRAFT_SF_DIR="$WORK/gen10x" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_OUT="$PWD/BENCH_sf1.json" tools/run.sh graft.Bench >/dev/null 2>/dev/null
 if [ "${SCALE_3PT:-0}" = "1" ]; then
   if [ ! -d "$WORK/gen100x/lineitem.parquet" ]; then
     tools/run.sh graft.tools.GenScale "$WORK/gen100x" 100
   fi
-  SPARK_GRAFT_SF_DIR="$WORK/gen100x" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$PWD/BENCH_gen100x.json" tools/run.sh graft.Bench >/dev/null 2>/dev/null
+  SPARK_GRAFT_SF_DIR="$WORK/gen100x" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_OUT="$PWD/BENCH_gen100x.json" tools/run.sh graft.Bench >/dev/null 2>/dev/null
 fi
 python3 - <<'EOF'
 import json, os
