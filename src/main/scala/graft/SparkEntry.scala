@@ -296,6 +296,17 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))),
     "emb_pool" -> ((s, d) => Similarity.meanPool(Tables.load(s, d, "embeddings"))),
     "emb_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
+    // Embedding snapshot drift monitor: two overlapping corpus versions
+    // (vec_id % 3 carve-outs — the disjoint thirds are the churn), fixed
+    // shared k-means cells, per-cell population + mean-vector shift.
+    "emb_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.snapshotDrift(
+        emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(3L)) =!= 1),
+        kmeansCentroids(s, d))
+    }),
     "ann_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(Tables.load(s, d, "embeddings"))),
     // exact maximum-inner-product top-k (un-normalized relevance)
     "ann_mips_topk" -> ((s, d) => Similarity.mipsTopK(Tables.load(s, d, "embeddings"))),
@@ -1399,6 +1410,48 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** emb_drift oracle: cell assignment against the SAME exported centroid
+    * literals, per-(cell, d) means via the emb_pool two-level ordered
+    * fold on each snapshot carve-out, then d-ordered folds for the
+    * cross-dim dot/norm/diff reductions — every double derived in the
+    * engine's exact IEEE order.
+    */
+  private def embDriftSqlFor(centroids: Array[Array[Double]]): String = {
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    def sideCtes(tag: String, filt: String) =
+      s"""x_$tag AS (SELECT cell, vec_id, CAST(g.i AS INT) - 1 AS d, v[CAST(g.i AS INT)] AS x
+         |      FROM wc CROSS JOIN generate_series(1, 64) AS g(i) WHERE $filt),
+         |l1_$tag AS (SELECT cell, d, vec_id // 1024 AS bucket, COUNT(*) AS n,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vec_id)),
+         |           (a, b) -> a + b) AS sx
+         |       FROM x_$tag GROUP BY cell, d, bucket),
+         |l2_$tag AS (SELECT cell, d, CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sx ORDER BY bucket)),
+         |           (a, b) -> a + b) AS sx2
+         |       FROM l1_$tag GROUP BY cell, d)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v, $scoreList AS scores FROM e),
+       |wc AS (SELECT vec_id, v, CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |${sideCtes("o", "vec_id % 3 <> 0")},
+       |${sideCtes("n", "vec_id % 3 <> 1")},
+       |j AS (SELECT o.cell, o.d, o.n_vecs AS n_old, n.n_vecs AS n_new,
+       |        o.sx2 / o.n_vecs AS mo, n.sx2 / n.n_vecs AS mn
+       |      FROM l2_o o JOIN l2_n n ON o.cell = n.cell AND o.d = n.d),
+       |g AS (SELECT cell, MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(mo * mn ORDER BY d)), (a, b) -> a + b) AS dot,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(mo * mo ORDER BY d)), (a, b) -> a + b) AS no2,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(mn * mn ORDER BY d)), (a, b) -> a + b) AS nn2,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list((mo - mn) * (mo - mn) ORDER BY d)), (a, b) -> a + b) AS dd2
+       |  FROM j GROUP BY cell)
+       |SELECT cell, n_old, n_new,
+       |  round(dot / (sqrt(no2) * sqrt(nn2)), 6) AS mean_cos,
+       |  round(sqrt(dd2), 6) AS mean_l2
+       |FROM g ORDER BY cell""".stripMargin
+  }
+
   /** ann_recall_report oracle: the annTopkSql brute leg and the
     * ivfKmeansSqlFor probe leg (same centroid literals as the engine's
     * fit) re-stated side by side, intersected per query. Both legs rank
@@ -1705,6 +1758,7 @@ object SparkEntry {
       ("text_topics" -> topicsSqlFor(topicCentroids(spark, sfDir))) +
       ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_recall_report" -> ivfRecallSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("emb_drift" -> embDriftSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),

@@ -1176,6 +1176,71 @@ object Similarity {
         (col("sx2") / col("n_vecs")).as("mean"))
   }
 
+  /** Embedding snapshot DRIFT report — the distribution-shift monitor an
+    * embedded corpus needs between ingest versions: assign both snapshots
+    * to the SAME fixed k-means cells, then per cell report the population
+    * shift (n_old vs n_new) and the geometric displacement of the cell's
+    * mean vector (cosine between the old and new per-cell means, plus the
+    * L2 distance). A cell whose mean rotates or whose share collapses is
+    * where the new data changed character — the check that catches a bad
+    * embed-model rollout or a source-mix regression before training does.
+    *
+    * Exactness: per-cell per-dim means use `meanPool`'s two-level ordered
+    * fold (decimal casts are parity-unsafe for arbitrary doubles — see
+    * meanPool's scaladoc); the cross-dim reductions (dot, norms, squared
+    * diff) fold in explicit d order, so both engines produce identical
+    * IEEE doubles before the final round(6).
+    *
+    * Scale shape: one scan per snapshot, cell assignment is a per-row
+    * expression against broadcast centroid literals, and everything after
+    * the (cell, d, bucket) partial aggregation is centroid-count-sized.
+    */
+  def snapshotDrift(embOld: DataFrame, embNew: DataFrame,
+      centroids: Array[Array[Double]], bucketSize: Int = 1024): DataFrame = {
+    def cellMeans(emb: DataFrame) = {
+      val x = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scores", cellScores(centroids))
+        .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+        .select(col("cell"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      val lvl1 = x.withColumn("bucket", expr(s"vec_id div $bucketSize"))
+        .groupBy("cell", "d", "bucket")
+        .agg(count(lit(1)).as("n"),
+          expr("aggregate(array_sort(collect_list(struct(vec_id, x))), " +
+            "cast(0.0 as double), (a, s) -> a + s.x)").as("sx"))
+      lvl1.groupBy("cell", "d")
+        .agg(sum(col("n")).as("n_vecs"),
+          expr("aggregate(array_sort(collect_list(struct(bucket, sx))), " +
+            "cast(0.0 as double), (a, s) -> a + s.sx)").as("sx2"))
+        .select(col("cell"), col("d"), col("n_vecs"),
+          (col("sx2") / col("n_vecs")).as("m"))
+    }
+    val o = cellMeans(embOld).select(col("cell"), col("d"),
+      col("n_vecs").as("n_old"), col("m").as("mo"))
+    val n = cellMeans(embNew).select(col("cell"), col("d"),
+      col("n_vecs").as("n_new"), col("m").as("mn"))
+    o.join(n, Seq("cell", "d")) // inner: drift is defined on shared cells
+      .select(col("cell"), col("d"), col("n_old"), col("n_new"),
+        (col("mo") * col("mn")).as("p_on"),
+        (col("mo") * col("mo")).as("p_oo"),
+        (col("mn") * col("mn")).as("p_nn"),
+        ((col("mo") - col("mn")) * (col("mo") - col("mn"))).as("p_dd"))
+      .groupBy("cell")
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        expr("aggregate(array_sort(collect_list(struct(d, p_on))), " +
+          "cast(0.0 as double), (a, s) -> a + s.p_on)").as("dot"),
+        expr("aggregate(array_sort(collect_list(struct(d, p_oo))), " +
+          "cast(0.0 as double), (a, s) -> a + s.p_oo)").as("no2"),
+        expr("aggregate(array_sort(collect_list(struct(d, p_nn))), " +
+          "cast(0.0 as double), (a, s) -> a + s.p_nn)").as("nn2"),
+        expr("aggregate(array_sort(collect_list(struct(d, p_dd))), " +
+          "cast(0.0 as double), (a, s) -> a + s.p_dd)").as("dd2"))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        round(col("dot") / (sqrt(col("no2")) * sqrt(col("nn2"))), 6).as("mean_cos"),
+        round(sqrt(col("dd2")), 6).as("mean_l2"))
+      .orderBy("cell")
+  }
+
   /** Embedding outlier audit: the k vectors FURTHEST from their label's
     * centroid, per label — the mislabeled/corrupt-vector check a
     * curation pipeline runs over an embedded corpus. Centroids come from

@@ -96,6 +96,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_ids" -> 500L,
     "text_collocations" -> 50L,
     "emb_pool" -> 640L,
+    "emb_drift" -> 16L,
     "emb_outliers" -> 30L,
     "pipeline_wsample" -> 100L,
     "text_lm_score" -> 500L,
@@ -207,7 +208,8 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
     "ann_ivfpq_refine", "ann_ivf_indexed", "ann_ivfpq_indexed", "ann_mips_lsh",
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",
-    "emb_contrastive", "pipeline_quality_model", "dedup_embedding")
+    "emb_contrastive", "pipeline_quality_model", "dedup_embedding",
+    "emb_drift")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

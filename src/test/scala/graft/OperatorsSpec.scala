@@ -2331,4 +2331,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === noPrefilter)
     assert(got.nonEmpty)
   }
+
+  test("snapshotDrift: identical snapshots report zero drift; a shifted cell is flagged") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.fitCentroids(emb)
+    // self-drift: every shared cell has cos 1 and L2 0, equal populations
+    val self = Similarity.snapshotDrift(emb, emb, centroids)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(self.nonEmpty)
+    assert(self.forall { case (_, nO, nN, cos, l2) =>
+      nO == nN && cos == 1.0 && l2 == 0.0 })
+    // real carve-outs drift: populations differ somewhere and at least
+    // one cell's mean moved (the disjoint thirds are ~2/3 of each side)
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val drift = Similarity.snapshotDrift(
+        emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(3L)) =!= 1),
+        centroids)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(drift.exists { case (_, nO, nN, _, _) => nO != nN } ||
+      drift.exists(_._5 > 0.0))
+    assert(drift.forall { case (_, _, _, cos, l2) =>
+      cos <= 1.0 && cos >= -1.0 && l2 >= 0.0 })
+  }
 }
