@@ -102,6 +102,8 @@ object SparkEntry {
     "q_events_latest_state" -> (Events.latestState _),
     // -- Dedup pack (documents) --
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
+    // per-source before/after ledger for both dedup stages + keep ratios
+    "pipeline_dedup_report" -> ((s, d) => Dedup.dedupReport(Tables.load(s, d, "documents"))),
     "dedup_apply_exact" -> ((s, d) => Dedup.dropExactDuplicates(Tables.load(s, d, "documents"))
       .select("doc_id", "source", "n_chars").orderBy("doc_id")),
     "dedup_apply_near" -> ((s, d) => Dedup.dropNearDuplicates(Tables.load(s, d, "documents"))
@@ -2882,6 +2884,46 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)
          |ORDER BY doc_id""".stripMargin,
+    // Per-source dedup accounting: raw counts, exact-dedup survivors
+    // (min-doc_id representative per normalized text), near-dedup
+    // survivors (the dedup_apply_near drop set), keep ratios. Stages
+    // measured independently against the full corpus — the planning view.
+    "pipeline_dedup_report" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |cand AS ($candPairsSelect),
+         |ss AS (SELECT doc_id, list_distinct(hs) AS shingle_set FROM hs),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_filter(sa.shingle_set, x -> list_contains(sb.shingle_set, x))) AS n_inter,
+         |    len(sa.shingle_set) + len(sb.shingle_set) AS sz_sum
+         |  FROM cand c
+         |  JOIN ss sa ON c.doc_a = sa.doc_id
+         |  JOIN ss sb ON c.doc_b = sb.doc_id),
+         |drops AS (SELECT DISTINCT doc_b FROM scored
+         |          WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.01),
+         |base AS (SELECT source, COUNT(*) AS n_docs,
+         |           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |         FROM documents GROUP BY source),
+         |ex AS (SELECT source, COUNT(*) AS n_exact,
+         |         CAST(SUM(n_chars) AS BIGINT) AS chars_exact
+         |       FROM documents
+         |       WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
+         |                        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |       GROUP BY source),
+         |nr AS (SELECT source, COUNT(*) AS n_near,
+         |         CAST(SUM(n_chars) AS BIGINT) AS chars_near
+         |       FROM documents
+         |       WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+         |       GROUP BY source)
+         |SELECT base.source AS source, n_docs, n_chars, n_exact, chars_exact,
+         |  n_near, chars_near,
+         |  round(CAST(n_exact AS DOUBLE) / n_docs, 6) AS exact_keep_ratio,
+         |  round(CAST(n_near AS DOUBLE) / n_docs, 6) AS near_keep_ratio
+         |FROM base
+         |JOIN ex ON base.source = ex.source
+         |JOIN nr ON base.source = nr.source
+         |ORDER BY base.source""".stripMargin,
     "dedup_incremental" -> incrementalSql,
     // the bloom prefilter is result-transparent: same oracle
     "dedup_incremental_bloom" -> incrementalSql,

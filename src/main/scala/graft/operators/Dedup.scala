@@ -334,6 +334,34 @@ object Dedup {
     docs.join(ngramJaccardPairsRaw(docs, threshold).select(col("doc_b").as("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Dedup ACCOUNTING report — the before/after ledger a curation run
+    * publishes per source: document and character counts of the raw
+    * corpus, of the exact-dedup survivors, and of the near-dedup
+    * survivors, with keep ratios. Each stage is measured against the
+    * full corpus (what WOULD each pass save, per source), so the report
+    * answers the planning question — which sources are duplication-heavy
+    * and which dedup stage pays — before anyone runs the expensive pass.
+    *
+    * Scale shape: three aggregations over (id, source, n_chars)-width
+    * projections; the near stage reuses the bucketed LSH candidate /
+    * exact-verify pipeline, never all-pairs. Output is source-cardinality
+    * rows.
+    */
+  def dedupReport(docs: DataFrame): DataFrame = {
+    def bySource(df: DataFrame, nDocs: String, nChars: String) =
+      df.groupBy("source").agg(
+        count(lit(1)).as(nDocs),
+        sum(col("n_chars")).cast("long").as(nChars))
+    bySource(docs, "n_docs", "n_chars")
+      .join(bySource(dropExactDuplicates(docs), "n_exact", "chars_exact"), Seq("source"))
+      .join(bySource(dropNearDuplicates(docs), "n_near", "chars_near"), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_exact"), col("chars_exact"), col("n_near"), col("chars_near"),
+        round(col("n_exact").cast("double") / col("n_docs"), 6).as("exact_keep_ratio"),
+        round(col("n_near").cast("double") / col("n_docs"), 6).as("near_keep_ratio"))
+      .orderBy("source")
+  }
+
   /** Span-level dedup with document reassembly — the C4-style pass that
     * removes REPEATED SPANS from otherwise-distinct documents (boilerplate
     * headers, license blocks, syndicated fragments) that document-level

@@ -156,6 +156,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_containment" -> 8L,
     "dedup_minhash_lookup" -> 8L,
     "dedup_drop_near_indexed" -> 16L,
+    "pipeline_dedup_report" -> 20L,
     "pipeline_split_safe" -> 500L,
     "text_search_bm25" -> 20L,
     "text_search_bm25_indexed" -> 20L,

@@ -2332,6 +2332,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dedupReport totals reconcile with the apply operators") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rep = Dedup.dedupReport(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(rep.nonEmpty)
+    // per-source sanity: survivors never exceed the base, ratios in (0, 1]
+    assert(rep.forall { r => r._4 <= r._2 && r._6 <= r._2 &&
+      r._8 > 0.0 && r._8 <= 1.0 && r._9 > 0.0 && r._9 <= 1.0 })
+    // cross-source totals equal the apply operators' counts exactly
+    assert(rep.map(_._4).sum === Dedup.dropExactDuplicates(docs).count())
+    assert(rep.map(_._6).sum === Dedup.dropNearDuplicates(docs).count())
+    assert(rep.map(_._2).sum === docs.count())
+  }
+
   test("snapshotDrift: identical snapshots report zero drift; a shifted cell is flagged") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val centroids = Similarity.fitCentroids(emb)
