@@ -691,6 +691,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming drift monitor reports per-batch drift equal to the batch twin and alarms on rotation") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val baseline = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.fitCentroids(baseline)
+    // batch 1: a clean slice of the baseline itself (no rotation);
+    // batch 2: the same slice with every vector negated — cos flips to -1
+    val slice = baseline.filter($"vec_id" < 300)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val flipped = slice.map { case (id, v) => (id, v.map(x => -x)) }
+    val input = MemoryStream[(Long, Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Double, Boolean)]
+    // minCos is calibrated to batch size: a 300-vector batch's cell
+    // means sit at cos 0.82-0.96 vs the full corpus from sampling noise
+    // alone, while genuine rotation lands far below (the flipped batch
+    // is exactly negative)
+    val q = graft.streaming.StreamDriftMonitor.serve(
+      input.toDF().toDF("vec_id", "embedding"),
+      () => baseline, centroids, minCos = 0.5) { (drift, batchId) =>
+      results ++= drift.select("cell", "mean_cos", "alarm")
+        .as[(Int, Double, Boolean)].collect()
+        .map(r => (batchId, r._1, r._2, r._3))
+    }
+    try {
+      input.addData(slice)
+      q.processAllAvailable()
+      val b1 = results.toSeq
+      assert(b1.nonEmpty && b1.forall(!_._4),
+        s"clean slice must not alarm: ${b1.filter(_._4).take(3)}")
+      input.addData(flipped)
+      q.processAllAvailable()
+      val b2 = results.drop(b1.size).toSeq
+      // negation also reassigns vectors to different cells, so per-cell
+      // means are not simply negated — the deterministic signal is the
+      // cos distribution collapsing (alarm fires where it crosses)
+      assert(b2.nonEmpty && b2.exists(_._4),
+        s"rotated batch must alarm somewhere: ${b2.take(4)}")
+      val avg = (s: Seq[(Long, Int, Double, Boolean)]) =>
+        s.map(_._3).sum / s.size
+      assert(avg(b2) < avg(b1),
+        "rotated batch's mean cell cosine must drop vs the clean batch")
+      // batch-twin parity on the clean batch
+      val twinDf = Similarity.snapshotDrift(
+        baseline,
+        slice.toDF("vec_id", "embedding"), centroids)
+      val twin = twinDf.select("cell", "mean_cos")
+        .as[(Int, Double)].collect().toSet
+      assert(b1.map(r => (r._2, r._3)).toSet === twin)
+    } finally q.stop()
+  }
+
   test("streaming top-k leaderboard re-ranks on every batch in complete mode") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, desc, explode, upper}
