@@ -509,6 +509,8 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.load(s, d, "documents"))),
     // interpolated bigram LM score — the n-gram upgrade of text_lm_score
     "text_lm_bigram" -> ((s, d) => TextAnalysis.lmScoreBigram(Tables.load(s, d, "documents"))),
+    // Kneser-Ney smoothing: absolute discount + continuation probability
+    "text_lm_kn" -> ((s, d) => TextAnalysis.lmScoreKneserNey(Tables.load(s, d, "documents"))),
     // no oracleSql for the TRAINER: iterative merge learning is not
     // single-statement SQL -> rows-only check; the single-threaded-
     // reference differential in OperatorsSpec is the correctness anchor.
@@ -2507,6 +2509,33 @@ object SparkEntry {
          |      FROM b2 b JOIN c2 ON b.v = c2.v AND b.w = c2.w
          |        JOIN lm lv ON b.v = lv.w
          |        JOIN lm lw ON b.w = lw.w, t),
+         |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)),
+         |          (a, b) -> a + b) AS sum_logp
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, round(sum_logp / n_bigrams, 6) AS mean_logp
+         |FROM d ORDER BY doc_id""".stripMargin,
+    // Mirrors TextAnalysis.lmScoreKneserNey: all terms from integer count
+    // tables, probability expression in the engine's exact association
+    // order, per-doc position-ordered fold.
+    "text_lm_kn" ->
+      s"""WITH $tokCte,
+         |b2 AS (SELECT doc_id,
+         |        CAST(unnest(generate_series(1, len(tokens) - 1)) AS INT) AS pos,
+         |        unnest(tokens[1:len(tokens)-1]) AS v,
+         |        unnest(tokens[2:len(tokens)]) AS w
+         |      FROM tok WHERE len(tokens) >= 2),
+         |c2 AS (SELECT v, w, COUNT(*) AS n2 FROM b2 GROUP BY 1, 2),
+         |cx AS (SELECT v, CAST(SUM(n2) AS BIGINT) AS cv, COUNT(*) AS fv
+         |       FROM c2 GROUP BY v),
+         |ct AS (SELECT w, COUNT(*) AS pw FROM c2 GROUP BY w),
+         |nb AS (SELECT COUNT(*) AS nb FROM c2),
+         |s AS (SELECT b.doc_id, b.pos,
+         |        ln(greatest(c2.n2 - 0.75, 0.0) / cx.cv
+         |           + 0.75 * cx.fv / cx.cv * ct.pw / nb.nb) AS logp
+         |      FROM b2 b JOIN c2 ON b.v = c2.v AND b.w = c2.w
+         |        JOIN cx ON b.v = cx.v
+         |        JOIN ct ON b.w = ct.w, nb),
          |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
          |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)),
          |          (a, b) -> a + b) AS sum_logp

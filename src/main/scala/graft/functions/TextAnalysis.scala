@@ -363,6 +363,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram fluency score — the standard n-gram
+    * smoother (Kneser & Ney 1995, Chen & Goodman 1999) and the quality
+    * upgrade over `lmScoreBigram`'s fixed-lambda interpolation:
+    *   p(w|v) = max(c(v,w) - D, 0)/c(v·) + lambda(v) * p_cont(w)
+    * with absolute discount D, lambda(v) = D * N1+(v,·)/c(v·) (the mass
+    * freed by discounting), and the CONTINUATION probability p_cont(w) =
+    * N1+(·,w) / |distinct bigrams| — how many contexts w follows, not
+    * how often it occurs, which is what demotes "Francisco" (frequent,
+    * one context) below genuinely productive words. Proper distribution:
+    * sums to 1 over the vocabulary per context (spec-asserted).
+    *
+    * Everything derives from integer count tables (bigram counts,
+    * per-context totals/diversity, per-word context diversity, distinct
+    * bigram total); the per-position probability is one fixed-order
+    * double expression and per-doc log-probs fold by position, so the
+    * oracle reproduces every double bit-for-bit. Scale shape identical
+    * to lmScoreBigram: vocabulary-sized count tables, corpus streams
+    * once past them, no quadratic term.
+    */
+  def lmScoreKneserNey(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val bg = docs
+      .withColumn("tokens", WordCount.tokens(col("text")))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tokens) - 1)," +
+          " i -> struct(i AS pos, tokens[i-1] AS v, tokens[i] AS w))")).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.v").as("v"), col("b.w").as("w"))
+    val big = bg.groupBy("v", "w").agg(count(lit(1)).as("n2"))
+    // c(v·) and N1+(v,·) from the bigram table (KN counts bigram events)
+    val ctx = big.groupBy("v")
+      .agg(sum(col("n2")).as("cv"), count(lit(1)).as("fv"))
+    val cont = big.groupBy("w").agg(count(lit(1)).as("pw")) // N1+(·,w)
+    val nb = big.agg(count(lit(1)).as("nb"))
+    bg.join(big, Seq("v", "w"))
+      .join(ctx, Seq("v"))
+      .join(cont, Seq("w"))
+      .crossJoin(broadcast(nb))
+      .withColumn("logp", log(
+        greatest(col("n2") - lit(discount), lit(0.0)) / col("cv") +
+          lit(discount) * col("fv") / col("cv") * col("pw") / col("nb")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +
+          "cast(0.0 as double), (a, s) -> a + s.logp)").as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_logp") / col("n_bigrams"), 6).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate density: the share of a document's DISTINCT word
     * 3-shingles that are corpus-common (document frequency >= `minDf`) —
     * the signal that separates template/navigation/footer text (every

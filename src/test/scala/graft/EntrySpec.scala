@@ -168,6 +168,7 @@ class EntrySpec extends AnyFunSuite {
     "mm_phash_pairs" -> 28L,
     "text_boilerplate" -> 500L,
     "text_lm_bigram" -> 500L,
+    "text_lm_kn" -> 500L,
     "q_events_asof_next" -> 1000L,
     "q_events_session_overlap" -> 201L,
   )

