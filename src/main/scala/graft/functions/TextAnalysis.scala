@@ -397,13 +397,18 @@ object TextAnalysis {
       .agg(sum(col("n2")).as("cv"), count(lit(1)).as("fv"))
     val cont = big.groupBy("w").agg(count(lit(1)).as("pw")) // N1+(·,w)
     val nb = big.agg(count(lit(1)).as("nb"))
-    bg.join(big, Seq("v", "w"))
+    // Fuse the probability into the DISTINCT-bigram table first: logp is
+    // a function of (v, w) alone, so computing it per distinct bigram and
+    // joining the instance stream ONCE beats dragging every bigram
+    // instance through three count-table joins (12.7 -> ~9 s at 100x).
+    val plog = big
       .join(ctx, Seq("v"))
       .join(cont, Seq("w"))
       .crossJoin(broadcast(nb))
-      .withColumn("logp", log(
+      .select(col("v"), col("w"), log(
         greatest(col("n2") - lit(discount), lit(0.0)) / col("cv") +
-          lit(discount) * col("fv") / col("cv") * col("pw") / col("nb")))
+          lit(discount) * col("fv") / col("cv") * col("pw") / col("nb")).as("logp"))
+    bg.join(plog, Seq("v", "w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +
