@@ -43,7 +43,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     * mapping (typed-array casts, list-fn renames, 1-based subscripts →
     * element_at/slice, the QUALIFY lowering, list_reduce-with-seed →
     * aggregate, hex casts, graft kernel registrations), lifting parity
-    * from 63 to 125 of the oracle-backed queries — the ann, dedup,
+    * from 63 to 126 of the oracle-backed queries — the ann, dedup,
     * pipeline, and most of the text families now run through spark.sql.
     */
   private val translated = Set(
@@ -56,6 +56,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "dedup_minhash_sig", "dedup_ngram_jaccard", "dedup_semantic", "dedup_setsim_lookup",
     "dedup_simhash", "dedup_simhash_pairs", "emb_contrastive", "emb_top_pairs",
     "mm_media_meta", "pipeline_budget", "pipeline_contamination", "pipeline_contamination_near",
+    "pipeline_dedup_report",
     "pipeline_curation", "pipeline_decontaminate", "pipeline_ids", "pipeline_mix_report",
     "pipeline_pack", "pipeline_quality_rel", "pipeline_quality_scores", "pipeline_sample",
     "pipeline_snapshot_diff", "pipeline_split", "pipeline_temperature_mix", "pipeline_wsample",
@@ -72,7 +73,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "text_topics", "text_vocab", "wordcount", "wordcount_topk",
     "wordcount_windowed", "wordcount_windowed_sliding")
 
-  test("125 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("126 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
