@@ -390,6 +390,9 @@ object SparkEntry {
     // token-budget mixture fill: best documents per source until the
     // per-source budget is spent
     "pipeline_budget" -> ((s, d) => Curation.budgetSample(Tables.load(s, d, "documents"))),
+    // per-source epoch/repeat factors for a char budget under
+    // temperature-scaled weights
+    "pipeline_epoch_plan" -> ((s, d) => Curation.epochPlan(Tables.load(s, d, "documents"))),
     "pipeline_mix_report" -> ((s, d) => Curation.mixtureReport(Tables.load(s, d, "documents"))),
     // corpus snapshot diff: v1/v2 derived deterministically from documents
     // (v1 drops id%11==5, v2 drops id%13==4 and revises id%7==2), diffed
@@ -464,6 +467,9 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
+    // subword tokens per whitespace word, per language — the token-cost
+    // table multilingual mix weights are converted through
+    "text_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(Tables.load(s, d, "documents"))),
     // The rolling Karp-Rabin winnowing fingerprint is the benched
     // spelling; the md5-per-position variant (TextAnalysis.fingerprint)
     // was retired from the pack in r10 — an md5 call per character
@@ -3042,6 +3048,30 @@ object SparkEntry {
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokenStatsSql,
+    // Mirrors TextAnalysis.tokenizerFertility: same two token counters,
+    // exact integer sums per lang, one fixed-order ratio.
+    "text_fertility" ->
+      """WITH f AS (SELECT lang,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS bpe
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(SUM(bpe) AS DOUBLE) / greatest(CAST(SUM(ws) AS BIGINT), 1), 6) AS fertility
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // Mirrors Curation.epochPlan: source-ordered fold for the weight
+    // denominator, identical association order downstream.
+    "pipeline_epoch_plan" ->
+      """WITH m AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, mass, pow(CAST(mass AS DOUBLE), 0.5) AS wraw FROM m),
+        |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(wraw ORDER BY source)),
+        |        (a, b) -> a + b) AS tot FROM w)
+        |SELECT source, mass, round(wraw / tot, 6) AS weight,
+        |  CAST(floor(10000000.0 * (wraw / tot)) AS BIGINT) AS target_chars,
+        |  round(CAST(CAST(floor(10000000.0 * (wraw / tot)) AS BIGINT) AS DOUBLE) / mass, 6) AS epochs
+        |FROM w, t ORDER BY source""".stripMargin,
     "text_fingerprint_rolling" -> fingerprintRollingSql,
     "text_chunks" -> chunksSql,
     "text_tfidf" -> tfidfSql,

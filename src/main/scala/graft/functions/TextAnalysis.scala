@@ -98,6 +98,27 @@ object TextAnalysis {
       .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars")
       .orderBy("doc_id")
 
+  /** Tokenizer FERTILITY per language — subword tokens emitted per
+    * whitespace word: the multilingual-mix planning number (a language
+    * whose fertility is 2x pays 2x the context window per word, so mix
+    * weights stated in "tokens" and in "text volume" diverge exactly by
+    * this table). Same two counters as `tokenStats` (native
+    * whitespace-token and BPE-ish sub-token walks), aggregated per lang
+    * with exact integer sums; one scan, language-cardinality output.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        size(WordCount.tokens(col("text"))).cast("long").as("ws"),
+        BpeTokenCount(col("text")).cast("long").as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .withColumn("fertility",
+        round(col("bpe_tokens").cast("double") / greatest(col("ws_tokens"), lit(1L)), 6))
+      .orderBy("lang")
+
   /** Built-ins-only spelling of `tokenStats` (identical output), kept as
     * the no-custom-code fallback and the differential check for the
     * count-only `BpeTokenCount` walk.

@@ -159,6 +159,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Training-run EPOCH PLAN — the budgeting table a mixture config
+    * compiles down to: given a total character budget and
+    * temperature-scaled source weights w_s = m_s^alpha / sum(m^alpha)
+    * (the same alpha-family as `temperatureMix`, stated over SOURCES),
+    * report per source its available mass, target mass, and the epoch
+    * (repeat/subsample) factor target/available — >1 means the source is
+    * repeated across the run, <1 means a single pass is subsampled. This
+    * is the "how many epochs of each source does this run actually do"
+    * artifact every mixture paper tabulates.
+    *
+    * Exactness: the weight denominator sums ~source-count doubles in
+    * explicit source order (ordered fold — plain SUM would dither with
+    * task order); every downstream value is one fixed-order expression.
+    * One aggregation over (source, n_chars); output is source-cardinality.
+    */
+  def epochPlan(docs: DataFrame, budget: Long = 10000000L,
+      alpha: Double = 0.5): DataFrame = {
+    val masses = docs.groupBy("source").agg(sum(col("n_chars")).as("mass"))
+      .withColumn("wraw", pow(col("mass").cast("double"), lit(alpha)))
+    val tot = masses.agg(
+      expr("aggregate(array_sort(collect_list(struct(source, wraw))), " +
+        "cast(0.0 as double), (a, s) -> a + s.wraw)").as("tot"))
+    masses.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("wraw") / col("tot"), 6))
+      .withColumn("target_chars",
+        floor(lit(budget.toDouble) * (col("wraw") / col("tot"))).cast("long"))
+      .withColumn("epochs",
+        round(col("target_chars").cast("double") / col("mass"), 6))
+      .select("source", "mass", "weight", "target_chars", "epochs")
+      .orderBy("source")
+  }
+
   /** Sequence packing for training: documents are laid end to end per
     * source in doc_id order, and each document joins the training sequence
     * its cumulative start offset falls into (sequence capacity =

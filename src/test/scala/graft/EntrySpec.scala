@@ -91,6 +91,7 @@ class EntrySpec extends AnyFunSuite {
     "q20_excess_suppliers" -> 9L,
     "q21_waiting_suppliers" -> 10L,
     "pipeline_budget" -> 176L,
+    "pipeline_epoch_plan" -> 20L,
     "text_heavyhitters" -> 17L,
     "text_heavyhitters_sketch" -> 3L,
     "pipeline_ids" -> 500L,
@@ -123,6 +124,7 @@ class EntrySpec extends AnyFunSuite {
     "text_langid" -> 500L,
     "text_quality" -> 500L,
     "text_tokens" -> 500L,
+    "text_fertility" -> 5L,
     "text_vocab" -> 31L,
     "text_inverted_index" -> 31L,
     "text_search" -> 20L,
