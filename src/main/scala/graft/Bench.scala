@@ -93,15 +93,16 @@ object Bench {
       "q_events_session_overlap", "dedup_exact", "dedup_minhash_sig",
       "dedup_minhash_pairs", "dedup_clusters", "dedup_semantic",
       "dedup_spans", "dedup_setsim_lookup", "dedup_apply_near",
-      "dedup_ngram_jaccard", "ann_topk",
+      "dedup_ngram_jaccard", "dedup_drop_near_indexed", "ann_topk",
       "ann_ivf_kmeans", "ann_quantized_topk", "ann_ivfpq_topk",
-      "ann_knn_graph", "emb_contrastive", "emb_top_pairs", "text_tfidf",
+      "ann_knn_graph", "emb_contrastive", "emb_top_pairs", "emb_drift",
+      "text_tfidf",
       "text_tokens", "text_inverted_index", "text_bpe_encode", "text_oov",
-      "text_boilerplate", "text_lm_bigram", "text_lm_score",
+      "text_boilerplate", "text_lm_bigram", "text_lm_kn", "text_lm_score",
       "text_fuzzy_apply", "text_fuzzy_jw", "text_search_hybrid",
       "pipeline_curation", "pipeline_quality_scores",
       "pipeline_pack", "pipeline_contamination", "pipeline_decontaminate",
-      "pipeline_split_safe", "mm_features")
+      "pipeline_split_safe", "pipeline_dedup_report", "mm_features")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,""" +
