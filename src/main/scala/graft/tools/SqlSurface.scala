@@ -82,13 +82,14 @@ object SqlSurface {
     // string_agg(x, sep ORDER BY k) → listagg (Spark 4 WITHIN GROUP)
     s = """string_agg\(([^,()]+(?:\([^()]*\))?[^,()]*),\s*('[^']*')\s+ORDER BY ([^()]+)\)""".r
       .replaceAllIn(s, "listagg($1, $2) WITHIN GROUP (ORDER BY $3)")
-    // typed-array casts: DOUBLE[] → ARRAY<DOUBLE> (before the bracket
-    // scanner below, which would misread the empty [] pair)
-    for (_ <- 1 to 2) // two passes: T[][] resolves outside-in
-      s = """\b(DOUBLE|BIGINT|INT|VARCHAR)\[\]""".r.replaceAllIn(s, m => {
-        val t = if (m.group(1) == "VARCHAR") "STRING" else m.group(1)
-        s"ARRAY<$t>"
-      })
+    // typed-array casts: DOUBLE[] → ARRAY<DOUBLE>, DOUBLE[][] →
+    // ARRAY<ARRAY<DOUBLE>> (before the bracket scanner below, which
+    // would misread the empty [] pairs); one depth-aware pass
+    s = """\b(DOUBLE|BIGINT|INT|VARCHAR)((?:\[\])+)""".r.replaceAllIn(s, m => {
+      val t = if (m.group(1) == "VARCHAR") "STRING" else m.group(1)
+      val depth = m.group(2).length / 2
+      ("ARRAY<" * depth) + t + (">" * depth)
+    })
     // DuckDB's 128-bit HUGEINT accumulator → the widest Spark decimal.
     // 2^127 ≈ 1.7e38 vs DECIMAL(38): both far beyond these sums' range.
     s = s.replace("HUGEINT", "DECIMAL(38,0)")
@@ -265,8 +266,10 @@ object SqlSurface {
         val close = findMatch(s, i, '[', ']')
         if (close < 0) i += 1
         else {
-          var p = i - 1
-          while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+          // subscripts bind TIGHTLY in DuckDB (`v[1]`, `f(x)[1]`): only a
+          // bracket whose immediately-preceding character is a value is a
+          // subscript; whitespace before `[` means a list literal
+          val p = i - 1
           val prev = if (p >= 0) s.charAt(p) else ' '
           if (prev.isLetterOrDigit || prev == '_') {
             var b = p

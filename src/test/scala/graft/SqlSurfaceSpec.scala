@@ -43,11 +43,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     * mapping (typed-array casts, list-fn renames, 1-based subscripts →
     * element_at/slice, the QUALIFY lowering, list_reduce-with-seed →
     * aggregate, hex casts, graft kernel registrations), lifting parity
-    * from 63 to 126 of the oracle-backed queries — the ann, dedup,
+    * from 63 to 130 of the oracle-backed queries — the ann, dedup,
     * pipeline, and most of the text families now run through spark.sql.
     */
   private val translated = Set(
     "ann_filtered_topk", "ann_ivf_indexed", "ann_ivf_kmeans", "ann_ivf_topk",
+    "ann_ivfpq_indexed", "ann_ivfpq_refine", "ann_ivfpq_topk", "ann_pq_encode",
     "ann_knn_graph", "ann_lsh_buckets", "ann_lsh_multiprobe", "ann_lsh_topk",
     "ann_mips_lsh", "ann_mips_topk", "ann_quantized_topk", "ann_recall_report",
     "ann_topk", "dedup_apply_exact", "dedup_apply_near", "dedup_centrality",
@@ -73,7 +74,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "text_topics", "text_vocab", "wordcount", "wordcount_topk",
     "wordcount_windowed", "wordcount_windowed_sliding")
 
-  test("126 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("130 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
@@ -100,6 +101,54 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val in = "SELECT max({'t': '10:00:00', 'k': ev}) AS m FROM e"
     assert(SqlSurface.toSparkSql(in) ===
       "SELECT max(named_struct('t', '10:00:00', 'k', ev)) AS m FROM e")
+  }
+
+  test("bracket scanner: literals, subscripts, call subscripts, slices") {
+    // list literal (incl. nested) -> array()
+    assert(SqlSurface.toSparkSql("SELECT [1, 2, 3] AS a") ===
+      "SELECT array(1, 2, 3) AS a")
+    assert(SqlSurface.toSparkSql("SELECT [[1.0, 2.0], [3.0, 4.0]] AS m") ===
+      "SELECT array(array(1.0, 2.0), array(3.0, 4.0)) AS m")
+    // identifier subscript -> element_at (both engines 1-based)
+    assert(SqlSurface.toSparkSql("SELECT v[3] FROM t") ===
+      "SELECT element_at(v, 3) FROM t")
+    // call subscript -> element_at over the call
+    assert(SqlSurface.toSparkSql("SELECT list_sort(scores)[r] FROM t") ===
+      "SELECT element_at(array_sort(scores), r) FROM t")
+    // slice (1-based INCLUSIVE ends) -> slice(base, a, b-a+1)
+    assert(SqlSurface.toSparkSql("SELECT tokens[i:i+2] FROM t") ===
+      "SELECT slice(tokens, i, (i+2) - (i) + 1) FROM t")
+    // bracket inside a string literal is untouched
+    assert(SqlSurface.toSparkSql("SELECT '[1]' AS s") === "SELECT '[1]' AS s")
+    // typed-array casts resolve before the scanner ever sees []
+    assert(SqlSurface.toSparkSql("SELECT CAST(x AS DOUBLE[][]) FROM t") ===
+      "SELECT CAST(x AS ARRAY<ARRAY<DOUBLE>>) FROM t")
+  }
+
+  test("list_reduce-with-seed and hex-cast rewrites") {
+    assert(SqlSurface.toSparkSql(
+      "SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), xs), (h, c) -> h * 31 + c) FROM t") ===
+      "SELECT aggregate(xs, CAST(0 AS BIGINT), (h, c) -> h * 31 + c) FROM t")
+    assert(SqlSurface.toSparkSql("SELECT CAST(concat('0x', substr(h, 1, 4)) AS INT) FROM t") ===
+      "SELECT CAST(conv(substr(h, 1, 4), 16, 10) AS INT) FROM t")
+    assert(SqlSurface.toSparkSql("SELECT CAST(('0x' || substr(h, 1, 2)) AS INT) FROM t") ===
+      "SELECT CAST(conv(substr(h, 1, 2), 16, 10) AS INT) FROM t")
+    // 1-arg encode gains the explicit charset; 2-arg untouched
+    assert(SqlSurface.toSparkSql("SELECT octet_length(encode(text)) FROM t") ===
+      "SELECT octet_length(encode(text, 'UTF-8')) FROM t")
+    assert(SqlSurface.toSparkSql("SELECT encode(text, 'UTF-8') FROM t") ===
+      "SELECT encode(text, 'UTF-8') FROM t")
+  }
+
+  test("QUALIFY lowering: inline window and select-alias predicates") {
+    // inline window predicate
+    assert(SqlSurface.toSparkSql(
+      "WITH b AS (SELECT * FROM x QUALIFY COUNT(*) OVER (PARTITION BY k) <= 64) SELECT k FROM b") ===
+      "WITH b AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY k) <= 64 AS __q1 FROM x) WHERE __q1) SELECT k FROM b")
+    // alias-referencing predicate (lateral column alias on the Spark side)
+    assert(SqlSurface.toSparkSql(
+      "WITH l AS (SELECT doc_id, row_number() OVER (ORDER BY s) AS r FROM bs QUALIFY r <= 20) SELECT doc_id FROM l") ===
+      "WITH l AS (SELECT * FROM (SELECT doc_id, row_number() OVER (ORDER BY s) AS r, r <= 20 AS __q1 FROM bs) WHERE __q1) SELECT doc_id FROM l")
   }
 
   test("dialect mapping leaves pure-ANSI text untouched") {
