@@ -53,9 +53,18 @@ object Bench {
     // RATIOS measure scaling, not residual session overhead in a small
     // 1x base (verdict r9 item 6).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // A transient failure (GC stall, page-cache eviction mid-sweep — the
+    // r10 gen100x incident) must not zero a query out of the committed
+    // curve: keep the best SUCCESSFUL rep, and only mark a query failed
+    // when every rep (plus one final retry) throws.
+    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       val runs = (1 to reps).map(_ => runOnce(n))
-      n -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      val ok = runs.filter(_ >= 0)
+      n -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
+    val results = firstPass.map { case (n, v) =>
+      if (v >= 0) n -> v
+      else { System.err.println(s"[bench] retrying $n after all-rep failure"); n -> runOnce(n) }
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => k }
@@ -66,8 +75,21 @@ object Bench {
     // only a bounded tail, so the stdout line must stay comfortably under
     // ~2000 chars. The headline subset below (~one per operator family)
     // fits; the full 100+-query map does not.
+    // Machine-load stamp (verdict r10 item 5): the committed curve must
+    // carry the conditions it ran under so a load-stall run is visibly
+    // suspect rather than silently slow.
+    val loadAvg = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split(" ").take(3).mkString(" ")
+    } catch { case _: Throwable => "n/a" }
+    val memAvailKb = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") => l.split("\\s+")(1).toLong }
+        .getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""loadavg":"$loadAvg","mem_available_kb":$memAvailKb,""" +
       s""""queries":${fmt(results)},"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))

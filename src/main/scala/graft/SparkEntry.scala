@@ -2951,13 +2951,14 @@ object SparkEntry {
          |       FROM documents
          |       WHERE doc_id NOT IN (SELECT doc_b FROM drops)
          |       GROUP BY source)
-         |SELECT base.source AS source, n_docs, n_chars, n_exact, chars_exact,
-         |  n_near, chars_near,
-         |  round(CAST(n_exact AS DOUBLE) / n_docs, 6) AS exact_keep_ratio,
-         |  round(CAST(n_near AS DOUBLE) / n_docs, 6) AS near_keep_ratio
+         |SELECT base.source AS source, n_docs, n_chars,
+         |  COALESCE(n_exact, 0) AS n_exact, COALESCE(chars_exact, 0) AS chars_exact,
+         |  COALESCE(n_near, 0) AS n_near, COALESCE(chars_near, 0) AS chars_near,
+         |  round(CAST(COALESCE(n_exact, 0) AS DOUBLE) / n_docs, 6) AS exact_keep_ratio,
+         |  round(CAST(COALESCE(n_near, 0) AS DOUBLE) / n_docs, 6) AS near_keep_ratio
          |FROM base
-         |JOIN ex ON base.source = ex.source
-         |JOIN nr ON base.source = nr.source
+         |LEFT JOIN ex ON base.source = ex.source
+         |LEFT JOIN nr ON base.source = nr.source
          |ORDER BY base.source""".stripMargin,
     "dedup_incremental" -> incrementalSql,
     // the bloom prefilter is result-transparent: same oracle

@@ -352,13 +352,20 @@ object Dedup {
       df.groupBy("source").agg(
         count(lit(1)).as(nDocs),
         sum(col("n_chars")).cast("long").as(nChars))
+    // LEFT joins with zero-fill: a source whose every doc is eliminated by
+    // a stage (all near-dups of another source's docs) must appear with
+    // keep_ratio 0 — it is the most duplication-heavy row, the one the
+    // report exists to surface (advice r10).
     bySource(docs, "n_docs", "n_chars")
-      .join(bySource(dropExactDuplicates(docs), "n_exact", "chars_exact"), Seq("source"))
-      .join(bySource(dropNearDuplicates(docs), "n_near", "chars_near"), Seq("source"))
+      .join(bySource(dropExactDuplicates(docs), "n_exact", "chars_exact"), Seq("source"), "left")
+      .join(bySource(dropNearDuplicates(docs), "n_near", "chars_near"), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_chars"),
-        col("n_exact"), col("chars_exact"), col("n_near"), col("chars_near"),
-        round(col("n_exact").cast("double") / col("n_docs"), 6).as("exact_keep_ratio"),
-        round(col("n_near").cast("double") / col("n_docs"), 6).as("near_keep_ratio"))
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("chars_exact"), lit(0L)).as("chars_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("chars_near"), lit(0L)).as("chars_near"),
+        round(coalesce(col("n_exact"), lit(0L)).cast("double") / col("n_docs"), 6).as("exact_keep_ratio"),
+        round(coalesce(col("n_near"), lit(0L)).cast("double") / col("n_docs"), 6).as("near_keep_ratio"))
       .orderBy("source")
   }
 

@@ -47,14 +47,15 @@ object StreamNearDupGuard {
         val admitted =
           Dedup.dropNearDuplicatesIndexed(batch, table, k, bands, minShared)
         if (extendIndex) {
-          // sink sees a materialized frame: the index append below must
-          // not change what this batch's sink observes (its decisions
-          // were made against the index state at arrival)
-          val pinned = admitted.cache()
-          pinned.count()
+          // DURABLY materialize (lineage truncated, not just cached): the
+          // admitted set's lineage anti-joins against <table>_bands, which
+          // extendMinhashIndex below APPENDS to — a cache-eviction
+          // recompute mid-append could admit a different set than the one
+          // already handed to the sink. localCheckpoint makes the decision
+          // immutable before the self-referential append (advice r10).
+          val pinned = admitted.localCheckpoint(true)
           sink(pinned, batchId)
           Dedup.extendMinhashIndex(pinned, table, k, bands)
-          pinned.unpersist()
           ()
         } else sink(admitted, batchId)
       }

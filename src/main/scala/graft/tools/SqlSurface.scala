@@ -96,14 +96,18 @@ object SqlSurface {
     // integer floor division; identical for the non-negative operands
     // these oracles divide (floor-vs-truncate differs only below zero)
     s = s.replace(" // ", " DIV ")
-    // regexp_replace global flag: Spark replaces ALL matches by default
-    s = s.replace("', 'g')", "')")
+    // regexp_replace global flag: Spark replaces ALL matches by default.
+    // Strip ONLY at regexp_replace call sites (a blanket "', 'g')" replace
+    // would clip a legitimate final 'g' string argument elsewhere).
+    s = stripRegexpGlobalFlag(s)
     // scalar bitwise xor function → operator
     s = """\bxor\(([^(),]+),\s*([^()]+)\)""".r.replaceAllIn(s, "($1 ^ $2)")
-    // codepoint of the first character — identical for BMP input
-    s = s.replace("ord(", "ascii(")
+    // codepoint of the first character — identical for BMP input.
+    // Word-bounded: a bare replace would corrupt identifiers ending in
+    // 'ord' (word(), coord()).
+    s = """\bord\(""".r.replaceAllIn(s, "ascii(")
     // byte length of the UTF-8 encoding — identical semantics
-    s = s.replace("strlen(", "octet_length(")
+    s = """\bstrlen\(""".r.replaceAllIn(s, "octet_length(")
     // DuckDB's byte-walking Jaro-Winkler is what the engine's native
     // kernel replicates bit-for-bit (FunctionsSpec differential), so the
     // graft SQL registration IS the faithful mapping.
@@ -311,6 +315,36 @@ object SqlSurface {
     s
   }
 
+  /** Remove a trailing `, 'g'` flag argument from each `regexp_replace(...)`
+    * call (quote-aware paren matching), leaving every other `'g'` string
+    * argument in the query untouched.
+    */
+  private def stripRegexpGlobalFlag(s0: String): String = {
+    var s = s0
+    var from = 0
+    var idx = s.indexOf("regexp_replace(", from)
+    while (idx >= 0) {
+      var i = idx + "regexp_replace(".length
+      var d = 0; var inQ = false; var close = -1
+      while (i < s.length && close < 0) {
+        val c = s.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (c == '\'') inQ = true
+        else if (c == '(') d += 1
+        else if (c == ')') { if (d == 0) close = i else d -= 1 }
+        i += 1
+      }
+      if (close > 0) {
+        val tail = s.substring(0, close)
+        if (tail.endsWith(", 'g'"))
+          s = tail.stripSuffix(", 'g'") + s.substring(close)
+      }
+      from = idx + 1
+      idx = s.indexOf("regexp_replace(", from)
+    }
+    s
+  }
+
   /** `SELECT <list> <rest> QUALIFY <pred>` → window-in-subquery:
     * `SELECT * FROM (SELECT <list>, <pred> AS __qN <rest>) WHERE __qN`.
     * Exactly the textbook QUALIFY lowering; the helper column rides
@@ -320,10 +354,26 @@ object SqlSurface {
     * Alias-referencing predicates (`QUALIFY r <= 20` where r is a
     * select-list alias) resolve via Spark's lateral column aliases.
     */
+  /** First index of `needle` at an odd/even-safe position OUTSIDE single
+    * quotes, or -1 — so a keyword appearing inside a string literal never
+    * triggers a structural rewrite.
+    */
+  private def indexOutsideQuotes(s: String, needle: String): Int = {
+    var i = 0; var inQ = false
+    while (i <= s.length - needle.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == needle.charAt(0) && s.regionMatches(i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   private def rewriteQualify(s0: String): String = {
     var s = s0
     var qn = 0
-    var idx = s.indexOf("QUALIFY")
+    var idx = indexOutsideQuotes(s, "QUALIFY")
     while (idx >= 0) {
       // predicate extends until the enclosing scope closes
       var i = idx + 7; var d = 0; var inQ = false; var end = s.length
@@ -346,6 +396,7 @@ object SqlSurface {
         if (dd == 0 && c == 'S' && s.regionMatches(j, "SELECT", 0, 6)) selStart = j
         j -= 1
       }
+      if (selStart < 0) return s0 // no owning SELECT found; leave untouched
       val body = s.substring(selStart, idx)
       // top-level FROM splits the select list from the rest
       var k = 6; var d3 = 0; var q3 = false; var fromPos = -1
@@ -368,7 +419,7 @@ object SqlSurface {
       s = s.substring(0, selStart) +
         s"SELECT * FROM (SELECT $selList, $pred AS $alias $rest) WHERE $alias" +
         s.substring(end)
-      idx = s.indexOf("QUALIFY")
+      idx = indexOutsideQuotes(s, "QUALIFY")
     }
     s
   }
@@ -410,7 +461,11 @@ object SqlSurface {
       val verbatim = run(sql)
       val (viaSql, tag) = verbatim match {
         case Some(v) => (Some(v), "verbatim")
-        case None => (run(toSparkSql(sql)), "xlate")
+        case None =>
+          // a rewriter bug must mark THIS query NOSQL, not abort the sweep
+          val xl = try Some(toSparkSql(sql))
+                   catch { case e: Throwable => lastErr = e; None }
+          (xl.flatMap(run), "xlate")
       }
       viaSql match {
         case None =>

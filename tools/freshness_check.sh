@@ -49,6 +49,20 @@ for f in "${ARTIFACTS[@]}"; do
   fi
 done
 
+# No committed bench artifact may carry a non-empty failed list (verdict
+# r10 item 1c): a -1 row in the evidence chain is a red round, full stop.
+for f in BENCH_*.json LOCALBENCH_${SUF}.json MEMENV_${SUF}_2g.json; do
+  [ -e "$f" ] || continue
+  if ! python3 -c "
+import json, sys
+j = json.load(open('$f'))
+sys.exit(1 if j.get('failed') else 0)"; then
+    echo "FAILED-QUERIES $f carries a non-empty failed list"; fail=1
+  else
+    echo "clean   $f (failed==[])"
+  fi
+done
+
 if [ "$fail" -ne 0 ]; then
   echo "FRESHNESS CHECK FAILED: regenerate the artifacts above on the frozen tree"
   exit 1
