@@ -300,20 +300,54 @@ object TextAnalysis {
     * token occurrence.
     */
   def lmScore(docs: DataFrame): DataFrame = {
+    val plog = uniProbTable(docs)
+    // Same measured-count gate + shuffle-free scoring pass as the bigram
+    // scorers (verdict r10 item 4): the unigram table is vocabulary-sized;
+    // when it fits, one corpus scan with a native per-doc (term-ordered,
+    // tf * logp) fold replaces the (doc, term) shuffle + collect_list.
+    // Bit-identical to lmScoreJoin (OperatorsSpec differential).
+    val rows = plog.limit(MaxCollectedGrams + 1).collect()
+    if (rows.length <= MaxCollectedGrams) {
+      val keys = rows.map(_.getString(0))
+      val vals = rows.map(_.getDouble(1))
+      docs.withColumn("tokens", WordCount.tokens(col("text")))
+        .select(col("doc_id"),
+          graft.functions.LmUnigramFold(col("tokens"), keys, vals).as("s"))
+        .filter(col("s.n_tokens") > 0)
+        .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+          round(col("s.sum_logp") / col("s.n_tokens"), 6).as("mean_logp"))
+        .orderBy("doc_id")
+    } else lmScoreJoin(docs)
+  }
+
+  /** Unigram log-probability table (w, logp); shared by both lmScore
+    * paths so their doubles are the same expression tree's output.
+    */
+  private def uniProbTable(docs: DataFrame): DataFrame = {
+    val lm = docs
+      .select(explode(WordCount.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n1"))
+    val total = lm.agg(sum(col("n1")).as("t1"))
+    lm.crossJoin(broadcast(total))
+      .select(col("w"), log(col("n1").cast("double") / col("t1")).as("logp"))
+  }
+
+  /** The retired join spelling — huge-vocab scale path + bit-exactness
+    * differential twin for lmScore's collected-model fast path.
+    *
+    * Fold per DISTINCT term, not per token: tf * logp is one multiply
+    * (deterministic), and the per-doc ordered fold runs over struct(w,
+    * term_logp) sorted by the unique term — so the float sum has ONE
+    * defined order both engines replicate, same contract as the
+    * positional fold but with the doc_id shuffle carrying distinct
+    * (doc, term) rows (map-side combined) instead of every token.
+    */
+  def lmScoreJoin(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("w"))
-    val lm = tok.groupBy("w").agg(count(lit(1)).as("n1"))
-    val total = lm.agg(sum(col("n1")).as("t1"))
-    // Fold per DISTINCT term, not per token: tf * logp is one multiply
-    // (deterministic), and the per-doc ordered fold runs over struct(w,
-    // term_logp) sorted by the unique term — so the float sum has ONE
-    // defined order both engines replicate, same contract as the
-    // positional fold but with the doc_id shuffle carrying distinct
-    // (doc, term) rows (map-side combined) instead of every token.
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    tf.join(lm, "w").crossJoin(broadcast(total))
-      .withColumn("term_logp",
-        col("tf").cast("double") * log(col("n1").cast("double") / col("t1")))
+    tf.join(uniProbTable(docs), "w")
+      .withColumn("term_logp", col("tf").cast("double") * col("logp"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
         expr("aggregate(array_sort(collect_list(struct(w, term_logp))), " +
@@ -345,36 +379,47 @@ object TextAnalysis {
     * and once past the count tables. No quadratic term.
     */
   def lmScoreBigram(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val plog = interpProbTable(docs, lambda)
+    // Same measured-count gate + shuffle-free scoring pass as
+    // lmScoreKneserNey (verdict r10 item 4); the join spelling is the
+    // huge-vocab path and the bit-exactness twin (OperatorsSpec).
+    val rows = plog.limit(MaxCollectedGrams + 1).collect()
+    if (rows.length <= MaxCollectedGrams)
+      scoreWithCollectedModel(docs,
+        rows.map(r => r.getString(0) + " " + r.getString(1)),
+        rows.map(_.getDouble(2)))
+    else lmScoreBigramJoin(docs, lambda)
+  }
+
+  /** Distinct-bigram interpolated log-probability table (v, w, logp);
+    * shared by both lmScoreBigram paths.
+    */
+  private def interpProbTable(docs: DataFrame, lambda: Double): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("w"))
     val uni = tok.groupBy("w").agg(count(lit(1)).as("n1"))
     val total = uni.agg(sum(col("n1")).as("t1"))
-    // Adjacency is row-local in the token array: build (pos, v, w) by
-    // index instead of a lag window — the corpus-wide doc_id/pos sort
-    // exchange the window needed disappears entirely. pos is the 0-based
-    // index of `w`, exactly what posexplode+lag produced; docs with < 2
-    // tokens contribute no bigrams either way (the guard replaces the
-    // lag-null filter, and keeps sequence() from going descending).
-    val bg = docs
-      .withColumn("tokens", WordCount.tokens(col("text")))
-      .filter(size(col("tokens")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tokens) - 1)," +
-          " i -> struct(i AS pos, tokens[i-1] AS v, tokens[i] AS w))")).as("b"))
-      .select(col("doc_id"), col("b.pos").as("pos"),
-        col("b.v").as("v"), col("b.w").as("w"))
-    val big = bg.groupBy("v", "w").agg(count(lit(1)).as("n2"))
-    // NOTE: unlike lmScore, this keeps the per-INSTANCE fold (by pos).
-    // Bigrams rarely repeat within a document, so a (doc, v, w)
-    // pre-aggregation collapses almost nothing and just adds a shuffle
-    // of two-string keys — measured 8.9 -> 12.1 s at 100x when tried.
-    bg.join(big, Seq("v", "w"))
+    val big = bigramInstances(docs).groupBy("v", "w").agg(count(lit(1)).as("n2"))
+    big
       .join(uni.select(col("w").as("v"), col("n1").as("nv")), "v")
       .join(uni, "w")
       .crossJoin(broadcast(total))
-      .withColumn("logp", log(
+      .select(col("v"), col("w"), log(
         lit(lambda) * col("n2") / col("nv") +
-          lit(1.0 - lambda) * col("n1") / col("t1")))
+          lit(1.0 - lambda) * col("n1") / col("t1")).as("logp"))
+  }
+
+  /** The retired join spelling — huge-vocab scale path + differential
+    * twin for lmScoreBigram's collected-model fast path.
+    *
+    * NOTE: unlike lmScore, this keeps the per-INSTANCE fold (by pos).
+    * Bigrams rarely repeat within a document, so a (doc, v, w)
+    * pre-aggregation collapses almost nothing and just adds a shuffle
+    * of two-string keys — measured 8.9 -> 12.1 s at 100x when tried.
+    */
+  def lmScoreBigramJoin(docs: DataFrame, lambda: Double = 0.7): DataFrame =
+    bigramInstances(docs)
+      .join(interpProbTable(docs, lambda), Seq("v", "w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +
@@ -382,7 +427,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_logp") / col("n_bigrams"), 6).as("mean_logp"))
       .orderBy("doc_id")
-  }
 
   /** Interpolated Kneser-Ney bigram fluency score — the standard n-gram
     * smoother (Kneser & Ney 1995, Chen & Goodman 1999) and the quality
@@ -404,32 +448,89 @@ object TextAnalysis {
     * once past them, no quadratic term.
     */
   def lmScoreKneserNey(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    val bg = docs
-      .withColumn("tokens", WordCount.tokens(col("text")))
-      .filter(size(col("tokens")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tokens) - 1)," +
-          " i -> struct(i AS pos, tokens[i-1] AS v, tokens[i] AS w))")).as("b"))
-      .select(col("doc_id"), col("b.pos").as("pos"),
-        col("b.v").as("v"), col("b.w").as("w"))
-    val big = bg.groupBy("v", "w").agg(count(lit(1)).as("n2"))
+    val plog = knProbTable(docs, discount)
+    // Fast path (verdict r10 item 4): the probability table is
+    // vocabulary-bounded; when a MEASURED count confirms it fits (same
+    // gate pattern as Dedup's edge-count gates), collect the
+    // Spark-computed doubles and score the corpus in ONE shuffle-free
+    // pass via the native fold — bit-identical to the join spelling
+    // (same values, same pos-ascending addition order; OperatorsSpec
+    // asserts frame equality against lmScoreKneserNeyJoin). The join
+    // spelling below remains the huge-vocab scale path: at 100x the
+    // instance exchange + per-doc collect_list it needs cost 11.6 s vs
+    // ~2 s for this scan.
+    val rows = plog.limit(MaxCollectedGrams + 1).collect()
+    if (rows.length <= MaxCollectedGrams)
+      scoreWithCollectedModel(docs,
+        rows.map(r => r.getString(0) + " " + r.getString(1)),
+        rows.map(_.getDouble(2)))
+    else lmScoreKneserNeyJoin(docs, discount)
+  }
+
+  /** Distinct-bigram count tables → fused KN log-probability table
+    * (v, w, logp); shared by both lmScoreKneserNey paths so their doubles
+    * are the same expression tree's output.
+    */
+  private def knProbTable(docs: DataFrame, discount: Double): DataFrame = {
+    val big = bigramInstances(docs).groupBy("v", "w").agg(count(lit(1)).as("n2"))
     // c(v·) and N1+(v,·) from the bigram table (KN counts bigram events)
     val ctx = big.groupBy("v")
       .agg(sum(col("n2")).as("cv"), count(lit(1)).as("fv"))
     val cont = big.groupBy("w").agg(count(lit(1)).as("pw")) // N1+(·,w)
     val nb = big.agg(count(lit(1)).as("nb"))
-    // Fuse the probability into the DISTINCT-bigram table first: logp is
-    // a function of (v, w) alone, so computing it per distinct bigram and
-    // joining the instance stream ONCE beats dragging every bigram
-    // instance through three count-table joins (12.7 -> ~9 s at 100x).
-    val plog = big
+    big
       .join(ctx, Seq("v"))
       .join(cont, Seq("w"))
       .crossJoin(broadcast(nb))
       .select(col("v"), col("w"), log(
         greatest(col("n2") - lit(discount), lit(0.0)) / col("cv") +
           lit(discount) * col("fv") / col("cv") * col("pw") / col("nb")).as("logp"))
-    bg.join(plog, Seq("v", "w"))
+  }
+
+  /** (doc_id, pos, v, w) bigram instance stream. Adjacency is row-local
+    * in the token array: build (pos, v, w) by index instead of a lag
+    * window — no corpus-wide doc_id/pos sort exchange.
+    */
+  private def bigramInstances(docs: DataFrame): DataFrame = docs
+    .withColumn("tokens", WordCount.tokens(col("text")))
+    .filter(size(col("tokens")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(tokens) - 1)," +
+        " i -> struct(i AS pos, tokens[i-1] AS v, tokens[i] AS w))")).as("b"))
+    .select(col("doc_id"), col("b.pos").as("pos"),
+      col("b.v").as("v"), col("b.w").as("w"))
+
+  /** One shuffle-free corpus scan against a collected (v,w)->logp model;
+    * unmatched bigrams skipped from count and sum, docs with zero matches
+    * dropped — the join spellings' inner-join semantics exactly.
+    */
+  private def scoreWithCollectedModel(docs: DataFrame,
+      keys: Array[String], vals: Array[Double]): DataFrame = docs
+    .withColumn("tokens", WordCount.tokens(col("text")))
+    .filter(size(col("tokens")) >= 2)
+    .select(col("doc_id"),
+      graft.functions.LmBigramFold(col("tokens"), keys, vals).as("s"))
+    .filter(col("s.n_bigrams") > 0)
+    .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+      round(col("s.sum_logp") / col("s.n_bigrams"), 6).as("mean_logp"))
+    .orderBy("doc_id")
+
+  /** Collected-model gate: ~2M distinct grams ≈ low hundreds of MB as a
+    * nested hash map — comfortably broadcast-sized. Above it, the join
+    * spellings carry the query (they shuffle but never collect).
+    */
+  private val MaxCollectedGrams = 2000000
+
+  /** The retired join spelling, kept callable as the huge-vocab scale
+    * path and as the fast path's bit-exactness differential twin.
+    */
+  def lmScoreKneserNeyJoin(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val bg = bigramInstances(docs)
+    // Fuse the probability into the DISTINCT-bigram table first: logp is
+    // a function of (v, w) alone, so computing it per distinct bigram and
+    // joining the instance stream ONCE beats dragging every bigram
+    // instance through three count-table joins (12.7 -> ~9 s at 100x).
+    bg.join(knProbTable(docs, discount), Seq("v", "w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +

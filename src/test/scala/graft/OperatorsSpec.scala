@@ -2362,6 +2362,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scored.count() === docs.count())
   }
 
+  test("LM collected-model fast paths are bit-identical to their join twins") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def frame(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // the gate takes the collected path at this vocab size; the join twin
+    // must produce the same doubles to the LAST BIT (same values, same
+    // pos-ascending fold order), not merely approximately
+    val kn = frame(graft.functions.TextAnalysis.lmScoreKneserNey(docs))
+    val knJ = frame(graft.functions.TextAnalysis.lmScoreKneserNeyJoin(docs))
+    assert(kn === knJ)
+    val bi = frame(graft.functions.TextAnalysis.lmScoreBigram(docs))
+    val biJ = frame(graft.functions.TextAnalysis.lmScoreBigramJoin(docs))
+    assert(bi === biJ)
+    val un = frame(graft.functions.TextAnalysis.lmScore(docs))
+    val unJ = frame(graft.functions.TextAnalysis.lmScoreJoin(docs))
+    assert(un === unJ)
+  }
+
   test("dedupReport totals reconcile with the apply operators") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val rep = Dedup.dedupReport(docs)
