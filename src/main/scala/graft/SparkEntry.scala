@@ -259,6 +259,15 @@ object SparkEntry {
     // literals — see oracleSqlDynamic.
     "ann_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopKWith(Tables.load(s, d, "embeddings"), kmeansCentroids(s, d))),
+    // MARGIN-adaptive probing (verdict r10 item 7): per-query probe sets
+    // follow the centroid-score margins instead of a fixed rank cutoff,
+    // served through the whole-cell CellQueryTopK kernel; dynamic oracle
+    // re-states the probe rule + join+window form over the same centroid
+    // literals (frontier: ANNEVAL recall 0.94 @ 0.51s vs 0.82 @ 1.49s
+    // for fixed nProbe=8 at the 10x point)
+    "ann_ivf_adaptive" -> ((s, d) =>
+      Similarity.ivfTopKAdaptive(Tables.load(s, d, "embeddings"),
+        kmeansCentroids(s, d), 5, 5, 0.6)),
     // the PERSISTED-index serve of the same search: bucketed index built
     // once per session per sf dir; must reproduce the in-memory answer,
     // so it shares ann_ivf_kmeans' oracle
@@ -1420,6 +1429,36 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** ann_ivf_adaptive oracle: ivfKmeansSqlFor's shape with the
+    * margin-adaptive probe rule — a query probes every cell whose score
+    * sits within alpha of the way from its best to its worst cell. The
+    * margin comparison runs on the same exported-literal-derived doubles
+    * in both engines, so the probe SETS are identical, and the serve
+    * restates the join+window form (the engine's kernel path is
+    * bit-identical to it, OperatorsSpec twin).
+    */
+  private def ivfAdaptiveSqlFor(centroids: Array[Array[Double]], alpha: Double): String = {
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH $normCte,
+       |sc AS (SELECT vec_id, v, nrm, $scoreList AS scores FROM n),
+       |wb AS (SELECT vec_id, v, nrm, scores,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |        unnest(list_filter(list_transform(scores,
+       |          (s, j) -> CASE WHEN s - list_min(scores) <= $alpha * (list_max(scores) - list_min(scores))
+       |                         THEN CAST(j AS INT) ELSE NULL END),
+       |          p -> p IS NOT NULL)) AS probe
+       |      FROM wb WHERE vec_id < 5),
+       |s AS (SELECT q.q_id, c.vec_id AS n_id,
+       |        round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+       |      FROM q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** emb_drift oracle: cell assignment against the SAME exported centroid
     * literals, per-(cell, d) means via the emb_pool two-level ordered
     * fold on each snapshot carve-out, then d-ordered folds for the
@@ -1767,6 +1806,7 @@ object SparkEntry {
     oracleSql +
       ("text_topics" -> topicsSqlFor(topicCentroids(spark, sfDir))) +
       ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("ann_ivf_adaptive" -> ivfAdaptiveSqlFor(kmeansCentroids(spark, sfDir), 0.6)) +
       ("ann_recall_report" -> ivfRecallSqlFor(kmeansCentroids(spark, sfDir))) +
       ("emb_drift" -> embDriftSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),

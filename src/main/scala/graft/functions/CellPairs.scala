@@ -157,6 +157,48 @@ object CellPairs {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** Each query's top-k among THIS cell's members (self excluded), as
+    * (q_id, n_id, cos) — the probe-serve kernel: one tight-loop dot per
+    * (query, member) pair replaces the per-pair join row the probe join
+    * materialized. Local-top-k-then-global-top-k is exact for top-k
+    * selection because a neighbor lives in exactly one cell; the global
+    * merge ranks the union of the per-cell survivors under the same
+    * (rounded cos desc, id asc) total order.
+    */
+  def queryTopK(queries: ArrayData, members: ArrayData, k: Int): ArrayData = {
+    val q = decode(queries, withLabel = false)
+    val m = decode(members, withLabel = false)
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    val topCos = new Array[Double](k)
+    val topId = new Array[Long](k)
+    var qi = 0
+    while (qi < q.n) {
+      var len = 0
+      var j = 0
+      while (j < m.n) {
+        if (m.ids(j) != q.ids(qi)) {
+          val cos = round6(dot(q.vecs(qi), m.vecs(j)) / (q.nrms(qi) * m.nrms(j)))
+          val id = m.ids(j)
+          if (len < k || better(cos, id, topCos(len - 1), topId(len - 1))) {
+            var pos = if (len == k) k - 1 else { len += 1; len - 1 }
+            while (pos > 0 && better(cos, id, topCos(pos - 1), topId(pos - 1))) {
+              topCos(pos) = topCos(pos - 1); topId(pos) = topId(pos - 1); pos -= 1
+            }
+            topCos(pos) = cos; topId(pos) = id
+          }
+        }
+        j += 1
+      }
+      var r = 0
+      while (r < len) {
+        out += new GenericInternalRow(Array[Any](q.ids(qi), topId(r), topCos(r)))
+        r += 1
+      }
+      qi += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   /** Every member's hardest in-cell positive (same label) and negative
     * (different label) by (rounded cos desc, id asc), as
     * (vec_id, label, pos_id, pos_cos, neg_id, neg_cos) with the -1/-2
@@ -240,6 +282,29 @@ case class CellKnn(child: Expression, k: Int)
 object CellKnn {
   def apply(c: Column, k: Int): Column =
     ColumnBridge.column(CellKnn(ColumnBridge.expression(c), k))
+}
+
+/** (array<struct<q_id,qv,qn>>, array<struct<id,v,nrm>>) →
+  * array<struct<q_id,n_id,cos>> (each query's local top-k in this cell).
+  */
+case class CellQueryTopK(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  require(k >= 1, s"k=$k must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q_id", LongType, nullable = false),
+    StructField("n_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(qs: Any, ms: Any): Any =
+    CellPairs.queryTopK(qs.asInstanceOf[ArrayData], ms.asInstanceOf[ArrayData], k)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellQueryTopK =
+    copy(left = newLeft, right = newRight)
+}
+
+object CellQueryTopK {
+  def apply(qs: Column, ms: Column, k: Int): Column =
+    ColumnBridge.column(CellQueryTopK(
+      ColumnBridge.expression(qs), ColumnBridge.expression(ms), k))
 }
 
 /** array<struct<id,label,v,nrm>> → array<struct<vec_id,label,pos_id,

@@ -409,6 +409,88 @@ object Similarity {
     expr(s"array_distinct(transform(sequence(1, $nProbe), " +
       "r -> cast(array_position(scores, element_at(array_sort(scores), r)) as int)))")
 
+  /** MARGIN-adaptive probe set (verdict r10 item 7): instead of a fixed
+    * rank cutoff, a query probes every cell whose centroid score sits
+    * within `alpha` of the way from its best cell to its worst —
+    * (score_j - score_min) <= alpha * (score_max - score_min). Queries
+    * deep inside one cell (wide margins) probe few cells; boundary
+    * queries (near-tie margins, exactly the ones fixed-nProbe recall
+    * loses — recall_min 0.5 at nProbe=8 in ANNEVAL_r10) automatically
+    * widen. Scale-free in the score units (|c|^2 - 2<v,c> differences =
+    * true L2^2 differences), so one alpha serves any corpus. alpha=0
+    * probes only the argmin cell; alpha=1 probes all.
+    */
+  private def probeArrAdaptive(alpha: Double): Column =
+    expr("filter(transform(scores, (s, j) -> IF(s - array_min(scores) <= " +
+      s"$alpha * (array_max(scores) - array_min(scores)), j + 1, " +
+      "cast(null as int))), p -> p IS NOT NULL)")
+
+  /** IVF top-k with the margin-adaptive probe rule, served through the
+    * whole-cell kernel: queries grouped by probed cell, one
+    * `CellQueryTopK` evaluation per (probe-cell, its queries) scoring the
+    * cell's members in a tight primitive loop and keeping per-query local
+    * top-k, then a global rank over the per-cell survivors. Exactly the
+    * join+window spelling's result (same rounded cosines, same total
+    * order; a neighbor lives in one cell so local-then-global top-k is
+    * exact) at ~2x less cost — the per-pair join row materialization was
+    * the latency term, same finding as the r9 dedup_semantic kernels.
+    * `ivfTopKAdaptiveJoin` is the differential twin (OperatorsSpec).
+    */
+  def ivfTopKAdaptive(emb: DataFrame, centroids: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, alpha: Double = 0.5): DataFrame = {
+    val wb = withNorm(emb)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+    val member = struct(col("vec_id"), col("v"), col("nrm"))
+    val q = wb.filter(col("vec_id") < nQueries)
+      .withColumn("probe", explode(probeArrAdaptive(alpha)))
+      .groupBy("probe").agg(collect_list(member).as("qs"))
+    val cells = wb.groupBy("cell").agg(collect_list(member).as("ms"))
+    val local = q.join(cells, col("probe") === col("cell"))
+      .select(explode(graft.functions.CellQueryTopK(col("qs"), col("ms"), k)).as("c"))
+      .select(col("c.q_id").as("q_id"), col("c.n_id").as("n_id"), col("c.cos").as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    local.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Join+window spelling of the margin-adaptive serve — the
+    * differential twin for `ivfTopKAdaptive`'s kernel path.
+    */
+  def ivfTopKAdaptiveJoin(emb: DataFrame, centroids: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, alpha: Double = 0.5): DataFrame = {
+    val wb = withNorm(emb)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+    val q = wb.filter(col("vec_id") < nQueries)
+      .withColumn("probe", explode(probeArrAdaptive(alpha)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
+    val cc = wb.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"),
+      col("cell").as("n_cell"))
+    rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
+  }
+
+  /** Recall@k report for the adaptive-probe serve — `ivfRecallReport`
+    * with the margin rule on the approximate leg.
+    */
+  def ivfRecallReportAdaptive(emb: DataFrame, centroids: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, alpha: Double = 0.5): DataFrame = {
+    val exact = bruteForceTopK(emb, nQueries, k).select("q_id", "n_id")
+    val approx = ivfTopKAdaptive(emb, centroids, nQueries, k, alpha)
+      .select("q_id", "n_id")
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_exact"), 6))
+      .orderBy("q_id")
+  }
+
   def ivfTopKWith(emb: DataFrame, centroids: Array[Array[Double]],
       nQueries: Int = 5, k: Int = 5, nProbe: Int = 2): DataFrame = {
     val wb = withNorm(emb)

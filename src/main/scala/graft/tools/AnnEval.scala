@@ -55,24 +55,40 @@ object AnnEval {
     noop(Similarity.bruteForceTopK(emb, panel, k))
     val exactSec = time(noop(Similarity.bruteForceTopK(emb, panel, k)))
 
-    val points = Seq(1, 2, 4, 8).map { nProbe =>
-      val ivfSec = time(noop(
-        Similarity.ivfTopKWith(emb, centroids, panel, k, nProbe)))
-      val rep = Similarity.ivfRecallReport(emb, centroids, panel, k, nProbe)
-        .select("n_exact", "n_hits", "recall").collect()
+    def summarize(tag: String, param: Double, ivfSec: Double,
+        rep: Array[org.apache.spark.sql.Row]): String = {
       val nExact = rep.map(_.getLong(0)).sum
       val nHits = rep.map(_.getLong(1)).sum
       val micro = nHits.toDouble / nExact
       val mean = rep.map(_.getDouble(2)).sum / rep.length
       val minQ = rep.map(_.getDouble(2)).min
-      f"""{"nProbe":$nProbe,"ivf_sec":$ivfSec%.3f,"recall_micro":$micro%.4f,""" +
+      f"""{"$tag":$param%.3f,"ivf_sec":$ivfSec%.3f,"recall_micro":$micro%.4f,""" +
         f""""recall_mean":$mean%.4f,"recall_min":$minQ%.4f,"n_panel":${rep.length}}"""
+    }
+
+    val points = Seq(1, 2, 4, 8).map { nProbe =>
+      val ivfSec = time(noop(
+        Similarity.ivfTopKWith(emb, centroids, panel, k, nProbe)))
+      val rep = Similarity.ivfRecallReport(emb, centroids, panel, k, nProbe)
+        .select("n_exact", "n_hits", "recall").collect()
+      summarize("nProbe", nProbe.toDouble, ivfSec, rep)
+    }
+
+    // margin-adaptive frontier (verdict r10 item 7): per-query probe
+    // widths follow the score margins instead of a fixed rank cutoff
+    val adaptive = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8).map { alpha =>
+      val ivfSec = time(noop(
+        Similarity.ivfTopKAdaptive(emb, centroids, panel, k, alpha)))
+      val rep = Similarity.ivfRecallReportAdaptive(emb, centroids, panel, k, alpha)
+        .select("n_exact", "n_hits", "recall").collect()
+      summarize("alpha", alpha, ivfSec, rep)
     }
 
     val json =
       f"""{"dataset":"$dir","n_vectors":$nVec,"dim":64,"panel":$panel,"k":$k,""" +
         f""""n_centroids":${centroids.length},"reps":$reps,""" +
-        f""""exact_sec":$exactSec%.3f,"points":[${points.mkString(",")}]}"""
+        f""""exact_sec":$exactSec%.3f,"points":[${points.mkString(",")}],""" +
+        f""""adaptive":[${adaptive.mkString(",")}]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -1628,6 +1628,14 @@ class OperatorsSpec extends AnyFunSuite {
     val b3 = Similarity.contrastivePairsJoin(emb, cents).collect().toSeq
     assert(a3 === b3)
     assert(a1.nonEmpty && a2.nonEmpty && a3.nonEmpty)
+    // margin-adaptive probe serve: kernel path vs join+window twin, at a
+    // mid alpha (partial probe sets) and a tight one (argmin-only edge)
+    for (alpha <- Seq(0.05, 0.5)) {
+      val a4 = Similarity.ivfTopKAdaptive(emb, cents, 20, 5, alpha).collect().toSeq
+      val b4 = Similarity.ivfTopKAdaptiveJoin(emb, cents, 20, 5, alpha).collect().toSeq
+      assert(a4 === b4)
+      assert(a4.nonEmpty)
+    }
   }
 
   test("Misra-Gries sketch honors the superset and error-bound guarantees") {
