@@ -1447,9 +1447,9 @@ object SparkEntry {
        |wb AS (SELECT vec_id, v, nrm, scores,
        |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
-       |        unnest(list_filter(list_transform(scores,
-       |          (s, j) -> CASE WHEN s - list_min(scores) <= $alpha * (list_max(scores) - list_min(scores))
-       |                         THEN CAST(j AS INT) ELSE NULL END),
+       |        unnest(list_filter(list_transform(generate_series(1, len(scores)),
+       |          j -> CASE WHEN scores[j] - list_min(scores) <= $alpha * (list_max(scores) - list_min(scores))
+       |                    THEN CAST(j AS INT) ELSE NULL END),
        |          p -> p IS NOT NULL)) AS probe
        |      FROM wb WHERE vec_id < 5),
        |s AS (SELECT q.q_id, c.vec_id AS n_id,

@@ -36,6 +36,9 @@ object SqlSurface {
       .replace("%Y-%m-%d", "yyyy-MM-dd")
     s = s.replace("epoch_ms(", "unix_millis(")
     s = s.replace("string_split_regex(", "split(")
+    // index-lambda calibration BEFORE the rename: DuckDB's (elem, idx)
+    // lambdas in list_filter/list_transform are 1-based, Spark's 0-based
+    s = rewriteIndexLambda(s)
     s = s.replace("list_filter(", "filter(")
       .replace("list_transform(", "transform(")
       .replace("list_contains(", "array_contains(")
@@ -43,6 +46,11 @@ object SqlSurface {
       .replace("list_sort(", "array_sort(")
     // both engines: explode/unnest in SELECT position yields one row per
     // element; inclusive-bounds generate_series == Spark sequence
+    // generator lowerings BEFORE the unnest->explode rename: Spark can't
+    // nest a generator in CAST, and it cross-products parallel generators
+    // where DuckDB zips them
+    s = rewriteCastUnnest(s)
+    s = rewriteParallelUnnest(s)
     s = s.replace("unnest(", "explode(")
       .replace("generate_series(", "sequence(")
     // DuckDB len() on lists == Spark size(); word-bounded to avoid
@@ -79,9 +87,9 @@ object SqlSurface {
     // (the single-space separator these oracles use); a metachar
     // separator would diverge and surface as DIFF.
     s = s.replace("string_split(", "split(")
-    // string_agg(x, sep ORDER BY k) → listagg (Spark 4 WITHIN GROUP)
-    s = """string_agg\(([^,()]+(?:\([^()]*\))?[^,()]*),\s*('[^']*')\s+ORDER BY ([^()]+)\)""".r
-      .replaceAllIn(s, "listagg($1, $2) WITHIN GROUP (ORDER BY $3)")
+    // string_agg(x, sep [ORDER BY k]) → listagg (Spark 4 WITHIN GROUP);
+    // paren-matching so CASE/function expressions in x survive the rewrite
+    s = rewriteStringAgg(s)
     // typed-array casts: DOUBLE[] → ARRAY<DOUBLE>, DOUBLE[][] →
     // ARRAY<ARRAY<DOUBLE>> (before the bracket scanner below, which
     // would misread the empty [] pairs); one depth-aware pass
@@ -112,6 +120,9 @@ object SqlSurface {
     // kernel replicates bit-for-bit (FunctionsSpec differential), so the
     // graft SQL registration IS the faithful mapping.
     s = s.replace("jaro_winkler_similarity(", "graft_jaro_winkler(")
+    // DuckDB's damerau_levenshtein is the full Lowrance-Wagner DP; the
+    // graft native expression is differential-tested bit-equal to it
+    s = s.replace("damerau_levenshtein(", "graft_damerau_levenshtein(")
     s = s.replace("list_concat(", "concat(")
     // DuckDB parses hex-prefixed strings in int casts; Spark needs conv.
     // Both spellings of the idiom: concat('0x', X) and ('0x' || X).
@@ -119,9 +130,423 @@ object SqlSurface {
     s = rewriteHexCast(s, "('0x' || ", emitTail = ")")
     // DuckDB encode(s) is UTF-8; Spark's 2-arg form says so explicitly
     s = rewriteEncode(s)
+    // ordered-aggregate lists must be lowered BEFORE rewriteListReduce so
+    // a fold over an ordered list becomes aggregate(<lowered array>, ...)
+    s = rewriteOrderedList(s)
+    s = rewriteCrossSeries(s)
+    s = rewriteRange(s)
+    s = rewriteRegexpExtractAll(s)
+    s = rewriteListSum(s)
     s = rewriteListReduce(s)
     s = rewriteQualify(s)
     s = rewriteBrackets(s)
+    // LAST: DuckDB's bare decimal literals (0.75) are DOUBLE; Spark parses
+    // them as DECIMAL, which silently drags integer-column arithmetic
+    // into limited-scale decimal math (text_lm_kn's 0.75 discount diverged
+    // in the 6th decimal). D-suffix every plain decimal literal — the
+    // faithful cross-dialect reading. Exponent forms are already double.
+    s = suffixDoubleLiterals(s)
+    s
+  }
+
+  /** `<digits>.<digits>` (no exponent, outside quotes, not part of an
+    * identifier or qualified name) → `<literal>D`.
+    */
+  def suffixDoubleLiterals(s0: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var inQ = false
+    while (i < s0.length) {
+      val c = s0.charAt(i)
+      if (inQ) { sb.append(c); if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inQ = true; i += 1 }
+      else if (c.isDigit &&
+        (i == 0 || (!s0.charAt(i - 1).isLetterOrDigit &&
+          s0.charAt(i - 1) != '_' && s0.charAt(i - 1) != '.'))) {
+        var j = i
+        while (j < s0.length && s0.charAt(j).isDigit) j += 1
+        if (j < s0.length && s0.charAt(j) == '.' &&
+          j + 1 < s0.length && s0.charAt(j + 1).isDigit) {
+          var k = j + 1
+          while (k < s0.length && s0.charAt(k).isDigit) k += 1
+          val next = if (k < s0.length) s0.charAt(k) else ' '
+          if (next != 'e' && next != 'E' && next != 'D' && next != 'd' &&
+            !next.isLetter && next != '_' && next != '.') {
+            sb.append(s0.substring(i, k)).append('D')
+            i = k
+          } else { sb.append(s0.substring(i, k)); i = k }
+        } else { sb.append(s0.substring(i, j)); i = j }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `string_agg(<x>, <sep> [ORDER BY <k>])` → `listagg(<x>, <sep>)
+    * [WITHIN GROUP (ORDER BY <k>)]`, paren-matching so arbitrary `<x>`
+    * expressions (CASE, nested calls) survive.
+    */
+  private def rewriteStringAgg(s0: String): String = {
+    var s = s0
+    var idx = s.indexOf("string_agg(")
+    while (idx >= 0) {
+      val open = idx + "string_agg".length
+      val close = findMatch(s, open, '(', ')')
+      if (close < 0) return s0
+      val comma = topLevelComma(s, open + 1, close)
+      if (comma < 0) return s0
+      val x = s.substring(open + 1, comma).trim
+      val tail = s.substring(comma + 1, close)
+      val ob = topLevelKeyword(tail, "ORDER BY")
+      val repl =
+        if (ob >= 0)
+          s"listagg($x, ${tail.substring(0, ob).trim}) WITHIN GROUP " +
+            s"(ORDER BY ${tail.substring(ob + "ORDER BY".length).trim})"
+        else s"listagg($x, ${tail.trim})"
+      s = s.substring(0, idx) + repl + s.substring(close + 1)
+      idx = s.indexOf("string_agg(")
+    }
+    s
+  }
+
+  /** `CAST(unnest(<X>) AS <T>)` → `unnest(transform(<X>, __u -> CAST(__u
+    * AS <T>)))`: Spark rejects a generator nested inside an expression,
+    * so the element-wise cast moves under the generator.
+    */
+  private def rewriteCastUnnest(s0: String): String = {
+    var s = s0
+    var idx = s.indexOf("CAST(unnest(")
+    while (idx >= 0) {
+      val castOpen = idx + 4
+      val unOpen = idx + "CAST(unnest".length
+      val unClose = findMatch(s, unOpen, '(', ')')
+      val castClose = findMatch(s, castOpen, '(', ')')
+      if (unClose < 0 || castClose < 0) return s0
+      val x = s.substring(unOpen + 1, unClose)
+      val asPart = s.substring(unClose + 1, castClose).trim
+      if (!asPart.startsWith("AS ")) return s0
+      val t = asPart.substring(3).trim
+      s = s.substring(0, idx) +
+        s"unnest(transform($x, __u -> CAST(__u AS $t)))" +
+        s.substring(castClose + 1)
+      idx = s.indexOf("CAST(unnest(")
+    }
+    s
+  }
+
+  /** A SELECT list with >= 2 root-level `unnest(<X>) AS <a>` items: DuckDB
+    * ZIPS parallel unnests (null-padded to the longest); Spark would
+    * cross-product separate generators. Lower to one
+    * `unnest(arrays_zip(X1, ..., Xn)) AS __z` in a subquery (arrays_zip
+    * null-pads identically) with the outer select projecting the struct
+    * fields back under the original aliases. Bails (leaves the query
+    * untranslated -> NOSQL, never silently wrong) on select items it
+    * cannot carry through, or when the block has its own top-level
+    * GROUP BY.
+    */
+  private def rewriteParallelUnnest(s0: String): String = {
+    def rootUnnest(item: String): Option[(String, String)] = {
+      if (!item.startsWith("unnest(")) return None
+      val close = findMatch(item, "unnest".length, '(', ')')
+      if (close < 0) return None
+      val tail = item.substring(close + 1)
+      val m = """^\s+AS\s+(\w+)\s*$""".r.findFirstMatchIn(tail)
+      m.map(mm => (item.substring("unnest(".length, close), mm.group(1)))
+    }
+    def passAlias(item: String): Option[String] = {
+      val as = topLevelIndexOf(item, " AS ")
+      if (as >= 0) {
+        val a = item.substring(as + 4).trim
+        if (a.matches("""\w+""")) Some(a) else None
+      } else if (item.matches("""[\w.]+""")) Some(item.split('.').last)
+      else None
+    }
+    var s = s0
+    var idx = s.indexOf("SELECT ")
+    while (idx >= 0) {
+      // scope: forward until the enclosing paren closes (or string end)
+      var i = idx; var d = 0; var inQ = false; var scopeEnd = s.length
+      var stop = false
+      while (i < s.length && !stop) {
+        val c = s.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (c == '\'') inQ = true
+        else if (c == '(') d += 1
+        else if (c == ')') { if (d == 0) { scopeEnd = i; stop = true } else d -= 1 }
+        i += 1
+      }
+      val body = s.substring(idx, scopeEnd)
+      val fromPos = topLevelKeyword(body, "FROM")
+      var advanced = false
+      if (fromPos > 0) {
+        val items = splitTopLevel(body.substring("SELECT ".length, fromPos)).map(_.trim)
+        val rest = body.substring(fromPos) // "FROM ..."
+        val unItems = items.flatMap(rootUnnest)
+        if (unItems.size >= 2 && topLevelKeyword(rest, "GROUP BY") < 0) {
+          val others = items.filter(rootUnnest(_).isEmpty)
+          val otherRefs = others.map(passAlias)
+          if (otherRefs.forall(_.isDefined)) {
+            val fields = unItems.zipWithIndex.map { case ((x, _), i) =>
+              if (x.trim.matches("""\w+""")) x.trim else i.toString
+            }
+            val zip = unItems.map(_._1).mkString("arrays_zip(", ", ", ")")
+            val inner = (others :+ s"unnest($zip) AS __z").mkString(", ")
+            val outer = (others.map(passAlias(_).get) ++
+              unItems.zip(fields).map { case ((_, a), f) => s"__z.`$f` AS $a" })
+              .mkString(", ")
+            // a trailing top-level ORDER BY may reference the exploded
+            // aliases — it must stay on the OUTER select
+            val ob = topLevelKeyword(rest, "ORDER BY")
+            val (innerRest, outerTail) =
+              if (ob >= 0) (rest.substring(0, ob), " " + rest.substring(ob))
+              else (rest, "")
+            val rebuilt = s"SELECT $outer FROM (SELECT $inner $innerRest)$outerTail"
+            s = s.substring(0, idx) + rebuilt + s.substring(scopeEnd)
+            // re-scan from the next SELECT: the rebuilt outer no longer
+            // qualifies (no root unnests) and the inner has exactly one
+            advanced = true
+            idx = s.indexOf("SELECT ", idx + 1)
+          }
+        }
+      }
+      if (!advanced) idx = s.indexOf("SELECT ", idx + 1)
+    }
+    s
+  }
+
+  /** DuckDB's two-arg list_filter/list_transform lambdas receive a
+    * 1-BASED element index; Spark's filter/transform index lambdas are
+    * 0-based. Shift every body reference of the index variable by +1 so
+    * the Spark expression sees the DuckDB value. Scoped strictly to
+    * list_filter/list_transform second arguments — fold lambdas
+    * ((acc, x) -> ...) are value pairs, never indexes.
+    */
+  private def rewriteIndexLambda(s0: String): String = {
+    var s = s0
+    val lamHead = """^\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->""".r
+    for (fn <- Seq("list_filter(", "list_transform(")) {
+      var from = 0
+      var idx = s.indexOf(fn, from)
+      while (idx >= 0) {
+        val open = idx + fn.length - 1
+        val close = findMatch(s, open, '(', ')')
+        if (close > 0) {
+          val comma = topLevelComma(s, open + 1, close)
+          if (comma > 0) {
+            val lam = s.substring(comma + 1, close)
+            lamHead.findFirstMatchIn(lam).foreach { m =>
+              val iv = m.group(2)
+              val body = ("""\b""" + iv + """\b""").r
+                .replaceAllIn(lam.substring(m.end), s"($iv + 1)")
+              s = s.substring(0, comma + 1) + lam.substring(0, m.end) + body +
+                s.substring(close)
+            }
+          }
+        }
+        from = idx + 1
+        idx = s.indexOf(fn, from)
+      }
+    }
+    s
+  }
+
+  /** `CROSS JOIN sequence(<args>) AS <g>(<i>)` (DuckDB's generate_series
+    * table function, already renamed to sequence by the scalar mapping) →
+    * `LATERAL VIEW explode(sequence(<args>)) <g> AS <i>` — Spark has no
+    * sequence TVF, but the lateral-view explode is the same one-row-per-
+    * element join and keeps the `g.i` references resolvable.
+    */
+  private def rewriteCrossSeries(s0: String): String = {
+    val marker = "CROSS JOIN sequence("
+    val asRef = """^\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)""".r
+    var s = s0
+    var idx = s.indexOf(marker)
+    while (idx >= 0) {
+      val open = idx + marker.length - 1
+      val close = findMatch(s, open, '(', ')')
+      if (close < 0) return s0
+      val m = asRef.findFirstMatchIn(s.substring(close + 1))
+      if (m.isEmpty) return s0
+      val args = s.substring(open + 1, close)
+      s = s.substring(0, idx) +
+        s"LATERAL VIEW explode(sequence($args)) ${m.get.group(1)} AS ${m.get.group(2)}" +
+        s.substring(close + 1 + m.get.end)
+      idx = s.indexOf(marker)
+    }
+    s
+  }
+
+  /** `list(<x> ORDER BY <k1>[, <k2>...])` → `transform(array_sort(
+    * collect_list(named_struct('k1', <k1>, ..., 'v', <x>))), s -> s.v)`.
+    * Spark's collect_list has no ORDER BY; sorting (key, value) structs
+    * and projecting the value reproduces the ordered list exactly when
+    * the keys are unique per group — which every ordered fold in this
+    * repo's oracles guarantees (pos / dim / bucket / term keys).
+    */
+  private def rewriteOrderedList(s0: String): String = {
+    var s = s0
+    var from = 0
+    var idx = s.indexOf("list(", from)
+    while (idx >= 0) {
+      // must be the bare `list(` function, not list_transform( etc.
+      val bare = idx == 0 || !(s.charAt(idx - 1).isLetterOrDigit || s.charAt(idx - 1) == '_')
+      val open = idx + "list".length
+      val close = if (bare) findMatch(s, open, '(', ')') else -1
+      if (close > 0) {
+        val inner = s.substring(open + 1, close)
+        val ob = topLevelIndexOf(inner, " ORDER BY ")
+        if (ob >= 0) {
+          val x = inner.substring(0, ob).trim
+          val keys = splitTopLevel(inner.substring(ob + " ORDER BY ".length))
+            .map(_.trim).filter(_.nonEmpty)
+          val kvs = keys.zipWithIndex
+            .map { case (k, i) => s"'k$i', $k" }.mkString(", ")
+          val repl = s"transform(array_sort(collect_list(" +
+            s"named_struct($kvs, 'v', $x))), s -> s.v)"
+          s = s.substring(0, idx) + repl + s.substring(close + 1)
+          from = idx + repl.length
+        } else from = idx + 1
+      } else from = idx + 1
+      idx = s.indexOf("list(", from)
+    }
+    s
+  }
+
+  /** First index of keyword `kw` at depth 0 outside quotes, bounded by
+    * non-word characters on both sides (any whitespace counts), or -1.
+    */
+  private def topLevelKeyword(s: String, kw: String): Int = {
+    var i = 1; var d = 0; var inQ = false
+    while (i <= s.length - kw.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(' || c == '[') d += 1
+      else if (c == ')' || c == ']') d -= 1
+      else if (d == 0 && c == kw.charAt(0) && s.regionMatches(i, kw, 0, kw.length) &&
+        !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_' &&
+        (i + kw.length >= s.length ||
+          (!s.charAt(i + kw.length).isLetterOrDigit && s.charAt(i + kw.length) != '_')))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** First index of `needle` at paren/bracket depth 0 outside quotes
+    * within `s`, or -1.
+    */
+  private def topLevelIndexOf(s: String, needle: String): Int = {
+    var i = 0; var d = 0; var inQ = false
+    while (i <= s.length - needle.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(' || c == '[') d += 1
+      else if (c == ')' || c == ']') d -= 1
+      else if (d == 0 && c == needle.charAt(0) &&
+        s.regionMatches(i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on top-level commas (outside parens/brackets/quotes). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var c = topLevelComma(s, 0, s.length)
+    while (c >= 0) {
+      out += s.substring(start, c)
+      // topLevelComma scans absolute positions; re-scan from after c
+      start = c + 1
+      c = {
+        var i = start; var d = 0; var inQ = false; var found = -1
+        while (i < s.length && found < 0) {
+          val ch = s.charAt(i)
+          if (inQ) { if (ch == '\'') inQ = false }
+          else if (ch == '\'') inQ = true
+          else if (ch == '(' || ch == '[') d += 1
+          else if (ch == ')' || ch == ']') d -= 1
+          else if (ch == ',' && d == 0) found = i
+          i += 1
+        }
+        found
+      }
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** DuckDB `range(...)` (half-open, EMPTY when start >= stop) → a Spark
+    * sequence sliced to `greatest(stop - start, 0)` elements — Spark's
+    * `sequence(a, b)` is inclusive and turns DESCENDING when b < a, so a
+    * bare `sequence(a, b - 1)` would invent elements exactly where DuckDB
+    * returns [] (the fuzzy-pair oracles rely on that empty case).
+    * 1-arg `range(n)` = [0, n); 2-arg `range(a, b)` = [a, b).
+    */
+  private def rewriteRange(s0: String): String = {
+    var s = s0
+    var from = 0
+    var idx = s.indexOf("range(", from)
+    while (idx >= 0) {
+      val bare = idx == 0 || !(s.charAt(idx - 1).isLetterOrDigit || s.charAt(idx - 1) == '_')
+      val open = idx + "range".length
+      val close = if (bare) findMatch(s, open, '(', ')') else -1
+      if (close > 0) {
+        val args = splitTopLevel(s.substring(open + 1, close)).map(_.trim)
+        val repl = args match {
+          case Seq(n) =>
+            s"slice(sequence(0, greatest(($n) - 1, 0)), 1, cast(greatest($n, 0) as int))"
+          case Seq(a, b) =>
+            s"slice(sequence($a, greatest(($b) - 1, $a)), 1, cast(greatest(($b) - ($a), 0) as int))"
+          case _ => null // 3-arg stepped range: leave untranslated
+        }
+        if (repl != null) {
+          s = s.substring(0, idx) + repl + s.substring(close + 1)
+          from = idx + repl.length
+        } else from = idx + 1
+      } else from = idx + 1
+      idx = s.indexOf("range(", from)
+    }
+    s
+  }
+
+  /** DuckDB's 2-arg `regexp_extract_all(s, re)` returns FULL matches
+    * (group 0); Spark's 2-arg form defaults to group 1 and errors on
+    * group-free patterns — pin the explicit `, 0`.
+    */
+  private def rewriteRegexpExtractAll(s0: String): String = {
+    var s = s0
+    var from = 0
+    var idx = s.indexOf("regexp_extract_all(", from)
+    while (idx >= 0) {
+      val open = idx + "regexp_extract_all".length
+      val close = findMatch(s, open, '(', ')')
+      if (close > 0 &&
+        splitTopLevel(s.substring(open + 1, close)).lengthCompare(2) == 0) {
+        s = s.substring(0, close) + ", 0" + s.substring(close)
+      }
+      from = idx + 1
+      idx = s.indexOf("regexp_extract_all(", from)
+    }
+    s
+  }
+
+  /** `list_sum(L)` over integer elements → an explicit bigint fold.
+    * (Integer addition commutes exactly; the only list_sum call site sums
+    * int8 codes.)
+    */
+  private def rewriteListSum(s0: String): String = {
+    var s = s0
+    var idx = s.indexOf("list_sum(")
+    while (idx >= 0) {
+      val open = idx + "list_sum".length
+      val close = findMatch(s, open, '(', ')')
+      if (close < 0) return s0
+      val arg = s.substring(open + 1, close)
+      val repl = s"aggregate($arg, cast(0 as bigint), (a, b) -> a + b)"
+      s = s.substring(0, idx) + repl + s.substring(close + 1)
+      idx = s.indexOf("list_sum(")
+    }
     s
   }
 
@@ -144,7 +569,10 @@ object SqlSurface {
       if (lpClose < 0 || lrClose < 0) return s0
       val comma = topLevelComma(s, lpOpen + 1, lpClose)
       if (comma < 0) return s0
-      val init = s.substring(lpOpen + 1, comma).trim
+      val init0 = s.substring(lpOpen + 1, comma).trim
+      // a bare decimal seed (0.0) parses as DOUBLE in DuckDB but as
+      // DECIMAL(1,1) in Spark, breaking aggregate()'s type unification
+      val init = if (init0.matches("""-?\d+\.\d+""")) s"cast($init0 as double)" else init0
       val list = s.substring(comma + 1, lpClose).trim
       val lam = s.substring(lpClose + 1, lrClose).trim.stripPrefix(",").trim
       s = s.substring(0, idx) + s"aggregate($list, $init, $lam)" +
@@ -197,9 +625,12 @@ object SqlSurface {
     val colon = topLevelColon(idx)
     if (colon < 0) s"element_at($base, $idx)"
     else {
-      val a = idx.substring(0, colon).trim
-      val b = idx.substring(colon + 1).trim
-      s"slice($base, $a, ($b) - ($a) + 1)"
+      // open-ended DuckDB slices: [a:] runs to the end, [:b] from the start
+      val a0 = idx.substring(0, colon).trim
+      val b0 = idx.substring(colon + 1).trim
+      val a = if (a0.isEmpty) "1" else a0
+      if (b0.isEmpty) s"slice($base, $a, greatest(size($base) - ($a) + 1, 0))"
+      else s"slice($base, $a, ($b0) - ($a) + 1)"
     }
   }
 
@@ -452,6 +883,12 @@ object SqlSurface {
 
     val all = (graft.SparkEntry.oracleSql ++
       graft.SparkEntry.oracleSqlDynamic(spark, dir)).toSeq.sortBy(_._1)
+    // SQL_SURFACE_PRINT=<name>: dump the translated SQL for one query
+    sys.env.get("SQL_SURFACE_PRINT").foreach { n =>
+      all.find(_._1 == n).foreach { case (_, q) =>
+        println(s"=== $n (verbatim) ===\n$q\n=== $n (xlate) ===\n${toSparkSql(q)}\n===")
+      }
+    }
     var matched, xlated, diff, nosql = List.empty[String]
     for ((name, sql) <- all) {
       var lastErr: Throwable = null

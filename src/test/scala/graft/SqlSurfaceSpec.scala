@@ -43,7 +43,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     * mapping (typed-array casts, list-fn renames, 1-based subscripts →
     * element_at/slice, the QUALIFY lowering, list_reduce-with-seed →
     * aggregate, hex casts, graft kernel registrations), lifting parity
-    * from 63 to 130 of the oracle-backed queries — the ann, dedup,
+    * from 63 to 130 of the oracle-backed queries, and the r11 tranche
+    * (ordered-list folds, half-open range(), zipped parallel unnests,
+    * 1-based index lambdas, DOUBLE literal typing) to 150 — the ann, dedup,
     * pipeline, and most of the text families now run through spark.sql.
     */
   private val translated = Set(
@@ -72,9 +74,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "text_quality", "text_repetition", "text_scrub", "text_search",
     "text_search_bm25", "text_search_bm25_indexed", "text_search_hybrid", "text_tfidf",
     "text_topics", "text_vocab", "wordcount", "wordcount_topk",
-    "wordcount_windowed", "wordcount_windowed_sliding")
+    "wordcount_windowed", "wordcount_windowed_sliding",
+    // r11 tranche: ordered-list folds, range() half-open lowering,
+    // zip-parallel unnests, index-lambda calibration, double literals,
+    // CROSS JOIN generate_series -> LATERAL VIEW, paren-aware string_agg
+    "ann_ivf_adaptive", "dedup_spans", "emb_drift", "emb_outliers",
+    "emb_pool", "emb_quantize", "mm_features", "mm_frame_sample",
+    "mm_phash", "mm_phash_pairs", "pipeline_epoch_plan", "text_chunks",
+    "text_fertility", "text_fuzzy_apply", "text_fuzzy_dl",
+    "text_fuzzy_pairs", "text_lm_bigram", "text_lm_kn", "text_lm_score",
+    "text_tokens")
 
-  test("130 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("150 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
@@ -108,7 +119,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(SqlSurface.toSparkSql("SELECT [1, 2, 3] AS a") ===
       "SELECT array(1, 2, 3) AS a")
     assert(SqlSurface.toSparkSql("SELECT [[1.0, 2.0], [3.0, 4.0]] AS m") ===
-      "SELECT array(array(1.0, 2.0), array(3.0, 4.0)) AS m")
+      "SELECT array(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS m")
     // identifier subscript -> element_at (both engines 1-based)
     assert(SqlSurface.toSparkSql("SELECT v[3] FROM t") ===
       "SELECT element_at(v, 3) FROM t")
@@ -151,11 +162,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "WITH l AS (SELECT * FROM (SELECT doc_id, row_number() OVER (ORDER BY s) AS r, r <= 20 AS __q1 FROM bs) WHERE __q1) SELECT doc_id FROM l")
   }
 
-  test("dialect mapping leaves pure-ANSI text untouched") {
+  test("dialect mapping leaves pure-ANSI text untouched (up to literal typing)") {
     // the mapping must be inert on SQL that is already Spark-parseable
-    // ANSI (so applying it unconditionally would also be safe)
+    // ANSI — except for decimal-literal typing: DuckDB reads 0.2 as
+    // DOUBLE, so the D-suffix is the faithful cross-dialect reading and
+    // is applied unconditionally (verbatim queries never go through
+    // toSparkSql in the parity main; they parse as-is first)
     val all = SparkEntry.oracleSql
     for (name <- verbatim if all.contains(name))
-      assert(SqlSurface.toSparkSql(all(name)) === all(name), name)
+      assert(SqlSurface.toSparkSql(all(name)) ===
+        SqlSurface.suffixDoubleLiterals(all(name)), name)
   }
 }
