@@ -273,6 +273,12 @@ object SparkEntry {
     // so it shares ann_ivf_kmeans' oracle
     "ann_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKIndexed(s, ensureIvfIndex(s, d), kmeansCentroids(s, d))),
+    // IVF index-HEALTH audit: per-cell population, cohesion (mean cosine
+    // to own centroid, recovered from the assignment score itself), and
+    // boundary margin (best vs second-best cell) — one corpus pass,
+    // centroid-count-sized output (dynamic oracle, centroid literals)
+    "ann_cluster_report" -> ((s, d) =>
+      Similarity.clusterReport(Tables.load(s, d, "embeddings"), kmeansCentroids(s, d))),
     // recall@k of the IVF serve vs exact brute force — the index-quality
     // eval; both legs deterministic, so even the EVALUATION is
     // oracle-checked (dynamic: fitted centroids as literals)
@@ -526,6 +532,13 @@ object SparkEntry {
     "text_lm_bigram" -> ((s, d) => TextAnalysis.lmScoreBigram(Tables.load(s, d, "documents"))),
     // Kneser-Ney smoothing: absolute discount + continuation probability
     "text_lm_kn" -> ((s, d) => TextAnalysis.lmScoreKneserNey(Tables.load(s, d, "documents"))),
+    // CROSS-corpus LM filter (the actual CCNet recipe): unigram LM fit on
+    // the trusted en slice, every document scored under it
+    "text_lm_cross" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      TextAnalysis.lmScoreCross(
+        docs.filter(org.apache.spark.sql.functions.col("lang") === "en"), docs)
+    }),
     // no oracleSql for the TRAINER: iterative merge learning is not
     // single-statement SQL -> rows-only check; the single-threaded-
     // reference differential in OperatorsSpec is the correctness anchor.
@@ -1459,6 +1472,46 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** ann_cluster_report oracle: cell assignment + sorted score margins
+    * against the same centroid literals; the member→own-centroid cosine
+    * is recovered from the assignment score exactly as the engine does
+    * ((|c|^2 - s1) / 2 / (nrm * sqrt(|c|^2))), and both means run the
+    * emb_pool two-level ordered fold.
+    */
+  private def clusterReportSqlFor(centroids: Array[Array[Double]]): String = {
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    val cn2List = centroids.map(c => Similarity.norm2(c).toString)
+      .mkString("CAST([", ", ", "] AS DOUBLE[])")
+    s"""WITH $normCte,
+       |sc AS (SELECT vec_id, v, nrm, $scoreList AS scores FROM n),
+       |wb AS (SELECT vec_id, nrm,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell,
+       |        list_sort(scores)[1] AS s1, list_sort(scores)[2] AS s2 FROM sc),
+       |m AS (SELECT vec_id, cell,
+       |        (($cn2List)[cell] - s1) / 2.0 / (nrm * sqrt(($cn2List)[cell])) AS cosc,
+       |        s2 - s1 AS margin
+       |      FROM wb),
+       |l1 AS (SELECT cell, vec_id // 1024 AS bucket, COUNT(*) AS n,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cosc ORDER BY vec_id)),
+       |           (a, b) -> a + b) AS sc1,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(margin ORDER BY vec_id)),
+       |           (a, b) -> a + b) AS sm1
+       |       FROM m GROUP BY 1, 2),
+       |l2 AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_members,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sc1 ORDER BY bucket)),
+       |           (a, b) -> a + b) AS sc2,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sm1 ORDER BY bucket)),
+       |           (a, b) -> a + b) AS sm2
+       |       FROM l1 GROUP BY cell)
+       |SELECT cell, n_members,
+       |  round(sc2 / n_members, 6) AS mean_cos_to_centroid,
+       |  round(sm2 / n_members, 6) AS mean_margin
+       |FROM l2 ORDER BY cell""".stripMargin
+  }
+
   /** emb_drift oracle: cell assignment against the SAME exported centroid
     * literals, per-(cell, d) means via the emb_pool two-level ordered
     * fold on each snapshot carve-out, then d-ordered folds for the
@@ -1807,6 +1860,7 @@ object SparkEntry {
       ("text_topics" -> topicsSqlFor(topicCentroids(spark, sfDir))) +
       ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_ivf_adaptive" -> ivfAdaptiveSqlFor(kmeansCentroids(spark, sfDir), 0.6)) +
+      ("ann_cluster_report" -> clusterReportSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_recall_report" -> ivfRecallSqlFor(kmeansCentroids(spark, sfDir))) +
       ("emb_drift" -> embDriftSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
@@ -2525,6 +2579,27 @@ object SparkEntry {
          |x AS (SELECT doc_id, unnest(tokens) AS w FROM tok),
          |lm AS (SELECT w, COUNT(*) AS n1 FROM x GROUP BY w),
          |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM lm),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM x GROUP BY 1, 2),
+         |s AS (SELECT tf.doc_id, tf.w, tf.tf,
+         |        tf.tf * ln(CAST(lm.n1 AS DOUBLE) / t.t1) AS term_logp
+         |      FROM tf JOIN lm ON tf.w = lm.w, t),
+         |d AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list(term_logp ORDER BY w)),
+         |          (a, b) -> a + b) AS sum_logp
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, round(sum_logp / n_tokens, 6) AS mean_logp
+         |FROM d ORDER BY doc_id""".stripMargin,
+    // Mirrors TextAnalysis.lmScoreCross: the unigram model comes from the
+    // en slice ONLY; out-of-vocabulary tokens drop from count and sum
+    // (inner join), zero-match docs drop out
+    "text_lm_cross" ->
+      s"""WITH $tokCte,
+         |mx AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS w
+         |       FROM documents WHERE lang = 'en'),
+         |lm AS (SELECT w, COUNT(*) AS n1 FROM mx GROUP BY w),
+         |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM lm),
+         |x AS (SELECT doc_id, unnest(tokens) AS w FROM tok),
          |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM x GROUP BY 1, 2),
          |s AS (SELECT tf.doc_id, tf.w, tf.tf,
          |        tf.tf * ln(CAST(lm.n1 AS DOUBLE) / t.t1) AS term_logp

@@ -299,25 +299,36 @@ object TextAnalysis {
     * carries distinct (doc, term) rows (map-side combined), not every
     * token occurrence.
     */
-  def lmScore(docs: DataFrame): DataFrame = {
-    val plog = uniProbTable(docs)
-    // Same measured-count gate + shuffle-free scoring pass as the bigram
-    // scorers (verdict r10 item 4): the unigram table is vocabulary-sized;
-    // when it fits, one corpus scan with a native per-doc (term-ordered,
-    // tf * logp) fold replaces the (doc, term) shuffle + collect_list.
-    // Bit-identical to lmScoreJoin (OperatorsSpec differential).
+  def lmScore(docs: DataFrame): DataFrame = lmScoreCross(docs, docs)
+
+  /** CROSS-corpus unigram LM filter — the actual CCNet recipe (Wenzek et
+    * al. 2020): the LM is fit on a REFERENCE slice (a trusted language/
+    * quality carve-out), and every document of the full corpus is scored
+    * under it; low-scorers are the out-of-domain/noise tail a curation
+    * run drops. `lmScore` is the self-scored special case. Tokens absent
+    * from the reference vocabulary are skipped from count and sum
+    * (inner-join semantics); docs with zero in-vocabulary tokens drop out.
+    *
+    * Same measured-count gate + shuffle-free scoring pass as the bigram
+    * scorers (verdict r10 item 4): the unigram table is vocabulary-sized;
+    * when it fits, one corpus scan with a native per-doc (term-ordered,
+    * tf * logp) fold replaces the (doc, term) shuffle + collect_list.
+    * Bit-identical to lmScoreCrossJoin (OperatorsSpec differential).
+    */
+  def lmScoreCross(modelDocs: DataFrame, scoreDocs: DataFrame): DataFrame = {
+    val plog = uniProbTable(modelDocs)
     val rows = plog.limit(MaxCollectedGrams + 1).collect()
     if (rows.length <= MaxCollectedGrams) {
       val keys = rows.map(_.getString(0))
       val vals = rows.map(_.getDouble(1))
-      docs.withColumn("tokens", WordCount.tokens(col("text")))
+      scoreDocs.withColumn("tokens", WordCount.tokens(col("text")))
         .select(col("doc_id"),
           graft.functions.LmUnigramFold(col("tokens"), keys, vals).as("s"))
         .filter(col("s.n_tokens") > 0)
         .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
           round(col("s.sum_logp") / col("s.n_tokens"), 6).as("mean_logp"))
         .orderBy("doc_id")
-    } else lmScoreJoin(docs)
+    } else lmScoreCrossJoin(modelDocs, scoreDocs)
   }
 
   /** Unigram log-probability table (w, logp); shared by both lmScore
@@ -342,11 +353,13 @@ object TextAnalysis {
     * positional fold but with the doc_id shuffle carrying distinct
     * (doc, term) rows (map-side combined) instead of every token.
     */
-  def lmScoreJoin(docs: DataFrame): DataFrame = {
-    val tok = docs
+  def lmScoreJoin(docs: DataFrame): DataFrame = lmScoreCrossJoin(docs, docs)
+
+  def lmScoreCrossJoin(modelDocs: DataFrame, scoreDocs: DataFrame): DataFrame = {
+    val tok = scoreDocs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    tf.join(uniProbTable(docs), "w")
+    tf.join(uniProbTable(modelDocs), "w")
       .withColumn("term_logp", col("tf").cast("double") * col("logp"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),

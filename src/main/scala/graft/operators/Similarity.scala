@@ -534,6 +534,55 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** IVF index-HEALTH report — the audit a deployment runs before
+    * trusting (or rebuilding) a cell layout: per cell, the population,
+    * the mean cosine of members to their own centroid (cohesion — low
+    * values mean the centroid no longer represents its cell), and the
+    * mean margin between the best and second-best cell score (boundary
+    * sharpness — thin margins mean assignments flap and fixed-probe
+    * recall decays, exactly the regime `ivfTopKAdaptive` widens on).
+    * Complements `ivfRecallReport` (needs a query panel + exact leg) and
+    * `snapshotDrift` (needs two snapshots): this reads ONE corpus pass.
+    *
+    * Exactness: <v, c> is recovered from the already-computed cell score
+    * (score = |c|^2 - 2<v,c>), so the cosine derives from the same
+    * doubles the assignment used; means use the emb_pool two-level
+    * ordered fold (vec_id within buckets, then bucket order) so the
+    * oracle reproduces every double. Scale: one scan, per-cell
+    * centroid-count-sized output, no joins.
+    */
+  def clusterReport(emb: DataFrame, centroids: Array[Array[Double]],
+      bucketSize: Int = 1024): DataFrame = {
+    val cn2 = array(centroids.map(c => lit(norm2(c))): _*)
+    val wb = withNorm(emb)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .withColumn("sorted", expr("array_sort(scores)"))
+      .withColumn("s1", expr("element_at(sorted, 1)"))
+      .withColumn("s2", expr("element_at(sorted, 2)"))
+      .withColumn("cn2", element_at(cn2, col("cell")))
+      .withColumn("cosc",
+        ((col("cn2") - col("s1")) / lit(2.0)) / (col("nrm") * sqrt(col("cn2"))))
+      .withColumn("margin", col("s2") - col("s1"))
+    val lvl1 = wb.withColumn("bucket", expr(s"vec_id div $bucketSize"))
+      .groupBy("cell", "bucket")
+      .agg(count(lit(1)).as("n"),
+        expr("aggregate(array_sort(collect_list(struct(vec_id, cosc))), " +
+          "cast(0.0 as double), (a, s) -> a + s.cosc)").as("sc"),
+        expr("aggregate(array_sort(collect_list(struct(vec_id, margin))), " +
+          "cast(0.0 as double), (a, s) -> a + s.margin)").as("sm"))
+    lvl1.groupBy("cell")
+      .agg(sum(col("n")).cast("long").as("n_members"),
+        expr("aggregate(array_sort(collect_list(struct(bucket, sc))), " +
+          "cast(0.0 as double), (a, s) -> a + s.sc)").as("sc2"),
+        expr("aggregate(array_sort(collect_list(struct(bucket, sm))), " +
+          "cast(0.0 as double), (a, s) -> a + s.sm)").as("sm2"))
+      .select(col("cell"), col("n_members"),
+        round(col("sc2") / col("n_members"), 6).as("mean_cos_to_centroid"),
+        round(col("sm2") / col("n_members"), 6).as("mean_margin"))
+      .orderBy("cell")
+  }
+
   /** Persist an IVF index: cell-assigned vectors written as a table
     * BUCKETED BY the probe join key. Build once, serve many query
     * batches: every later probe join consumes the bucketed layout

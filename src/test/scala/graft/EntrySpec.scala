@@ -18,6 +18,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_topk" -> 25L,
     "ann_ivf_kmeans" -> 25L,
     "ann_ivf_adaptive" -> 25L,
+    "ann_cluster_report" -> 16L,
+    "text_lm_cross" -> 500L,
     "ann_pq_encode" -> 4000L,
     "ann_ivfpq_topk" -> 25L,
     "ann_ivfpq_refine" -> 25L,
@@ -208,7 +210,7 @@ class EntrySpec extends AnyFunSuite {
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,
     * not present in the static map.
     */
-  private val dynamicOracle = Set("ann_ivf_kmeans", "ann_ivf_adaptive", "ann_recall_report",
+  private val dynamicOracle = Set("ann_ivf_kmeans", "ann_ivf_adaptive", "ann_cluster_report", "ann_recall_report",
     "ann_lsh_multiprobe", "dedup_semantic",
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
     "ann_ivfpq_refine", "ann_ivf_indexed", "ann_ivfpq_indexed", "ann_mips_lsh",

@@ -2388,6 +2388,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(un === unJ)
   }
 
+  test("lmScoreCross: reference-slice model, OOV drop semantics, self-cross identity") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "aa bb aa", "en"), (2L, "bb cc", "en"),
+      (3L, "aa cc bb", "de"), (4L, "xx yy", "de") // doc 4: fully OOV under en
+    ).toDF("doc_id", "text", "lang")
+    val scored = TextAnalysis.lmScoreCross(docs.filter($"lang" === "en"), docs)
+      .as[(Long, Long, Double)].collect().map { case (k, v, m) => k -> (v, m) }.toMap
+    // docs 1-3 score (all their tokens or a subset are in the en vocab);
+    // doc 4 has zero in-vocabulary tokens and drops out entirely
+    assert(scored.keySet === Set(1L, 2L, 3L))
+    assert(scored(1L)._1 === 3L && scored(3L)._1 === 3L)
+    // hand check doc 2: en model counts aa=2, bb=2, cc=1 of 5 tokens
+    val expected2 = (math.log(2.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(math.abs(scored(2L)._2 - expected2) < 1e-6)
+    // self-cross is exactly lmScore
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    assert(TextAnalysis.lmScoreCross(real, real).collect().toSeq ===
+      TextAnalysis.lmScore(real).collect().toSeq)
+  }
+
+  test("clusterReport: populations reconcile, cohesion/margin bounds, centroid-exact case") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.fitCentroids(emb)
+    val rep = Similarity.clusterReport(emb, cents)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(rep.map(_._2).sum === emb.count())
+    assert(rep.forall { case (_, n, cos, mg) => n > 0 && cos <= 1.0 && cos >= -1.0 && mg >= 0.0 })
+    // vectors placed exactly AT two centroids: cohesion 1, margin = the
+    // exact inter-centroid score gap
+    val c0 = Array.fill(64)(1.0); val c1 = Array.fill(64)(-1.0)
+    val atCents = Seq((0L, c0.map(_.toFloat), 0), (1L, c1.map(_.toFloat), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r2 = Similarity.clusterReport(atCents, Array(c0, c1))
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(r2.map(_._2) === Seq(1L, 1L))
+    assert(r2.forall(_._3 === 1.0))
+    assert(r2.forall(_._4 > 0.0))
+  }
+
   test("dedupReport totals reconcile with the apply operators") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val rep = Dedup.dedupReport(docs)
