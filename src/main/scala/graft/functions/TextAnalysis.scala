@@ -596,14 +596,44 @@ object TextAnalysis {
   }
 
   def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
+    // Same measured-count gate + collected-model pass as the LM scorers:
+    // the idf table is vocabulary-sized; under the gate, one corpus scan
+    // computes per-doc tf and top-k doc-locally (TfIdfTopK kernel) —
+    // no (doc, term) exchange, no per-doc window. Bit-identical to
+    // tfIdfJoin (OperatorsSpec differential): same idf doubles, same
+    // round6 scores, same (score desc, term asc) total order.
+    val rows = idfTable(docs).limit(MaxCollectedGrams + 1).collect()
+    if (rows.length <= MaxCollectedGrams) {
+      val keys = rows.map(_.getString(0))
+      val vals = rows.map(_.getDouble(1))
+      docs.withColumn("tokens", WordCount.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(graft.functions.TfIdfTopK(col("tokens"), keys, vals, k)).as("t"))
+        .select(col("doc_id"), col("t.rnk").as("rnk"), col("t.term").as("term"),
+          col("t.tf").as("tf"), col("t.tfidf").as("tfidf"))
+        .orderBy("doc_id", "rnk")
+    } else tfIdfJoin(docs, k)
+  }
+
+  /** Vocabulary-sized (term, idf) table; shared by both tfIdf paths. */
+  private def idfTable(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    df.crossJoin(broadcast(n))
+      .select(col("term"), log(col("n_docs").cast("double") / col("df")).as("idf"))
+  }
+
+  /** The retired join+window spelling — huge-vocab scale path +
+    * differential twin for tfIdf's collected-model fast path.
+    */
+  def tfIdfJoin(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val scored = tf.join(df, "term").crossJoin(broadcast(n))
-      .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val scored = tf.join(idfTable(docs), "term")
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w))

@@ -2386,6 +2386,9 @@ class OperatorsSpec extends AnyFunSuite {
     val un = frame(graft.functions.TextAnalysis.lmScore(docs))
     val unJ = frame(graft.functions.TextAnalysis.lmScoreJoin(docs))
     assert(un === unJ)
+    val ti = graft.functions.TextAnalysis.tfIdf(docs).collect().toSeq
+    val tiJ = graft.functions.TextAnalysis.tfIdfJoin(docs).collect().toSeq
+    assert(ti === tiJ && ti.nonEmpty)
   }
 
   test("lmScoreCross: reference-slice model, OOV drop semantics, self-cross identity") {
