@@ -1611,6 +1611,12 @@ object SparkEntry {
     def top2(scores: String): String =
       s"unnest(list_distinct(list_transform(generate_series(1, 2), " +
         s"r -> CAST(list_position($scores, list_sort($scores)[r]) AS INT))))"
+    // the flat-cell offset rides INSIDE the transform (distinct commutes
+    // with a per-row constant shift) so the generator stays at the select
+    // root — the form Spark's explode can also run (SQL-surface parity)
+    def top2Offset(scores: String, offset: String): String =
+      s"unnest(list_distinct(list_transform(generate_series(1, 2), " +
+        s"r -> $offset + CAST(list_position($scores, list_sort($scores)[r]) AS INT))))"
     s"""WITH $normCte,
        |sc AS (SELECT vec_id, v, nrm, ${scoreList(coarse, "v")} AS scores FROM n),
        |cb AS (SELECT vec_id, v, nrm, scores,
@@ -1624,7 +1630,7 @@ object SparkEntry {
        |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, ${top2("scores")} AS pc
        |       FROM wb WHERE vec_id < 5),
        |qf AS (SELECT q_id, qv, qn, pc, ${fineCase("pc", "qv")} AS pfs FROM qp),
-       |qx AS (SELECT q_id, qv, qn, (pc - 1) * $nFine + ${top2("pfs")} AS probe FROM qf),
+       |qx AS (SELECT q_id, qv, qn, ${top2Offset("pfs", s"(pc - 1) * $nFine")} AS probe FROM qf),
        |s AS (SELECT q.q_id, c.vec_id AS n_id,
        |        round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
        |      FROM qx q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),

@@ -45,7 +45,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     * aggregate, hex casts, graft kernel registrations), lifting parity
     * from 63 to 130 of the oracle-backed queries, and the r11 tranche
     * (ordered-list folds, half-open range(), zipped parallel unnests,
-    * 1-based index lambdas, DOUBLE literal typing) to 152 — the ann, dedup,
+    * 1-based index lambdas, DOUBLE literal typing) to 153 — the ann, dedup,
     * pipeline, and most of the text families now run through spark.sql.
     */
   private val translated = Set(
@@ -83,9 +83,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "mm_phash", "mm_phash_pairs", "pipeline_epoch_plan", "text_chunks",
     "text_fertility", "text_fuzzy_apply", "text_fuzzy_dl",
     "text_fuzzy_pairs", "text_lm_bigram", "text_lm_kn", "text_lm_score",
-    "text_tokens", "ann_cluster_report", "text_lm_cross")
+    "text_tokens", "ann_cluster_report", "text_lm_cross", "ann_ivf2_topk")
 
-  test("152 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("153 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
