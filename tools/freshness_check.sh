@@ -30,6 +30,7 @@ ARTIFACTS=(
   "CORRECTNESS_sf1.json"
   "SCALE_CURVE.txt"
   "BENCH_gen1x.json"
+  "BENCH_sf1.json"
   "BENCH_gen100x.json"
 )
 
