@@ -162,6 +162,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "WITH l AS (SELECT * FROM (SELECT doc_id, row_number() OVER (ORDER BY s) AS r, r <= 20 AS __q1 FROM bs) WHERE __q1) SELECT doc_id FROM l")
   }
 
+  test("r11 rewriters: ordered folds, range, zipped unnests, index lambdas, literals") {
+    def one(sql: String): org.apache.spark.sql.Row =
+      spark.sql(SqlSurface.toSparkSql(sql)).head()
+    // ordered-list fold: 1/2 + 1/4 in k order regardless of input order
+    assert(one("SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list(x ORDER BY k)), (a, b) -> a + b) AS s " +
+      "FROM (VALUES (2, 0.25), (1, 0.5)) t(k, x)").getDouble(0) === 0.75)
+    // half-open range: [2,5) has 3 elements; reversed bounds are EMPTY,
+    // never a descending sequence
+    assert(one("SELECT len(range(2, 5)) AS n, len(range(5, 2)) AS z, " +
+      "len(range(3)) AS m, len(range(0)) AS e").toSeq === Seq(3, 0, 3, 0))
+    // parallel unnests ZIP (DuckDB semantics), trailing ORDER BY survives
+    val zipped = spark.sql(SqlSurface.toSparkSql(
+      "SELECT CAST(unnest(range(len(xs))) AS INT) AS i, unnest(xs) AS x " +
+        "FROM (VALUES (['a', 'b', 'c'])) t(xs) ORDER BY i DESC"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
+    assert(zipped === Seq((2, "c"), (1, "b"), (0, "a")))
+    // 2-arg list_filter index lambda is 1-based in DuckDB: keep odd
+    // POSITIONS (1st, 3rd), not odd 0-based indexes
+    assert(one("SELECT list_filter(['a', 'b', 'c'], (c, i) -> i % 2 = 1) AS f")
+      .getSeq[String](0) === Seq("a", "c"))
+    // bare decimal literals become DOUBLE (DuckDB's reading): integer
+    // division through a 0.75 literal must not collapse to decimal scale
+    assert(one("SELECT CAST(7 AS BIGINT) - 0.75 AS d").getDouble(0) === 6.25)
+    // string literals survive every pass untouched
+    assert(SqlSurface.toSparkSql("SELECT '0.75 ORDER BY range(' AS s") ===
+      "SELECT '0.75 ORDER BY range(' AS s")
+    // string_agg with a CASE argument + ORDER BY
+    assert(one("SELECT string_agg(CASE WHEN x > 1 THEN 'hi' ELSE 'lo' END, " +
+      "' ' ORDER BY x) AS s FROM (VALUES (2), (1)) t(x)").getString(0) === "lo hi")
+    // open-ended slices
+    assert(one("SELECT xs[2:] AS a, xs[:2] AS b FROM (VALUES (['a','b','c'])) t(xs)")
+      .toSeq.map(_.asInstanceOf[scala.collection.Seq[String]].toList) ===
+      Seq(List("b", "c"), List("a", "b")))
+  }
+
   test("dialect mapping leaves pure-ANSI text untouched (up to literal typing)") {
     // the mapping must be inert on SQL that is already Spark-parseable
     // ANSI — except for decimal-literal typing: DuckDB reads 0.2 as
