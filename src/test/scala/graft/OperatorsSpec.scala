@@ -1636,6 +1636,13 @@ class OperatorsSpec extends AnyFunSuite {
       assert(a4 === b4)
       assert(a4.nonEmpty)
     }
+    // alpha = 1 probes every cell, so the adaptive serve must equal the
+    // EXACT brute-force answer row for row — recall-1.0 endpoint of the
+    // frontier, and a whole-pipeline correctness invariant (assignment,
+    // probe rule, kernel scoring, and global rank all have to be right)
+    val full = Similarity.ivfTopKAdaptive(emb, cents, 20, 5, 1.0).collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, 20, 5).collect().toSeq
+    assert(full === brute)
   }
 
   test("Misra-Gries sketch honors the superset and error-bound guarantees") {
