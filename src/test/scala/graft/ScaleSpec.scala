@@ -523,4 +523,25 @@ class ScaleSpec extends AnyFunSuite {
     val dim = Seq((7L, "seven")).toDF("k", "v")
     assert(Salting.saltedEquiJoin(strided, dim, "k", factor = 8).count() === 10000L)
   }
+
+  test("collected-model LM/TF-IDF scoring passes are shuffle-free scans") {
+    // The r11 fast paths' whole claim is that scoring costs ONE corpus
+    // scan: after the vocabulary-bounded model is collected, the scoring
+    // plan must contain no hash exchange — only the output-edge range
+    // partitioning for the orderBy. (The model-building aggregations run
+    // at CONSTRUCTION time, before these plans exist.)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plans = Seq(
+      "lm_kn" -> graft.functions.TextAnalysis.lmScoreKneserNey(docs),
+      "lm_bigram" -> graft.functions.TextAnalysis.lmScoreBigram(docs),
+      "lm_score" -> graft.functions.TextAnalysis.lmScore(docs),
+      "tfidf" -> graft.functions.TextAnalysis.tfIdf(docs))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name scoring pass should be shuffle-free:\n$plan")
+      assert(plan.contains("Exchange rangepartitioning"),
+        s"$name should still range-partition at the output edge")
+    }
+  }
 }
