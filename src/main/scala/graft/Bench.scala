@@ -35,6 +35,21 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
 
+    def readLoadAvg(): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split(" ").take(3).mkString(" ")
+    } catch { case _: Throwable => "n/a" }
+    def readMemAvailKb(): Long = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") => l.split("\\s+")(1).toLong }
+        .getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+    // Sample machine load BEFORE the sweep (advice r11): the after-sweep
+    // stamp mostly measures the bench's own load; the before stamp is the
+    // one that distinguishes a pre-loaded machine from a quiet run.
+    val loadAvgBefore = readLoadAvg()
+    val memAvailBeforeKb = readMemAvailKb()
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -90,18 +105,16 @@ object Bench {
     // fits; the full 100+-query map does not.
     // Machine-load stamp (verdict r10 item 5): the committed curve must
     // carry the conditions it ran under so a load-stall run is visibly
-    // suspect rather than silently slow.
-    val loadAvg = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split(" ").take(3).mkString(" ")
-    } catch { case _: Throwable => "n/a" }
-    val memAvailKb = try {
-      scala.io.Source.fromFile("/proc/meminfo").getLines()
-        .collectFirst { case l if l.startsWith("MemAvailable:") => l.split("\\s+")(1).toLong }
-        .getOrElse(-1L)
-    } catch { case _: Throwable => -1L }
+    // suspect rather than silently slow. Both BEFORE and AFTER samples are
+    // recorded (advice r11): the before stamp captures external load at
+    // sweep start; the after stamp is dominated by the bench's own 32
+    // threads and only matters when it is LOWER than expected (machine
+    // drained mid-sweep).
+    val loadAvg = readLoadAvg()
+    val memAvailKb = readMemAvailKb()
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""loadavg_before":"$loadAvgBefore","mem_available_before_kb":$memAvailBeforeKb,""" +
       s""""loadavg":"$loadAvg","mem_available_kb":$memAvailKb,""" +
       s""""respread":${respread.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${fmt(results)},"sf":"$sfDir"}"""

@@ -334,8 +334,7 @@ object SqlSurface {
             val lam = s.substring(comma + 1, close)
             lamHead.findFirstMatchIn(lam).foreach { m =>
               val iv = m.group(2)
-              val body = ("""\b""" + iv + """\b""").r
-                .replaceAllIn(lam.substring(m.end), s"($iv + 1)")
+              val body = substOutsideQuotes(lam.substring(m.end), iv, s"($iv + 1)")
               s = s.substring(0, comma + 1) + lam.substring(0, m.end) + body +
                 s.substring(close)
             }
@@ -346,6 +345,34 @@ object SqlSurface {
       }
     }
     s
+  }
+
+  /** Replace whole-word occurrences of identifier `word` with `repl`,
+    * skipping single-quoted string literals (advice r11: an index-variable
+    * name inside a string in the lambda body must not be rewritten).
+    */
+  private def substOutsideQuotes(s: String, word: String, repl: String): String = {
+    val out = new StringBuilder
+    val re = ("""\b""" + java.util.regex.Pattern.quote(word) + """\b""").r
+    var i = 0
+    var segStart = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inQ && c == '\'') {
+        out.append(re.replaceAllIn(s.substring(segStart, i),
+          java.util.regex.Matcher.quoteReplacement(repl)))
+        segStart = i; inQ = true
+      } else if (inQ && c == '\'') {
+        out.append(s.substring(segStart, i + 1))
+        segStart = i + 1; inQ = false
+      }
+      i += 1
+    }
+    if (inQ) out.append(s.substring(segStart))
+    else out.append(re.replaceAllIn(s.substring(segStart),
+      java.util.regex.Matcher.quoteReplacement(repl)))
+    out.toString
   }
 
   /** `CROSS JOIN sequence(<args>) AS <g>(<i>)` (DuckDB's generate_series
@@ -414,7 +441,11 @@ object SqlSurface {
     * non-word characters on both sides (any whitespace counts), or -1.
     */
   private def topLevelKeyword(s: String, kw: String): Int = {
-    var i = 1; var d = 0; var inQ = false
+    // Scan from index 0 so char 0 participates in quote/paren tracking
+    // (advice r11: starting at 1 skipped a leading quote and flipped the
+    // string state for the rest of the scan). i == 0 is a word boundary
+    // on the left by definition.
+    var i = 0; var d = 0; var inQ = false
     while (i <= s.length - kw.length) {
       val c = s.charAt(i)
       if (inQ) { if (c == '\'') inQ = false }
@@ -422,7 +453,7 @@ object SqlSurface {
       else if (c == '(' || c == '[') d += 1
       else if (c == ')' || c == ']') d -= 1
       else if (d == 0 && c == kw.charAt(0) && s.regionMatches(i, kw, 0, kw.length) &&
-        !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_' &&
+        (i == 0 || (!s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_')) &&
         (i + kw.length >= s.length ||
           (!s.charAt(i + kw.length).isLetterOrDigit && s.charAt(i + kw.length) != '_')))
         return i

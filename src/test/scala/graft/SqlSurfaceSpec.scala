@@ -192,6 +192,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // string_agg with a CASE argument + ORDER BY
     assert(one("SELECT string_agg(CASE WHEN x > 1 THEN 'hi' ELSE 'lo' END, " +
       "' ' ORDER BY x) AS s FROM (VALUES (2), (1)) t(x)").getString(0) === "lo hi")
+    // no space after the comma: the separator literal starts the scanned
+    // tail at index 0, which the keyword scanner must include in its
+    // quote tracking (advice r11) or the ORDER BY lands inside the
+    // listagg separator argument
+    assert(one("SELECT string_agg(y,',' ORDER BY y) AS s " +
+      "FROM (VALUES ('b'), ('a')) t(y)").getString(0) === "a,b")
+    // index-variable name inside a string literal in the lambda body must
+    // not be rewritten by the 1-based->0-based index shift (advice r11)
+    assert(one("SELECT list_transform(xs, (x, i) -> concat(x, 'i', string(i))) AS a " +
+      "FROM (VALUES (['a','b'])) t(xs)")
+      .getSeq[String](0) === Seq("ai1", "bi2"))
     // open-ended slices
     assert(one("SELECT xs[2:] AS a, xs[:2] AS b FROM (VALUES (['a','b','c'])) t(xs)")
       .toSeq.map(_.asInstanceOf[scala.collection.Seq[String]].toList) ===

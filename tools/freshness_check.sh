@@ -28,6 +28,7 @@ ARTIFACTS=(
   "FAULT_${SUF}.summary.json"
   "ANNEVAL_${SUF}.json"
   "CORRECTNESS_sf1.json"
+  "REFBENCH.json"
   "SCALE_CURVE.txt"
   "BENCH_gen1x.json"
   "BENCH_sf1.json"
