@@ -1063,6 +1063,38 @@ object TextAnalysis {
     */
   def applyFuzzyCorrections(docs: DataFrame, minRatio: Double = 10.0,
       maxDist: Int = 2, minLen: Int = 3): DataFrame = {
+    val corrections = fuzzyCorrectionTable(docs, minRatio, maxDist, minLen)
+    // Fast path (verdict r11 item 5): the correction table is
+    // vocabulary-bounded (rare words next to a >= minRatio-more-frequent
+    // canon); when a MEASURED count confirms it fits, collect the
+    // rare -> canon strings and apply them in ONE shuffle-free corpus
+    // scan via the native fold — bit-identical to the join spelling
+    // (same position-ascending reassembly, same single-space joins;
+    // FunctionsSpec asserts frame equality against
+    // applyFuzzyCorrectionsJoin). The join spelling remains the
+    // huge-vocab scale path: it shuffles every token instance but never
+    // collects.
+    val rows = corrections.limit(MaxCollectedGrams + 1).collect()
+    if (rows.length <= MaxCollectedGrams) {
+      // posexplode in the join path emits nothing for token-less docs, so
+      // they are absent from its output; mirror that here
+      docs.withColumn("tokens", WordCount.tokens(col("text")))
+        .filter(size(col("tokens")) > 0)
+        .select(col("doc_id"),
+          graft.functions.FuzzyApplyFold(col("tokens"),
+            rows.map(_.getString(0)), rows.map(_.getString(1))).as("r"))
+        .select(col("doc_id"), col("r.n_corrected").as("n_corrected"),
+          col("r.text").as("text"))
+        .orderBy("doc_id")
+    } else applyFuzzyCorrectionsJoin(docs, minRatio, maxDist, minLen)
+  }
+
+  /** The unambiguous rare → canon correction table (vocabulary-sized),
+    * shared by both applyFuzzyCorrections paths so their directions are
+    * the same expression tree's output.
+    */
+  private def fuzzyCorrectionTable(docs: DataFrame, minRatio: Double,
+      maxDist: Int, minLen: Int): DataFrame = {
     val pairs = fuzzyWordPairs(docs, maxDist, minLen)
     // both orientations, keep only unambiguous rare -> canon directions
     val directed = pairs
@@ -1072,10 +1104,21 @@ object TextAnalysis {
       .filter(col("cnt_canon") >= lit(minRatio) * col("cnt_rare"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("rare").orderBy(col("cnt_canon").desc, col("canon"))
-    val corrections = directed
+    directed
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("rare"), col("canon"))
+  }
+
+  /** The retired join spelling of applyFuzzyCorrections, kept callable as
+    * the huge-vocab scale path and as the fast path's bit-exactness
+    * differential twin (every token instance rides a posexplode, a left
+    * join against the correction table, and a per-doc positional
+    * reassembly — shuffles but never collects).
+    */
+  def applyFuzzyCorrectionsJoin(docs: DataFrame, minRatio: Double = 10.0,
+      maxDist: Int = 2, minLen: Int = 3): DataFrame = {
+    val corrections = fuzzyCorrectionTable(docs, minRatio, maxDist, minLen)
     val toks = docs.select(col("doc_id"),
       posexplode(WordCount.tokens(col("text"))).as(Seq("pos", "tok")))
     toks

@@ -271,6 +271,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fast.nonEmpty)
   }
 
+  test("fuzzy apply collected-model fold is bit-identical to the join twin") {
+    val spark = TestSpark.spark
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fast = graft.functions.TextAnalysis.applyFuzzyCorrections(docs).collect().toSeq
+    val twin = graft.functions.TextAnalysis.applyFuzzyCorrectionsJoin(docs).collect().toSeq
+    assert(fast === twin)
+    assert(fast.nonEmpty)
+    // sf0.001 yields zero corrections (no fuzzy vocabulary pairs clear
+    // the ratio), so the comparison above only pins the reassembly; a
+    // crafted corpus with a genuine typo exercises the substitution path
+    import spark.implicits._
+    val typos = (1 to 30).map(i => (i.toLong, "the quick brown fox"))
+      .toDF("doc_id", "text")
+      .union(Seq((31L, "teh quick brown fox"), (32L, "")).toDF("doc_id", "text"))
+    val fastLo = graft.functions.TextAnalysis.applyFuzzyCorrections(typos).collect().toSeq
+    val twinLo = graft.functions.TextAnalysis.applyFuzzyCorrectionsJoin(typos).collect().toSeq
+    assert(fastLo === twinLo)
+    assert(fastLo.map(_.getLong(1)).sum > 0, "no corrections applied — twin test is vacuous")
+    // the token-less doc is absent from BOTH spellings (posexplode drops it)
+    assert(!fastLo.exists(_.getLong(0) == 32L))
+    assert(fastLo.find(_.getLong(0) == 31L).get.getString(2) === "the quick brown fox")
+  }
+
   test("DamerauLevenshtein refuses document-length inputs loudly") {
     import graft.functions.DamerauLevenshtein
     def u(x: String) = UTF8String.fromString(x)
