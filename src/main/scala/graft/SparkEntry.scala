@@ -273,6 +273,14 @@ object SparkEntry {
     // so it shares ann_ivf_kmeans' oracle
     "ann_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKIndexed(s, ensureIvfIndex(s, d), kmeansCentroids(s, d))),
+    // margin-adaptive probing on the persisted-index serving path
+    // (verdict r11 item 2): probe sets follow each query's centroid-score
+    // margins while the index side streams out of its buckets with no
+    // exchange of its own; must reproduce the in-memory adaptive answer,
+    // so it shares ann_ivf_adaptive's oracle (same alpha)
+    "ann_ivf_indexed_adaptive" -> ((s, d) =>
+      Similarity.ivfTopKIndexedAdaptive(s, ensureIvfIndex(s, d),
+        kmeansCentroids(s, d), 5, 5, 0.6)),
     // IVF index-HEALTH audit: per-cell population, cohesion (mean cosine
     // to own centroid, recovered from the assignment score itself), and
     // boundary margin (best vs second-best cell) — one corpus pass,
@@ -1877,6 +1885,7 @@ object SparkEntry {
         pqBooks(spark, sfDir))) +
       // indexed serves must reproduce the in-memory answers exactly
       ("ann_ivf_indexed" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("ann_ivf_indexed_adaptive" -> ivfAdaptiveSqlFor(kmeansCentroids(spark, sfDir), 0.6)) +
       ("ann_ivfpq_indexed" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,

@@ -639,6 +639,31 @@ object Similarity {
     rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
   }
 
+  /** Margin-adaptive serve from a persisted index (verdict r11 item 2):
+    * `ivfTopKIndexed` with the [[probeArrAdaptive]] rule — per-query
+    * probe sets follow the centroid-score margins instead of a fixed
+    * rank cutoff, so boundary queries widen and interior queries stay
+    * cheap, while the index side still streams straight out of its
+    * buckets with no exchange of its own (the same plan-asserted
+    * property as the fixed-probe serve; ScaleSpec). Results are
+    * identical to the in-memory `ivfTopKAdaptive` over the same
+    * vectors/centroids/alpha (ScaleSpec): the probe rule runs on the
+    * same centroid-literal scores either way, and the kernel path and
+    * this join spelling are proven twins.
+    */
+  def ivfTopKIndexedAdaptive(spark: org.apache.spark.sql.SparkSession,
+      table: String, centroids: Array[Array[Double]], nQueries: Int = 5,
+      k: Int = 5, alpha: Double = 0.5): DataFrame = {
+    val idx = spark.table(table)
+    val q = idx.filter(col("vec_id") < nQueries)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("probe", explode(probeArrAdaptive(alpha)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
+    val cc = idx.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("cell").as("n_cell"))
+    rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
+  }
+
   /** Serve one EXTERNAL query batch against a persisted/loaded IVF index:
     * queries carry their own id space (`q_id`, `qv: array<float>`) and are
     * NOT excluded from matching any index vector — unlike `ivfTopKIndexed`
@@ -657,6 +682,27 @@ object Similarity {
       .withColumn("nrm", sqrt(dot("v", "v")))
       .withColumn("scores", cellScores(centroids))
       .withColumn("probe", explode(probeArr(nProbe)))
+      .select(col("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
+    val cc = index.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("cell").as("n_cell"))
+    rank(q.join(cc, col("probe") === col("n_cell")), k)
+  }
+
+  /** Margin-adaptive external-batch serve — `ivfServeBatch` with the
+    * [[probeArrAdaptive]] rule; the per-micro-batch kernel behind
+    * `StreamAnnServe.serveAdaptive`. Probe-set size follows each query's
+    * own centroid-score margins, so a batch of interior queries touches
+    * few buckets and only boundary queries fan out — the ANNEVAL-measured
+    * frontier (higher recall at lower cost than any fixed nProbe) now
+    * available on the serving path where it matters most.
+    */
+  def ivfServeBatchAdaptive(queryBatch: DataFrame, index: DataFrame,
+      centroids: Array[Array[Double]], k: Int = 5, alpha: Double = 0.5): DataFrame = {
+    val q = queryBatch
+      .select(col("q_id"), col("qv").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot("v", "v")))
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("probe", explode(probeArrAdaptive(alpha)))
       .select(col("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("probe"))
     val cc = index.select(col("vec_id").as("n_id"), col("v").as("nv"),
       col("nrm").as("nn"), col("cell").as("n_cell"))

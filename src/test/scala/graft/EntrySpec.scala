@@ -24,6 +24,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivfpq_topk" -> 25L,
     "ann_ivfpq_refine" -> 25L,
     "ann_ivf_indexed" -> 25L,
+    "ann_ivf_indexed_adaptive" -> 25L,
     "ann_recall_report" -> 5L,
     "ann_ivfpq_indexed" -> 25L,
     "q_cube_returns" -> 12L,
@@ -213,7 +214,8 @@ class EntrySpec extends AnyFunSuite {
   private val dynamicOracle = Set("ann_ivf_kmeans", "ann_ivf_adaptive", "ann_cluster_report", "ann_recall_report",
     "ann_lsh_multiprobe", "dedup_semantic",
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
-    "ann_ivfpq_refine", "ann_ivf_indexed", "ann_ivfpq_indexed", "ann_mips_lsh",
+    "ann_ivfpq_refine", "ann_ivf_indexed", "ann_ivf_indexed_adaptive",
+    "ann_ivfpq_indexed", "ann_mips_lsh",
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",
     "emb_contrastive", "pipeline_quality_model", "dedup_embedding",
     "emb_drift")

@@ -121,6 +121,26 @@ class ScaleSpec extends AnyFunSuite {
       val fromIndex = Similarity.ivfTopKIndexed(spark, "ivf_idx", centroids)
       val inMemory = Similarity.ivfTopKWith(emb, centroids)
       assert(fromIndex.collect().toSeq === inMemory.collect().toSeq)
+      // the margin-adaptive serve off the SAME persisted layout equals
+      // the in-memory adaptive answer (kernel path) row-for-row — the
+      // probe rule runs on the same centroid-literal scores either way
+      val fromIndexAdaptive = Similarity.ivfTopKIndexedAdaptive(
+        spark, "ivf_idx", centroids, alpha = 0.6)
+      val inMemoryAdaptive = Similarity.ivfTopKAdaptive(emb, centroids, alpha = 0.6)
+      assert(fromIndexAdaptive.collect().toSeq === inMemoryAdaptive.collect().toSeq)
+      // and the external-batch adaptive kernel (StreamAnnServe's
+      // per-micro-batch shape): at alpha=1 every cell is probed, so the
+      // answer must equal the fixed-probe serve with nProbe = all cells
+      val qBatch = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<float>").as("qv"))
+      val servedAdaptive = Similarity.ivfServeBatchAdaptive(
+        qBatch, spark.table("ivf_idx"), centroids, k = 3, alpha = 1.0)
+        .collect().toSeq
+      val servedAll = Similarity.ivfServeBatch(
+        qBatch, spark.table("ivf_idx"), centroids, k = 3, nProbe = centroids.length)
+        .collect().toSeq
+      assert(servedAdaptive === servedAll)
+      assert(servedAdaptive.nonEmpty)
       // the index side is consumed AS BUCKETED: force the non-broadcast
       // join (what a large query batch would get) and assert the index
       // scan feeds the join with no hash exchange of its own — the one

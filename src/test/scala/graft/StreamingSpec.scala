@@ -480,6 +480,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_serve_idx")
   }
 
+  test("streaming ANN serving with margin-adaptive probing equals its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.streaming.StreamAnnServe
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.fitCentroids(emb, nCentroids = 8)
+    try {
+      Similarity.buildIvfIndex(emb, centroids, "ivf_adapt_idx", buckets = 4)
+      val qvecs = emb.filter(col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+        .map { case (id, v) => (1000L + id, v) }
+
+      val input = MemoryStream[(Long, Array[Float])]
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      val q = StreamAnnServe.serveAdaptive(
+        input.toDF().toDF("q_id", "qv"),
+        () => spark.table("ivf_adapt_idx"), centroids, k = 3, alpha = 0.6) {
+        (answers, _) =>
+          results ++= answers.as[(Long, Int, Long, Double)].collect()
+      }
+      try {
+        input.addData(qvecs.take(2).toSeq)
+        q.processAllAvailable()
+        input.addData(qvecs.drop(2).toSeq)
+        q.processAllAvailable()
+        assert(results.size === 12, s"4 queries x k=3 expected, got ${results.size}")
+        // batch twin: the same queries served in one static adaptive batch
+        val twin = Similarity.ivfServeBatchAdaptive(qvecs.toSeq.toDF("q_id", "qv"),
+            spark.table("ivf_adapt_idx"), centroids, k = 3, alpha = 0.6)
+          .as[(Long, Int, Long, Double)].collect().toSet
+        assert(results.toSet === twin)
+      } finally q.stop()
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_adapt_idx")
+  }
+
   test("streaming BM25 serving answers each query batch from the persisted index, equal to the indexed twin") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.TextAnalysis
