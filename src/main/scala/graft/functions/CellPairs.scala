@@ -52,11 +52,29 @@ object CellPairs {
     val labels: Array[Int], val vecs: Array[Array[Double]],
     val nrms: Array[Double])
 
+  /** Occupancy gate (verdict r11 item 3): the kernel family's memory
+    * bound rests on callers sizing cells via `cellsFor` (√n occupancy,
+    * 4096-cell cap, two-level switch past it — expected occupancy ~4k at
+    * the 16M-vector switch point). A mis-called kernel fed a giant cell
+    * must fail LOUDLY here, at the collect_list's consumer, not as an
+    * executor OOM three operators later. The cap allows 64× the
+    * switch-point occupancy (~144 MB of decoded 64-dim vectors — survivable,
+    * but far outside any correctly-sized layout).
+    */
+  val MaxCellMembers: Int = 262144
+
+  private[graft] def checkOccupancy(n: Int, cap: Int = MaxCellMembers): Unit =
+    require(n <= cap,
+      s"cell occupancy $n exceeds the whole-cell kernel bound $cap: size cells " +
+        "with Similarity.cellsFor (or switch to the two-level IVF past its " +
+        "4096-cell cap) before grouping members for a Cell* kernel")
+
   /** `withLabel` selects the struct layout: (id, v, nrm) or
     * (id, label, v, nrm).
     */
   private def decode(members: ArrayData, withLabel: Boolean): Members = {
     val n = members.numElements()
+    checkOccupancy(n)
     val nFields = if (withLabel) 4 else 3
     val ids = new Array[Long](n)
     val labels = if (withLabel) new Array[Int](n) else null

@@ -583,6 +583,20 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Per-cell population under a centroid layout — the cheap measured
+    * guard for the whole-cell kernel family (verdict r11 item 3): one
+    * aggregation, centroid-count-sized output. Callers that cannot
+    * guarantee `cellsFor` sizing can check `max(n_members)` against
+    * `CellPairs.MaxCellMembers` before grouping members for a kernel;
+    * the kernels themselves also enforce the bound at decode time
+    * (loud failure, never a silent OOM).
+    */
+  def cellOccupancy(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    withNorm(emb)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+
   /** Persist an IVF index: cell-assigned vectors written as a table
     * BUCKETED BY the probe join key. Build once, serve many query
     * batches: every later probe join consumes the bucketed layout

@@ -564,4 +564,29 @@ class ScaleSpec extends AnyFunSuite {
         s"$name should still range-partition at the output edge")
     }
   }
+
+  test("whole-cell kernels refuse over-occupied cells loudly; cellsFor keeps real layouts far under the bound") {
+    import graft.functions.CellPairs
+    import graft.operators.Similarity
+    // the guard itself: loud IllegalArgumentException, not an OOM later
+    CellPairs.checkOccupancy(5, cap = 10)
+    val e = intercept[IllegalArgumentException] {
+      CellPairs.checkOccupancy(11, cap = 10)
+    }
+    assert(e.getMessage.contains("cellsFor"))
+    // production bound sanity: the cellsFor sizing rule targets ~sqrt(n)
+    // occupancy and switches two-level at its 4096-cell cap (occupancy
+    // ~4k at the 16M switch point), so the 262144 gate is ~64x headroom
+    assert(CellPairs.MaxCellMembers === 262144)
+    // and a REAL fitted layout at this scale stays far under the gate:
+    // the kernels' memory story is mechanical, not narrative
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val cents = Similarity.fitCentroids(emb, Similarity.cellsFor(n))
+    val occ = Similarity.cellOccupancy(emb, cents)
+      .agg(org.apache.spark.sql.functions.max("n_members")).head().getLong(0)
+    assert(occ * 16 <= CellPairs.MaxCellMembers,
+      s"max fitted-cell occupancy $occ is within 16x of the kernel bound — " +
+        "the cellsFor sizing no longer leaves headroom")
+  }
 }
