@@ -103,7 +103,11 @@ object SparkEntry {
     // -- Dedup pack (documents) --
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
     // per-source before/after ledger for both dedup stages + keep ratios
-    "pipeline_dedup_report" -> ((s, d) => Dedup.dedupReport(Tables.load(s, d, "documents"))),
+    // near-stage candidates come off the persisted full-corpus band index
+    // (build-once, serve-many — verdict r11 item 8); identical rows to the
+    // self-join form, which the unchanged oracle still spells out
+    "pipeline_dedup_report" -> ((s, d) => Dedup.dedupReport(
+      Tables.load(s, d, "documents"), Some(ensureMinhashIndexFull(s, d)))),
     "dedup_apply_exact" -> ((s, d) => Dedup.dropExactDuplicates(Tables.load(s, d, "documents"))
       .select("doc_id", "source", "n_chars").orderBy("doc_id")),
     "dedup_apply_near" -> ((s, d) => Dedup.dropNearDuplicates(Tables.load(s, d, "documents"))
@@ -1293,6 +1297,20 @@ object SparkEntry {
   /** Build-once guard for the persisted MinHash band index — same
     * lifecycle contract as `ensureSetSimIndex`.
     */
+  /** Full-corpus band index (no ingest carve-out) for consumers whose
+    * near stage covers the whole corpus — the dedup ledger's candidate
+    * source (verdict r11 item 8). Distinct table from `ensureMinhashIndex`,
+    * whose build excludes the %31 batch slice by scenario design.
+    */
+  private def ensureMinhashIndexFull(s: SparkSession, d: String): String = synchronized {
+    val name = "graft_mhfull_" + indexKey(d, "documents")
+    if (!s.catalog.tableExists(name + "_bands")) {
+      Tables.dropManagedTable(s, name + "_bands")
+      Dedup.buildMinhashIndex(Tables.load(s, d, "documents"), name)
+    }
+    name
+  }
+
   private def ensureMinhashIndex(s: SparkSession, d: String): String = synchronized {
     val name = "graft_mh_" + indexKey(d, "documents")
     if (!s.catalog.tableExists(name + "_bands")) {

@@ -334,6 +334,21 @@ object Dedup {
     docs.join(ngramJaccardPairsRaw(docs, threshold).select(col("doc_b").as("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** `dropNearDuplicates` with candidates served from a persisted
+    * full-corpus band index — same verified pairs (the index holds the
+    * same capped band stream the self-join form computes), minus the
+    * per-call signature scan.
+    */
+  def dropNearDuplicatesFromIndex(docs: DataFrame, table: String,
+      threshold: Double = 0.01): DataFrame =
+    docs.join(
+      jaccardVerify(
+        minhashCandidatePairsIndexed(docs.sparkSession, table)
+          .select("doc_a", "doc_b"),
+        docs, threshold)
+        .select(col("doc_b").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Dedup ACCOUNTING report — the before/after ledger a curation run
     * publishes per source: document and character counts of the raw
     * corpus, of the exact-dedup survivors, and of the near-dedup
@@ -344,21 +359,31 @@ object Dedup {
     *
     * Scale shape: three aggregations over (id, source, n_chars)-width
     * projections; the near stage reuses the bucketed LSH candidate /
-    * exact-verify pipeline, never all-pairs. Output is source-cardinality
-    * rows.
+    * exact-verify pipeline, never all-pairs — and when the corpus's
+    * band index is already persisted (`bandIndexTable`, verdict r11
+    * item 8), candidates come straight off the bucketed band layout
+    * instead of a fresh signature scan, so the ledger's marginal cost
+    * over its three aggregations is just the verify joins. Output is
+    * source-cardinality rows; identical either way (the index holds the
+    * same capped band stream — OperatorsSpec).
     */
-  def dedupReport(docs: DataFrame): DataFrame = {
+  def dedupReport(docs: DataFrame,
+      bandIndexTable: Option[String] = None): DataFrame = {
     def bySource(df: DataFrame, nDocs: String, nChars: String) =
       df.groupBy("source").agg(
         count(lit(1)).as(nDocs),
         sum(col("n_chars")).cast("long").as(nChars))
+    val nearSurvivors = bandIndexTable match {
+      case Some(t) => dropNearDuplicatesFromIndex(docs, t)
+      case None => dropNearDuplicates(docs)
+    }
     // LEFT joins with zero-fill: a source whose every doc is eliminated by
     // a stage (all near-dups of another source's docs) must appear with
     // keep_ratio 0 — it is the most duplication-heavy row, the one the
     // report exists to surface (advice r10).
     bySource(docs, "n_docs", "n_chars")
       .join(bySource(dropExactDuplicates(docs), "n_exact", "chars_exact"), Seq("source"), "left")
-      .join(bySource(dropNearDuplicates(docs), "n_near", "chars_near"), Seq("source"), "left")
+      .join(bySource(nearSurvivors, "n_near", "chars_near"), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_chars"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
         coalesce(col("chars_exact"), lit(0L)).as("chars_exact"),
@@ -810,12 +835,22 @@ object Dedup {
     * joins).
     */
   def ngramJaccardPairsRaw(docs: DataFrame, threshold: Double = 0.01,
-      k: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minhashCandidatePairsRaw(docs, k, bands).select("doc_a", "doc_b")
-    // Hashed-identity set elements (8-byte keys, long-compare
-    // intersections), the same semantics setSimilarityPairsRaw documents:
-    // the oracle applies the identical fold, so parity is exact even
-    // under hash collision.
+      k: Int = 16, bands: Int = 4): DataFrame =
+    jaccardVerify(
+      minhashCandidatePairsRaw(docs, k, bands).select("doc_a", "doc_b"),
+      docs, threshold)
+
+  /** Exact hashed-shingle Jaccard verify over an arbitrary candidate-pair
+    * source — the shared second half of the candidate/verify split, used
+    * by both the self-join and the persisted-band-index candidate paths.
+    *
+    * Hashed-identity set elements (8-byte keys, long-compare
+    * intersections), the same semantics setSimilarityPairsRaw documents:
+    * the oracle applies the identical fold, so parity is exact even
+    * under hash collision.
+    */
+  private def jaccardVerify(cands: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame = {
     val sets = withShingleHashes(docs)
       .select(col("doc_id"), array_distinct(col("shs")).as("shingle_set"))
     cands
@@ -829,6 +864,28 @@ object Dedup {
         col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
+  /** LSH candidate pairs served from a PERSISTED full-corpus band index
+    * (verdict r11 item 8) — `minhashCandidatePairsRaw`'s self-join run
+    * over the bucketed `<table>_bands` layout instead of a fresh
+    * signature pipeline: the tokenize→shingle→minhash scan happened once
+    * at build time, so each downstream consumer (the dedup ledger, a
+    * re-verify sweep, a cluster refresh) reads bands×8-byte rows, never
+    * the corpus text. Identical candidates by construction — the index
+    * holds exactly `minhashBandBuckets`' capped band stream.
+    */
+  def minhashCandidatePairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val idx = spark.table(s"${table}_bands")
+    val a = idx.alias("a")
+    val b = idx.hint("shuffle_hash").alias("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
   }
 
   /** EXACT set-similarity self-join via prefix filtering (the AllPairs /

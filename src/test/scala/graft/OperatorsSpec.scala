@@ -2453,6 +2453,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rep.map(_._2).sum === docs.count())
   }
 
+  test("dedupReport served from the persisted band index equals the self-join form") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    try {
+      graft.Tables.dropManagedTable(spark, "mhrep_bands")
+      Dedup.buildMinhashIndex(docs, "mhrep", buckets = 4)
+      val indexed = Dedup.dedupReport(docs, Some("mhrep")).collect().toSeq
+      val selfJoin = Dedup.dedupReport(docs).collect().toSeq
+      assert(indexed === selfJoin)
+      assert(indexed.nonEmpty)
+      // the indexed candidate source itself matches the self-join form
+      val ci = Dedup.minhashCandidatePairsIndexed(spark, "mhrep")
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      val cs = Dedup.minhashCandidatePairs(docs).collect().toSeq
+      assert(ci === cs)
+    } finally spark.sql("DROP TABLE IF EXISTS mhrep_bands")
+  }
+
   test("snapshotDrift: identical snapshots report zero drift; a shifted cell is flagged") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val centroids = Similarity.fitCentroids(emb)
