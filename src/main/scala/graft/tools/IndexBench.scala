@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   * Batch/corpus shapes mirror the gate entries exactly (bounded batch
   * `doc_id < 5000` + echo slice; corpus = the `% 31 != 0` residue).
-  * Serve/ad-hoc are best-of-2 through the noop sink (Bench methodology);
+  * Serve/ad-hoc are best-of-3 through the noop sink (Bench methodology);
   * builds are timed once (they are one-shot write jobs). `fit_s` (k-means
   * / PQ codebooks) is reported separately: both the indexed and ad-hoc
   * paths consume the same fitted parameters, so it cancels out of the
@@ -37,9 +37,12 @@ object IndexBench {
     def once(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    def best2(df: => DataFrame): Double = {
+    // best-of-3 (verdict r11 item 7): serve/ad-hoc legs are sub-second to
+    // a few seconds at the 100x point, where two reps leave the min
+    // hostage to one GC/page-cache stall
+    def best3(df: => DataFrame): Double = {
       def run = once(df.write.format("noop").mode("overwrite").save())
-      math.min(run, run)
+      math.min(run, math.min(run, run))
     }
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -72,8 +75,8 @@ object IndexBench {
         Seq("_postings", "_df", "_sets", "_meta")
           .foreach(x => graft.Tables.dropManagedTable(spark, tbl + x))
         val buildS = once(Dedup.buildSetSimIndex(corpus, tbl, threshold = 0.8))
-        val serveS = best2(Dedup.setSimilarityLookupIndexed(batch, tbl, 0.8))
-        val adhocS = best2(Dedup.setSimilarityLookup(batch, corpus, 0.8))
+        val serveS = best3(Dedup.setSimilarityLookupIndexed(batch, tbl, 0.8))
+        val adhocS = best3(Dedup.setSimilarityLookup(batch, corpus, 0.8))
         emit("setsim", 0.0, buildS, serveS, adhocS)
         Seq("_postings", "_df", "_sets", "_meta")
           .foreach(x => graft.Tables.dropManagedTable(spark, tbl + x))
@@ -84,7 +87,7 @@ object IndexBench {
         val tbl = "ixbench_mh"
         graft.Tables.dropManagedTable(spark, tbl + "_bands")
         val buildS = once(Dedup.buildMinhashIndex(corpus, tbl))
-        val serveS = best2(Dedup.minhashLookupIndexed(batch, tbl))
+        val serveS = best3(Dedup.minhashLookupIndexed(batch, tbl))
         // ad-hoc twin: the corpus band pipeline re-runs inside every
         // lookup (what a user without the index pays per ingest batch)
         def adhoc = {
@@ -99,7 +102,7 @@ object IndexBench {
             .agg(count(lit(1)).as("n_shared_bands"))
             .orderBy("doc_a", "doc_b")
         }
-        val adhocS = best2(adhoc)
+        val adhocS = best3(adhoc)
         emit("minhash_bands", 0.0, buildS, serveS, adhocS)
         graft.Tables.dropManagedTable(spark, tbl + "_bands")
       }
@@ -111,9 +114,9 @@ object IndexBench {
         sfx.foreach(x => graft.Tables.dropManagedTable(spark, tbl + x))
         val terms = Seq("spark", "hash", "merge")
         val buildS = once(graft.functions.TextAnalysis.buildBm25Index(docs, tbl))
-        val serveS = best2(graft.functions.TextAnalysis
+        val serveS = best3(graft.functions.TextAnalysis
           .searchBm25Indexed(spark, tbl, terms))
-        val adhocS = best2(graft.functions.TextAnalysis.searchBm25(docs, terms))
+        val adhocS = best3(graft.functions.TextAnalysis.searchBm25(docs, terms))
         emit("bm25", 0.0, buildS, serveS, adhocS)
         sfx.foreach(x => graft.Tables.dropManagedTable(spark, tbl + x))
       }
@@ -128,9 +131,16 @@ object IndexBench {
         val tbl = "ixbench_ivf"
         graft.Tables.dropManagedTable(spark, tbl)
         val buildS = once(Similarity.buildIvfIndex(emb, cents, tbl))
-        val serveS = best2(Similarity.ivfTopKIndexed(spark, tbl, cents))
-        val adhocS = best2(Similarity.ivfTopKWith(emb, cents))
+        val serveS = best3(Similarity.ivfTopKIndexed(spark, tbl, cents))
+        val adhocS = best3(Similarity.ivfTopKWith(emb, cents))
         emit("ivf", fitIvfS, buildS, serveS, adhocS)
+        // margin-adaptive serve economics off the SAME build (r12): the
+        // build amortizes across both probe rules, so build_s is not
+        // re-paid — reported as 0 here to keep break-even per-rule honest
+        val serveAdS = best3(Similarity.ivfTopKIndexedAdaptive(
+          spark, tbl, cents, alpha = 0.6))
+        val adhocAdS = best3(Similarity.ivfTopKAdaptive(emb, cents, alpha = 0.6))
+        emit("ivf_adaptive", 0.0, 0.0, serveAdS, adhocAdS)
         graft.Tables.dropManagedTable(spark, tbl)
       }
 
@@ -141,9 +151,9 @@ object IndexBench {
         var books: Array[Array[Array[Double]]] = null
         val fitS = once { books = Similarity.fitPqCodebooks(emb, cents) }
         val buildS = once(Similarity.buildIvfPqIndex(emb, cents, books, tbl))
-        val serveS = best2(Similarity.ivfPqTopKIndexed(spark, tbl,
+        val serveS = best3(Similarity.ivfPqTopKIndexed(spark, tbl,
           emb.filter(col("vec_id") < 5), cents, books))
-        val adhocS = best2(Similarity.ivfPqTopK(emb, cents, books))
+        val adhocS = best3(Similarity.ivfPqTopK(emb, cents, books))
         emit("ivfpq", fitS, buildS, serveS, adhocS)
         graft.Tables.dropManagedTable(spark, tbl)
       }
