@@ -108,6 +108,11 @@ object SparkEntry {
     // self-join form, which the unchanged oracle still spells out
     "pipeline_dedup_report" -> ((s, d) => Dedup.dedupReport(
       Tables.load(s, d, "documents"), Some(ensureMinhashIndexFull(s, d)))),
+    // per-source unigram KL vs the corpus — the mixture designer's
+    // domain-shift report (DSIR-family distribution ratio, CCNet's LM
+    // filter at source granularity); one corpus scan, ordered KL fold
+    "pipeline_source_kl" -> ((s, d) =>
+      functions.TextAnalysis.sourceUnigramKl(Tables.load(s, d, "documents"))),
     "dedup_apply_exact" -> ((s, d) => Dedup.dropExactDuplicates(Tables.load(s, d, "documents"))
       .select("doc_id", "source", "n_chars").orderBy("doc_id")),
     "dedup_apply_near" -> ((s, d) => Dedup.dropNearDuplicates(Tables.load(s, d, "documents"))
@@ -504,6 +509,11 @@ object SparkEntry {
     // curve, data-inherent) — and stays covered by four OperatorsSpec
     // differentials against the builtins spelling.
     "text_fingerprint_rolling" -> ((s, d) => TextAnalysis.fingerprintRolling(Tables.load(s, d, "documents"))),
+    // TRUE winnowing (SWA/MOSS): leftmost-min of each 16-hash window over
+    // the 8-gram rolling hashes — the partial-overlap fingerprint index
+    // feed; single-pass monotone-deque kernel, oracle recomputes every
+    // window min from the same codepoint polynomial
+    "text_winnow" -> ((s, d) => TextAnalysis.winnowSelect(Tables.load(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
     // boilerplate density: share of a doc's distinct shingles that are
@@ -2166,6 +2176,27 @@ object SparkEntry {
        |FROM cs ORDER BY doc_id""".stripMargin
   }
 
+  // Mirrors TextAnalysis.winnowSelect: same 8-gram codepoint polynomial as
+  // fingerprintRollingSql, then the leftmost minimum of each 16-hash
+  // window (list_position = first occurrence), DISTINCT over the selected
+  // (pos, hash) pairs. hs is 1-based, so pos = i + offset-in-window - 1.
+  private val winnowSql = {
+    val terms = TextAnalysis.RollingPows.zipWithIndex
+      .map { case (p, j) => s"codes[i + $j] * $p" }.mkString(" + ")
+    s"""WITH cs AS (
+       |  SELECT doc_id, list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS codes
+       |  FROM documents WHERE length(text) >= 8),
+       |h AS (SELECT doc_id,
+       |        list_transform(generate_series(1, len(codes) - 7), i -> $terms) AS hs
+       |      FROM cs),
+       |wd AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 15)) AS i
+       |       FROM h WHERE len(hs) >= 16)
+       |SELECT DISTINCT doc_id,
+       |  CAST(i + list_position(hs[i:i+15], list_min(hs[i:i+15])) - 1 AS BIGINT) AS pos,
+       |  list_min(hs[i:i+15]) AS hash
+       |FROM wd ORDER BY doc_id, pos""".stripMargin
+  }
+
   // Mirrors TextAnalysis.chunk (32-token windows, 8-token overlap, stride 24);
   // DuckDB zips parallel unnests, giving posexplode's 0-based index via range().
   private val chunksSql =
@@ -2623,6 +2654,28 @@ object SparkEntry {
          |      FROM s GROUP BY doc_id)
          |SELECT doc_id, n_tokens, round(sum_logp / n_tokens, 6) AS mean_logp
          |FROM d ORDER BY doc_id""".stripMargin,
+    // Mirrors TextAnalysis.sourceUnigramKl: KL(source || corpus) over each
+    // source's observed unigrams; corpus marginals re-aggregate the
+    // (source, word) counts; the KL sum folds in term order
+    "pipeline_source_kl" ->
+      s"""WITH $tokCte,
+         |x AS (SELECT source, unnest(tokens) AS w FROM tok),
+         |s AS (SELECT source, w, COUNT(*) AS n_src FROM x GROUP BY 1, 2),
+         |c AS (SELECT w, CAST(SUM(n_src) AS BIGINT) AS n_all FROM s GROUP BY w),
+         |ts AS (SELECT source, CAST(SUM(n_src) AS BIGINT) AS t_src FROM s GROUP BY source),
+         |ta AS (SELECT CAST(SUM(n_all) AS BIGINT) AS t_all FROM c),
+         |t AS (SELECT s.source, s.w,
+         |        (CAST(s.n_src AS DOUBLE) / ts.t_src) *
+         |          ln((CAST(s.n_src AS DOUBLE) / ts.t_src) /
+         |             (CAST(c.n_all AS DOUBLE) / ta.t_all)) AS term
+         |      FROM s JOIN c ON s.w = c.w JOIN ts ON s.source = ts.source, ta),
+         |d AS (SELECT source, COUNT(*) AS n_terms,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list(term ORDER BY w)),
+         |          (a, b) -> a + b) AS klsum
+         |      FROM t GROUP BY source)
+         |SELECT d.source, ts.t_src AS n_tokens, d.n_terms, round(d.klsum, 6) AS kl
+         |FROM d JOIN ts ON d.source = ts.source ORDER BY d.source""".stripMargin,
     // Mirrors TextAnalysis.lmScoreCross: the unigram model comes from the
     // en slice ONLY; out-of-vocabulary tokens drop from count and sum
     // (inner join), zero-match docs drop out
@@ -3222,6 +3275,7 @@ object SparkEntry {
         |  round(CAST(CAST(floor(10000000.0 * (wraw / tot)) AS BIGINT) AS DOUBLE) / mass, 6) AS epochs
         |FROM w, t ORDER BY source""".stripMargin,
     "text_fingerprint_rolling" -> fingerprintRollingSql,
+    "text_winnow" -> winnowSql,
     "text_chunks" -> chunksSql,
     "text_tfidf" -> tfidfSql,
     "text_repetition" -> repetitionSql,

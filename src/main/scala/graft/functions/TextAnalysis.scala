@@ -174,6 +174,21 @@ object TextAnalysis {
       .select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** TRUE winnowing fingerprint selection (Schleimer–Wilkerson–Aiken /
+    * MOSS) — the partial-overlap detector the 4-global-minima digest
+    * cannot be: any shared substring of at least `window`+7 code points
+    * between two documents shares a selected fingerprint, at ~2/(window+1)
+    * expected density. One row per selected (position, hash); see
+    * [[graft.functions.WinnowSelect]] for the selection rule and the
+    * single-pass kernel. Documents shorter than window+7 code points have
+    * no full window and drop out (the oracle's `len(hs) >= w` guard).
+    */
+  def winnowSelect(docs: DataFrame, window: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), explode(WinnowSelect(col("text"), window)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.hash").as("hash"))
+      .orderBy("doc_id", "pos")
+
   /** Document chunking for training pipelines: overlapping token windows of
     * `chunkSize` tokens with `overlap` tokens shared between neighbors
     * (stride = chunkSize - overlap). One row per (doc, chunk) with the
@@ -300,6 +315,46 @@ object TextAnalysis {
     * token occurrence.
     */
   def lmScore(docs: DataFrame): DataFrame = lmScoreCross(docs, docs)
+
+  /** Per-SOURCE unigram-distribution divergence from the corpus —
+    * KL(source ‖ corpus) over each source's observed vocabulary: the
+    * domain-shift signal a mixture designer reads before weighting
+    * sources (the DSIR family — Xie et al. 2023 — selects data by
+    * exactly this kind of hashed-n-gram distribution ratio; CCNet's LM
+    * filter is its per-document cousin, `lmScoreCross`). A source whose
+    * word distribution matches the corpus scores ~0; jargon-heavy or
+    * template-heavy sources stand out. q > 0 always (the corpus contains
+    * the source), and words absent from a source contribute 0 by the
+    * KL convention, so summing over the source's own terms is exact.
+    *
+    * Scale shape: ONE corpus scan into (source, word) counts (map-side
+    * combined, vocabulary x sources rows); corpus marginals re-aggregate
+    * those counts, never the corpus. The KL sum folds in term order
+    * (array_sort over vocabulary-bounded per-source lists) so the double
+    * accumulation has one defined order both engines replicate; p*ln(p/q)
+    * is computed per term with the same expression tree in the oracle.
+    */
+  def sourceUnigramKl(docs: DataFrame): DataFrame = {
+    val src = docs
+      .select(col("source"), explode(WordCount.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n_src"))
+    val corpus = src.groupBy("w").agg(sum(col("n_src")).cast("long").as("n_all"))
+    val totSrc = src.groupBy("source").agg(sum(col("n_src")).cast("long").as("t_src"))
+    val totAll = corpus.agg(sum(col("n_all")).cast("long").as("t_all"))
+    src.join(corpus, Seq("w")).join(totSrc, Seq("source"))
+      .crossJoin(broadcast(totAll))
+      .withColumn("p", col("n_src").cast("double") / col("t_src"))
+      .withColumn("q", col("n_all").cast("double") / col("t_all"))
+      .withColumn("term", col("p") * log(col("p") / col("q")))
+      .groupBy("source")
+      .agg(max(col("t_src")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        expr("aggregate(array_sort(collect_list(struct(w, term))), " +
+          "cast(0.0 as double), (a, s) -> a + s.term)").as("klsum"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        round(col("klsum"), 6).as("kl"))
+      .orderBy("source")
+  }
 
   /** CROSS-corpus unigram LM filter — the actual CCNet recipe (Wenzek et
     * al. 2020): the LM is fit on a REFERENCE slice (a trusted language/

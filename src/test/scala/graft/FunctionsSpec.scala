@@ -271,6 +271,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fast.nonEmpty)
   }
 
+  test("WinnowSelect matches a naive reference and honors the winnowing guarantee") {
+    import graft.functions.{RollingFingerprint, WinnowSelect}
+    import org.apache.spark.sql.catalyst.InternalRow
+    def u(x: String) = UTF8String.fromString(x)
+    // naive reference: all 8-gram hashes, leftmost min per window, distinct
+    def naive(s: String, w: Int): Seq[(Long, Long)] = {
+      val cps = s.codePoints().toArray
+      val hs = cps.sliding(8).filter(_.length == 8)
+        .map(_.foldLeft(0L)((a, c) => a * 31 + c)).toArray
+      if (hs.length < w) Seq.empty
+      else (0 to hs.length - w).map { i =>
+        val win = hs.slice(i, i + w)
+        val m = win.min
+        ((i + win.indexOf(m) + 1).toLong, m)
+      }.distinct
+    }
+    def kernel(s: String, w: Int): Seq[(Long, Long)] = {
+      val arr = WinnowSelect.compute(u(s), w)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",            // all-equal hashes: leftmost ties
+      "abcabcabcabcabcabcabcabcabc",               // periodic
+      "short",                                      // under 8 codepoints
+      "exactly16cps____",                           // one hash short of a window at w=16
+      "排序去重分桶排序去重分桶排序去重分桶排序去重分桶")  // multi-byte codepoints
+    for (s <- samples; w <- Seq(4, 16))
+      assert(kernel(s, w) === naive(s, w), s"w=$w text=$s")
+    // the guarantee: two docs sharing a >= w+7-codepoint substring share
+    // a selected HASH (positions differ — compare fingerprint values)
+    val shared = "this exact shared span is long enough to be caught"
+    val a = "prefix one " + shared + " tail a"
+    val b = "a different beginning " + shared + " other end"
+    val fa = kernel(a, 16).map(_._2).toSet
+    val fb = kernel(b, 16).map(_._2).toSet
+    assert(fa.intersect(fb).nonEmpty, "winnowing guarantee violated")
+  }
+
   test("fuzzy apply collected-model fold is bit-identical to the join twin") {
     val spark = TestSpark.spark
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -83,9 +83,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "mm_phash", "mm_phash_pairs", "pipeline_epoch_plan", "text_chunks",
     "text_fertility", "text_fuzzy_apply", "text_fuzzy_dl",
     "text_fuzzy_pairs", "text_lm_bigram", "text_lm_kn", "text_lm_score",
-    "text_tokens", "ann_cluster_report", "text_lm_cross", "ann_ivf2_topk")
+    "text_tokens", "ann_cluster_report", "text_lm_cross", "ann_ivf2_topk",
+    // r12: the new keys convert under the existing mapping unchanged
+    "ann_ivf_indexed_adaptive", "pipeline_source_kl", "text_winnow")
 
-  test("153 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("156 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
