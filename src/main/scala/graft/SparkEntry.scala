@@ -514,6 +514,11 @@ object SparkEntry {
     // feed; single-pass monotone-deque kernel, oracle recomputes every
     // window min from the same codepoint polynomial
     "text_winnow" -> ((s, d) => TextAnalysis.winnowSelect(Tables.load(s, d, "documents"))),
+    // the MOSS detection step over those fingerprints: docs sharing >= 2
+    // distinct selected fingerprints — PARTIAL-overlap pairs (a shared
+    // span >= 23 codepoints leaves a common fingerprint) with the
+    // MaxBandBucket hub cap, mirroring the MinHash stack's shape
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowOverlapPairs(Tables.load(s, d, "documents"))),
     "text_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.load(s, d, "documents"))),
     // boilerplate density: share of a doc's distinct shingles that are
@@ -2197,6 +2202,29 @@ object SparkEntry {
        |FROM wd ORDER BY doc_id, pos""".stripMargin
   }
 
+  // Mirrors Dedup.winnowOverlapPairs: distinct selected fingerprints per
+  // doc (positions irrelevant here), MaxBandBucket hub cap via QUALIFY,
+  // self-join on the fingerprint hash, >= 2 shared.
+  private val winnowPairsSql = {
+    val terms = TextAnalysis.RollingPows.zipWithIndex
+      .map { case (p, j) => s"codes[i + $j] * $p" }.mkString(" + ")
+    s"""WITH cs AS (
+       |  SELECT doc_id, list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS codes
+       |  FROM documents WHERE length(text) >= 8),
+       |h AS (SELECT doc_id,
+       |        list_transform(generate_series(1, len(codes) - 7), i -> $terms) AS hs
+       |      FROM cs),
+       |wd AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 15)) AS i
+       |       FROM h WHERE len(hs) >= 16),
+       |fp AS (SELECT DISTINCT doc_id, list_min(hs[i:i+15]) AS hash FROM wd),
+       |cap AS (SELECT doc_id, hash FROM fp
+       |        QUALIFY COUNT(*) OVER (PARTITION BY hash) <= ${Dedup.MaxBandBucket})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM cap a JOIN cap b ON a.hash = b.hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // Mirrors TextAnalysis.chunk (32-token windows, 8-token overlap, stride 24);
   // DuckDB zips parallel unnests, giving posexplode's 0-based index via range().
   private val chunksSql =
@@ -3276,6 +3304,7 @@ object SparkEntry {
         |FROM w, t ORDER BY source""".stripMargin,
     "text_fingerprint_rolling" -> fingerprintRollingSql,
     "text_winnow" -> winnowSql,
+    "dedup_winnow_pairs" -> winnowPairsSql,
     "text_chunks" -> chunksSql,
     "text_tfidf" -> tfidfSql,
     "text_repetition" -> repetitionSql,

@@ -316,6 +316,45 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing-fingerprint overlap pairs — the MOSS detection step
+    * (Schleimer–Wilkerson–Aiken 2003) at corpus scale: documents sharing
+    * at least `minShared` distinct selected fingerprints, with the count.
+    * Winnowing's guarantee makes this a PARTIAL-overlap detector — any
+    * shared span of ≥ window+7 code points leaves at least one common
+    * fingerprint — so it surfaces quotation/syndication/boilerplate
+    * overlap that whole-document MinHash dilutes away (a 60-char shared
+    * license line in two otherwise-unrelated docs barely moves their
+    * Jaccard but reliably shares a fingerprint).
+    *
+    * Scale shape: identical to the MinHash stack — fingerprint selection
+    * is one map-phase pass (`WinnowSelect` kernel), the self-join keys on
+    * the fingerprint hash with the same `MaxBandBucket` hub cap (a
+    * corpus-common boilerplate fingerprint would otherwise go quadratic
+    * in one bucket), and `minShared` bounds output density. The cap is
+    * part of the operator contract, mirrored verbatim in the oracle's
+    * QUALIFY, exactly as in `minhashBandBuckets`.
+    */
+  def winnowOverlapPairs(docs: DataFrame, window: Int = 16,
+      minShared: Int = 2): DataFrame = {
+    val w = Window.partitionBy("hash")
+    val fp = docs
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowSelect(col("text"), window)).as("f"))
+      .select(col("doc_id"), col("f.hash").as("hash"))
+      .distinct()
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= MaxBandBucket)
+      .drop("bucket_n")
+    val a = fp.alias("a")
+    val b = fp.hint("shuffle_hash").alias("b")
+    a.join(b,
+        col("a.hash") === col("b.hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** APPLY exact dedup: the deduplicated corpus itself — each normalized-
     * text group keeps only its representative (min doc_id) row. One
     * aggregation + one left-semi join on doc_id; the identify step

@@ -27,6 +27,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_indexed_adaptive" -> 25L,
     "pipeline_source_kl" -> 20L,
     "text_winnow" -> 15772L,
+    "dedup_winnow_pairs" -> 38382L,
     "ann_recall_report" -> 5L,
     "ann_ivfpq_indexed" -> 25L,
     "q_cube_returns" -> 12L,

@@ -2453,6 +2453,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rep.map(_._2).sum === docs.count())
   }
 
+  test("winnowOverlapPairs finds partial-overlap docs a whole-doc measure dilutes") {
+    import spark.implicits._
+    val shared = "all rights reserved under the standard license terms apply here"
+    val docs = Seq(
+      (1L, "completely unrelated first document body text " + shared),
+      (2L, shared + " and then a totally different long continuation of prose"),
+      (3L, "no overlap with anything else at all in this one truly"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the shared span (>= 23 codepoints) guarantees common fingerprints
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"shared-span pair not detected: $pairs")
+    // the real corpus produces a deterministic, bounded pair set
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n = Dedup.winnowOverlapPairs(corpus).count()
+    assert(n === 38382L) // EntrySpec golden, replicated by the DuckDB oracle
+  }
+
   test("dedupReport served from the persisted band index equals the self-join form") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     try {

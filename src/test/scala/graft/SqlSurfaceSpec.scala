@@ -85,9 +85,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "text_fuzzy_pairs", "text_lm_bigram", "text_lm_kn", "text_lm_score",
     "text_tokens", "ann_cluster_report", "text_lm_cross", "ann_ivf2_topk",
     // r12: the new keys convert under the existing mapping unchanged
-    "ann_ivf_indexed_adaptive", "pipeline_source_kl", "text_winnow")
+    "ann_ivf_indexed_adaptive", "pipeline_source_kl", "text_winnow",
+    "dedup_winnow_pairs")
 
-  test("156 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("157 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
