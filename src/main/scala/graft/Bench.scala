@@ -149,6 +149,8 @@ object Bench {
       "text_tokens", "text_inverted_index", "text_bpe_encode", "text_oov",
       "text_boilerplate", "text_lm_bigram", "text_lm_kn", "text_lm_score",
       "text_fuzzy_apply", "text_fuzzy_jw", "text_search_hybrid",
+      "text_winnow", "dedup_winnow_pairs", "ann_ivf_adaptive",
+      "ann_ivf_indexed_adaptive", "pipeline_source_kl",
       "pipeline_curation", "pipeline_quality_scores",
       "pipeline_pack", "pipeline_contamination", "pipeline_decontaminate",
       "pipeline_split_safe", "pipeline_dedup_report", "mm_features")

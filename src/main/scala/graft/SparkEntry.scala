@@ -113,6 +113,13 @@ object SparkEntry {
     // filter at source granularity); one corpus scan, ordered KL fold
     "pipeline_source_kl" -> ((s, d) =>
       functions.TextAnalysis.sourceUnigramKl(Tables.load(s, d, "documents"))),
+    // DSIR per-document importance weights: target = the en slice (same
+    // carve-out convention as text_lm_cross), raw = the whole corpus
+    "pipeline_dsir_weights" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Curation.dsirWeights(
+        docs.filter(org.apache.spark.sql.functions.col("lang") === "en"), docs)
+    }),
     "dedup_apply_exact" -> ((s, d) => Dedup.dropExactDuplicates(Tables.load(s, d, "documents"))
       .select("doc_id", "source", "n_chars").orderBy("doc_id")),
     "dedup_apply_near" -> ((s, d) => Dedup.dropNearDuplicates(Tables.load(s, d, "documents"))
@@ -486,6 +493,18 @@ object SparkEntry {
     "ann_knn_graph" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       Similarity.knnGraph(emb,
+        kmeansCentroids(s, d, Similarity.cellsFor(embCount(s, d))))
+    }),
+    // greedy k-center coreset: 8 farthest-point picks, one shuffle-free
+    // scan + top-1 reduce per pick; the diversity/coverage selection
+    "pipeline_coreset" -> ((s, d) =>
+      Similarity.kcenterSelect(Tables.load(s, d, "embeddings"))),
+    // margin-based pair mining over the same fitted cells: mutual in-cell
+    // top-k pairs scored by the LASER ratio margin (cos over the mean of
+    // both endpoints' neighborhood cosines), margin >= 1 kept
+    "emb_margin_pairs" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.marginPairs(emb,
         kmeansCentroids(s, d, Similarity.cellsFor(embCount(s, d))))
     }),
     // contrastive pair mining: hardest in-cell positive + semi-hard
@@ -1830,6 +1849,71 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** pipeline_coreset oracle: the greedy k-center trajectory unrolled as
+    * k chained CTE stages (seed = min vec_id; stage i picks the argmax of
+    * the running rounded min-L2² with vec_id tie-break, then `least`s the
+    * new center's distance in). MATERIALIZED is load-bearing: DuckDB
+    * inlines CTEs by default and each stage is referenced twice, so the
+    * un-materialized plan re-expands the whole chain 2^k times. Float
+    * association mirrors the engine exactly: n2 + (|c|² − 2·dot), rounded
+    * per center; round6's monotonicity makes chained `least` equal the
+    * engine's round(n2 + array_min(scores)).
+    */
+  private def kcenterSqlFor(k: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String](normCte)
+    parts += "s1 AS MATERIALIZED (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 1)"
+    parts += ("d1 AS MATERIALIZED (SELECT n.vec_id, n.v, " +
+      "round(list_inner_product(n.v, n.v) + (list_inner_product(s1.v, s1.v) " +
+      "- 2 * list_inner_product(n.v, s1.v)), 6) AS md FROM n, s1)")
+    for (i <- 2 to k) {
+      val prev = s"d${i - 1}"
+      val excl = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      parts += (s"s$i AS MATERIALIZED (SELECT vec_id, v, md FROM $prev " +
+        s"WHERE vec_id NOT IN ($excl) ORDER BY md DESC, vec_id LIMIT 1)")
+      if (i < k)
+        parts += (s"d$i AS MATERIALIZED (SELECT p.vec_id, p.v, least(p.md, " +
+          s"round(list_inner_product(p.v, p.v) + (list_inner_product(s$i.v, s$i.v) " +
+          s"- 2 * list_inner_product(p.v, s$i.v)), 6)) AS md FROM $prev p, s$i)")
+    }
+    val rows = ("SELECT CAST(1 AS INT) AS rnk, vec_id, CAST(0.0 AS DOUBLE) AS dist FROM s1" +:
+      (2 to k).map(i => s"SELECT CAST($i AS INT), vec_id, md FROM s$i")).mkString("\nUNION ALL ")
+    s"WITH ${parts.mkString(",\n")},\nx AS ($rows)\nSELECT rnk, vec_id, dist FROM x ORDER BY rnk"
+  }
+
+  /** emb_margin_pairs oracle: the knn-graph CTE body (same exported
+    * centroid literals, same rounded-cos ranking), then the per-node
+    * rnk-ordered average fold, the reciprocal-edge join, and the ratio
+    * margin — filter on the unrounded margin, round after, exactly as
+    * the engine does.
+    */
+  private def marginPairsSqlFor(centroids: Array[Array[Double]]): String = {
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH $normCte,
+       |sc AS (SELECT vec_id, v, nrm, $scoreList AS scores FROM n),
+       |wb AS (SELECT vec_id, v, nrm,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |        round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |      FROM wb a JOIN wb b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s),
+       |g AS (SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3),
+       |a AS (SELECT q_id,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cos ORDER BY rnk)),
+       |          (x, y) -> x + y) / COUNT(*) AS avg_nn
+       |      FROM g GROUP BY q_id),
+       |mu AS (SELECT f.q_id AS id_a, f.n_id AS id_b, f.cos
+       |       FROM g f JOIN g b ON f.q_id = b.n_id AND f.n_id = b.q_id
+       |       WHERE f.q_id < f.n_id)
+       |SELECT mu.id_a, mu.id_b, mu.cos,
+       |  round(mu.cos / ((aa.avg_nn + ab.avg_nn) / 2), 6) AS margin
+       |FROM mu JOIN a aa ON mu.id_a = aa.q_id JOIN a ab ON mu.id_b = ab.q_id
+       |WHERE mu.cos / ((aa.avg_nn + ab.avg_nn) / 2) >= 1.0
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** emb_contrastive oracle: cell assignment from the exported centroid
     * literals, in-cell pair scoring split by label equality, rank-1 per
     * (query, polarity), pivoted to one row per vector with the same
@@ -1926,6 +2010,8 @@ object SparkEntry {
       ("ann_knn_graph" -> knnGraphSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +
       ("emb_contrastive" -> contrastiveSqlFor(kmeansCentroids(spark, sfDir,
+        Similarity.cellsFor(embCount(spark, sfDir))))) +
+      ("emb_margin_pairs" -> marginPairsSqlFor(kmeansCentroids(spark, sfDir,
         Similarity.cellsFor(embCount(spark, sfDir))))) +
       ("ann_lsh_multiprobe" -> multiProbeSqlFor(
         Similarity.planesFor(embCount(spark, sfDir)))) +
@@ -2704,6 +2790,42 @@ object SparkEntry {
          |      FROM t GROUP BY source)
          |SELECT d.source, ts.t_src AS n_tokens, d.n_terms, round(d.klsum, 6) AS kl
          |FROM d JOIN ts ON d.source = ts.source ORDER BY d.source""".stripMargin,
+    // Mirrors Curation.dsirWeights: hashed unigram+bigram buckets (the
+    // PolyHash fold % 4096), add-1-smoothed target (lang='en') vs raw
+    // bucket models, per-doc cnt * ln-ratio folded in bucket order
+    "pipeline_dsir_weights" -> {
+      def ph(e: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))),
+           |      (h, c) -> (h * 31 + c) % 2147483647) % 4096""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ts
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, unnest(list_concat(
+         |    list_transform(ts, t -> ${ph("t")}),
+         |    CASE WHEN len(ts) >= 2 THEN list_transform(generate_series(1, len(ts) - 1),
+         |      i -> ${ph("(ts[i] || ' ' || ts[i+1])")})
+         |    ELSE [] END)) AS b
+         |  FROM tk),
+         |tc AS (SELECT b, COUNT(*) AS n_t FROM f WHERE lang = 'en' GROUP BY b),
+         |tt AS (SELECT CAST(SUM(n_t) AS BIGINT) AS t_t FROM tc),
+         |rc AS (SELECT b, COUNT(*) AS n_r FROM f GROUP BY b),
+         |rt AS (SELECT CAST(SUM(n_r) AS BIGINT) AS t_r FROM rc),
+         |m AS (SELECT rc.b,
+         |        ln(CAST(COALESCE(tc.n_t, 0) + 1 AS DOUBLE) / (tt.t_t + 4096)) -
+         |        ln(CAST(rc.n_r + 1 AS DOUBLE) / (rt.t_r + 4096)) AS ratio
+         |      FROM rc LEFT JOIN tc ON rc.b = tc.b, tt, rt),
+         |dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+         |s AS (SELECT dc.doc_id, dc.b, dc.cnt, dc.cnt * m.ratio AS term
+         |      FROM dc JOIN m ON dc.b = m.b),
+         |d AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+         |          (a, x) -> a + x) AS lw
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_feats, round(lw, 6) AS logw FROM d ORDER BY doc_id""".stripMargin
+    },
+    // Greedy k-center trajectory, unrolled (see kcenterSqlFor)
+    "pipeline_coreset" -> kcenterSqlFor(8),
     // Mirrors TextAnalysis.lmScoreCross: the unigram model comes from the
     // en slice ONLY; out-of-vocabulary tokens drop from count and sum
     // (inner join), zero-match docs drop out

@@ -387,4 +387,65 @@ object Curation {
       .select("source", "band", "n_docs", "sum_tokens", "share")
       .orderBy("source", "band")
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-corpus
+    * document by how target-like its hashed n-gram bag is,
+    * `logw(doc) = sum_b cnt_doc[b] * (ln p_target[b] - ln q_raw[b])`,
+    * where `b` ranges over hashed unigram+bigram buckets and both bucket
+    * models carry add-1 smoothing over the `nBuckets` cells. High-`logw`
+    * docs are the ones importance resampling keeps; the caller's top-k /
+    * Gumbel pass over this frame IS the selection step.
+    *
+    * Distinct from [[graft.functions.TextAnalysis.sourceUnigramKl]]
+    * (corpus-level domain-shift report, one row per source) and from
+    * `lmScoreCross` (absolute target-LM likelihood): DSIR is the
+    * per-document LIKELIHOOD RATIO between target and raw models, the
+    * quantity that makes resampling match the target distribution rather
+    * than merely prefer fluent text.
+    *
+    * 100 TB design: hashing is the scale knob the paper introduces and
+    * this keeps — both models are `nBuckets`-bounded (default 4096 rows,
+    * ~64 KB) regardless of corpus vocabulary, so the model join is always
+    * a broadcast; feature extraction is one scan per side; per-doc
+    * scoring is one partial-aggregable (doc_id, bucket) count plus the
+    * broadcast model lookup. The bucket hash is the engine-portable
+    * [[graft.functions.PolyHash]] fold (`% nBuckets`), so the whole
+    * operator is DuckDB-replicable; the per-doc float sum folds in
+    * bucket-ascending order on both engines for bit parity.
+    */
+  def dsirWeights(target: DataFrame, raw: DataFrame,
+      nBuckets: Int = 4096): DataFrame = {
+    val b = lit(nBuckets.toLong)
+    def feats(docs: DataFrame) = docs
+      .select(col("doc_id"), WordCount.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(concat(
+        transform(col("ts"), t => PolyHash(t) % b),
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(0), size(col("ts")) - 2), i =>
+            PolyHash(concat(element_at(col("ts"), i + 1), lit(" "),
+              element_at(col("ts"), i + 2))) % b))
+          .otherwise(array().cast("array<bigint>")))).as("b"))
+    val tCnt = feats(target).groupBy("b").agg(count(lit(1)).as("n_t"))
+    val tTot = tCnt.agg(sum(col("n_t")).cast("long").as("t_t"))
+    val rCnt = feats(raw).groupBy("b").agg(count(lit(1)).as("n_r"))
+    val rTot = rCnt.agg(sum(col("n_r")).cast("long").as("t_r"))
+    // raw buckets ⊇ scored buckets (scored docs ⊆ raw), so LEFT onto raw;
+    // target-absent buckets take the smoothed floor 1/(t_t + nBuckets).
+    val model = rCnt.join(tCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("n_t"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"),
+        (log((col("n_t") + 1).cast("double") / (col("t_t") + b)) -
+         log((col("n_r") + 1).cast("double") / (col("t_r") + b))).as("ratio"))
+    feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(model), Seq("b"))
+      .withColumn("term", col("cnt") * col("ratio"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).cast("long").as("n_feats"),
+        expr("aggregate(array_sort(collect_list(struct(b, term))), " +
+          "cast(0.0 as double), (a, s) -> a + s.term)").as("lw"))
+      .select(col("doc_id"), col("n_feats"), round(col("lw"), 6).as("logw"))
+      .orderBy("doc_id")
+  }
 }

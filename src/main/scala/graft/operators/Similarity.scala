@@ -1269,6 +1269,85 @@ object Similarity {
         col("r.n_id").as("n_id"), col("r.cos").as("cos"))
       .orderBy("q_id", "rnk")
 
+  /** Greedy k-center coreset selection (Gonzalez 1985 — the farthest-
+    * point-first 2-approximation): pick the corpus point farthest from
+    * everything selected so far, k times. The classic diversity/coverage
+    * selection for training data — unlike top-k-by-score samplers it
+    * maximizes SPREAD, and the reported selection radius (`dist` of the
+    * last pick) certifies cover quality: every corpus vector lies within
+    * that L2² of some selected center.
+    *
+    * Distributed shape: the selected set is k-bounded BY CONSTRUCTION
+    * (≤ k vectors on the driver — the same bounded-collect discipline as
+    * the centroid fits), and each round is ONE shuffle-free corpus scan
+    * (native `CellScores` against the current centers, k-bounded) plus a
+    * top-1 TakeOrdered. Total cost k linear scans, no pairwise anything.
+    * Distances round through `round6` BEFORE the argmax (ties to the
+    * lower vec_id) so the greedy trajectory is engine-portable; round6's
+    * monotonicity makes min-of-rounded equal rounded-min, which is what
+    * lets the oracle spell the same trajectory as a chained `least`.
+    */
+  def kcenterSelect(emb: DataFrame, k: Int = 8): DataFrame = {
+    val base = withNorm(emb)
+      .select(col("vec_id"), col("v"), dot("v", "v").as("n2"))
+    val seed = base.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("v")).collect()(0)
+    var centers = Vector[Array[Double]](seed.getSeq[Double](1).toArray)
+    var picked = Vector[(Int, Long, Double)]((1, seed.getLong(0), 0.0))
+    for (r <- 2 to k) {
+      val md = round(col("n2") +
+        array_min(graft.functions.CellScores(col("v"), centers.toArray)), 6)
+      val top = base
+        .filter(!col("vec_id").isin(picked.map(_._2): _*))
+        .select(col("vec_id"), col("v"), md.as("md"))
+        .orderBy(desc("md"), asc("vec_id")).limit(1).collect()(0)
+      centers :+= top.getSeq[Double](1).toArray
+      picked :+= ((r, top.getLong(0), top.getDouble(2)))
+    }
+    val sp = emb.sparkSession
+    import sp.implicits._
+    picked.toDF("rnk", "vec_id", "dist").orderBy("rnk")
+  }
+
+  /** Margin-based pair mining (the LASER/CCMatrix bitext-mining score,
+    * Artetxe & Schwenk 2019): rather than an absolute cosine threshold —
+    * which hubness makes incomparable across vectors — score each
+    * candidate pair by the RATIO margin
+    * `margin(x,y) = cos(x,y) / ((avgNN(x) + avgNN(y)) / 2)`, where
+    * `avgNN(z)` is the mean cosine of z's k nearest neighbors. A pair
+    * clears when its similarity stands out against BOTH endpoints' local
+    * neighborhood density; `margin >= 1` means "closer than either side's
+    * typical neighbor". Candidates are the MUTUAL in-cell top-k pairs
+    * (x in y's top-k and y in x's) — the reciprocal-NN restriction the
+    * mining recipe uses to kill one-directional hub matches.
+    *
+    * Built entirely on [[knnGraph]]'s edges: one whole-cell kernel pass
+    * produces the graph, then the per-node average is a k-bounded ordered
+    * fold (rnk-ascending for float parity) and mutuality is a self
+    * semi-join on the reversed edge — no second scoring pass, no N²
+    * anywhere. Inherits knnGraph's blocking contract (in-cell neighbors
+    * only) and scale story: linear in n at bounded cell occupancy.
+    */
+  def marginPairs(emb: DataFrame, centroids: Array[Array[Double]],
+      k: Int = 3, tau: Double = 1.0): DataFrame = {
+    val g = knnGraph(emb, centroids, k)
+    val avgnn = g.groupBy("q_id").agg(
+      (expr("aggregate(array_sort(collect_list(struct(rnk, cos))), " +
+        "cast(0.0 as double), (a, s) -> a + s.cos)") /
+        count(lit(1))).as("avg_nn"))
+    val fwd = g.filter(col("q_id") < col("n_id"))
+      .select(col("q_id").as("id_a"), col("n_id").as("id_b"), col("cos"))
+    val bwd = g.filter(col("q_id") > col("n_id"))
+      .select(col("n_id").as("id_a"), col("q_id").as("id_b"))
+    fwd.join(bwd, Seq("id_a", "id_b"), "left_semi")
+      .join(avgnn.select(col("q_id").as("id_a"), col("avg_nn").as("a_a")), Seq("id_a"))
+      .join(avgnn.select(col("q_id").as("id_b"), col("avg_nn").as("a_b")), Seq("id_b"))
+      .withColumn("m", col("cos") / ((col("a_a") + col("a_b")) / 2))
+      .filter(col("m") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos"), round(col("m"), 6).as("margin"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Join+window spelling of `knnGraph` — the differential twin. */
   private[graft] def knnGraphJoin(emb: DataFrame,
       centroids: Array[Array[Double]], k: Int = 3): DataFrame = {

@@ -26,6 +26,9 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_indexed" -> 25L,
     "ann_ivf_indexed_adaptive" -> 25L,
     "pipeline_source_kl" -> 20L,
+    "pipeline_dsir_weights" -> 500L,
+    "emb_margin_pairs" -> 283L,
+    "pipeline_coreset" -> 8L,
     "text_winnow" -> 15772L,
     "dedup_winnow_pairs" -> 38382L,
     "ann_recall_report" -> 5L,
@@ -220,8 +223,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivfpq_refine", "ann_ivf_indexed", "ann_ivf_indexed_adaptive",
     "ann_ivfpq_indexed", "ann_mips_lsh",
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",
-    "emb_contrastive", "pipeline_quality_model", "dedup_embedding",
-    "emb_drift")
+    "emb_contrastive", "emb_margin_pairs", "pipeline_quality_model",
+    "dedup_embedding", "emb_drift")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

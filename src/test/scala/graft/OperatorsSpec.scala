@@ -2511,4 +2511,97 @@ class OperatorsSpec extends AnyFunSuite {
     assert(drift.forall { case (_, _, _, cos, l2) =>
       cos <= 1.0 && cos >= -1.0 && l2 >= 0.0 })
   }
+
+  test("marginPairs: mutual in-cell top-k pairs scored by the ratio margin, host-twin checked") {
+    import graft.operators.Similarity
+    def v(axis: Int, eps: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1f else if (i == 63) eps else 0f)
+    val rows = Seq(
+      (1L, v(0, 0.1f), 0), (2L, v(0, 0.2f), 0), (3L, v(0, 0.3f), 0), (4L, v(0, 0.9f), 0),
+      (5L, v(1, 0.1f), 0), (6L, v(1, 0.5f), 0), (7L, v(1, 0.8f), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val centroids = Array(
+      Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+      Array.tabulate(64)(i => if (i == 1) 1.0 else 0.0))
+    val k = 2
+    val got = Similarity.marginPairs(emb, centroids, k = k, tau = 0.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+
+    // host twin: in-cell rounded-cos top-k graph, per-node mean of its k
+    // cos values (rnk order), mutual pairs, margin = cos / mean-of-means
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val r = d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+      math.rint(r * 1e6) / 1e6
+    }
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    val cells = rows.map { r =>
+      r._1 -> (if (r._2(0) == 1f) 0 else 1)
+    }.toMap
+    val edges = rows.flatMap { r =>
+      val peers = rows.filter(o => o._1 != r._1 && cells(o._1) == cells(r._1))
+        .map(o => (o._1, cos(byId(r._1), byId(o._1))))
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+      peers.zipWithIndex.map { case ((nId, c), i) => (r._1, i + 1, nId, c) }
+    }
+    val avg = edges.groupBy(_._1).map { case (q, es) =>
+      q -> es.sortBy(_._2).map(_._4).foldLeft(0.0)(_ + _) / es.size
+    }
+    val eset = edges.map(e => (e._1, e._3)).toSet
+    val expected = edges
+      .filter(e => e._1 < e._3 && eset.contains((e._3, e._1)))
+      .map { e =>
+        val m = e._4 / ((avg(e._1) + avg(e._3)) / 2)
+        (e._1, e._3, e._4, math.rint(m * 1e6) / 1e6)
+      }.sortBy(p => (p._1, p._2))
+    assert(got === expected)
+    // margins straddle 1: the near-mutual best pair is above its
+    // neighborhood average, a weaker mutual pair is below
+    assert(expected.exists(_._4 > 1.0) || expected.forall(_._4 == 1.0))
+    // tau filters: raising tau keeps a subset
+    val filtered = Similarity.marginPairs(emb, centroids, k = k, tau = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(filtered === expected.filter(p => p._3 / ((avg(p._1) + avg(p._2)) / 2) >= 1.0))
+  }
+
+  test("kcenterSelect: greedy farthest-point trajectory matches the host twin") {
+    import graft.operators.Similarity
+    def v(x: Double): Array[Float] =
+      Array.tabulate(64)(i => if (i == 0) x.toFloat else 0f)
+    // a 1-D line: greedy k-center from the min-id seed at 0 must pick the
+    // far end (L2² 100), then the middle (min-dist 4), then the leftover (1)
+    val emb = Seq(
+      (1L, v(0.0), 0), (2L, v(1.0), 0), (3L, v(2.0), 0), (4L, v(10.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.kcenterSelect(emb, k = 4)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got === Seq((1, 1L, 0.0), (2, 4L, 100.0), (3, 3L, 4.0), (4, 2L, 1.0)))
+    // coverage radius is non-increasing along the trajectory (after seed)
+    val radii = got.drop(1).map(_._3)
+    assert(radii === radii.sortBy(-_))
+  }
+
+  test("dsirWeights: target-like docs outscore off-target docs; feature counts exact") {
+    import graft.operators.Curation
+    val target = Seq(
+      (1L, "good clean text"), (2L, "good clean prose")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "good clean text"), (2L, "good clean prose"),
+      (3L, "spam junk garbage"), (4L, "good clean text"),
+      (5L, "x")).toDF("doc_id", "text")
+    val w = Curation.dsirWeights(target, raw)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // n_feats = n unigrams + (n-1) bigrams
+    assert(w(3L)._1 === 5L)
+    assert(w(5L)._1 === 1L)
+    // a target-identical doc scores strictly above the all-off-target doc
+    assert(w(4L)._2 > w(3L)._2)
+    // and equals the weight of its target twin (same feature bag)
+    assert(w(1L)._2 === w(4L)._2)
+    // output is doc_id-ordered and complete over docs with >= 1 token
+    val ordered = Curation.dsirWeights(target, raw)
+      .as[(Long, Long, Double)].collect().map(_._1).toSeq
+    assert(ordered === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
