@@ -425,21 +425,39 @@ object Curation {
           transform(sequence(lit(0), size(col("ts")) - 2), i =>
             PolyHash(concat(element_at(col("ts"), i + 1), lit(" "),
               element_at(col("ts"), i + 2))) % b))
-          .otherwise(array().cast("array<bigint>")))).as("b"))
+          .otherwise(array().cast("array<bigint>")))).as("b0"))
+      // b is never null (PolyHash is total over non-null tokens); the
+      // coalesce marks it non-nullable so the scoring join injects no
+      // IsNotNull filter — keeping the (doc_id, b) exchange subtree
+      // IDENTICAL on the scoring and model branches, which is what lets
+      // ReuseExchange serve both from one scan of the raw corpus.
+      .select(col("doc_id"), coalesce(col("b0"), lit(-1L)).as("b"))
     val tCnt = feats(target).groupBy("b").agg(count(lit(1)).as("n_t"))
-    val tTot = tCnt.agg(sum(col("n_t")).cast("long").as("t_t"))
-    val rCnt = feats(raw).groupBy("b").agg(count(lit(1)).as("n_r"))
-    val rTot = rCnt.agg(sum(col("n_r")).cast("long").as("t_r"))
-    // raw buckets ⊇ scored buckets (scored docs ⊆ raw), so LEFT onto raw;
-    // target-absent buckets take the smoothed floor 1/(t_t + nBuckets).
-    val model = rCnt.join(tCnt, Seq("b"), "left")
-      .na.fill(0L, Seq("n_t"))
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+    // raw bucket marginals RE-AGGREGATE the per-doc counts (the
+    // sourceUnigramKl trick): the (doc_id, bucket) exchange below is the
+    // only pass over raw features — its subtree is shared with the
+    // scoring branch, so AQE serves the model side from a ReusedExchange
+    // instead of a second corpus scan.
+    val dc = feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val rCnt = dc.groupBy("b").agg(sum(col("cnt")).as("n_r"))
+    // Totals are WINDOW sums over the nBuckets-bounded model frame, not
+    // separate aggregates — a scalar-total subquery would recompute each
+    // side's whole scan subtree. An unpartitioned window over ≤ nBuckets
+    // rows is a single cheap task; each corpus is scanned exactly once.
+    // Full outer keeps target-only buckets inside t_t even when target
+    // isn't a subset of raw; they drop after (n_r = 0 can't match the
+    // scoring side). Target-absent raw buckets take the smoothed floor
+    // 1/(t_t + nBuckets).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val model = rCnt.join(tCnt, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("n_t", "n_r"))
+      .withColumn("t_t", sum(col("n_t")).over(w))
+      .withColumn("t_r", sum(col("n_r")).over(w))
+      .filter(col("n_r") > 0)
       .select(col("b"),
         (log((col("n_t") + 1).cast("double") / (col("t_t") + b)) -
          log((col("n_r") + 1).cast("double") / (col("t_r") + b))).as("ratio"))
-    feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-      .join(broadcast(model), Seq("b"))
+    dc.join(broadcast(model), Seq("b"))
       .withColumn("term", col("cnt") * col("ratio"))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).cast("long").as("n_feats"),
