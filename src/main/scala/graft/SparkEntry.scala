@@ -113,6 +113,10 @@ object SparkEntry {
     // filter at source granularity); one corpus scan, ordered KL fold
     "pipeline_source_kl" -> ((s, d) =>
       functions.TextAnalysis.sourceUnigramKl(Tables.load(s, d, "documents"))),
+    // per-source distinct-n diversity report (TTR + distinct-trigram
+    // ratio) — the internal-repetitiveness companion to the KL report
+    "text_diversity" -> ((s, d) =>
+      functions.TextAnalysis.sourceDiversity(Tables.load(s, d, "documents"))),
     // DSIR per-document importance weights: target = the en slice (same
     // carve-out convention as text_lm_cross), raw = the whole corpus
     "pipeline_dsir_weights" -> ((s, d) => {
@@ -120,6 +124,12 @@ object SparkEntry {
       Curation.dsirWeights(
         docs.filter(org.apache.spark.sql.functions.col("lang") === "en"), docs)
     }),
+    // the persisted-model serve: fit once (registry), score the corpus as
+    // an ingest batch — must reproduce pipeline_dsir_weights exactly, so
+    // it shares that oracle spelling
+    "pipeline_dsir_indexed" -> ((s, d) =>
+      Curation.dsirScoreIndexed(Tables.load(s, d, "documents"),
+        ensureDsirModel(s, d))),
     "dedup_apply_exact" -> ((s, d) => Dedup.dropExactDuplicates(Tables.load(s, d, "documents"))
       .select("doc_id", "source", "n_chars").orderBy("doc_id")),
     "dedup_apply_near" -> ((s, d) => Dedup.dropNearDuplicates(Tables.load(s, d, "documents"))
@@ -1336,6 +1346,17 @@ object SparkEntry {
     * source (verdict r11 item 8). Distinct table from `ensureMinhashIndex`,
     * whose build excludes the %31 batch slice by scenario design.
     */
+  private def ensureDsirModel(s: SparkSession, d: String): String = synchronized {
+    val name = "graft_dsir_" + indexKey(d, "documents")
+    if (!s.catalog.tableExists(name + "_dsir")) {
+      Tables.dropManagedTable(s, name + "_dsir")
+      val docs = Tables.load(s, d, "documents")
+      Curation.buildDsirModel(
+        docs.filter(org.apache.spark.sql.functions.col("lang") === "en"), docs, name)
+    }
+    name
+  }
+
   private def ensureMinhashIndexFull(s: SparkSession, d: String): String = synchronized {
     val name = "graft_mhfull_" + indexKey(d, "documents")
     if (!s.catalog.tableExists(name + "_bands")) {
@@ -1847,6 +1868,44 @@ object SparkEntry {
        |      FROM wb a JOIN wb b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** pipeline_dsir_weights / pipeline_dsir_indexed oracle (the indexed
+    * serve must reproduce the in-memory answers exactly): hashed
+    * unigram+bigram buckets (the PolyHash fold % 4096), add-1-smoothed
+    * target (lang='en') vs raw bucket models, per-doc cnt * ln-ratio
+    * folded in bucket order.
+    */
+  private def dsirSql: String = {
+    def ph(e: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) % 4096""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ts
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang, unnest(list_concat(
+       |    list_transform(ts, t -> ${ph("t")}),
+       |    CASE WHEN len(ts) >= 2 THEN list_transform(generate_series(1, len(ts) - 1),
+       |      i -> ${ph("(ts[i] || ' ' || ts[i+1])")})
+       |    ELSE [] END)) AS b
+       |  FROM tk),
+       |tc AS (SELECT b, COUNT(*) AS n_t FROM f WHERE lang = 'en' GROUP BY b),
+       |tt AS (SELECT CAST(SUM(n_t) AS BIGINT) AS t_t FROM tc),
+       |rc AS (SELECT b, COUNT(*) AS n_r FROM f GROUP BY b),
+       |rt AS (SELECT CAST(SUM(n_r) AS BIGINT) AS t_r FROM rc),
+       |m AS (SELECT rc.b,
+       |        ln(CAST(COALESCE(tc.n_t, 0) + 1 AS DOUBLE) / (tt.t_t + 4096)) -
+       |        ln(CAST(rc.n_r + 1 AS DOUBLE) / (rt.t_r + 4096)) AS ratio
+       |      FROM rc LEFT JOIN tc ON rc.b = tc.b, tt, rt),
+       |dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+       |s AS (SELECT dc.doc_id, dc.b, dc.cnt, dc.cnt * m.ratio AS term
+       |      FROM dc JOIN m ON dc.b = m.b),
+       |d AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+       |          (a, x) -> a + x) AS lw
+       |      FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_feats, round(lw, 6) AS logw FROM d ORDER BY doc_id""".stripMargin
   }
 
   /** pipeline_coreset oracle: the greedy k-center trajectory unrolled as
@@ -2790,40 +2849,35 @@ object SparkEntry {
          |      FROM t GROUP BY source)
          |SELECT d.source, ts.t_src AS n_tokens, d.n_terms, round(d.klsum, 6) AS kl
          |FROM d JOIN ts ON d.source = ts.source ORDER BY d.source""".stripMargin,
+    // Mirrors TextAnalysis.sourceDiversity: per-source type/token and
+    // distinct-trigram ratios, distincts via (source, gram) re-aggregation
+    "text_diversity" ->
+      s"""WITH $tokCte,
+         |u AS (SELECT source, unnest(tokens) AS g FROM tok),
+         |uc AS (SELECT source, g, COUNT(*) AS c FROM u GROUP BY 1, 2),
+         |us AS (SELECT source, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_tokens
+         |       FROM uc GROUP BY source),
+         |t3 AS (SELECT source, unnest(list_transform(generate_series(1, len(tokens) - 2),
+         |         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS g
+         |       FROM tok WHERE len(tokens) >= 3),
+         |tc AS (SELECT source, g, COUNT(*) AS c FROM t3 GROUP BY 1, 2),
+         |ts3 AS (SELECT source, COUNT(*) AS n_3gram_types, CAST(SUM(c) AS BIGINT) AS n_3grams
+         |        FROM tc GROUP BY source)
+         |SELECT us.source, us.n_tokens, us.n_types,
+         |  round(CAST(us.n_types AS DOUBLE) / us.n_tokens, 6) AS ttr,
+         |  COALESCE(ts3.n_3grams, 0) AS n_3grams,
+         |  COALESCE(ts3.n_3gram_types, 0) AS n_3gram_types,
+         |  CASE WHEN COALESCE(ts3.n_3grams, 0) > 0
+         |    THEN round(CAST(ts3.n_3gram_types AS DOUBLE) / ts3.n_3grams, 6)
+         |    ELSE 0.0 END AS distinct3_ratio
+         |FROM us LEFT JOIN ts3 ON us.source = ts3.source
+         |ORDER BY us.source""".stripMargin,
     // Mirrors Curation.dsirWeights: hashed unigram+bigram buckets (the
     // PolyHash fold % 4096), add-1-smoothed target (lang='en') vs raw
     // bucket models, per-doc cnt * ln-ratio folded in bucket order
-    "pipeline_dsir_weights" -> {
-      def ph(e: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |      list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))),
-           |      (h, c) -> (h * 31 + c) % 2147483647) % 4096""".stripMargin
-      s"""WITH tk AS (SELECT doc_id, lang,
-         |  list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ts
-         |  FROM documents),
-         |f AS (SELECT doc_id, lang, unnest(list_concat(
-         |    list_transform(ts, t -> ${ph("t")}),
-         |    CASE WHEN len(ts) >= 2 THEN list_transform(generate_series(1, len(ts) - 1),
-         |      i -> ${ph("(ts[i] || ' ' || ts[i+1])")})
-         |    ELSE [] END)) AS b
-         |  FROM tk),
-         |tc AS (SELECT b, COUNT(*) AS n_t FROM f WHERE lang = 'en' GROUP BY b),
-         |tt AS (SELECT CAST(SUM(n_t) AS BIGINT) AS t_t FROM tc),
-         |rc AS (SELECT b, COUNT(*) AS n_r FROM f GROUP BY b),
-         |rt AS (SELECT CAST(SUM(n_r) AS BIGINT) AS t_r FROM rc),
-         |m AS (SELECT rc.b,
-         |        ln(CAST(COALESCE(tc.n_t, 0) + 1 AS DOUBLE) / (tt.t_t + 4096)) -
-         |        ln(CAST(rc.n_r + 1 AS DOUBLE) / (rt.t_r + 4096)) AS ratio
-         |      FROM rc LEFT JOIN tc ON rc.b = tc.b, tt, rt),
-         |dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
-         |s AS (SELECT dc.doc_id, dc.b, dc.cnt, dc.cnt * m.ratio AS term
-         |      FROM dc JOIN m ON dc.b = m.b),
-         |d AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
-         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
-         |          (a, x) -> a + x) AS lw
-         |      FROM s GROUP BY doc_id)
-         |SELECT doc_id, n_feats, round(lw, 6) AS logw FROM d ORDER BY doc_id""".stripMargin
-    },
+    "pipeline_dsir_weights" -> dsirSql,
+    // the indexed serve must reproduce the in-memory answers exactly
+    "pipeline_dsir_indexed" -> dsirSql,
     // Greedy k-center trajectory, unrolled (see kcenterSqlFor)
     "pipeline_coreset" -> kcenterSqlFor(8),
     // Mirrors TextAnalysis.lmScoreCross: the unigram model comes from the

@@ -356,6 +356,44 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-source lexical-diversity report — the distinct-n metric family
+    * (type-token ratio + distinct-trigram ratio) a mixture designer reads
+    * NEXT TO the KL report: KL says "this source is distributionally far
+    * from the corpus", diversity says "this source is internally
+    * repetitive" (template farms and boilerplate-heavy crawls score low
+    * distinct-3 even when their unigram mix looks normal). Ratios are
+    * pure divisions of exact longs — no float-accumulation order to pin.
+    *
+    * Scale shape: distinct counts are RE-AGGREGATIONS of (source, gram)
+    * count tables (two map-side-combined aggregations per n-gram order),
+    * never `countDistinct` over raw rows — the same bounded-state
+    * discipline as `sourceUnigramKl`'s marginals.
+    */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), WordCount.tokens(col("text")).as("ts"))
+    val uni = toks.select(col("source"), explode(col("ts")).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).cast("long").as("n_tokens"))
+    val tri = toks.filter(size(col("ts")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> concat(" +
+          "element_at(ts, i), ' ', element_at(ts, i + 1), ' ', " +
+          "element_at(ts, i + 2)))")).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_3gram_types"), sum(col("c")).cast("long").as("n_3grams"))
+    uni.join(tri, Seq("source"), "left")
+      .na.fill(0L, Seq("n_3gram_types", "n_3grams"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        col("n_3grams"), col("n_3gram_types"),
+        when(col("n_3grams") > 0,
+          round(col("n_3gram_types").cast("double") / col("n_3grams"), 6))
+          .otherwise(0.0).as("distinct3_ratio"))
+      .orderBy("source")
+  }
+
   /** CROSS-corpus unigram LM filter — the actual CCNet recipe (Wenzek et
     * al. 2020): the LM is fit on a REFERENCE slice (a trusted language/
     * quality carve-out), and every document of the full corpus is scored

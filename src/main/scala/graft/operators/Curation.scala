@@ -415,9 +415,19 @@ object Curation {
     * bucket-ascending order on both engines for bit parity.
     */
   def dsirWeights(target: DataFrame, raw: DataFrame,
-      nBuckets: Int = 4096): DataFrame = {
+      nBuckets: Int = 4096): DataFrame =
+    dsirScore(dsirDocBuckets(raw, nBuckets), dsirModel(target, raw, nBuckets))
+
+  /** Hashed-feature extraction: one (doc_id, bucket) row per unigram and
+    * bigram occurrence. `b` is never null (PolyHash is total over
+    * non-null tokens); the coalesce marks it non-nullable so the scoring
+    * join injects no IsNotNull filter — keeping the (doc_id, b) exchange
+    * subtree IDENTICAL on the scoring and model branches, which is what
+    * lets ReuseExchange serve both from one scan of the raw corpus.
+    */
+  private def dsirFeats(docs: DataFrame, nBuckets: Int): DataFrame = {
     val b = lit(nBuckets.toLong)
-    def feats(docs: DataFrame) = docs
+    docs
       .select(col("doc_id"), WordCount.tokens(col("text")).as("ts"))
       .select(col("doc_id"), explode(concat(
         transform(col("ts"), t => PolyHash(t) % b),
@@ -426,30 +436,35 @@ object Curation {
             PolyHash(concat(element_at(col("ts"), i + 1), lit(" "),
               element_at(col("ts"), i + 2))) % b))
           .otherwise(array().cast("array<bigint>")))).as("b0"))
-      // b is never null (PolyHash is total over non-null tokens); the
-      // coalesce marks it non-nullable so the scoring join injects no
-      // IsNotNull filter — keeping the (doc_id, b) exchange subtree
-      // IDENTICAL on the scoring and model branches, which is what lets
-      // ReuseExchange serve both from one scan of the raw corpus.
       .select(col("doc_id"), coalesce(col("b0"), lit(-1L)).as("b"))
-    val tCnt = feats(target).groupBy("b").agg(count(lit(1)).as("n_t"))
-    // raw bucket marginals RE-AGGREGATE the per-doc counts (the
-    // sourceUnigramKl trick): the (doc_id, bucket) exchange below is the
-    // only pass over raw features — its subtree is shared with the
-    // scoring branch, so AQE serves the model side from a ReusedExchange
-    // instead of a second corpus scan.
-    val dc = feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-    val rCnt = dc.groupBy("b").agg(sum(col("cnt")).as("n_r"))
-    // Totals are WINDOW sums over the nBuckets-bounded model frame, not
-    // separate aggregates — a scalar-total subquery would recompute each
-    // side's whole scan subtree. An unpartitioned window over ≤ nBuckets
-    // rows is a single cheap task; each corpus is scanned exactly once.
-    // Full outer keeps target-only buckets inside t_t even when target
-    // isn't a subset of raw; they drop after (n_r = 0 can't match the
-    // scoring side). Target-absent raw buckets take the smoothed floor
-    // 1/(t_t + nBuckets).
+  }
+
+  /** Per-document bucket counts — the shared substrate of model fitting
+    * (re-aggregated to bucket marginals) and scoring.
+    */
+  private def dsirDocBuckets(docs: DataFrame, nBuckets: Int): DataFrame =
+    dsirFeats(docs, nBuckets).groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+
+  /** The fitted DSIR model: (bucket, ln p_target[b] − ln q_raw[b]), add-1
+    * smoothed, ≤ nBuckets rows. Raw bucket marginals RE-AGGREGATE the
+    * per-doc counts (the sourceUnigramKl trick), so inside `dsirWeights`
+    * the (doc_id, bucket) exchange is shared with the scoring branch and
+    * AQE serves the model side from a ReusedExchange instead of a second
+    * corpus scan. Totals are WINDOW sums over the nBuckets-bounded model
+    * frame, not separate aggregates — a scalar-total subquery would
+    * recompute each side's whole scan subtree; an unpartitioned window
+    * over ≤ nBuckets rows is a single cheap task. Full outer keeps
+    * target-only buckets inside t_t even when target isn't a subset of
+    * raw; they drop after (n_r = 0 can't match the scoring side).
+    * Target-absent raw buckets take the smoothed floor 1/(t_t + nBuckets).
+    */
+  def dsirModel(target: DataFrame, raw: DataFrame,
+      nBuckets: Int = 4096): DataFrame = {
+    val b = lit(nBuckets.toLong)
+    val tCnt = dsirFeats(target, nBuckets).groupBy("b").agg(count(lit(1)).as("n_t"))
+    val rCnt = dsirDocBuckets(raw, nBuckets).groupBy("b").agg(sum(col("cnt")).as("n_r"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val model = rCnt.join(tCnt, Seq("b"), "full_outer")
+    rCnt.join(tCnt, Seq("b"), "full_outer")
       .na.fill(0L, Seq("n_t", "n_r"))
       .withColumn("t_t", sum(col("n_t")).over(w))
       .withColumn("t_r", sum(col("n_r")).over(w))
@@ -457,6 +472,9 @@ object Curation {
       .select(col("b"),
         (log((col("n_t") + 1).cast("double") / (col("t_t") + b)) -
          log((col("n_r") + 1).cast("double") / (col("t_r") + b))).as("ratio"))
+  }
+
+  private def dsirScore(dc: DataFrame, model: DataFrame): DataFrame =
     dc.join(broadcast(model), Seq("b"))
       .withColumn("term", col("cnt") * col("ratio"))
       .groupBy("doc_id")
@@ -465,5 +483,24 @@ object Curation {
           "cast(0.0 as double), (a, s) -> a + s.term)").as("lw"))
       .select(col("doc_id"), col("n_feats"), round(col("lw"), 6).as("logw"))
       .orderBy("doc_id")
-  }
+
+  /** Persist the fitted DSIR model (≤ nBuckets rows): fit once over the
+    * full target/raw pair, then score every future ingest batch at
+    * O(batch) — `dsirScoreIndexed` never touches either corpus again.
+    * The training-data analogue of the MinHash band index's
+    * build-once/serve-many contract.
+    */
+  def buildDsirModel(target: DataFrame, raw: DataFrame, table: String,
+      nBuckets: Int = 4096): Unit =
+    dsirModel(target, raw, nBuckets)
+      .write.mode("overwrite").saveAsTable(s"${table}_dsir")
+
+  /** Score an ingest batch against the persisted model: one scan of the
+    * batch plus a broadcast of the bucket-ratio table. Scoring the fit
+    * corpus reproduces `dsirWeights` row-for-row (spec-asserted).
+    */
+  def dsirScoreIndexed(batch: DataFrame, table: String,
+      nBuckets: Int = 4096): DataFrame =
+    dsirScore(dsirDocBuckets(batch, nBuckets),
+      batch.sparkSession.table(s"${table}_dsir"))
 }

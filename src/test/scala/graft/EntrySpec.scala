@@ -27,8 +27,10 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_indexed_adaptive" -> 25L,
     "pipeline_source_kl" -> 20L,
     "pipeline_dsir_weights" -> 500L,
+    "pipeline_dsir_indexed" -> 500L,
     "emb_margin_pairs" -> 283L,
     "pipeline_coreset" -> 8L,
+    "text_diversity" -> 20L,
     "text_winnow" -> 15772L,
     "dedup_winnow_pairs" -> 38382L,
     "ann_recall_report" -> 5L,

@@ -2565,6 +2565,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(filtered === expected.filter(p => p._3 / ((avg(p._1) + avg(p._2)) / 2) >= 1.0))
   }
 
+  test("sourceDiversity: TTR and distinct-3 ratios per source, hand-computed") {
+    val d = Seq(
+      (1L, "a a b", "s1"), (2L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceDiversity(d)
+      .as[(String, Long, Long, Double, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("s1", 3L, 2L, 0.666667, 1L, 1L, 1.0),
+      ("s2", 2L, 2L, 1.0, 0L, 0L, 0.0)))
+  }
+
   test("kcenterSelect: greedy farthest-point trajectory matches the host twin") {
     import graft.operators.Similarity
     def v(x: Double): Array[Float] =
@@ -2603,5 +2614,25 @@ class OperatorsSpec extends AnyFunSuite {
     val ordered = Curation.dsirWeights(target, raw)
       .as[(Long, Long, Double)].collect().map(_._1).toSeq
     assert(ordered === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("dsirScoreIndexed: persisted-model serve equals the inline run; O(batch) ingest reproduces rows") {
+    import graft.operators.Curation
+    val target = Seq(
+      (1L, "good clean text"), (2L, "good clean prose")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "good clean text"), (2L, "good clean prose"),
+      (3L, "spam junk garbage"), (4L, "good clean text")).toDF("doc_id", "text")
+    try {
+      Curation.buildDsirModel(target, raw, "dsirrep")
+      val inline = Curation.dsirWeights(target, raw).collect().toSeq
+      val served = Curation.dsirScoreIndexed(raw, "dsirrep").collect().toSeq
+      assert(served === inline)
+      // a one-doc ingest batch scores through the persisted model alone
+      // and reproduces the full run's row for that doc
+      val batch = raw.filter(col("doc_id") === 4L)
+      val one = Curation.dsirScoreIndexed(batch, "dsirrep").collect().toSeq
+      assert(one === inline.filter(_.getLong(0) == 4L))
+    } finally spark.sql("DROP TABLE IF EXISTS dsirrep_dsir")
   }
 }
