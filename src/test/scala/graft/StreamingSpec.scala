@@ -1029,4 +1029,44 @@ class StreamingSpec extends AnyFunSuite {
         s"state holds ${sop.numRowsTotal} rows; only the newest rows should remain")
     } finally q.stop()
   }
+
+  test("streaming DSIR filter admits each batch exactly as the indexed batch scorer would") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Curation
+    import graft.streaming.StreamDsirFilter
+    // model: target = clean prose, raw adds junk; threshold at 0 keeps
+    // target-leaning docs only
+    val target = Seq(
+      (9001L, "good clean text"), (9002L, "good clean prose")).toDF("doc_id", "text")
+    val raw = (Seq(
+      (9001L, "good clean text"), (9002L, "good clean prose")) ++
+      (1L to 20L).map(i => (i, "spam junk garbage")))
+      .toDF("doc_id", "text")
+    try {
+      Curation.buildDsirModel(target, raw, "dsirstream")
+      val batch1 = Seq((101L, "good clean text"), (102L, "spam junk garbage"))
+      val batch2 = Seq((103L, "good clean prose"), (104L, "junk junk junk spam"))
+      val input = MemoryStream[(Long, String)]
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = StreamDsirFilter.serve(
+        input.toDF().toDF("doc_id", "text"), "dsirstream", minLogw = 0.0) {
+        (admitted, batchId) =>
+          results ++= admitted.as[(Long, String)].collect().map(r => (batchId, r._1))
+      }
+      try {
+        input.addData(batch1)
+        q.processAllAvailable()
+        assert(results.map(_._2).toSet === Set(101L), "batch 1 admits only the target-like doc")
+        input.addData(batch2)
+        q.processAllAvailable()
+        assert(results.map(_._2).toSet === Set(101L, 103L))
+        // batch twin on the union equals the streamed union
+        val union = (batch1 ++ batch2).toDF("doc_id", "text")
+        val twin = Curation.dsirScoreIndexed(union, "dsirstream")
+          .filter(org.apache.spark.sql.functions.col("logw") >= 0.0)
+          .as[(Long, Long, Double)].collect().map(_._1).toSet
+        assert(results.map(_._2).toSet === twin)
+      } finally q.stop()
+    } finally spark.sql("DROP TABLE IF EXISTS dsirstream_dsir")
+  }
 }
