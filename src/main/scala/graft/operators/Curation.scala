@@ -406,17 +406,65 @@ object Curation {
     *
     * 100 TB design: hashing is the scale knob the paper introduces and
     * this keeps — both models are `nBuckets`-bounded (default 4096 rows,
-    * ~64 KB) regardless of corpus vocabulary, so the model join is always
-    * a broadcast; feature extraction is one scan per side; per-doc
-    * scoring is one partial-aggregable (doc_id, bucket) count plus the
-    * broadcast model lookup. The bucket hash is the engine-portable
-    * [[graft.functions.PolyHash]] fold (`% nBuckets`), so the whole
-    * operator is DuckDB-replicable; the per-doc float sum folds in
-    * bucket-ascending order on both engines for bit parity.
+    * ~64 KB) regardless of corpus vocabulary. Model fit is one scan per
+    * side into bucket marginals; scoring then runs the COLLECTED model
+    * through the native [[graft.functions.DsirFold]] kernel — one
+    * shuffle-free scan of the corpus, no per-doc collect_list, no
+    * (doc, bucket) exchange (the r11 collected-model discipline; here no
+    * measured gate is even needed, the bound is a construction constant).
+    * The join spelling survives as [[dsirWeightsJoin]], the
+    * huge-`nBuckets` path and bit-exact differential twin. The bucket
+    * hash is the engine-portable [[graft.functions.PolyHash]] fold
+    * (`% nBuckets`), so the whole operator is DuckDB-replicable; the
+    * per-doc float sum folds in bucket-ascending order on both engines
+    * for bit parity.
     */
   def dsirWeights(target: DataFrame, raw: DataFrame,
       nBuckets: Int = 4096): DataFrame =
+    if (nBuckets <= MaxFoldBuckets)
+      dsirScoreFold(raw, collectRatios(dsirModel(target, raw, nBuckets), nBuckets))
+    else dsirWeightsJoin(target, raw, nBuckets)
+
+  /** Join spelling of [[dsirWeights]] — the huge-`nBuckets` scale path
+    * and the differential twin of the collected-model fold (bit parity
+    * spec-asserted): per-doc bucket counts broadcast-join the model, the
+    * per-doc sum folds in bucket-ascending order.
+    */
+  private[graft] def dsirWeightsJoin(target: DataFrame, raw: DataFrame,
+      nBuckets: Int = 4096): DataFrame =
     dsirScore(dsirDocBuckets(raw, nBuckets), dsirModel(target, raw, nBuckets))
+
+  /** `nBuckets` above this (16 MB of ratios) falls back to the join
+    * spelling; no measured gate is needed — the bound is a construction
+    * constant, not a data property.
+    */
+  private val MaxFoldBuckets = 1 << 21
+
+  /** The model as a dense bucket-indexed array, NaN = absent. The collect
+    * is ≤ nBuckets rows BY CONSTRUCTION (the caller gates on
+    * MaxFoldBuckets), and the doubles are the Spark-computed model's own,
+    * so the fold's terms are the join path's terms.
+    */
+  private def collectRatios(model: DataFrame, nBuckets: Int): Array[Double] = {
+    val arr = Array.fill(nBuckets)(Double.NaN)
+    model.collect().foreach { r =>
+      val b = r.getLong(0).toInt
+      if (b >= 0 && b < nBuckets) arr(b) = r.getDouble(1)
+    }
+    arr
+  }
+
+  /** Collected-model scoring: ONE shuffle-free scan of `docs` through the
+    * native [[graft.functions.DsirFold]] kernel. Zero-matched-feature
+    * docs drop out (inner-join semantics), as in the join spelling.
+    */
+  private def dsirScoreFold(docs: DataFrame, ratios: Array[Double]): DataFrame =
+    docs.select(col("doc_id"), WordCount.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), graft.functions.DsirFold(col("ts"), ratios).as("s"))
+      .filter(col("s.n_feats") > 0)
+      .select(col("doc_id"), col("s.n_feats").as("n_feats"),
+        round(col("s.logw"), 6).as("logw"))
+      .orderBy("doc_id")
 
   /** Hashed-feature extraction: one (doc_id, bucket) row per unigram and
     * bigram occurrence. `b` is never null (PolyHash is total over
@@ -501,6 +549,10 @@ object Curation {
     */
   def dsirScoreIndexed(batch: DataFrame, table: String,
       nBuckets: Int = 4096): DataFrame =
-    dsirScore(dsirDocBuckets(batch, nBuckets),
-      batch.sparkSession.table(s"${table}_dsir"))
+    if (nBuckets <= MaxFoldBuckets)
+      dsirScoreFold(batch,
+        collectRatios(batch.sparkSession.table(s"${table}_dsir"), nBuckets))
+    else
+      dsirScore(dsirDocBuckets(batch, nBuckets),
+        batch.sparkSession.table(s"${table}_dsir"))
 }

@@ -2614,6 +2614,16 @@ class OperatorsSpec extends AnyFunSuite {
     val ordered = Curation.dsirWeights(target, raw)
       .as[(Long, Long, Double)].collect().map(_._1).toSeq
     assert(ordered === Seq(1L, 2L, 3L, 4L, 5L))
+    // collected-model fold == join spelling, row for row (bit parity)
+    val fold = Curation.dsirWeights(target, raw).collect().toSeq
+    val join = Curation.dsirWeightsJoin(target, raw).collect().toSeq
+    assert(fold === join)
+    // and on real corpus data with multi-byte text
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val t2 = docs.filter(col("lang") === "en")
+    val f2 = Curation.dsirWeights(t2, docs).collect().toSeq
+    val j2 = Curation.dsirWeightsJoin(t2, docs).collect().toSeq
+    assert(f2 === j2)
   }
 
   test("dsirScoreIndexed: persisted-model serve equals the inline run; O(batch) ingest reproduces rows") {
