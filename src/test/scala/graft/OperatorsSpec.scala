@@ -2593,6 +2593,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(radii === radii.sortBy(-_))
   }
 
+  test("kcenterSelect: exact ties break to the lower vec_id deterministically") {
+    import graft.operators.Similarity
+    def v(x: Double): Array[Float] =
+      Array.tabulate(64)(i => if (i == 0) x.toFloat else 0f)
+    // two equidistant candidates (at +5 and -5 from the seed at 0):
+    // identical rounded L2² = 25, the argmax must take the lower id
+    val emb = Seq(
+      (1L, v(0.0), 0), (2L, v(5.0), 0), (3L, v(-5.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.kcenterSelect(emb, k = 3)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got === Seq((1, 1L, 0.0), (2, 2L, 25.0), (3, 3L, 25.0)))
+  }
+
+  test("marginPairs over the join-spelled knn graph agrees with the kernel composition") {
+    import graft.operators.Similarity
+    // recompute margins from knnGraphJoin's edges on the host and compare
+    // with marginPairs' output — validates the composition end-to-end
+    // against the independently-spelled graph
+    def v(axis: Int, eps: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1f else if (i == 63) eps else 0f)
+    val rows = Seq(
+      (1L, v(0, 0.15f), 0), (2L, v(0, 0.25f), 0), (3L, v(0, 0.45f), 0),
+      (4L, v(1, 0.2f), 0), (5L, v(1, 0.6f), 0), (6L, v(1, 0.7f), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val centroids = Array(
+      Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+      Array.tabulate(64)(i => if (i == 1) 1.0 else 0.0))
+    val g = Similarity.knnGraphJoin(emb, centroids, k = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val avg = g.groupBy(_._1).map { case (q, es) =>
+      q -> es.sortBy(_._2).map(_._4).foldLeft(0.0)(_ + _) / es.size
+    }
+    val eset = g.map(e => (e._1, e._3)).toSet
+    val expected = g
+      .filter(e => e._1 < e._3 && eset.contains((e._3, e._1)))
+      .map { e =>
+        val m = e._4 / ((avg(e._1) + avg(e._3)) / 2)
+        (e._1, e._3, e._4, math.rint(m * 1e6) / 1e6)
+      }
+      .filter(p => p._3 / ((avg(p._1) + avg(p._2)) / 2) >= 1.0)
+      .sortBy(p => (p._1, p._2))
+    val got = Similarity.marginPairs(emb, centroids, k = 2, tau = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("dsirWeights: target-like docs outscore off-target docs; feature counts exact") {
     import graft.operators.Curation
     val target = Seq(

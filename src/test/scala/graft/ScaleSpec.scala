@@ -565,6 +565,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR collected-model scoring pass is a shuffle-free scan") {
+    // Same claim as the LM fast paths, held from birth: once the
+    // construction-bounded bucket model is collected, scoring the corpus
+    // through DsirFold must plan as ONE scan — no hash exchange, only
+    // the output-edge range partitioning. (Model fitting runs at
+    // construction time, before this plan exists.)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val target = docs.filter(col("lang") === "en")
+    val plan = graft.operators.Curation.dsirWeights(target, docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"DSIR scoring pass should be shuffle-free:\n$plan")
+    assert(plan.contains("Exchange rangepartitioning"),
+      "DSIR should still range-partition at the output edge")
+    assert(plan.contains("dsirfold") || plan.contains("DsirFold"),
+      "scoring must run through the native fold kernel")
+  }
+
   test("whole-cell kernels refuse over-occupied cells loudly; cellsFor keeps real layouts far under the bound") {
     import graft.functions.CellPairs
     import graft.operators.Similarity
