@@ -1067,6 +1067,30 @@ class StreamingSpec extends AnyFunSuite {
           .as[(Long, Long, Double)].collect().map(_._1).toSet
         assert(results.map(_._2).toSet === twin)
       } finally q.stop()
+      // documented conservative semantics: a doc whose EVERY hashed
+      // feature lands in a model-absent bucket has no defined weight and
+      // is rejected even under a threshold no real score could miss.
+      // Construct one deterministically: a single-token doc whose
+      // unigram bucket avoids all model buckets.
+      val modelBuckets = spark.table("dsirstream_dsir")
+        .select("b").as[Long].collect().toSet
+      val unknownTok = (1 to 999).map(i => s"z$i")
+        .find(t => !modelBuckets.contains(
+          graft.functions.PolyHash.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t)) % 4096))
+        .get
+      val input2 = MemoryStream[(Long, String)]
+      val admitted2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q2 = StreamDsirFilter.serve(
+        input2.toDF().toDF("doc_id", "text"), "dsirstream", minLogw = -1e9) {
+        (admitted, _) => admitted2 ++= admitted.as[(Long, String)].collect().map(_._1)
+      }
+      try {
+        input2.addData(Seq((999L, unknownTok), (998L, "good clean text")))
+        q2.processAllAvailable()
+        assert(admitted2.toSet === Set(998L),
+          "zero-model-feature doc must be rejected even at threshold -1e9")
+      } finally q2.stop()
     } finally spark.sql("DROP TABLE IF EXISTS dsirstream_dsir")
   }
 }
