@@ -75,14 +75,19 @@ object Dedup {
     *
     * `expectedItems` sizes the bitset; production derives it from the
     * ledger table's row-count statistics (a catalog lookup, not a job).
-    * The probe is a Scala UDF by necessity — a Bloom bitset probe is a
-    * broadcast-variable lookup, not arithmetic Catalyst can express —
-    * and costs two xxhash64 evaluations per row; the differential spec
-    * asserts bit-identical output vs the exact path.
+    * The bitset is built by Catalyst's own `bloom_filter_agg` aggregate
+    * (the expression behind Spark's runtime row-level filtering) over the
+    * ledger and rides as a broadcast 1-row scalar; the probe is the
+    * matching `might_contain` predicate over `xxhash64(__h)` — fully
+    * codegen'd, no Scala UDF, no driver-side `stat.bloomFilter` build job
+    * (the build is a regular broadcast-exchange stage AQE can see). The
+    * differential spec asserts bit-identical output vs the exact path.
     */
   def dropIncrementalDuplicatesBloom(incoming: DataFrame, corpus: DataFrame,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
-    val spark = incoming.sparkSession
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
     val inc = incoming.withColumn("__h", normHash)
     // In production the ledger IS a stored hash table; here it is derived
     // from text, so persist it — the bloom-build action materializes it
@@ -91,10 +96,19 @@ object Dedup {
     // ContextCleaner releases the cache when the returned frame dies.
     val ledger = corpus.select(normHash.as("__h")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom = ledger.stat.bloomFilter("__h", expectedItems, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => bc.value.mightContainString(h))
-    val flagged = inc.withColumn("__maybe", mightContain(col("__h")))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("__h"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // `might_contain` requires its bitset side to be a constant or scalar
+    // subquery (so the filter can be constant-folded per-partition after
+    // the subquery executes) — ride it in as Dataset.scalar(), exactly
+    // how InjectRuntimeFilter plants its own blooms.
+    val bf = ledger.agg(bloomAgg.as("__bf")).scalar()
+    val flagged = inc.withColumn("__maybe", ColumnBridge.column(
+      BloomFilterMightContain(ColumnBridge.expression(bf),
+        ColumnBridge.expression(xxhash64(col("__h"))))))
     val cleaned = flagged.filter(!col("__maybe"))
       .unionByName(flagged.filter(col("__maybe"))
         .join(ledger, Seq("__h"), "left_anti"))

@@ -405,6 +405,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental-dedup bloom probe is the codegen might_contain expression, not a UDF") {
+    // r13: the ingest prefilter's bitset is built by Catalyst's own
+    // bloom_filter_agg and probed with might_contain over xxhash64 — the
+    // probe must live in codegen (no ScalaUDF/BatchEval anywhere in the
+    // physical plan) and the build must be a plan-side scalar subquery,
+    // not a driver-side stat.bloomFilter job.
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = graft.operators.Dedup.dropIncrementalDuplicatesBloom(
+      docs.limit(40), docs)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe expression missing from plan:\n$plan")
+    assert(plan.contains("bloom_filter_agg"),
+      s"bloom build aggregate missing from plan:\n$plan")
+    assert(!plan.contains("UDF") && !plan.contains("BatchEval"),
+      s"bloom probe fell back to a UDF:\n$plan")
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").resolve("docs").toString
     Tables.load(spark, dir, "documents")
