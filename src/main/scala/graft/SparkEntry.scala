@@ -505,8 +505,10 @@ object SparkEntry {
       Similarity.knnGraph(emb,
         kmeansCentroids(s, d, Similarity.cellsFor(embCount(s, d))))
     }),
-    // greedy k-center coreset: 8 farthest-point picks, one shuffle-free
-    // scan + top-1 reduce per pick; the diversity/coverage selection
+    // greedy k-center coreset: 8 farthest-point picks via batched
+    // Gonzalez — each shuffle-free scan harvests a top-m candidate batch
+    // and the driver certifies an exact greedy prefix, so picks cost
+    // ~k/batch scans, not k; the diversity/coverage selection
     "pipeline_coreset" -> ((s, d) =>
       Similarity.kcenterSelect(Tables.load(s, d, "embeddings"))),
     // margin-based pair mining over the same fitted cells: mutual in-cell

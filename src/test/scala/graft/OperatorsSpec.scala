@@ -2607,6 +2607,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq((1, 1L, 0.0), (2, 2L, 25.0), (3, 3L, 25.0)))
   }
 
+  test("kcenterSelect: batched prefix certification reproduces the serial trajectory exactly") {
+    import graft.operators.Similarity
+    // r13 differential: the batched Gonzalez (top-m candidates per scan,
+    // driver-certified greedy prefix) must emit the BIT-IDENTICAL
+    // trajectory the serial one-argmax-per-scan spelling produces, at
+    // every batch size — including batch=1 (degenerate serial), sizes
+    // that split k across several scans, and one larger than the corpus.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 12
+    val serial = Similarity.kcenterSelectSerial(emb, k)
+      .as[(Int, Long, Double)].collect().toSeq
+    for (m <- Seq(1, 2, 3, 5, 32)) {
+      val batched = Similarity.kcenterSelect(emb, k, batch = m)
+        .as[(Int, Long, Double)].collect().toSeq
+      assert(batched === serial, s"batch=$m diverged from serial")
+    }
+  }
+
+  test("kcenterSelect: fewer vectors than k returns the partial trajectory, not a crash") {
+    import graft.operators.Similarity
+    def v(x: Double): Array[Float] =
+      Array.tabulate(64)(i => if (i == 0) x.toFloat else 0f)
+    val emb = Seq((1L, v(0.0), 0), (2L, v(3.0), 0), (3L, v(7.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.kcenterSelect(emb, k = 8)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got === Seq((1, 1L, 0.0), (2, 3L, 49.0), (3, 2L, 9.0)))
+    // and an empty corpus yields an empty trajectory
+    assert(Similarity.kcenterSelect(emb.filter(col("vec_id") > 100), k = 4)
+      .count() === 0L)
+  }
+
   test("marginPairs over the join-spelled knn graph agrees with the kernel composition") {
     import graft.operators.Similarity
     // recompute margins from knnGraphJoin's edges on the host and compare
