@@ -443,13 +443,20 @@ object Curation {
   /** The model as a dense bucket-indexed array, NaN = absent. The collect
     * is ≤ nBuckets rows BY CONSTRUCTION (the caller gates on
     * MaxFoldBuckets), and the doubles are the Spark-computed model's own,
-    * so the fold's terms are the join path's terms.
+    * so the fold's terms are the join path's terms. A bucket outside
+    * [0, nBuckets) can only mean the model was FIT with a different
+    * nBuckets than it is being scored with — silently dropping it would
+    * hash features into the wrong ratios, so refuse loudly instead
+    * (the repo's usual discipline; r13, ADVICE).
     */
-  private def collectRatios(model: DataFrame, nBuckets: Int): Array[Double] = {
+  private[graft] def collectRatios(model: DataFrame, nBuckets: Int): Array[Double] = {
     val arr = Array.fill(nBuckets)(Double.NaN)
     model.collect().foreach { r =>
       val b = r.getLong(0).toInt
-      if (b >= 0 && b < nBuckets) arr(b) = r.getDouble(1)
+      require(b >= 0 && b < nBuckets,
+        s"DSIR model bucket $b outside [0, $nBuckets): the persisted model " +
+          "was built with a different nBuckets — score with the build-time value")
+      arr(b) = r.getDouble(1)
     }
     arr
   }
@@ -459,12 +466,18 @@ object Curation {
     * docs drop out (inner-join semantics), as in the join spelling.
     */
   private def dsirScoreFold(docs: DataFrame, ratios: Array[Double]): DataFrame =
+    dsirScoreFoldRaw(docs, ratios).orderBy("doc_id")
+
+  /** `dsirScoreFold` without the output-edge sort — the ordered surface
+    * is for the oracle contract; serving paths that feed a semi-join
+    * discard order, so a per-batch global sort would be pure waste.
+    */
+  private def dsirScoreFoldRaw(docs: DataFrame, ratios: Array[Double]): DataFrame =
     docs.select(col("doc_id"), WordCount.tokens(col("text")).as("ts"))
       .select(col("doc_id"), graft.functions.DsirFold(col("ts"), ratios).as("s"))
       .filter(col("s.n_feats") > 0)
       .select(col("doc_id"), col("s.n_feats").as("n_feats"),
         round(col("s.logw"), 6).as("logw"))
-      .orderBy("doc_id")
 
   /** Hashed-feature extraction: one (doc_id, bucket) row per unigram and
     * bigram occurrence. `b` is never null (PolyHash is total over
@@ -555,4 +568,24 @@ object Curation {
     else
       dsirScore(dsirDocBuckets(batch, nBuckets),
         batch.sparkSession.table(s"${table}_dsir"))
+
+  /** Bind the persisted model ONCE and return a reusable batch scorer —
+    * the serving twin of [[dsirScoreIndexed]] (r13, ADVICE): per-call
+    * `dsirScoreIndexed` re-reads and re-collects the ratio table even
+    * though the model is immutable catalog state for a serve's lifetime.
+    * The returned closure carries the collected ratio array (or the model
+    * frame, on the huge-`nBuckets` join path) across every micro-batch,
+    * and skips the ordered-output edge — admission semi-joins discard
+    * order, so the per-batch plan stays sort-free. Scores are the same
+    * rows `dsirScoreIndexed` emits, minus the sort (spec-asserted).
+    */
+  def dsirScorerIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, nBuckets: Int = 4096): DataFrame => DataFrame =
+    if (nBuckets <= MaxFoldBuckets) {
+      val ratios = collectRatios(spark.table(s"${table}_dsir"), nBuckets)
+      batch => dsirScoreFoldRaw(batch, ratios)
+    } else {
+      val model = spark.table(s"${table}_dsir")
+      batch => dsirScore(dsirDocBuckets(batch, nBuckets), model)
+    }
 }

@@ -33,16 +33,22 @@ object StreamDsirFilter {
 
   /** Start filtering: `docs` is a STREAMING frame with (doc_id, text, …);
     * each batch's ADMITTED rows (all original columns) are handed to
-    * `sink` with the batch id.
+    * `sink` with the batch id. The model is bound ONCE at serve start
+    * (`Curation.dsirScorerIndexed` — the ratio table is immutable catalog
+    * state for the query's lifetime), so per-batch driver work is zero:
+    * no ratio re-collect, no per-batch sort (the semi-join discards
+    * order anyway).
     */
   def serve(docs: DataFrame, table: String, minLogw: Double,
-      nBuckets: Int = 4096)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+      nBuckets: Int = 4096)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val score = Curation.dsirScorerIndexed(docs.sparkSession, table, nBuckets)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val passing = Curation.dsirScoreIndexed(batch, table, nBuckets)
+        val passing = score(batch)
           .filter(col("logw") >= minLogw)
           .select("doc_id")
         sink(batch.join(passing, Seq("doc_id"), "left_semi"), batchId)
       }
       .start()
+  }
 }

@@ -2722,6 +2722,17 @@ class OperatorsSpec extends AnyFunSuite {
       val batch = raw.filter(col("doc_id") === 4L)
       val one = Curation.dsirScoreIndexed(batch, "dsirrep").collect().toSeq
       assert(one === inline.filter(_.getLong(0) == 4L))
+      // r13: the bind-once serving scorer emits the same rows (order is
+      // the only surface difference — serving plans are sort-free)
+      val scorer = Curation.dsirScorerIndexed(spark, "dsirrep")
+      assert(scorer(raw).collect().toSet === inline.toSet)
+      assert(scorer(batch).collect().toSeq === inline.filter(_.getLong(0) == 4L))
+      // r13 (ADVICE): scoring with a DIFFERENT nBuckets than the model was
+      // built with must refuse loudly, not silently mis-hash features
+      val e = intercept[IllegalArgumentException] {
+        Curation.dsirScoreIndexed(batch, "dsirrep", nBuckets = 64)
+      }
+      assert(e.getMessage.contains("different nBuckets"))
     } finally spark.sql("DROP TABLE IF EXISTS dsirrep_dsir")
   }
 }
