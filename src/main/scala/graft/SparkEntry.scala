@@ -529,6 +529,10 @@ object SparkEntry {
     // -- Text analysis (documents) --
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.load(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
+    // encoding-corruption signals: replacement-char (decode-anomaly),
+    // C1-control, and UTF-8-as-Latin-1 mojibake densities — per-row
+    // projections on the same documents scan as the quality pack
+    "text_encoding" -> ((s, d) => TextAnalysis.encodingSignals(Tables.load(s, d, "documents"))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
     // subword tokens per whitespace word, per language — the token-cost
     // table multilingual mix weights are converted through
@@ -2253,6 +2257,24 @@ object SparkEntry {
 
   private val qualitySql = qualityCore + "\nORDER BY doc_id"
 
+  /** text_encoding oracle: the same three corruption counts via RE2
+    * codepoint classes (single-char classes as length-difference under
+    * global deletion, the two-codepoint mojibake signature via
+    * regexp_extract_all), densities as exact int/int divisions.
+    */
+  private val encodingSql =
+    """WITH m AS (SELECT doc_id, length(text) AS n_chars,
+      |  length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g')) AS n_repl,
+      |  length(text) - length(regexp_replace(text, '[\x{80}-\x{9F}]', '', 'g')) AS n_c1,
+      |  len(regexp_extract_all(text, '\x{C3}[\x{80}-\x{BF}]')) AS n_moji
+      | FROM documents)
+      |SELECT doc_id, n_chars, n_repl, n_c1, n_moji,
+      |  round(CAST(n_repl AS DOUBLE) / greatest(n_chars, 1), 6) AS repl_density,
+      |  round(CAST(n_c1 AS DOUBLE) / greatest(n_chars, 1), 6) AS c1_density,
+      |  round(CAST(n_moji AS DOUBLE) / greatest(n_chars, 1), 6) AS moji_rate,
+      |  (n_repl > 0 OR n_c1 > 0 OR n_moji > 0) AS is_corrupt
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // Mirrors Curation.budgetSample: quality-ranked per-source token-budget
   // fill. SUM(BIGINT) OVER returns HUGEINT in DuckDB — cast back; the
   // window order (quality DESC, doc_id) is total, so the default RANGE
@@ -3455,6 +3477,7 @@ object SparkEntry {
     "ann_quantized_topk" -> quantizedTopkSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
+    "text_encoding" -> encodingSql,
     "text_tokens" -> tokenStatsSql,
     // Mirrors TextAnalysis.tokenizerFertility: same two token counters,
     // exact integer sums per lang, one fixed-order ratio.

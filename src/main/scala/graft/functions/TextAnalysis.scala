@@ -77,6 +77,53 @@ object TextAnalysis {
         least(lit(1.0), col("stop_ratio") * 5.0) * 0.25 +
         (lit(1.0) - least(lit(1.0), col("digit_ratio") * 5.0)) * 0.15)
 
+  /** Add encoding-corruption signal columns to a frame carrying `text` —
+    * the charset-damage gate real corpora need that the length/punct
+    * quality pack can't see (r13): a page double-encoded through
+    * UTF-8→Latin-1 scores fine on token stats while being garbage.
+    *
+    * Signals (per-row projections only — compose on the same single scan
+    * as `withQualitySignals`/`withLangSignals`):
+    *  - `n_repl`: U+FFFD replacement characters. Parquet text is already
+    *    decoded, so undecodable bytes surfaced as U+FFFD at write/read —
+    *    the count IS the UTF-8-decode-anomaly count; `repl_density` is
+    *    the decode-anomaly rate.
+    *  - `n_c1`: C1 control codepoints (U+0080–U+009F) — legit in almost
+    *    no text, the classic residue of cp1252 bytes read as Latin-1.
+    *  - `n_moji`: the UTF-8-read-as-Latin-1 signature 'Ã' followed by a
+    *    U+0080–U+00BF continuation-byte image (é→"Ã©", ü→"Ã¼", …).
+    *  - `is_corrupt`: any signal present at all.
+    *
+    * Counting spells as length-difference under single-char-class
+    * deletion / `regexp_count` — builtin codegen expressions, no UDF —
+    * and both spellings replicate in DuckDB's RE2 verbatim.
+    */
+  def withEncodingSignals(df: DataFrame): DataFrame = {
+    val nc = length(col("text"))
+    val denom = greatest(nc, lit(1)).cast("double")
+    df
+      .withColumn("n_repl",
+        (nc - length(regexp_replace(col("text"), "\uFFFD", ""))).cast("long"))
+      .withColumn("n_c1",
+        (nc - length(regexp_replace(col("text"), "[\u0080-\u009F]", ""))).cast("long"))
+      .withColumn("n_moji",
+        regexp_count(col("text"), lit("\u00C3[\u0080-\u00BF]")).cast("long"))
+      .withColumn("repl_density", round(col("n_repl") / denom, 6))
+      .withColumn("c1_density", round(col("n_c1") / denom, 6))
+      .withColumn("moji_rate", round(col("n_moji") / denom, 6))
+      .withColumn("is_corrupt",
+        col("n_repl") > 0 || col("n_c1") > 0 || col("n_moji") > 0)
+  }
+
+  /** Per-document encoding-corruption report over `documents`. */
+  def encodingSignals(docs: DataFrame): DataFrame =
+    withEncodingSignals(docs)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        col("n_repl"), col("n_c1"), col("n_moji"),
+        col("repl_density"), col("c1_density"), col("moji_rate"),
+        col("is_corrupt"))
+      .orderBy("doc_id")
+
   /** Quality scoring: length/punctuation/stopword/digit signals combined
     * into a [0,1] score (digit-dense text — tables, logs, serial dumps —
     * is penalized like punctuation-dense text). All ratios are exact-int

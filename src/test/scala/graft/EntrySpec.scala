@@ -135,6 +135,7 @@ class EntrySpec extends AnyFunSuite {
     "text_tfidf" -> 1500L,
     "text_langid" -> 500L,
     "text_quality" -> 500L,
+    "text_encoding" -> 500L,
     "text_tokens" -> 500L,
     "text_fertility" -> 5L,
     "text_vocab" -> 31L,

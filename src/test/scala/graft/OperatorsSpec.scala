@@ -285,6 +285,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q(1L) > q(2L))
   }
 
+  test("encoding signals flag replacement chars, C1 controls, and mojibake; clean text passes") {
+    // r13: charset-damage gate. doc 1 clean; doc 2 carries two U+FFFD
+    // decode anomalies; doc 3 carries one C1 control (U+0085, the cp1252
+    // residue); doc 4 is UTF-8-read-as-Latin-1 mojibake ("cafÃ©"
+    // = café double-encoded) with two signature hits
+    val d = docs(
+      (1L, "a perfectly clean sentence"),
+      (2L, "dam\uFFFDged byt\uFFFDs"),
+      (3L, "odd\u0085break"),
+      (4L, "cafÃ© and naÃ¯ve"))
+    val out = TextAnalysis.encodingSignals(d)
+      .select("doc_id", "n_repl", "n_c1", "n_moji", "is_corrupt")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 0L, 0L, false),
+      (2L, 2L, 0L, 0L, true),
+      (3L, 0L, 1L, 0L, true),
+      (4L, 0L, 0L, 2L, true)))
+    // densities are exact divisions over codepoint length
+    val dens = TextAnalysis.encodingSignals(d)
+      .filter(col("doc_id") === 2L)
+      .select("n_chars", "repl_density").as[(Long, Double)].collect().head
+    assert(dens._1 === 13L)
+    assert(dens._2 === math.round(2.0 / 13.0 * 1e6) / 1e6)
+  }
+
+  test("encoding signals compose with the quality pack on ONE documents scan") {
+    // the curation wiring: encoding + quality + lang signals must stack as
+    // pure projections — one file scan, zero exchanges, one codegen span
+    val docsDf = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val composed = TextAnalysis.withEncodingSignals(
+      TextAnalysis.withQualitySignals(TextAnalysis.withLangSignals(
+        docsDf.withColumn("tokens", graft.core.WordCount.tokens(col("text"))))))
+    val plan = composed.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"expected a single documents scan:\n$plan")
+    assert(!plan.contains("Exchange"), s"per-row signals must not shuffle:\n$plan")
+    val rows = composed.filter(col("is_corrupt") && col("quality") >= 0.0).count()
+    assert(rows === 0L, "driver testdata is clean — no corrupt rows expected")
+  }
+
   test("token stats: ws vs bpe-ish counts") {
     val d = docs((1L, "hello world123 ok")).withColumn("n_chars",
       org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
