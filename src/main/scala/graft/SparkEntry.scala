@@ -376,6 +376,11 @@ object SparkEntry {
       nPlanes = Similarity.planesFor(embCount(s, d)))),
     "pipeline_curation" -> ((s, d) => Curation.curate(Tables.load(s, d, "documents"))),
     "pipeline_pack" -> ((s, d) => Curation.packSequences(Tables.load(s, d, "documents"))),
+    // packing-efficiency report: per-source pad waste + fill ratio of the
+    // split layout vs the no-pack baseline vs a best-fit-decreasing twin
+    // (BFD bins embedded as literals in the dynamic oracle, like the
+    // centroid fits; the BFD algebra itself is differential-spec'd)
+    "pipeline_pack_report" -> ((s, d) => Curation.packReport(Tables.load(s, d, "documents"))),
     // Bounded-eval contamination (the at-scale form — VERDICT r7 #4): the
     // eval suite is the FIXED slice doc_id%100==7 within the first 5000
     // ids (same stand-in as pipeline_decontaminate), so output is linear
@@ -2053,6 +2058,8 @@ object SparkEntry {
 
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql +
+      ("pipeline_pack_report" -> packReportSqlFor(
+        Curation.packBfdBySource(Tables.load(spark, sfDir, "documents")))) +
       ("text_topics" -> topicsSqlFor(topicCentroids(spark, sfDir))) +
       ("ann_ivf_kmeans" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_ivf_adaptive" -> ivfAdaptiveSqlFor(kmeansCentroids(spark, sfDir), 0.6)) +
@@ -2492,6 +2499,39 @@ object SparkEntry {
        |SELECT source, CAST(floor(start_off / 512) AS BIGINT) AS seq_id,
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
        |FROM c GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
+
+  /** pipeline_pack_report oracle: split/no-pack stats re-derived from the
+    * same cumsum window as packSql; the BFD bin counts ride in as
+    * engine-fitted literals (the centroid-export pattern — BFD is an
+    * inherently sequential algorithm no single SQL query spells, and its
+    * batched-histogram implementation is certified by the per-item naive
+    * differential in OperatorsSpec), so DuckDB independently recomputes
+    * every derived column from the tables + those literals.
+    */
+  private def packReportSqlFor(bfd: Map[String, Long]): String = {
+    val cases = bfd.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
+    s"""WITH $tokCte,
+       |t AS (SELECT doc_id, source, CAST(len(tokens) AS BIGINT) AS len FROM tok),
+       |c AS (SELECT source, doc_id, len,
+       |        CAST(SUM(len) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - len AS start_off
+       |      FROM t),
+       |a AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_tokens,
+       |        CAST(MAX(floor(start_off / 512)) + 1 AS BIGINT) AS n_seqs_split,
+       |        CAST(SUM(CASE WHEN len >= 1 THEN CAST(ceil(CAST(len AS DOUBLE) / 512) AS BIGINT) ELSE 0 END) AS BIGINT) AS n_seqs_nopack,
+       |        CAST(SUM(CASE WHEN len >= 1 THEN (len - (((len - 1) % 512) + 1)) // 512 ELSE 0 END) AS BIGINT) AS full_chunks
+       |      FROM c GROUP BY source),
+       |b AS (SELECT *, full_chunks + (CASE source $cases ELSE 0 END) AS n_seqs_bfd FROM a)
+       |SELECT source, n_docs, total_tokens, n_seqs_split,
+       |  round(CAST(total_tokens AS DOUBLE) / (n_seqs_split * 512), 6) AS fill_split,
+       |  n_seqs_split * 512 - total_tokens AS pad_split,
+       |  n_seqs_nopack, n_seqs_nopack * 512 - total_tokens AS pad_nopack,
+       |  n_seqs_bfd,
+       |  round(CAST(total_tokens AS DOUBLE) / (n_seqs_bfd * 512), 6) AS fill_bfd,
+       |  n_seqs_bfd * 512 - total_tokens AS pad_bfd
+       |FROM b ORDER BY source""".stripMargin
+  }
 
   /** Stratified-sampling rates for the shipped `pipeline_sample` query:
     * caps per language; zh is deliberately absent to exercise the

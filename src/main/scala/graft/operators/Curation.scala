@@ -214,6 +214,165 @@ object Curation {
       .orderBy("source", "seq_id")
   }
 
+  /** Packing-efficiency report (r13) — the evaluation companion of
+    * [[packSequences]]: per source, how much sequence capacity each
+    * packing strategy spends to hold the same tokens.
+    *
+    * Three layouts, all deterministic:
+    *  - SPLIT ([[packSequences]]'s contract): documents laid end to end,
+    *    sequence = the maxTokens-aligned region holding the document's
+    *    START. `pad_split` may be NEGATIVE — a sequence overflows by up
+    *    to one document tail instead of padding, and the signed value
+    *    reports which way the layout errs.
+    *  - NOPACK: every document alone, padded to a whole number of
+    *    sequences (ceil(len/maxTokens)) — the no-packing baseline an
+    *    unpacked loader pays.
+    *  - BFD: best-fit-decreasing bin packing, the classic 11/9·OPT+1
+    *    bound — documents sorted by length descending, each placed into
+    *    the fullest bin that still fits, else a new bin. Oversize
+    *    documents are first chunked to capacity (the full chunks are
+    *    bins by definition) and their remainders join the pool.
+    *
+    * Scale shape: the split/nopack stats ride the SAME one-window pass
+    * as `packSequences` (one shuffle on `source`, nothing new), and BFD
+    * is computed from the per-source LENGTH HISTOGRAM — ≤ maxTokens rows
+    * per source BY CONSTRUCTION (remainders live in [1, maxTokens]) — so
+    * the driver state is construction-bounded like the DSIR model, never
+    * O(docs). Equal-length placements batch by residual class
+    * ([[bfdBinsFromHistogram]]), so driver work is O(maxTokens²) per
+    * source worst-case, independent of corpus size; the per-item naive
+    * twin is differential-spec'd against it.
+    */
+  def packReport(docs: DataFrame, maxTokens: Int = 512): DataFrame = {
+    val mx = lit(maxTokens.toLong)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val laid = docs
+      .select(col("source"), col("doc_id"),
+        size(WordCount.tokens(col("text"))).cast("long").as("len"))
+      .withColumn("start_off", sum(col("len")).over(w) - col("len"))
+      .withColumn("seq_id", floor(col("start_off") / mx))
+      .withColumn("rem",
+        when(col("len") >= 1, ((col("len") - 1) % mx) + 1).otherwise(lit(0L)))
+      .withColumn("chunks",
+        when(col("len") >= 1, ((col("len") - col("rem")) / mx).cast("long"))
+          .otherwise(lit(0L)))
+    val agg = laid.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_tokens"),
+      (max(col("seq_id")) + 1).cast("long").as("n_seqs_split"),
+      sum(when(col("len") >= 1, col("chunks") + 1).otherwise(lit(0L)))
+        .as("n_seqs_nopack"),
+      sum(col("chunks")).as("full_chunks"))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val bfd = packBfdRemainderBins(laid, maxTokens)
+      .toSeq.toDF("source", "bfd_rem_bins")
+    agg.join(broadcast(bfd), Seq("source"), "left")
+      .withColumn("n_seqs_bfd",
+        col("full_chunks") + coalesce(col("bfd_rem_bins"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_seqs_split"),
+        round(col("total_tokens") / (col("n_seqs_split") * mx), 6).as("fill_split"),
+        (col("n_seqs_split") * mx - col("total_tokens")).as("pad_split"),
+        col("n_seqs_nopack"),
+        (col("n_seqs_nopack") * mx - col("total_tokens")).as("pad_nopack"),
+        col("n_seqs_bfd"),
+        round(col("total_tokens") / (col("n_seqs_bfd") * mx), 6).as("fill_bfd"),
+        (col("n_seqs_bfd") * mx - col("total_tokens")).as("pad_bfd"))
+      .orderBy("source")
+  }
+
+  /** Per-source BFD bin counts over the REMAINDER pool (oversize full
+    * chunks excluded — they are whole bins by definition and are added
+    * back by the caller). Exposed for the dynamic oracle, which embeds
+    * these as literals the way the centroid fits are embedded.
+    */
+  def packBfdBySource(docs: DataFrame, maxTokens: Int = 512): Map[String, Long] = {
+    val mx = lit(maxTokens.toLong)
+    val laid = docs
+      .select(col("source"),
+        size(WordCount.tokens(col("text"))).cast("long").as("len"))
+      .withColumn("rem",
+        when(col("len") >= 1, ((col("len") - 1) % mx) + 1).otherwise(lit(0L)))
+    packBfdRemainderBins(laid, maxTokens)
+  }
+
+  /** Histogram collect (measured gate) + per-source batched BFD. */
+  private def packBfdRemainderBins(laid: DataFrame,
+      maxTokens: Int): Map[String, Long] = {
+    val hist = laid.filter(col("rem") >= 1)
+      .groupBy("source", "rem").agg(count(lit(1)).as("cnt"))
+    val n = hist.count()
+    require(n <= MaxPackHistogram,
+      s"pack-report histogram has $n rows (> $MaxPackHistogram): too many " +
+        "sources for a driver-side report — aggregate sources first")
+    hist.collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> bfdBinsFromHistogram(
+          rows.map(r => (r.getLong(1), r.getLong(2))).toSeq, maxTokens.toLong)
+      }
+  }
+
+  /** `sources × maxTokens` histogram-row cap for the driver-side BFD —
+    * a report over more sources than this should roll them up first.
+    */
+  private val MaxPackHistogram = 1L << 20
+
+  /** Exact best-fit-decreasing bin count from a length histogram.
+    * `hist` holds (length ∈ [1, max], count); state is a residual→bins
+    * TreeMap, never per-item. Equal-length runs place in closed-form
+    * batches: with items of length L and a bin class of residual R ≥ L
+    * (c bins), per-item best-fit provably fills one bin to R − ⌊R/L⌋·L
+    * before touching the next (the working bin's shrinking residual
+    * stays the smallest fit), so a whole class drains in O(1); a new
+    * bin opened at capacity `max` behaves as a class of its own. The
+    * per-item naive twin in OperatorsSpec certifies equality.
+    */
+  private[graft] def bfdBinsFromHistogram(hist: Seq[(Long, Long)],
+      max: Long): Long = {
+    val res = new java.util.TreeMap[Long, java.lang.Long]()
+    def add(r: Long, c: Long): Unit =
+      if (r > 0 && c > 0) res.merge(r, c, (a, b) => a + b)
+    var bins = 0L
+    for ((len, count) <- hist.sortBy(t => (-t._1, t._2))) {
+      require(len >= 1 && len <= max,
+        s"histogram length $len outside [1, $max]")
+      var k = count
+      while (k > 0) {
+        val ck = res.ceilingEntry(len)
+        if (ck != null) {
+          val r = ck.getKey
+          val c = ck.getValue.longValue
+          val a = r / len
+          if (k >= a * c) {
+            res.remove(r)
+            add(r % len, c)
+            k -= a * c
+          } else {
+            val q = k / a
+            val part = k % a
+            val used = q + (if (part > 0) 1 else 0)
+            if (c - used > 0) res.put(r, c - used) else res.remove(r)
+            add(r % len, q)
+            if (part > 0) add(r - part * len, 1)
+            k = 0
+          }
+        } else {
+          val a = max / len
+          val q = k / a
+          val part = k % a
+          bins += q + (if (part > 0) 1 else 0)
+          add(max % len, q)
+          if (part > 0) add(max - part * len, 1)
+          k = 0
+        }
+      }
+    }
+    bins
+  }
+
   /** Token-budget selection per source: rank documents by quality (ties
     * by doc_id), lay them end to end, and keep every document whose START
     * offset falls inside the per-source token budget — i.e. greedily fill

@@ -62,6 +62,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_curation" -> 466L,
     "pipeline_split" -> 54L,
     "pipeline_pack" -> 62L,
+    "pipeline_pack_report" -> 20L,
     "pipeline_contamination" -> 177L,
     "pipeline_contamination_near" -> 19L,
     "text_scrub" -> 500L,
@@ -227,7 +228,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivfpq_indexed", "ann_mips_lsh",
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",
     "emb_contrastive", "emb_margin_pairs", "pipeline_quality_model",
-    "dedup_embedding", "emb_drift")
+    "dedup_embedding", "emb_drift", "pipeline_pack_report")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

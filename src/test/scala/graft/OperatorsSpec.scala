@@ -460,6 +460,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Seq(("s1", 0L, 2L, 600L), ("s1", 1L, 1L, 100L), ("s2", 0L, 1L, 10L)))
   }
 
+  test("batched-histogram BFD equals per-item best-fit-decreasing bin packing") {
+    import graft.operators.Curation
+    // naive per-item BFD: sort desc, place each item in the fullest bin
+    // that fits (smallest residual), else open a new bin
+    def naive(lengths: Seq[Long], max: Long): Long = {
+      val bins = scala.collection.mutable.ArrayBuffer[Long]()
+      for (l <- lengths.sortBy(-_)) {
+        val fit = bins.zipWithIndex.filter(_._1 >= l)
+        if (fit.isEmpty) bins += (max - l)
+        else { val (r, i) = fit.minBy(_._1); bins(i) = r - l }
+      }
+      bins.size.toLong
+    }
+    def hist(lengths: Seq[Long]): Seq[(Long, Long)] =
+      lengths.groupBy(identity).map { case (l, g) => (l, g.size.toLong) }.toSeq
+    // hand cases: classic BFD shapes + equal-length batching + exact fits
+    val cases = Seq(
+      (Seq(300L, 300L, 100L, 10L), 512L),
+      (Seq.fill(100)(170L), 512L),             // 3 per bin -> 34 bins
+      (Seq(512L, 512L, 1L), 512L),             // exact fits + tiny
+      (Seq(256L, 256L, 256L, 256L), 512L),     // pairwise exact
+      (Seq(400L, 200L, 200L, 100L, 100L, 12L), 512L))
+    for ((ls, mx) <- cases)
+      assert(Curation.bfdBinsFromHistogram(hist(ls), mx) === naive(ls, mx),
+        s"case $ls")
+    // randomized differential (fixed seeds -> deterministic)
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val ls = Seq.fill(200 + rnd.nextInt(300))(1L + rnd.nextInt(512).toLong)
+      assert(Curation.bfdBinsFromHistogram(hist(ls), 512L) === naive(ls, 512L),
+        s"seed $seed")
+    }
+  }
+
+  test("packReport: per-source fill/pad for split vs nopack vs BFD layouts, hand-computed") {
+    // s1: lens 300,300,100 laid contiguously -> split seqs 2 (start 600 in
+    // seq 1), total 700; nopack 3 seqs; BFD: 300+100 in one bin, 300 in
+    // another -> 2 bins. s2: one 10-token doc -> 1/1/1.
+    val d = Seq(
+      (1L, Seq.fill(300)("w").mkString(" "), "s1"),
+      (2L, Seq.fill(300)("w").mkString(" "), "s1"),
+      (3L, Seq.fill(100)("w").mkString(" "), "s1"),
+      (4L, Seq.fill(10)("w").mkString(" "), "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Curation.packReport(d)
+      .select("source", "n_docs", "total_tokens", "n_seqs_split", "pad_split",
+        "n_seqs_nopack", "pad_nopack", "n_seqs_bfd", "pad_bfd")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("s1", 3L, 700L, 2L, 324L, 3L, 836L, 2L, 324L),
+      ("s2", 1L, 10L, 1L, 502L, 1L, 502L, 1L, 502L)))
+    // an oversize doc (1200 tokens) chunks to 2 full bins + a 176 remainder
+    val big = Seq((1L, Seq.fill(1200)("w").mkString(" "), "s3"),
+      (2L, Seq.fill(336)("w").mkString(" "), "s3"))
+      .toDF("doc_id", "text", "source")
+    val bo = graft.operators.Curation.packReport(big)
+      .select("n_seqs_split", "n_seqs_nopack", "n_seqs_bfd")
+      .as[(Long, Long, Long)].collect().head
+    // split: starts 0 and 1200 -> seqs 0 and 2 -> 3; nopack: 3 + 1;
+    // bfd: 2 full chunks + (176 + 336 = 512 exact) 1 bin = 3
+    assert(bo === ((3L, 4L, 3L)))
+  }
+
   test("multimodal metadata matches the stub decoder on byte payloads") {
     val d = docs((5L, "x" * 100))
     val meta = Multimodal.mediaMeta(spark, d)
