@@ -49,6 +49,12 @@ object Bench {
     // one that distinguishes a pre-loaded machine from a quiet run.
     val loadAvgBefore = readLoadAvg()
     val memAvailBeforeKb = readMemAvailKb()
+    // Host-calibration anchor (verdict r12 item 1): a fixed deterministic
+    // CPU+shuffle microbench runs before and after the sweep and is stamped
+    // into the artifact, so a loaded-host window is visible IN the evidence
+    // (compare against the committed HOSTCALIB idle anchors) instead of
+    // needing an out-of-band re-measurement.
+    val calibBefore = graft.tools.HostCalib.run(spark)
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -112,10 +118,13 @@ object Bench {
     // drained mid-sweep).
     val loadAvg = readLoadAvg()
     val memAvailKb = readMemAvailKb()
+    val calibAfter = graft.tools.HostCalib.run(spark)
+    import graft.tools.HostCalib.{compact, verbose}
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""loadavg_before":"$loadAvgBefore","mem_available_before_kb":$memAvailBeforeKb,""" +
       s""""loadavg":"$loadAvg","mem_available_kb":$memAvailKb,""" +
+      s""""calib_before":${verbose(calibBefore)},"calib_after":${verbose(calibAfter)},""" +
       s""""respread":${respread.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${fmt(results)},"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
@@ -156,8 +165,12 @@ object Bench {
       "pipeline_split_safe", "pipeline_dedup_report", "mm_features")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    // Compact calib stamp on the headline line too (the bounded-stdout
+    // artifact the driver actually keeps): [cpu_st, cpu_mt, shuf] seconds,
+    // before ("b") and after ("a") the sweep.
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""calib":{"b":${compact(calibBefore)},"a":${compact(calibAfter)}},""" +
       s""""queries":${fmt(head)},"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing: executor/shutdown log lines must not land
     // after the headline JSON — the driver json-parses the LAST non-empty

@@ -27,6 +27,7 @@ ARTIFACTS=(
   "STREAMBENCH_${SUF}.json"
   "FAULT_${SUF}.summary.json"
   "ANNEVAL_${SUF}.json"
+  "HOSTCALIB_${SUF}.json"
   "CORRECTNESS_sf1.json"
   "REFBENCH.json"
   "SCALE_CURVE.txt"
