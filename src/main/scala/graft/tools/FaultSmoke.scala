@@ -271,6 +271,19 @@ object FaultSmoke {
       ("10:05", "FLUSH", 1L), ("10:06", "ALPHA", 2L))
     println(s"[fault-smoke] streaming sink after kill+restart: $streamed")
 
+    // ---- whole-JVM (driver-loss) phase: the reference's MASTER-fault twin
+    // (run_fault_tests.py:300-313; docs/README.md:199). A separate child
+    // JVM runs the same checkpointed streaming pipeline; kill -9 takes the
+    // whole application — driver included — with a micro-batch in flight,
+    // and a cold restart from the checkpoint must land exactly-once sink
+    // contents. See DriverFault for the in-flight-detection protocol.
+    val driverFault = DriverFault.run(base, spark)
+    println(s"[fault-smoke] driver kill: batch=${driverFault.killedBatch} " +
+      s"inFlight=${driverFault.inFlightKill} exactlyOnce=${driverFault.exactlyOnce} " +
+      s"(attempts=${driverFault.attempts})")
+    if (!driverFault.exactlyOnce)
+      println(s"[fault-smoke] driver-kill sink mismatch:\n  got      ${driverFault.sinkRows}\n  expected ${driverFault.expected}")
+
     // ---- assertions ----
     val (faultHash, faultRows) = faultResult
     val sampleLines = Files.readAllLines(java.nio.file.Paths.get(samples))
@@ -293,7 +306,9 @@ object FaultSmoke {
         (eventLines.toArray(Array.empty[String]).count(_.contains(""""event": "stop"""")) == 2 &&
          eventLines.toArray(Array.empty[String]).count(_.contains(""""event": "start"""")) == 2),
       "streaming_kill_real" -> streamKill.nonEmpty,
-      "streaming_exactly_once" -> (streamed == streamExpected))
+      "streaming_exactly_once" -> (streamed == streamExpected),
+      "driver_kill_in_flight" -> driverFault.inFlightKill,
+      "driver_kill_exactly_once" -> driverFault.exactlyOnce)
     checks.foreach { case (n, ok) => println(s"[fault-smoke] $n: ${if (ok) "PASS" else "FAIL"}") }
 
     // ---- artifacts: timestamp-merged timeline + summary ----
@@ -324,6 +339,11 @@ object FaultSmoke {
           s"""{"executor_id": "$id", "pid": $pid}""" }
           .mkString("[", ", ", "]")),
       "streaming_exactly_once" -> (streamed == streamExpected),
+      "driver_kill" -> Telemetry.Raw(
+        s"""{"in_flight": ${driverFault.inFlightKill}, """ +
+          s""""killed_batch": ${driverFault.killedBatch}, """ +
+          s""""pid": ${driverFault.pid}, "attempts": ${driverFault.attempts}, """ +
+          s""""exactly_once": ${driverFault.exactlyOnce}}"""),
       "executors_removed" -> tracker.removed.get(),
       "executors_added_total" -> tracker.everAdded.get(),
       "min_live_nodes" -> minLive,

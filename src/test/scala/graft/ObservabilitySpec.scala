@@ -216,7 +216,7 @@ class ObservabilitySpec extends AnyFunSuite {
   // local-cluster); committed at the repo root — r5 is the original
   // experiment, r7 the re-run on the current tree. Each committed prefix
   // gets the full parse + assertion pass.
-  for (prefix <- Seq("FAULT_r5", "FAULT_r7"))
+  for (prefix <- Seq("FAULT_r5", "FAULT_r7", "FAULT_r13"))
   test(s"$prefix artifact: real executor kills, recovery, and identical results") {
     import graft.observability.Telemetry
     import graft.sources.JsonLines
@@ -261,9 +261,23 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(s.contains(""""min_live_nodes": 1"""))
     val removedRe = """"executors_removed": (\d+)""".r
     assert(removedRe.findFirstMatchIn(s).map(_.group(1).toInt).exists(_ >= 2))
+    // r13+ artifacts add the whole-JVM (driver-loss) phase — the reference
+    // master-fault twin (run_fault_tests.py:300-313): a SIGKILL of the
+    // entire streaming application with a micro-batch IN FLIGHT, then a
+    // cold checkpoint restart that must land exactly-once sink contents.
+    val hasDriverKill = s.contains(""""driver_kill"""")
+    if (hasDriverKill) {
+      assert(s.contains(""""in_flight": true"""), "driver kill was not mid-micro-batch")
+      assert(s.contains(""""exactly_once": true"""), "driver-loss restart was not exactly-once")
+      val batchRe = """"killed_batch": (\d+)""".r
+      assert(batchRe.findFirstMatchIn(s).map(_.group(1).toInt).exists(_ >= 2),
+        "killed batch should be a post-seed batch")
+    }
     val pidRe = """"pid": (\d+)""".r
-    assert(pidRe.findAllMatchIn(s).map(_.group(1)).toSeq.distinct.size === 3,
-      "expected three distinct killed executor pids (two batch + one streaming)")
+    val expectedPids = if (hasDriverKill) 4 else 3
+    assert(pidRe.findAllMatchIn(s).map(_.group(1)).toSeq.distinct.size === expectedPids,
+      s"expected $expectedPids distinct killed pids (two batch + one streaming" +
+        (if (hasDriverKill) " + one whole-JVM driver)" else ")"))
     tl.unpersist()
   }
 
