@@ -477,6 +477,17 @@ object SparkEntry {
     "pipeline_quality_scores" -> ((s, d) =>
       operators.QualityModel.scoreWith(
         Tables.load(s, d, "documents"), qualityFit(s, d).last._3)),
+    // hashed n-gram (fastText/CCNet-style) quality model: same weak label
+    // and decimal-exact GD in a 33-dim hashed unigram+bigram bucket space
+    // (NgramBuckets kernel). The trajectory is long-form (iter, loss, j, w)
+    // with a dynamic literal oracle; the SCORER's oracle recomputes the
+    // bucket counts independently in DuckDB, verifying the featurizer
+    // cross-engine, not just the fit's determinism.
+    "pipeline_quality_model_ngram" -> ((s, d) =>
+      operators.QualityModel.ngramHistoryDF(s, qualityFitNgram(s, d))),
+    "pipeline_quality_scores_ngram" -> ((s, d) =>
+      operators.QualityModel.scoreWithNgram(
+        Tables.load(s, d, "documents"), qualityFitNgram(s, d).last._3)),
     // relative quality gate: keep docs at/above their language's exact
     // median quality (per-group thresholding, not one global cutoff)
     "pipeline_quality_rel" -> ((s, d) =>
@@ -1489,6 +1500,14 @@ object SparkEntry {
     qualityFitCache.getOrElseUpdate(d,
       operators.QualityModel.trainHistory(Tables.load(s, d, "documents")))
 
+  /** Hashed n-gram quality fit per sf dir — same registry shape. */
+  private val qualityFitNgramCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, Double, Array[Double])]]
+  private def qualityFitNgram(s: SparkSession,
+      d: String): Seq[(Int, Double, Array[Double])] =
+    qualityFitNgramCache.getOrElseUpdate(d,
+      operators.QualityModel.trainHistoryNgram(Tables.load(s, d, "documents")))
+
   /** Learned BPE merge table per sf dir — same registry shape as
     * `qualityFit`: train ONCE, then serve the merge-table query, the
     * encoder query, and the encode oracle's literal merge program from
@@ -2094,6 +2113,9 @@ object SparkEntry {
       ("pipeline_quality_scores" -> qualityScoresSqlFor(
         qualityFit(spark, sfDir).last._3)) +
       ("pipeline_quality_model" -> qualityModelSqlFor(qualityFit(spark, sfDir))) +
+      ("pipeline_quality_model_ngram" -> ngramModelSqlFor(qualityFitNgram(spark, sfDir))) +
+      ("pipeline_quality_scores_ngram" -> ngramScoresSqlFor(
+        qualityFitNgram(spark, sfDir).last._3)) +
       ("dedup_embedding" -> embNearDupSqlFor(
         Similarity.planesFor(embCount(spark, sfDir)))) +
       ("text_bpe_encode" -> bpeEncodeSqlFor(bpeMerges(spark, sfDir)))
@@ -2118,6 +2140,64 @@ object SparkEntry {
     }.mkString(", ")
     s"SELECT * FROM (VALUES $rows) AS t(iter, loss, w_bias, w_len, " +
       "w_punct, w_stop, w_digit, w_tok_len) ORDER BY iter"
+  }
+
+  /** pipeline_quality_model_ngram's dynamic oracle: the hashed n-gram
+    * trajectory in long form (iter, loss, j, w), same string-cast double
+    * literal discipline as qualityModelSqlFor. 8 iters x 34 rows of
+    * literals; the independent anchor is the single-threaded differential
+    * in OperatorsSpec.
+    */
+  private def ngramModelSqlFor(hist: Seq[(Int, Double, Array[Double])]): String = {
+    def dd(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val rows = hist.flatMap { case (t, loss, w) =>
+      w.zipWithIndex.map { case (wj, j) => s"($t, ${dd(loss)}, $j, ${dd(wj)})" }
+    }.mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS t(iter, loss, j, w) ORDER BY iter, j"
+  }
+
+  /** pipeline_quality_scores_ngram's oracle: DuckDB recomputes the hashed
+    * unigram+bigram bucket counts FROM SCRATCH (the PolyHash fold is
+    * cross-engine exact — the dsirSql hashing, mod NgramBucketCount), so
+    * this independently verifies the NgramBuckets kernel, the
+    * normalization, and the logit fold; only the trained weights ride in
+    * as (string-cast, exactly-round-tripped) literals. The z fold mirrors
+    * the engine term-for-term: 33 terms in ascending j order from +0.0,
+    * bias first, zero-count buckets contributing 0.0 terms, count/total
+    * division before the weight multiply.
+    */
+  private def ngramScoresSqlFor(w: Array[Double]): String = {
+    val D = operators.QualityModel.NgramBucketCount
+    val wl = w.map(x => s"'$x'").mkString("[", ", ", "]")
+    def ph(e: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) % $D""".stripMargin
+    s"""WITH wt AS (SELECT list_transform($wl, s -> CAST(s AS DOUBLE)) AS ws),
+       |tk AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ts
+       |  FROM documents),
+       |bs AS (SELECT doc_id, list_concat(
+       |    list_transform(ts, t -> ${ph("t")}),
+       |    CASE WHEN len(ts) >= 2 THEN list_transform(generate_series(1, len(ts) - 1),
+       |      i -> ${ph("(ts[i] || ' ' || ts[i+1])")})
+       |    ELSE [] END) AS b
+       |  FROM tk),
+       |c AS (SELECT doc_id,
+       |    list_transform(generate_series(0, ${D - 1}),
+       |      j -> CAST(len(list_filter(b, e -> e = j)) AS DOUBLE)) AS cnts,
+       |    CAST(len(b) AS DOUBLE) AS tot
+       |  FROM bs),
+       |zt AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(generate_series(1, ${D + 1}), k ->
+       |      (CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+       |            WHEN tot = 0 THEN CAST(0.0 AS DOUBLE)
+       |            ELSE cnts[k - 1] / tot END) * wt.ws[k])),
+       |    (a, x) -> a + x) AS z
+       |  FROM c, wt)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS model_score,
+       |  z >= 0.0 AS keep
+       |FROM zt ORDER BY doc_id""".stripMargin
   }
 
   /** Mirrors QualityModel.scoreWith: the trained weights inlined as

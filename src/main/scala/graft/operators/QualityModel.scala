@@ -77,24 +77,35 @@ object QualityModel {
     * the step and the weights AFTER it.
     */
   def trainHistory(docs: DataFrame, iters: Int = 12,
-      lr: Double = 2.0): Seq[(Int, Double, Array[Double])] = {
-    val feats = features(docs).select("x", "y").localCheckpoint(true)
+      lr: Double = 2.0): Seq[(Int, Double, Array[Double])] =
+    fitHistory(features(docs), Dim, iters, lr)
+
+  /** The GD loop itself, dimension-generic: `feats` must carry
+    * `x: array<double>` of length `dim` and `y: double`. Each iteration is
+    * one aggregation job producing dim+1 decimal sums; everything else
+    * (expression order, decimal casts, clamp) is byte-identical to what
+    * `trainHistory` always did, so the 6-feature fit's committed oracle
+    * literals are unchanged by this refactor.
+    */
+  def fitHistory(featFrame: DataFrame, dim: Int, iters: Int,
+      lr: Double): Seq[(Int, Double, Array[Double])] = {
+    val feats = featFrame.select("x", "y").localCheckpoint(true)
     try {
       val n = feats.count().toDouble
-      var w = Array.fill(Dim)(0.0)
+      var w = Array.fill(dim)(0.0)
       val hist = Seq.newBuilder[(Int, Double, Array[Double])]
       for (t <- 0 until iters) {
         val z = logit(w)
         val p = lit(1.0) / (lit(1.0) + exp(-z))
         val pc = least(greatest(p, lit(LossEps)), lit(1.0 - LossEps))
         val err = p - col("y")
-        val gradAggs = (0 until Dim).map(j =>
+        val gradAggs = (0 until dim).map(j =>
           sum(dec(err * element_at(col("x"), j + 1))).as(s"g$j"))
         val lossAgg = sum(dec(-(col("y") * log(pc) +
           (lit(1.0) - col("y")) * log(lit(1.0) - pc)))).as("loss")
         val row = feats.agg(gradAggs.head, (gradAggs.tail :+ lossAgg): _*).head()
-        val loss = row.getDecimal(Dim).doubleValue / n
-        w = Array.tabulate(Dim)(j => w(j) - lr * row.getDecimal(j).doubleValue / n)
+        val loss = row.getDecimal(dim).doubleValue / n
+        w = Array.tabulate(dim)(j => w(j) - lr * row.getDecimal(j).doubleValue / n)
         hist += ((t, loss, w.clone()))
       }
       hist.result()
@@ -138,6 +149,76 @@ object QualityModel {
     */
   def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame =
     features(docs)
+      .withColumn("z", logit(w))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("model_score"),
+        (col("z") >= 0.0).as("keep"))
+      .orderBy("doc_id")
+
+  // ---- hashed n-gram model (verdict r12 item 5): fastText/CCNet-style ----
+
+  /** Hashed-feature bucket count (small by design: the whole point of the
+    * hashing trick is a FIXED model size regardless of vocabulary — Joulin
+    * et al. '16 use 10M for production fastText; 32 keeps the dynamic
+    * oracle's literal trajectory and the per-iteration gradient row tiny
+    * while exercising the identical shape). Feature vector length is
+    * NgramDim + 1 (bias first).
+    */
+  val NgramBucketCount = 32
+  val NgramDim: Int = NgramBucketCount + 1
+
+  /** Per-document hashed unigram+bigram feature vector: bias 1.0, then
+    * each bucket's count normalized by the document's total feature count
+    * (fastText's mean-of-embeddings normalization specialized to count
+    * features: every x_j lands in [0, 1] and sums to 1, which bounds the
+    * decimal gradient terms and makes the learning rate corpus-length
+    * independent). One shuffle-free NgramBuckets scan builds the counts;
+    * the empty-token-array guard scores x = bias-only instead of 0/0 NaNs.
+    */
+  def ngramFeatures(docs: DataFrame): DataFrame =
+    TextAnalysis.withQualitySignals(
+      docs.withColumn("tokens", WordCount.tokens(col("text"))))
+      .withColumn("bc", graft.functions.NgramBuckets(col("tokens"), NgramBucketCount))
+      .withColumn("tot", aggregate(col("bc"), lit(0L), (a, c) => a + c).cast("double"))
+      .select(col("doc_id"),
+        concat(
+          array(lit(1.0)),
+          when(col("tot") === 0.0,
+            array_repeat(lit(0.0), NgramBucketCount))
+            .otherwise(transform(col("bc"), c => c.cast("double") / col("tot"))))
+          .as("x"),
+        (col("quality") >= 0.5).cast("double").as("y"))
+
+  /** Hashed n-gram fit: same weak label, same decimal-exact GD, 33-dim
+    * hashed feature space. Fewer iterations than the hand-feature fit —
+    * each trajectory row exports NgramDim + 1 literals to the dynamic
+    * oracle, and 8 rounds already show the loss descending.
+    */
+  def trainHistoryNgram(docs: DataFrame, iters: Int = 8,
+      lr: Double = 2.0): Seq[(Int, Double, Array[Double])] =
+    fitHistory(ngramFeatures(docs), NgramDim, iters, lr)
+
+  /** The n-gram training trajectory in LONG form — (iter, loss, j, w):
+    * one row per weight per iteration, because 33 weight columns would be
+    * unreadable and the driver's hash compare is row-shape agnostic.
+    * j = 0 is the bias, j = b + 1 is hash bucket b.
+    */
+  def ngramHistoryDF(spark: org.apache.spark.sql.SparkSession,
+      hist: Seq[(Int, Double, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    hist.flatMap { case (t, loss, w) =>
+      w.zipWithIndex.map { case (wj, j) => (t, loss, j, wj) }
+    }.toDF("iter", "loss", "j", "w").orderBy("iter", "j")
+  }
+
+  /** Score with a trained n-gram model: identical contract to `scoreWith`
+    * (rounded sigmoid + exp-free keep flag), features from the hashed
+    * bucket space. The oracle recomputes the BUCKET COUNTS independently
+    * in DuckDB (the PolyHash fold is cross-engine exact), so this query
+    * verifies the featurizer end to end, not just the fit's determinism.
+    */
+  def scoreWithNgram(docs: DataFrame, w: Array[Double]): DataFrame =
+    ngramFeatures(docs)
       .withColumn("z", logit(w))
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("model_score"),

@@ -156,6 +156,8 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_mix_report" -> 88L,
     "pipeline_quality_model" -> 12L,
     "pipeline_quality_scores" -> 500L,
+    "pipeline_quality_model_ngram" -> 264L, // 8 iters x 33 weights, long-form rows
+    "pipeline_quality_scores_ngram" -> 500L,
     "pipeline_quality_rel" -> 251L,
     "q_events_ohlc" -> 868L,
     "q_events_corr" -> 10L,
@@ -228,6 +230,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivfpq_indexed", "ann_mips_lsh",
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",
     "emb_contrastive", "emb_margin_pairs", "pipeline_quality_model",
+    "pipeline_quality_model_ngram", "pipeline_quality_scores_ngram",
     "dedup_embedding", "emb_drift", "pipeline_pack_report")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {

@@ -1875,6 +1875,82 @@ class OperatorsSpec extends AnyFunSuite {
       s"model agrees with weak labels on only $agree/${docIds.length}")
   }
 
+  test("ngram quality model: hashed-feature GD equals a single-threaded reference bit-for-bit") {
+    import graft.operators.QualityModel
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val iters = 4
+    val hist = QualityModel.trainHistoryNgram(d, iters = iters, lr = 2.0)
+
+    // same reference-GD discipline as the 6-feature test: identical per-row
+    // doubles in identical order, Decimal(38,18)-rounded, summed
+    // sequentially — over the 33-dim hashed feature space this time
+    val feats = QualityModel.ngramFeatures(d).select("x", "y")
+      .as[(Seq[Double], Double)].collect()
+    def decSum18(terms: Iterator[Double]): JBD =
+      terms.foldLeft(JBD.ZERO)((acc, t) =>
+        acc.add(JBD.valueOf(t).setScale(18, RoundingMode.HALF_UP)))
+    var w = Array.fill(QualityModel.NgramDim)(0.0)
+    for (t <- 0 until iters) {
+      val zy = feats.map { case (x, y) =>
+        var z = 0.0
+        var j = 0
+        while (j < QualityModel.NgramDim) { z = z + x(j) * w(j); j += 1 }
+        (x, y, 1.0 / (1.0 + math.exp(-z)))
+      }
+      val grads = (0 until QualityModel.NgramDim).map(j =>
+        decSum18(zy.iterator.map { case (x, y, p) => (p - y) * x(j) }))
+      val loss = decSum18(zy.iterator.map { case (_, y, p) =>
+        val pc = math.min(math.max(p, QualityModel.LossEps),
+          1.0 - QualityModel.LossEps)
+        -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
+      }).doubleValue / feats.length
+      w = Array.tabulate(QualityModel.NgramDim)(j =>
+        w(j) - 2.0 * grads(j).doubleValue / feats.length)
+      assert(hist(t)._2 === loss, s"loss at iter $t")
+      assert(hist(t)._3.toSeq === w.toSeq, s"weights after iter $t")
+    }
+    assert(hist.last._2 < hist.head._2, "hashed-feature fit never descended")
+  }
+
+  test("NgramBuckets: counts equal PolyHash over explicit unigram/bigram strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val D = 16
+    val d = docs(
+      (1L, "the cat sat on the mat"),
+      (2L, "une seule ligne"),
+      (3L, "x"),
+      (4L, ""))
+    val got = d
+      .withColumn("tokens", graft.core.WordCount.tokens(col("text")))
+      .withColumn("bc", graft.functions.NgramBuckets(col("tokens"), D))
+      .select("doc_id", "bc").as[(Long, Seq[Long])].collect().toMap
+    // reference: hash each unigram and each materialized "w1 w2" bigram
+    // string through the SAME PolyHash the MinHash family uses — the
+    // continued-fold composition in the kernel must equal hashing the
+    // actual concatenation
+    def ref(text: String): Seq[Long] = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      val counts = Array.fill(D)(0L)
+      val grams = ts ++ ts.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      grams.foreach { g =>
+        counts((graft.functions.PolyHash.compute(
+          UTF8String.fromString(g)) % D).toInt) += 1
+      }
+      counts.toSeq
+    }
+    for ((id, text) <- Seq((1L, "the cat sat on the mat"),
+        (2L, "une seule ligne"), (3L, "x"), (4L, "")))
+      assert(got(id) === ref(text), s"doc $id")
+    // and the feature frame layout: bias first, normalized buckets sum to
+    // 1 for non-empty docs, all-zero for empty ones
+    val x = graft.operators.QualityModel.ngramFeatures(d)
+      .select("doc_id", "x").as[(Long, Seq[Double])].collect().toMap
+    assert(x(1L).head === 1.0)
+    assert(math.abs(x(1L).tail.sum - 1.0) < 1e-12)
+    assert(x(4L).tail.forall(_ === 0.0))
+  }
+
   test("BPE merges match a single-threaded reference on the classic corpus") {
     import graft.operators.Bpe
     // Sennrich's worked example family: repeated words with shared affixes
