@@ -138,6 +138,11 @@ object SqlSurface {
     s = rewriteRegexpExtractAll(s)
     s = rewriteListSum(s)
     s = rewriteListReduce(s)
+    s = rewriteListReduceSeedless(s)
+    // DuckDB's AS MATERIALIZED is an execution hint (force CTE
+    // materialization), not semantics; Spark's parser has no spelling for
+    // it, and Spark makes its own CTE reuse decisions.
+    s = s.replace(" AS MATERIALIZED (", " AS (")
     s = rewriteQualify(s)
     s = rewriteBrackets(s)
     // LAST: DuckDB's bare decimal literals (0.75) are DOUBLE; Spark parses
@@ -608,6 +613,37 @@ object SqlSurface {
       val lam = s.substring(lpClose + 1, lrClose).trim.stripPrefix(",").trim
       s = s.substring(0, idx) + s"aggregate($list, $init, $lam)" +
         s.substring(lrClose + 1)
+      idx = s.indexOf(marker)
+    }
+    s
+  }
+
+  /** Seedless `list_reduce(L, lam)` (r12 verdict item 6 follow-through):
+    * DuckDB folds with the FIRST ELEMENT as the accumulator seed, which is
+    * `aggregate(slice(L, 2, greatest(size(L) - 1, 0)), element_at(L, 1),
+    * lam)` in Spark — same element order, same lambda, single-element
+    * lists fold to themselves. L is spliced three times, so this runs
+    * AFTER the seeded rewrite (which consumes every
+    * `list_reduce(list_prepend(...)` occurrence) and only the bare form
+    * remains. Empty-list behavior differs (DuckDB errors, Spark yields
+    * NULL) — acceptable for a parity probe whose oracles only fold
+    * non-empty lists; a divergence would surface as DIFF, not silence.
+    */
+  private def rewriteListReduceSeedless(s0: String): String = {
+    val marker = "list_reduce("
+    var s = s0
+    var idx = s.indexOf(marker)
+    while (idx >= 0) {
+      val open = idx + "list_reduce".length
+      val close = findMatch(s, open, '(', ')')
+      if (close < 0) return s0
+      val comma = topLevelComma(s, open + 1, close)
+      if (comma < 0) return s0
+      val list = s.substring(open + 1, comma).trim
+      val lam = s.substring(comma + 1, close).trim
+      s = s.substring(0, idx) +
+        s"aggregate(slice($list, 2, greatest(size($list) - 1, 0)), " +
+        s"element_at($list, 1), $lam)" + s.substring(close + 1)
       idx = s.indexOf(marker)
     }
     s
