@@ -113,6 +113,19 @@ object SparkEntry {
     // filter at source granularity); one corpus scan, ordered KL fold
     "pipeline_source_kl" -> ((s, d) =>
       functions.TextAnalysis.sourceUnigramKl(Tables.load(s, d, "documents"))),
+    // CCNet head/middle/tail: per-language perplexity terciles under the
+    // trusted-slice LM; threshold broadcast + per-row compare, no
+    // corpus-wide window
+    "pipeline_ppl_tiers" -> ((s, d) =>
+      operators.Curation.pplTiers(Tables.load(s, d, "documents"))),
+    // DoReMi-style domain reweighting (static-loss Hedge step): per-source
+    // CE under the reference LM -> exp-weighted mixture smoothed to uniform
+    "pipeline_mix_doremi" -> ((s, d) =>
+      operators.Curation.doremiMixture(Tables.load(s, d, "documents"))),
+    // deterministic sharded epoch shuffle: seed-keyed permutation as
+    // (shard, pos) — reproducible training order, no global sort
+    "pipeline_shuffle" -> ((s, d) =>
+      operators.Curation.epochShuffle(Tables.load(s, d, "documents"))),
     // per-source distinct-n diversity report (TTR + distinct-trigram
     // ratio) — the internal-repetitiveness companion to the KL report
     "text_diversity" -> ((s, d) =>
@@ -346,6 +359,18 @@ object SparkEntry {
     "emb_top_pairs" -> ((s, d) => Similarity.topPairsPerLabel(Tables.load(s, d, "embeddings"))),
     "emb_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))),
     "emb_pool" -> ((s, d) => Similarity.meanPool(Tables.load(s, d, "embeddings"))),
+    // PCA projection + variance report from one registry fit: decimal-
+    // exact moment pass, driver Jacobi on the 64x64 covariance, per-row
+    // VectorDot projections (the whitening pre-step for clustering /
+    // SemDeDup / reduced-dim ANN)
+    "emb_pca" -> ((s, d) => {
+      val (mu, _, comps) = pcaFit(s, d)
+      Similarity.pcaProject(Tables.load(s, d, "embeddings"), mu, comps)
+    }),
+    "emb_pca_report" -> ((s, d) => {
+      val (_, evals, comps) = pcaFit(s, d)
+      Similarity.pcaReport(s, evals, evals.take(comps.length))
+    }),
     "emb_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
     // Embedding snapshot drift monitor: two overlapping corpus versions
     // (vec_id % 3 carve-outs — the disjoint thirds are the churn), fixed
@@ -1508,6 +1533,17 @@ object SparkEntry {
     qualityFitNgramCache.getOrElseUpdate(d,
       operators.QualityModel.trainHistoryNgram(Tables.load(s, d, "documents")))
 
+  /** PCA fit per sf dir (mean, ALL eigenvalues desc, top-k components) —
+    * registry shape: one decimal-exact moment pass + driver Jacobi serves
+    * the projection query, the variance report, and both dynamic oracles.
+    */
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Array[Double], Array[Array[Double]])]
+  private def pcaFit(s: SparkSession,
+      d: String): (Array[Double], Array[Double], Array[Array[Double]]) =
+    pcaCache.getOrElseUpdate(d,
+      operators.Similarity.pcaModel(Tables.load(s, d, "embeddings")))
+
   /** Learned BPE merge table per sf dir — same registry shape as
     * `qualityFit`: train ONCE, then serve the merge-table query, the
     * encoder query, and the encode oracle's literal merge program from
@@ -2085,6 +2121,8 @@ object SparkEntry {
       ("ann_cluster_report" -> clusterReportSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_recall_report" -> ivfRecallSqlFor(kmeansCentroids(spark, sfDir))) +
       ("emb_drift" -> embDriftSqlFor(kmeansCentroids(spark, sfDir))) +
+      ("emb_pca" -> pcaProjectSqlFor(pcaFit(spark, sfDir)._1, pcaFit(spark, sfDir)._3)) +
+      ("emb_pca_report" -> pcaReportSqlFor(pcaFit(spark, sfDir))) +
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
@@ -2140,6 +2178,47 @@ object SparkEntry {
     }.mkString(", ")
     s"SELECT * FROM (VALUES $rows) AS t(iter, loss, w_bias, w_len, " +
       "w_punct, w_stop, w_digit, w_tok_len) ORDER BY iter"
+  }
+
+  /** emb_pca oracle: mean and components ride in as string-cast double
+    * literals (exact round-trip; bare array literals land as DECIMAL and
+    * drift a ulp — the qualityModelSqlFor measurement); DuckDB rebuilds
+    * the centered vector and folds `list_inner_product` in the same
+    * sequential dim order as the engine's VectorDot, rounded to 6.
+    */
+  private def pcaProjectSqlFor(mean: Array[Double],
+      comps: Array[Array[Double]]): String = {
+    val d = mean.length
+    def sArr(a: Array[Double]) =
+      a.map(x => s"'$x'").mkString("list_transform([", ", ", "], s -> CAST(s AS DOUBLE))")
+    val pcCols = comps.zipWithIndex.map { case (p, i) =>
+      s"round(list_inner_product(dv, ${sArr(p)}), 6) AS pc${i + 1}"
+    }.mkString(",\n  ")
+    s"""WITH mu AS (SELECT ${sArr(mean)} AS m),
+       |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dvt AS (SELECT vec_id, label,
+       |  list_transform(generate_series(1, $d), i -> v[i] - mu.m[i]) AS dv
+       |  FROM e, mu)
+       |SELECT vec_id, label,
+       |  $pcCols
+       |FROM dvt ORDER BY vec_id""".stripMargin
+  }
+
+  /** emb_pca_report oracle: the fit's eigenvalue table as literals (the
+    * report IS driver-side model state; its independent anchor is the
+    * orthonormality/reconstruction/variance-identity property suite in
+    * OperatorsSpec, plus emb_pca's cross-engine projection check).
+    */
+  private def pcaReportSqlFor(
+      fit: (Array[Double], Array[Double], Array[Array[Double]])): String = {
+    val (_, evals, comps) = fit
+    val trace = evals.sorted.foldLeft(0.0)(_ + _)
+    def dd(x: Double) =
+      s"CAST('${BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble}' AS DOUBLE)"
+    val rows = evals.take(comps.length).zipWithIndex.map { case (ev, i) =>
+      s"(${i + 1}, ${dd(ev)}, ${dd(ev / trace)})"
+    }.mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS t(component, eigenvalue, var_share) ORDER BY component"
   }
 
   /** pipeline_quality_model_ngram's dynamic oracle: the hashed n-gram
@@ -3016,6 +3095,81 @@ object SparkEntry {
          |    ELSE 0.0 END AS distinct3_ratio
          |FROM us LEFT JOIN ts3 ON us.source = ts3.source
          |ORDER BY us.source""".stripMargin,
+    // Mirrors Curation.pplTiers: the text_lm_cross scoring body, then
+    // per-language tercile thresholds (quantile_cont == Spark percentile;
+    // the >= compares are ulp-safe because every scored mean_logp is
+    // itself an order statistic of the interpolated set — the
+    // relativeQualityFilter boundary argument)
+    "pipeline_ppl_tiers" ->
+      s"""WITH $tokCte,
+         |mx AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS w
+         |       FROM documents WHERE lang = 'en'),
+         |lm AS (SELECT w, COUNT(*) AS n1 FROM mx GROUP BY w),
+         |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM lm),
+         |x AS (SELECT doc_id, unnest(tokens) AS w FROM tok),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM x GROUP BY 1, 2),
+         |s AS (SELECT tf.doc_id, tf.w, tf.tf,
+         |        tf.tf * ln(CAST(lm.n1 AS DOUBLE) / t.t1) AS term_logp
+         |      FROM tf JOIN lm ON tf.w = lm.w, t),
+         |d AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list(term_logp ORDER BY w)),
+         |          (a, b) -> a + b) AS sum_logp
+         |      FROM s GROUP BY doc_id),
+         |sc AS (SELECT d.doc_id, doc.lang, d.n_tokens,
+         |         round(d.sum_logp / d.n_tokens, 6) AS mean_logp
+         |       FROM d JOIN documents doc ON d.doc_id = doc.doc_id),
+         |th AS (SELECT lang,
+         |         quantile_cont(mean_logp, CAST('${1.0 / 3}' AS DOUBLE)) AS t_lo,
+         |         quantile_cont(mean_logp, CAST('${2.0 / 3}' AS DOUBLE)) AS t_hi
+         |       FROM sc GROUP BY lang)
+         |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.mean_logp,
+         |  CASE WHEN sc.mean_logp >= th.t_hi THEN 'head'
+         |       WHEN sc.mean_logp >= th.t_lo THEN 'middle'
+         |       ELSE 'tail' END AS tier
+         |FROM sc JOIN th ON sc.lang = th.lang ORDER BY sc.doc_id""".stripMargin,
+    // Mirrors Curation.doremiMixture: per-source CE under the en-slice
+    // reference LM (term-ordered fold, inner-join vocab semantics), one
+    // Hedge step exp(lr * ce) normalized by a source-ordered fold, uniform
+    // smoothing — every literal a round-tripped double string
+    "pipeline_mix_doremi" ->
+      s"""WITH mx AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS w
+         |       FROM documents WHERE lang = 'en'),
+         |ref AS (SELECT w, COUNT(*) AS n_ref FROM mx GROUP BY w),
+         |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM ref),
+         |sx AS (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS w
+         |       FROM documents),
+         |src AS (SELECT source, w, COUNT(*) AS n_src FROM sx GROUP BY 1, 2),
+         |s AS (SELECT src.source, src.w,  src.n_src,
+         |        -(CAST(src.n_src AS DOUBLE) * ln(CAST(ref.n_ref AS DOUBLE) / t.t_ref)) AS term
+         |      FROM src JOIN ref ON src.w = ref.w, t),
+         |ce AS (SELECT source, CAST(SUM(n_src) AS BIGINT) AS n_tokens, COUNT(*) AS n_terms,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY w)),
+         |           (a, b) -> a + b) AS ce_sum
+         |       FROM s GROUP BY source),
+         |ee AS (SELECT source, n_tokens, n_terms, ce_sum / n_tokens AS ce,
+         |         exp((ce_sum / n_tokens) * CAST('1.0' AS DOUBLE)) AS e FROM ce),
+         |zz AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(e ORDER BY source)),
+         |           (a, b) -> a + b) AS z,
+         |         COUNT(*) AS k FROM ee)
+         |SELECT source, n_tokens, n_terms, round(ce, 6) AS ce,
+         |  round(CAST('${1.0 - 0.1}' AS DOUBLE) * (e / z) +
+         |        CAST('${0.1}' AS DOUBLE) / k, 6) AS weight
+         |FROM ee, zz ORDER BY source""".stripMargin,
+    // Mirrors Curation.epochShuffle: salted PolyHash shard + within-shard
+    // (hash, doc_id) row_number — the permutation itself is cross-engine
+    // verified
+    "pipeline_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split('shuf:42:' || CAST(doc_id AS VARCHAR), ''),
+         |        c -> CAST(ord(c) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647) AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, h, CAST(h % 8 AS INT) AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin,
     // Mirrors Curation.dsirWeights: hashed unigram+bigram buckets (the
     // PolyHash fold % 4096), add-1-smoothed target (lang='en') vs raw
     // bucket models, per-doc cnt * ln-ratio folded in bucket order

@@ -524,6 +524,132 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020 §4.3):
+    * score every document under the trusted-slice LM (`lmScoreCross`,
+    * the cross-corpus CCNet filter), then partition each LANGUAGE into
+    * three tiers by per-language score terciles — head = most
+    * reference-like third, tail = least. CCNet ships head+middle and
+    * drops tail; emitting the assignment (not the filter) lets the
+    * mixture designer pick the cut per run.
+    *
+    * Tier assignment is THRESHOLD-based, not ntile: the two tercile
+    * thresholds per language are a |langs|-row broadcast and the
+    * assignment is a per-row compare — no corpus-wide window partition
+    * (an ntile spelling would drag every doc of a language through ONE
+    * window task; this shape scales like relativeQualityFilter, whose
+    * boundary-safety argument also carries over verbatim: every scored
+    * doc's mean_logp is itself an order statistic of the set the
+    * percentile interpolates over, so `>= threshold` decides identically
+    * even if the two engines' interpolations differ by a ulp). Documents
+    * with zero reference-vocabulary tokens are dropped by lmScoreCross's
+    * inner-join semantics, same as text_lm_cross. At 100 TB swap the
+    * exact percentile for approx_percentile (same plan otherwise), as
+    * documented on relativeQualityFilter.
+    */
+  def pplTiers(docs: DataFrame): DataFrame = {
+    val scores = TextAnalysis.lmScoreCross(docs.filter(col("lang") === "en"), docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val pLo = (1.0 / 3).toString
+    val pHi = (2.0 / 3).toString
+    val thr = scores.groupBy("lang").agg(
+      expr(s"percentile(mean_logp, CAST('$pLo' AS DOUBLE))").as("t_lo"),
+      expr(s"percentile(mean_logp, CAST('$pHi' AS DOUBLE))").as("t_hi"))
+    scores.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("mean_logp"),
+        when(col("mean_logp") >= col("t_hi"), "head")
+          .when(col("mean_logp") >= col("t_lo"), "middle")
+          .otherwise("tail").as("tier"))
+      .orderBy("doc_id")
+  }
+
+  /** DoReMi-style domain reweighting, static-loss form (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — one multiplicative-weights step from uniform with the
+    * per-domain excess loss frozen): each source's cross-entropy under
+    * the trusted-slice reference LM stands in for the proxy model's
+    * excess loss, the Hedge update upweights exp(lr * loss_s), and the
+    * result is smoothed toward uniform by eps exactly as the paper's
+    * final mixture is. Full DoReMi re-estimates losses per step with a
+    * training proxy; with losses static the T-step trajectory collapses
+    * to this closed form, which is the part expressible as one
+    * deterministic dataflow — and the part a mixture designer actually
+    * reads (which domains the reference model finds hard).
+    *
+    * Exactness: per-source CE folds n_{s,w} * (-ln p_ref(w)) over the
+    * source's reference-vocabulary terms IN TERM ORDER (the
+    * sourceUnigramKl discipline); the softmax normalizer folds the
+    * source-cardinality exp terms in source order; every scalar is one
+    * fixed expression; exp is libm-1ulp so emitted values carry the
+    * repo's round-6 rule. Out-of-reference-vocabulary tokens drop
+    * (lmScoreCross's inner-join convention); a source with NO in-vocab
+    * tokens drops entirely.
+    *
+    * Scale shape: one corpus scan to (source, word) counts (map-side
+    * combined), the reference LM re-aggregated from the trusted slice's
+    * own counts, one vocabulary-sized join, and source-cardinality
+    * everything after. No per-doc state at all.
+    */
+  def doremiMixture(docs: DataFrame, lr: Double = 1.0,
+      eps: Double = 0.1): DataFrame = {
+    val ref = docs.filter(col("lang") === "en")
+      .select(explode(WordCount.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_ref"))
+    val tRef = ref.agg(sum(col("n_ref")).cast("long").as("t_ref"))
+    val src = docs
+      .select(col("source"), explode(WordCount.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n_src"))
+    val ce = src.join(ref, Seq("w")).crossJoin(broadcast(tRef))
+      .withColumn("term",
+        -(col("n_src").cast("double") *
+          log(col("n_ref").cast("double") / col("t_ref"))))
+      .groupBy("source")
+      .agg(sum(col("n_src")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        expr("aggregate(array_sort(collect_list(struct(w, term))), " +
+          "cast(0.0 as double), (a, s) -> a + s.term)").as("ce_sum"))
+      .withColumn("ce", col("ce_sum") / col("n_tokens"))
+      .withColumn("e", exp(col("ce") * lit(lr)))
+    val z = ce.agg(
+      expr("aggregate(array_sort(collect_list(struct(source, e))), " +
+        "cast(0.0 as double), (a, s) -> a + s.e)").as("z"),
+      count(lit(1)).as("k"))
+    ce.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        round(col("ce"), 6).as("ce"),
+        round(lit(1.0 - eps) * (col("e") / col("z")) +
+          lit(eps) / col("k"), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  /** Deterministic sharded epoch shuffle — the global-permutation
+    * primitive a training run needs between epochs: every document gets a
+    * seed-keyed pseudorandom shard and a dense position within it, with
+    * the SAME seed always producing the SAME order (reproducible runs,
+    * resumable from any (shard, pos) cursor) and different seeds
+    * producing independent orders. Readers stream shards in parallel;
+    * concatenating shards 0..n-1 in position order IS the epoch
+    * permutation.
+    *
+    * Scale shape: the shard key is a per-row hash projection (no global
+    * sort — a single ORDER BY h over 100 TB would funnel the corpus
+    * through one range sort; here the within-shard window sorts
+    * 1/nShards of the data per partition, embarrassingly parallel).
+    * PolyHash, not xxhash64, for the usual reason: the identical fold is
+    * expressible in the DuckDB oracle, so the permutation itself is
+    * cross-engine verified.
+    */
+  def epochShuffle(docs: DataFrame, seed: Long = 42L,
+      nShards: Int = 8): DataFrame = {
+    val h = PolyHash(concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   /** Corpus mixture report: document and token mass per (source, quality
     * band) with corpus share — the composition dashboard a data team reads
     * before fixing sampling rates. Bands are FIXED quality intervals

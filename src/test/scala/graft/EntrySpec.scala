@@ -158,6 +158,11 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_quality_scores" -> 500L,
     "pipeline_quality_model_ngram" -> 264L, // 8 iters x 33 weights, long-form rows
     "pipeline_quality_scores_ngram" -> 500L,
+    "pipeline_ppl_tiers" -> 500L,
+    "pipeline_mix_doremi" -> 20L,
+    "pipeline_shuffle" -> 500L,
+    "emb_pca" -> 500L,
+    "emb_pca_report" -> 8L,
     "pipeline_quality_rel" -> 251L,
     "q_events_ohlc" -> 868L,
     "q_events_corr" -> 10L,
@@ -231,6 +236,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",
     "emb_contrastive", "emb_margin_pairs", "pipeline_quality_model",
     "pipeline_quality_model_ngram", "pipeline_quality_scores_ngram",
+    "emb_pca", "emb_pca_report",
     "dedup_embedding", "emb_drift", "pipeline_pack_report")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {

@@ -1951,6 +1951,180 @@ class OperatorsSpec extends AnyFunSuite {
     assert(x(4L).tail.forall(_ === 0.0))
   }
 
+  test("jacobiEigen solves a known symmetric system") {
+    import graft.operators.Similarity
+    val (evals, evecs) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = evals.sorted
+    assert(math.abs(sorted(0) - 1.0) < 1e-12 && math.abs(sorted(1) - 3.0) < 1e-12)
+    // eigenvector for lambda=3 is (1,1)/sqrt(2) up to sign
+    val i3 = evals.indexWhere(e => math.abs(e - 3.0) < 1e-12)
+    val v3 = Array(evecs(0)(i3), evecs(1)(i3))
+    assert(math.abs(math.abs(v3(0)) - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(v3(0) - v3(1)) < 1e-12)
+  }
+
+  test("pcaModel: orthonormal components, eigen-identity, descending PSD spectrum") {
+    import graft.operators.Similarity
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (mu, evals, comps) = Similarity.pcaModel(emb, k = 8)
+    val d = mu.length
+    assert(evals.length === d && comps.length === 8)
+    // spectrum: descending and non-negative (covariance is PSD)
+    assert(evals.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    assert(evals.forall(_ >= -1e-9))
+    // components orthonormal
+    for (i <- comps.indices; j <- comps.indices) {
+      val dot = (comps(i), comps(j)).zipped.map(_ * _).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8, s"<p$i, p$j> = $dot")
+    }
+    // eigen identity against an independently recomputed covariance:
+    // C p = lambda p for every kept component
+    val rows = emb.select(org.apache.spark.sql.functions.col("embedding")
+      .cast("array<double>")).as[Seq[Double]].collect()
+    val n = rows.length.toDouble
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- 0 until d)
+      cov(i)(j) = rows.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / n
+    for (ki <- comps.indices) {
+      val p = comps(ki)
+      val cp = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * p(j)).sum)
+      for (i <- 0 until d)
+        assert(math.abs(cp(i) - evals(ki) * p(i)) < 1e-6,
+          s"(C p)_$i != lambda p_$i for component $ki")
+    }
+    // mean is the sample mean
+    for (i <- 0 until d)
+      assert(math.abs(mu(i) - rows.map(_(i)).sum / n) < 1e-9)
+  }
+
+  test("pcaProject: bit-equal to a sequential-fold reference; projections carry the eigenvalues") {
+    import graft.operators.Similarity
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (mu, evals, comps) = Similarity.pcaModel(emb, k = 4)
+    val got = Similarity.pcaProject(emb, mu, comps.take(4))
+      .collect().map(r => r.getLong(0) ->
+        (2 until 2 + 4).map(r.getDouble)).toMap
+    val raw = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    // reference: same centered sequential fold, same HALF_UP round-6
+    for ((id, v) <- raw; (p, k) <- comps.take(4).zipWithIndex) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += (v(i) - mu(i)) * p(i); i += 1 }
+      val want = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)(k) === want, s"pc${k + 1} of vec $id")
+    }
+    // variance identity: biased variance of each projected coordinate
+    // equals its eigenvalue (on the UNROUNDED projections)
+    for ((p, k) <- comps.take(4).zipWithIndex) {
+      val ys = raw.map { case (_, v) =>
+        v.indices.foldLeft(0.0)((a, i) => a + (v(i) - mu(i)) * p(i)) }
+      val m = ys.sum / ys.length
+      val va = ys.map(y => (y - m) * (y - m)).sum / ys.length
+      assert(math.abs(va - evals(k)) < 1e-6 * math.max(1.0, evals(k)),
+        s"var(pc${k + 1}) = $va != ${evals(k)}")
+    }
+  }
+
+  test("pplTiers: per-language tercile assignment is monotone and threshold-exact") {
+    import graft.operators.Curation
+    // two languages; 'en' is the reference slice. Scores separate docs by
+    // how much of their mass is common-vs-rare reference vocabulary.
+    val d = Seq(
+      (1L, "the the the the", "en"), (2L, "the the the rare1", "en"),
+      (3L, "the the rare1 rare2", "en"), (4L, "the rare1 rare2 rare3", "en"),
+      (5L, "rare1 rare2 rare3 rare4", "en"), (6L, "the the the the", "fr"),
+      (7L, "the the rare1 rare2", "fr"), (8L, "rare1 rare2 rare3 rare4", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    val out = Curation.pplTiers(d)
+      .select("doc_id", "lang", "mean_logp", "tier")
+      .as[(Long, String, Double, String)].collect()
+    assert(out.length === 8)
+    // monotone within language: head scores >= middle scores >= tail scores
+    for (lang <- Seq("en", "fr")) {
+      val byTier = out.filter(_._2 == lang).groupBy(_._4)
+        .view.mapValues(_.map(_._3)).toMap
+      for (h <- byTier.getOrElse("head", Array.empty[Double]);
+           m <- byTier.getOrElse("middle", Array.empty[Double])) assert(h >= m)
+      for (m <- byTier.getOrElse("middle", Array.empty[Double]);
+           t <- byTier.getOrElse("tail", Array.empty[Double])) assert(m >= t)
+      // every tier is populated for a 3+-doc language with distinct scores
+      assert(byTier.keySet === Set("head", "middle", "tail"), s"lang $lang tiers")
+    }
+    // the all-common doc is head, the all-rare doc is tail
+    assert(out.find(_._1 == 1L).get._4 === "head")
+    assert(out.find(_._1 == 5L).get._4 === "tail")
+  }
+
+  test("doremiMixture equals a single-threaded reference; weights form a smoothed distribution") {
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "the cat sat on the mat", "en", "news"),
+      (2L, "the dog ran to the cat", "en", "news"),
+      (3L, "alpha beta the gamma", "en", "web"),
+      (4L, "the the cat cat dog", "fr", "web"),
+      (5L, "zork mork the bork", "en", "forum"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val got = Curation.doremiMixture(d)
+      .select("source", "n_tokens", "ce", "weight")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+
+    // reference: en-slice unigram LM, per-source CE over in-vocab tokens
+    // folded in term order, one Hedge step smoothed toward uniform
+    val refCounts = rows.filter(_._3 == "en").flatMap(_._2.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tRef = refCounts.values.sum.toDouble
+    val bySource = rows.groupBy(_._4).view.mapValues(
+      _.flatMap(_._2.split("\\s+")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap.filter(kv => refCounts.contains(kv._1))).toMap
+    val ces = bySource.collect { case (s, m) if m.nonEmpty =>
+      val nTok = m.values.sum
+      val ceSum = m.toSeq.sortBy(_._1).foldLeft(0.0) { case (a, (w, n)) =>
+        a + -(n.toDouble * math.log(refCounts(w).toDouble / tRef)) }
+      s -> (nTok, ceSum / nTok)
+    }
+    val z = ces.toSeq.sortBy(_._1).foldLeft(0.0)((a, kv) => a + math.exp(kv._2._2 * 1.0))
+    val k = ces.size
+    for ((s, nTok, ce, wgt) <- got) {
+      val (rn, rce) = ces(s)
+      assert(nTok === rn, s"n_tokens for $s")
+      assert(ce === BigDecimal(rce).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+        math.abs(ce - rce) < 5e-7, s"ce for $s: got $ce want $rce")
+      val rw = 0.9 * (math.exp(rce * 1.0) / z) + 0.1 / k
+      assert(math.abs(wgt - rw) < 5e-7, s"weight for $s")
+    }
+    // smoothed distribution: sums to 1 within rounding, floor eps/k
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4)
+    assert(got.forall(_._4 >= 0.1 / k - 1e-9))
+    // the most reference-unlike source carries the largest weight
+    val maxCe = got.maxBy(_._3)
+    assert(maxCe._4 === got.map(_._4).max)
+  }
+
+  test("epochShuffle: dense per-shard positions, full permutation, seed-keyed") {
+    import graft.operators.Curation
+    val d = docs((1L to 40L).map(i => (i, s"doc number $i")): _*)
+    val s42 = Curation.epochShuffle(d, seed = 42L, nShards = 4)
+      .as[(Long, Int, Int)].collect()
+    // permutation: every doc exactly once
+    assert(s42.map(_._1).sorted.toSeq === (1L to 40L))
+    // dense 1..n positions within every shard
+    for ((shard, rows) <- s42.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"shard $shard positions not dense")
+    // reproducible: same seed -> identical assignment
+    val again = Curation.epochShuffle(d, seed = 42L, nShards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(s42.toSeq === again.toSeq)
+    // a different seed produces a different order (not a fixed point)
+    val s7 = Curation.epochShuffle(d, seed = 7L, nShards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(s7.map(r => (r._1, r._2, r._3)).toSet !== s42.map(r => (r._1, r._2, r._3)).toSet)
+  }
+
   test("BPE merges match a single-threaded reference on the classic corpus") {
     import graft.operators.Bpe
     // Sennrich's worked example family: repeated words with shared affixes
