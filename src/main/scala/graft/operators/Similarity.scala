@@ -1642,4 +1642,152 @@ object Similarity {
       .select("label", "rnk", "id_a", "id_b", "cos")
       .orderBy("label", "rnk")
   }
+
+  // ---- PCA / whitening (r13): dimensionality reduction for embeddings ----
+
+  /** PCA model of the embedding column: (mean, top-k eigenvalues, top-k
+    * eigenvectors of the biased covariance). The standard pre-step before
+    * clustering/SemDeDup/ANN — projecting 64 dims onto the top principal
+    * components cuts every downstream kernel's per-pair cost by d/k while
+    * keeping most of the variance (reported alongside, so the caller picks
+    * k from evidence, not faith).
+    *
+    * Scale shape: the raw second-moment matrix is ONE aggregation over the
+    * corpus — each row explodes to its d(d+1)/2 upper-triangle products,
+    * map-side combined into per-(i, j) sums; driver traffic is the fixed
+    * 2,080-cell triangle plus the d mean sums, never data-sized (the
+    * k-means-pull discipline). Sums are DECIMAL(38,18) so the fit is
+    * bit-identical under any partitioning — no ordered fold needed,
+    * decimal addition commutes. The d x d eigenproblem is driver-side
+    * cyclic Jacobi (deterministic sweep order, fixed tolerance) — eigen
+    * work is O(d^3) on a 64 x 64 matrix, micro-scale, and NOT distributed
+    * by design; only the moment pass sees data. Eigenvector sign is
+    * canonicalized (largest-|component| entry positive, first index on
+    * ties) so the exported literals are reproducible.
+    */
+  def pcaModel(emb: DataFrame,
+      k: Int = 8): (Array[Double], Array[Double], Array[Array[Double]]) = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column): Column = c.cast(DecimalType(38, 18))
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val d = v.select(size(col("v"))).head().getInt(0)
+    require(k >= 1 && k <= d, s"k=$k outside [1, $d]")
+    val n = v.count().toDouble
+    require(n >= 2, "PCA needs at least two vectors")
+    // one pass: d mean sums + d(d+1)/2 upper-triangle product sums
+    val tri = v.select(explode(expr(
+        s"""flatten(transform(sequence(1, ${d}), i ->
+           |  transform(sequence(i, ${d}), j ->
+           |    struct(i AS i, j AS j,
+           |      element_at(v, i) * element_at(v, j) AS p))))""".stripMargin)).as("t"))
+      .groupBy(col("t.i"), col("t.j")).agg(sum(dec(col("t.p"))).as("s"))
+      .collect()
+    val mu = {
+      val rows = v.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(sum(dec(col("x"))).as("s")).collect()
+      val m = new Array[Double](d)
+      rows.foreach(r => m(r.getInt(0)) = r.getDecimal(1).doubleValue / n)
+      m
+    }
+    val cov = Array.ofDim[Double](d, d)
+    tri.foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
+      val c = r.getDecimal(2).doubleValue / n - mu(i) * mu(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => (-evals(i), i))
+    val top = order.take(k).map { ei =>
+      val vec = Array.tabulate(d)(r => evecs(r)(ei))
+      // sign canon: largest-|x| entry positive, first index on ties
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(m) < 0) vec.map(-_) else vec
+    }.toArray
+    // ALL eigenvalues (descending) ride along so the variance report's
+    // trace denominator needs no second fit
+    (mu, order.map(evals).toArray, top)
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues, column
+    * eigenvectors). Deterministic: fixed (p, q) sweep order, rotation
+    * until the off-diagonal Frobenius mass drops below 1e-12 or 64
+    * sweeps. Textbook two-sided rotations (Golub & Van Loan §8.5).
+    */
+  private[graft] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val vv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d if i != j) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-12 && sweep < 64) {
+      for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) match {
+          case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until d) {
+          val vip = vv(i)(p); val viq = vv(i)(q)
+          vv(i)(p) = c * vip - s * viq
+          vv(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), vv)
+  }
+
+  /** Project every embedding onto the fitted components — one per-row
+    * kernel scan, no shuffle: pc_j = dot(v - mu, comp_j) through the same
+    * sequential-fold `VectorDot` every cosine here uses, so the oracle
+    * (mean + components as literals, `list_inner_product` fold) matches
+    * bit-for-bit; rounded to 6 like every emitted score. Output is wide
+    * (pc1..pck) — the frame a whitened ANN/clustering stage consumes.
+    */
+  def pcaProject(emb: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]]): DataFrame = {
+    val meanLit = array(mean.map(lit(_)): _*)
+    val base = emb.select(col("vec_id"), col("label"),
+      zip_with(col("embedding").cast("array<double>"), meanLit,
+        (a, b) => a - b).as("dv"))
+    val pcs = comps.zipWithIndex.map { case (p, i) =>
+      round(graft.functions.VectorDot(col("dv"), array(p.map(lit(_)): _*)), 6)
+        .as(s"pc${i + 1}")
+    }
+    base.select(col("vec_id") +: col("label") +: pcs.toIndexedSeq: _*)
+      .orderBy("vec_id")
+  }
+
+  /** The model itself as a query result — (component, eigenvalue,
+    * explained-variance share) with the share denominator the full
+    * covariance trace (sum over ALL eigenvalues, folded in index order),
+    * so the report says how much of the corpus's variance the kept
+    * subspace actually carries.
+    */
+  def pcaReport(spark: org.apache.spark.sql.SparkSession,
+      evalsAll: Array[Double], kept: Array[Double]): DataFrame = {
+    import spark.implicits._
+    val trace = evalsAll.sorted.foldLeft(0.0)(_ + _)
+    kept.zipWithIndex.map { case (ev, i) =>
+      (i + 1, BigDecimal(ev).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(ev / trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("component", "eigenvalue", "var_share").orderBy("component")
+  }
 }

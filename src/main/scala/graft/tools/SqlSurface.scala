@@ -116,6 +116,11 @@ object SqlSurface {
     s = """\bord\(""".r.replaceAllIn(s, "ascii(")
     // byte length of the UTF-8 encoding — identical semantics
     s = """\bstrlen\(""".r.replaceAllIn(s, "octet_length(")
+    // bare VARCHAR cast target (DuckDB's canonical string type name);
+    // Spark's parser only accepts VARCHAR with a length — STRING is the
+    // same unbounded type. Scalar casts only; the typed-array pass above
+    // already consumed VARCHAR[] forms.
+    s = """\bAS\s+VARCHAR\b""".r.replaceAllIn(s, "AS STRING")
     // DuckDB's byte-walking Jaro-Winkler is what the engine's native
     // kernel replicates bit-for-bit (FunctionsSpec differential), so the
     // graft SQL registration IS the faithful mapping.

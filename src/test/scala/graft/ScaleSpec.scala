@@ -601,6 +601,45 @@ class ScaleSpec extends AnyFunSuite {
       "scoring must run through the native fold kernel")
   }
 
+  test("PCA projection and ngram-model scoring are shuffle-free scans") {
+    // r13 collected-model family: once the fit (moment pass / GD) is
+    // done, serving must cost ONE scan — no hash exchange, only the
+    // output-edge range partitioning for the orderBy.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (mu, _, comps) = graft.operators.Similarity.pcaModel(emb, k = 4)
+    val w = graft.operators.QualityModel.trainHistoryNgram(docs, iters = 1).last._3
+    val plans = Seq(
+      "emb_pca" -> graft.operators.Similarity.pcaProject(emb, mu, comps),
+      "quality_scores_ngram" -> graft.operators.QualityModel.scoreWithNgram(docs, w))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name serving pass should be shuffle-free:\n$plan")
+      assert(plan.contains("Exchange rangepartitioning"),
+        s"$name should still range-partition at the output edge")
+    }
+  }
+
+  test("ppl tiers broadcast the threshold table; epoch shuffle windows by shard, never globally") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // tier assignment must join the |langs|-row threshold frame as a
+    // broadcast (per-row compare on the scoring scan), not shuffle the
+    // corpus against it
+    val tiersPlan = graft.operators.Curation.pplTiers(docs)
+      .queryExecution.executedPlan.toString
+    assert(tiersPlan.contains("BroadcastHashJoin") || tiersPlan.contains("BroadcastExchange"),
+      s"pplTiers thresholds should broadcast:\n$tiersPlan")
+    // the epoch permutation's only hash exchange is BY SHARD — the
+    // within-shard row_number parallelizes across shards; a global-sort
+    // spelling would funnel the corpus through one ordering
+    val shufPlan = graft.operators.Curation.epochShuffle(docs)
+      .queryExecution.executedPlan.toString
+    assert(shufPlan.contains("hashpartitioning(shard"),
+      s"epochShuffle's window must partition by shard:\n$shufPlan")
+    assert(shufPlan.contains("Window"), "epochShuffle assigns positions via a window")
+  }
+
   test("whole-cell kernels refuse over-occupied cells loudly; cellsFor keeps real layouts far under the bound") {
     import graft.functions.CellPairs
     import graft.operators.Similarity

@@ -27,6 +27,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
   /** Oracle SQL that Spark runs verbatim (pure ANSI). */
   private val verbatim = Set(
     "pipeline_quality_model", "pipeline_quality_model_ngram",
+    "emb_pca_report",
     "q10_returned_items", "q11_important_stock", "q12_late_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_part_cnt", "q17_small_quantity", "q19_disjunctive",
@@ -99,9 +100,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "pipeline_coreset", "text_bpe_encode", "text_encoding",
     "text_diversity", "pipeline_quality_scores_ngram",
     "emb_margin_pairs", "pipeline_dsir_indexed", "pipeline_dsir_weights",
-    "pipeline_pack_report")
+    "pipeline_pack_report",
+    // r13 training-pipeline tranche: CCNet tiers (quantile_cont ->
+    // percentile), DoReMi mixture (ordered folds), epoch shuffle (the
+    // bare-VARCHAR cast mapping), PCA projection (string-cast literal
+    // arrays + list_inner_product -> graft_vector_dot)
+    "pipeline_ppl_tiers", "pipeline_mix_doremi", "pipeline_shuffle",
+    "emb_pca")
 
-  test("167 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("172 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
