@@ -371,6 +371,12 @@ object SparkEntry {
       val (_, evals, comps) = pcaFit(s, d)
       Similarity.pcaReport(s, evals, evals.take(comps.length))
     }),
+    // reduced-dim ANN: candidate scan in the 8-dim PCA space, exact
+    // cosine refine on the over-fetched set (recall-vs-exact in AnnSpec)
+    "ann_pca_topk" -> ((s, d) => {
+      val (mu, _, comps) = pcaFit(s, d)
+      Similarity.pcaTopK(Tables.load(s, d, "embeddings"), mu, comps)
+    }),
     "emb_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
     // Embedding snapshot drift monitor: two overlapping corpus versions
     // (vec_id % 3 carve-outs — the disjoint thirds are the churn), fixed
@@ -2123,6 +2129,7 @@ object SparkEntry {
       ("emb_drift" -> embDriftSqlFor(kmeansCentroids(spark, sfDir))) +
       ("emb_pca" -> pcaProjectSqlFor(pcaFit(spark, sfDir)._1, pcaFit(spark, sfDir)._3)) +
       ("emb_pca_report" -> pcaReportSqlFor(pcaFit(spark, sfDir))) +
+      ("ann_pca_topk" -> pcaTopkSqlFor(pcaFit(spark, sfDir)._1, pcaFit(spark, sfDir)._3)) +
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
@@ -2202,6 +2209,41 @@ object SparkEntry {
        |SELECT vec_id, label,
        |  $pcCols
        |FROM dvt ORDER BY vec_id""".stripMargin
+  }
+
+  /** ann_pca_topk oracle: projections from the same string-cast literals
+    * as emb_pca's oracle (rounded 6, so the candidate ranking is exact),
+    * L2² candidate rank with id tie-break, over-fetch 3k, exact-cosine
+    * refine over the original vectors.
+    */
+  private def pcaTopkSqlFor(mean: Array[Double],
+      comps: Array[Array[Double]]): String = {
+    val d = mean.length
+    def sArr(a: Array[Double]) =
+      a.map(x => s"'$x'").mkString("list_transform([", ", ", "], s -> CAST(s AS DOUBLE))")
+    val pcList = comps.map(p =>
+      s"round(list_inner_product(dv, ${sArr(p)}), 6)").mkString("[", ",\n    ", "]")
+    s"""WITH mu AS (SELECT ${sArr(mean)} AS m),
+       |$normCte,
+       |pr AS (SELECT vec_id, v, nrm,
+       |  $pcList AS p
+       |  FROM (SELECT vec_id, v, nrm,
+       |          list_transform(generate_series(1, $d), i -> v[i] - mu.m[i]) AS dv
+       |        FROM n, mu)),
+       |cand AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    round(list_inner_product(
+       |      list_transform(generate_series(1, ${comps.length}), i -> q.p[i] - c.p[i]),
+       |      list_transform(generate_series(1, ${comps.length}), i -> q.p[i] - c.p[i])), 6) AS d2,
+       |    round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |  FROM pr q JOIN pr c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5),
+       |cr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS crnk
+       |       FROM cand),
+       |rf AS (SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |       FROM cr WHERE crnk <= 15)
+       |SELECT q_id, rnk, n_id, cos FROM rf WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
   }
 
   /** emb_pca_report oracle: the fit's eigenvalue table as literals (the

@@ -1775,6 +1775,48 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Reduced-dimension ANN over the PCA space: the candidate scan ranks
+    * by L2² in the k-dim PROJECTED coordinates (d/k times fewer
+    * multiplies per pair than the raw scan — the reason embeddings get
+    * whitened before retrieval at all), over-fetches `overFetch * k`
+    * candidates per query, and REFINES them by exact cosine on the
+    * original vectors — so the output contract (exact cosines, rank
+    * tie-broken by id) matches `bruteForceTopK` wherever the candidate
+    * set contains the true neighbors. Candidate distances use the same
+    * round-6 projected coordinates `pcaProject` emits, so the candidate
+    * ranking itself is cross-engine exact and the whole pipeline is
+    * oracle-verifiable; the recall-vs-exact property is spec-asserted.
+    * Composes with IVF at scale: project first, bucket the projected
+    * space — the scan here is the in-cell kernel's cheaper inner loop.
+    */
+  def pcaTopK(emb: DataFrame, mean: Array[Double], comps: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, overFetch: Int = 3): DataFrame = {
+    val meanLit = array(mean.map(lit(_)): _*)
+    val proj = withNorm(emb)
+      .withColumn("dv", zip_with(col("v"), meanLit, (a, b) => a - b))
+      .withColumn("p", array(comps.map(c =>
+        round(graft.functions.VectorDot(col("dv"),
+          array(c.map(lit(_)): _*)), 6)).toIndexedSeq: _*))
+      .drop("dv")
+    val q = proj.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("p").as("qp"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = proj.select(col("vec_id").as("n_id"), col("p").as("cp"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val cand = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("pd", zip_with(col("qp"), col("cp"), (a, b) => a - b))
+      .withColumn("d2", round(graft.functions.VectorDot(col("pd"), col("pd")), 6))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    val refined = cand.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= k * overFetch)
+      .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    refined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
   /** The model itself as a query result — (component, eigenvalue,
     * explained-variance share) with the share denominator the full
     * covariance trace (sum over ALL eigenvalues, folded in index order),

@@ -163,6 +163,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_shuffle" -> 500L,
     "emb_pca" -> 500L,
     "emb_pca_report" -> 8L,
+    "ann_pca_topk" -> 25L,
     "pipeline_quality_rel" -> 251L,
     "q_events_ohlc" -> 868L,
     "q_events_corr" -> 10L,
@@ -236,7 +237,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",
     "emb_contrastive", "emb_margin_pairs", "pipeline_quality_model",
     "pipeline_quality_model_ngram", "pipeline_quality_scores_ngram",
-    "emb_pca", "emb_pca_report",
+    "emb_pca", "emb_pca_report", "ann_pca_topk",
     "dedup_embedding", "emb_drift", "pipeline_pack_report")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
