@@ -106,9 +106,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // bare-VARCHAR cast mapping), PCA projection (string-cast literal
     // arrays + list_inner_product -> graft_vector_dot)
     "pipeline_ppl_tiers", "pipeline_mix_doremi", "pipeline_shuffle",
-    "emb_pca")
+    "emb_pca", "ann_pca_topk")
 
-  test("172 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("173 oracle queries run through spark.sql and match the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
