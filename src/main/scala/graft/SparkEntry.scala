@@ -3138,10 +3138,11 @@ object SparkEntry {
          |FROM us LEFT JOIN ts3 ON us.source = ts3.source
          |ORDER BY us.source""".stripMargin,
     // Mirrors Curation.pplTiers: the text_lm_cross scoring body, then
-    // per-language tercile thresholds (quantile_cont == Spark percentile;
-    // the >= compares are ulp-safe because every scored mean_logp is
-    // itself an order statistic of the interpolated set — the
-    // relativeQualityFilter boundary argument)
+    // per-language RANK-BASED tercile thresholds — exact order statistics
+    // from the (lang, score) count table's running-count window, integer
+    // arithmetic only (an interpolated-percentile spelling flipped one
+    // tied score at the 10x gate when the two engines' association
+    // orders rounded the threshold to opposite sides of it)
     "pipeline_ppl_tiers" ->
       s"""WITH $tokCte,
          |mx AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS w
@@ -3161,10 +3162,15 @@ object SparkEntry {
          |sc AS (SELECT d.doc_id, doc.lang, d.n_tokens,
          |         round(d.sum_logp / d.n_tokens, 6) AS mean_logp
          |       FROM d JOIN documents doc ON d.doc_id = doc.doc_id),
-         |th AS (SELECT lang,
-         |         quantile_cont(mean_logp, CAST('${1.0 / 3}' AS DOUBLE)) AS t_lo,
-         |         quantile_cont(mean_logp, CAST('${2.0 / 3}' AS DOUBLE)) AS t_hi
-         |       FROM sc GROUP BY lang)
+         |ct AS (SELECT lang, mean_logp, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+         |cm AS (SELECT lang, mean_logp, c,
+         |         SUM(c) OVER (PARTITION BY lang ORDER BY mean_logp DESC) AS cum
+         |       FROM ct),
+         |nn AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM ct GROUP BY lang),
+         |th AS (SELECT cm.lang,
+         |         max(CASE WHEN cm.cum >= (nn.n + 2) // 3 THEN cm.mean_logp END) AS t_hi,
+         |         max(CASE WHEN cm.cum >= (nn.n * 2 + 2) // 3 THEN cm.mean_logp END) AS t_lo
+         |       FROM cm JOIN nn ON cm.lang = nn.lang GROUP BY cm.lang)
          |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.mean_logp,
          |  CASE WHEN sc.mean_logp >= th.t_hi THEN 'head'
          |       WHEN sc.mean_logp >= th.t_lo THEN 'middle'

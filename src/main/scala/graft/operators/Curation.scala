@@ -536,24 +536,38 @@ object Curation {
     * thresholds per language are a |langs|-row broadcast and the
     * assignment is a per-row compare — no corpus-wide window partition
     * (an ntile spelling would drag every doc of a language through ONE
-    * window task; this shape scales like relativeQualityFilter, whose
-    * boundary-safety argument also carries over verbatim: every scored
-    * doc's mean_logp is itself an order statistic of the set the
-    * percentile interpolates over, so `>= threshold` decides identically
-    * even if the two engines' interpolations differ by a ulp). Documents
-    * with zero reference-vocabulary tokens are dropped by lmScoreCross's
-    * inner-join semantics, same as text_lm_cross. At 100 TB swap the
-    * exact percentile for approx_percentile (same plan otherwise), as
-    * documented on relativeQualityFilter.
+    * window task). Thresholds are EXACT ORDER STATISTICS, not
+    * interpolated percentiles: t_hi = the ceil(n/3)-th largest score =
+    * max{s : |{score >= s}| >= ceil(n/3)}, derived from the per-(lang,
+    * score) COUNT table with a running-count window and integer-only
+    * arithmetic — bit-identical across engines by construction. (The
+    * first spelling used `percentile`; at the 10x gate one language's
+    * interpolation landed within an ulp of an order statistic and the
+    * two engines' association orders rounded the threshold to opposite
+    * sides of a tied score — the measured CORRECTNESS_sf1 flip this
+    * spelling eliminates. Ties at a threshold share a tier, so tiers can
+    * exceed n/3 by the tie mass, which is the standard rank semantics.)
+    *
+    * Scale shape: the running-count window runs over the DISTINCT
+    * (lang, round-6 score) table — bounded by the score grid, orders of
+    * magnitude smaller than the corpus — and the assignment joins the
+    * |langs|-row threshold frame broadcast. Documents with zero
+    * reference-vocabulary tokens are dropped by lmScoreCross's
+    * inner-join semantics, same as text_lm_cross.
     */
   def pplTiers(docs: DataFrame): DataFrame = {
     val scores = TextAnalysis.lmScoreCross(docs.filter(col("lang") === "en"), docs)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-    val pLo = (1.0 / 3).toString
-    val pHi = (2.0 / 3).toString
-    val thr = scores.groupBy("lang").agg(
-      expr(s"percentile(mean_logp, CAST('$pLo' AS DOUBLE))").as("t_lo"),
-      expr(s"percentile(mean_logp, CAST('$pHi' AS DOUBLE))").as("t_hi"))
+    val counts = scores.groupBy("lang", "mean_logp").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("mean_logp").desc)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val n = counts.groupBy("lang").agg(sum(col("c")).as("n"))
+    val thr = cum.join(n, Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        max(when(col("cum") >= expr("(n + 2) div 3"), col("mean_logp"))).as("t_hi"),
+        max(when(col("cum") >= expr("(n * 2 + 2) div 3"), col("mean_logp"))).as("t_lo"))
     scores.join(broadcast(thr), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("mean_logp"),
         when(col("mean_logp") >= col("t_hi"), "head")
