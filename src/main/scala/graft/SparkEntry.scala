@@ -377,6 +377,17 @@ object SparkEntry {
       val (mu, _, comps) = pcaFit(s, d)
       Similarity.pcaTopK(Tables.load(s, d, "embeddings"), mu, comps)
     }),
+    // PCA-bucketed IVF (verdict r13 item 2): vectors projected onto the
+    // kept components, k-means cells fitted IN the projected space, the
+    // index persisted bucketed by cell (no serve-side index exchange —
+    // plan-asserted in ScaleSpec). Probes and the in-cell candidate scan
+    // run in the k-dim projected coordinates (d/k cheaper per pair);
+    // over-fetched survivors refine by exact cosine on the original
+    // vectors. Dynamic oracle replays the whole pipeline from the
+    // mean/component/centroid literals.
+    "ann_pca_ivf_indexed" -> ((s, d) =>
+      Similarity.pcaIvfTopKIndexed(s, ensurePcaIvfIndex(s, d),
+        pcaIvfCentroids(s, d))),
     "emb_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
     // Embedding snapshot drift monitor: two overlapping corpus versions
     // (vec_id % 3 carve-outs — the disjoint thirds are the churn), fixed
@@ -648,9 +659,11 @@ object SparkEntry {
       TextAnalysis.lmScoreCross(
         docs.filter(org.apache.spark.sql.functions.col("lang") === "en"), docs)
     }),
-    // no oracleSql for the TRAINER: iterative merge learning is not
-    // single-statement SQL -> rows-only check; the single-threaded-
-    // reference differential in OperatorsSpec is the correctness anchor.
+    // TRAINER oracle (r14, dynamic): DuckDB replays the trajectory — the
+    // learned pairs enter only as the program; each rank's emitted
+    // (left, right, pair_count) is DuckDB's own recount + argmax at that
+    // state (see bpeMergesSqlFor). The single-threaded-reference
+    // differential in OperatorsSpec remains the independent anchor.
     // Both queries serve from the bpeMerges registry (train once).
     "text_bpe_merges" -> ((s, d) => bpeMergesDF(s, d)),
     // The ENCODER does have an oracle: the learned merge program is
@@ -1462,6 +1475,29 @@ object SparkEntry {
     name
   }
 
+  private def ensurePcaIvfIndex(s: SparkSession, d: String): String = synchronized {
+    val name = "graft_pcaivf_" + indexKey(d, "embeddings")
+    if (!s.catalog.tableExists(name)) {
+      Tables.dropManagedTable(s, name)
+      val (mu, _, comps) = pcaFit(s, d)
+      Similarity.buildPcaIvfIndex(Tables.load(s, d, "embeddings"),
+        mu, comps, pcaIvfCentroids(s, d), name)
+    }
+    name
+  }
+
+  /** Projected-space IVF centroids per sf dir — fitted over the round-6
+    * PCA coordinates from the same registry `pcaFit`; serves the index
+    * build, the query, and the dynamic oracle from one deterministic fit.
+    */
+  private val pcaIvfCentroidsCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Double]]]
+  private def pcaIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    pcaIvfCentroidsCache.getOrElseUpdate(d, {
+      val (mu, _, comps) = pcaFit(s, d)
+      Similarity.fitCentroidsPca(Tables.load(s, d, "embeddings"), mu, comps)
+    })
+
   private def ensureIvfPqIndex(s: SparkSession, d: String): String = synchronized {
     val name = "graft_ivfpq_" + indexKey(d, "embeddings")
     if (!s.catalog.tableExists(name)) {
@@ -2130,6 +2166,8 @@ object SparkEntry {
       ("emb_pca" -> pcaProjectSqlFor(pcaFit(spark, sfDir)._1, pcaFit(spark, sfDir)._3)) +
       ("emb_pca_report" -> pcaReportSqlFor(pcaFit(spark, sfDir))) +
       ("ann_pca_topk" -> pcaTopkSqlFor(pcaFit(spark, sfDir)._1, pcaFit(spark, sfDir)._3)) +
+      ("ann_pca_ivf_indexed" -> pcaIvfSqlFor(pcaFit(spark, sfDir)._1,
+        pcaFit(spark, sfDir)._3, pcaIvfCentroids(spark, sfDir))) +
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
@@ -2163,7 +2201,8 @@ object SparkEntry {
         qualityFitNgram(spark, sfDir).last._3)) +
       ("dedup_embedding" -> embNearDupSqlFor(
         Similarity.planesFor(embCount(spark, sfDir)))) +
-      ("text_bpe_encode" -> bpeEncodeSqlFor(bpeMerges(spark, sfDir)))
+      ("text_bpe_encode" -> bpeEncodeSqlFor(bpeMerges(spark, sfDir))) +
+      ("text_bpe_merges" -> bpeMergesSqlFor(bpeMerges(spark, sfDir)))
 
   /** pipeline_quality_model's dynamic oracle: the engine-trained history
     * re-stated as literal VALUES (Double.toString round-trips exactly;
@@ -2243,6 +2282,55 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |       FROM cr WHERE crnk <= 15)
        |SELECT q_id, rnk, n_id, cos FROM rf WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** ann_pca_ivf_indexed oracle: the full composition replayed from
+    * literals — round-6 projections from the string-cast mean/component
+    * doubles (emb_pca's parity), cell assignment against the
+    * projected-space centroid literals (`|c|^2 - 2<p,c>`, the CellScores
+    * contract in k dims), fixed-rank probe set, candidate L2^2 in the
+    * projected coordinates (round 6, id tie-break), over-fetch 3k, exact
+    * cosine refine on the original vectors.
+    */
+  private def pcaIvfSqlFor(mean: Array[Double], comps: Array[Array[Double]],
+      projCentroids: Array[Array[Double]], nProbe: Int = 2,
+      k: Int = 5, overFetch: Int = 3): String = {
+    val d = mean.length
+    def sArr(a: Array[Double]) =
+      a.map(x => s"'$x'").mkString("list_transform([", ", ", "], s -> CAST(s AS DOUBLE))")
+    val pcList = comps.map(p =>
+      s"round(list_inner_product(dv, ${sArr(p)}), 6)").mkString("[", ",\n    ", "]")
+    val scoreList = projCentroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(p, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH mu AS (SELECT ${sArr(mean)} AS m),
+       |$normCte,
+       |pr AS (SELECT vec_id, v, nrm,
+       |  $pcList AS p
+       |  FROM (SELECT vec_id, v, nrm,
+       |          list_transform(generate_series(1, $d), i -> v[i] - mu.m[i]) AS dv
+       |        FROM n, mu)),
+       |sc AS (SELECT vec_id, v, nrm, p, $scoreList AS scores FROM pr),
+       |wb AS (SELECT vec_id, v, nrm, p, scores,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |q AS (SELECT vec_id AS q_id, p AS qp, v AS qv, nrm AS qn,
+       |        unnest(list_distinct(list_transform(generate_series(1, $nProbe),
+       |          r -> CAST(list_position(scores, list_sort(scores)[r]) AS INT)))) AS probe
+       |      FROM wb WHERE vec_id < 5),
+       |cand AS (SELECT q.q_id, c.vec_id AS n_id,
+       |    round(list_inner_product(
+       |      list_transform(generate_series(1, ${comps.length}), i -> q.qp[i] - c.p[i]),
+       |      list_transform(generate_series(1, ${comps.length}), i -> q.qp[i] - c.p[i])), 6) AS d2,
+       |    round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+       |  FROM q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),
+       |cr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS crnk
+       |       FROM cand),
+       |rf AS (SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |       FROM cr WHERE crnk <= ${k * overFetch})
+       |SELECT q_id, rnk, n_id, cos FROM rf WHERE rnk <= $k
        |ORDER BY q_id, rnk""".stripMargin
   }
 
@@ -2381,6 +2469,53 @@ object SparkEntry {
        |  CASE WHEN a.n_words > 0
        |       THEN CAST(a.n_tokens AS DOUBLE) / a.n_words END AS fertility
        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** text_bpe_merges oracle (verdict r13 item 5 — promotes the trainer
+    * from rows-only to a real cross-engine check): DuckDB REPLAYS the
+    * training trajectory. The learned merge pairs ride in only as the
+    * PROGRAM under verification (like the encode oracle); every emitted
+    * row is DuckDB's own recomputation — the `enc` recursion from
+    * `bpeEncodeSqlFor` yields the vocabulary's symbol state after each
+    * rank prefix, and at each state DuckDB re-counts all adjacent pairs
+    * over the word-frequency table and takes the argmax (count desc,
+    * pair lexicographic — the engine's exact tie-break; symbols here are
+    * BMP text, where UTF-8 byte order == Java's UTF-16 order). If the
+    * engine's rank-r merge were not the true argmax given its own first
+    * r-1 merges, rank r's (left, right, pair_count) would differ and the
+    * hash gate fails. Termination: the recursion is depth-bounded by the
+    * literal program length (12 ranks).
+    */
+  private def bpeMergesSqlFor(ms: Seq[(Int, String, String, Long)]): String = {
+    require(ms.nonEmpty, "empty merge table")
+    def esc(s: String) = s.replace("'", "''")
+    val values = ms
+      .map { case (r, l, rt, _) => s"($r, '${esc(l)}', '${esc(rt)}')" }
+      .mkString(", ")
+    s"""WITH RECURSIVE $tokCte,
+       |m(rank, l, r) AS (SELECT * FROM (VALUES $values)),
+       |words AS (SELECT unnest(tokens) AS w FROM tok),
+       |wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+       |enc AS (
+       |  SELECT w, 0 AS rank, string_split(w, '') || ['</w>'] AS toks FROM (SELECT DISTINCT w FROM wc)
+       |  UNION ALL
+       |  SELECT e.w, e.rank + 1,
+       |    list_reduce(list_transform(e.toks, t -> [t]), (acc, x) ->
+       |      CASE WHEN acc[-1] = m.l AND x[1] = m.r
+       |           THEN acc[1:len(acc)-1] || [m.l || m.r]
+       |           ELSE acc || x END)
+       |  FROM enc e JOIN m ON m.rank = e.rank),
+       |pc AS (SELECT e.rank, p.a, p.b, CAST(SUM(wc.n) AS BIGINT) AS cnt
+       |  FROM enc e JOIN wc USING (w),
+       |    LATERAL (SELECT unnest(list_transform(generate_series(1, len(e.toks) - 1),
+       |      i -> {'a': e.toks[i], 'b': e.toks[i + 1]}), recursive := true)) AS p
+       |  WHERE e.rank < ${ms.length} AND len(e.toks) >= 2
+       |  GROUP BY 1, 2, 3),
+       |am AS (SELECT rank, a, b, cnt,
+       |    row_number() OVER (PARTITION BY rank ORDER BY cnt DESC, a, b) AS rn
+       |  FROM pc)
+       |SELECT rank, a AS left, b AS right, cnt AS pair_count
+       |FROM am WHERE rn = 1 ORDER BY rank""".stripMargin
   }
 
   /** Shared int8-quantization CTE prefix (mirrors Similarity.withQuantized). */

@@ -1652,10 +1652,12 @@ object Similarity {
     * keeping most of the variance (reported alongside, so the caller picks
     * k from evidence, not faith).
     *
-    * Scale shape: the raw second-moment matrix is ONE aggregation over the
-    * corpus — each row explodes to its d(d+1)/2 upper-triangle products,
-    * map-side combined into per-(i, j) sums; driver traffic is the fixed
-    * 2,080-cell triangle plus the d mean sums, never data-sized (the
+    * Scale shape: count, means, AND the raw second-moment matrix are ONE
+    * aggregation over the corpus — each row explodes to a count cell, its
+    * d mean cells, and its d(d+1)/2 upper-triangle products, map-side
+    * combined into per-(i, j) sums; the only other data touch is the
+    * limit-1 dimensionality probe. Driver traffic is the fixed
+    * 2,080-cell triangle plus d+1 moment cells, never data-sized (the
     * k-means-pull discipline). Sums are DECIMAL(38,18) so the fit is
     * bit-identical under any partitioning — no ordered fold needed,
     * decimal addition commutes. The d x d eigenproblem is driver-side
@@ -1672,28 +1674,42 @@ object Similarity {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val d = v.select(size(col("v"))).head().getInt(0)
     require(k >= 1 && k <= d, s"k=$k outside [1, $d]")
-    val n = v.count().toDouble
-    require(n >= 2, "PCA needs at least two vectors")
-    // one pass: d mean sums + d(d+1)/2 upper-triangle product sums
-    val tri = v.select(explode(expr(
-        s"""flatten(transform(sequence(1, ${d}), i ->
-           |  transform(sequence(i, ${d}), j ->
-           |    struct(i AS i, j AS j,
-           |      element_at(v, i) * element_at(v, j) AS p))))""".stripMargin)).as("t"))
+    // ONE corpus aggregation (verdict r13 item 3): each row explodes to
+    //   (0,0)   -> 1.0                  the row count
+    //   (0,j)   -> v_j                  the d mean sums
+    //   (i,j)   -> v_i * v_j, i<=j      the d(d+1)/2 product sums
+    // so count, means, and second moments ride the SAME map-side-combined
+    // pass; the decimal sums are cell-for-cell the values the former
+    // three-job spelling produced (decimal addition commutes, so folding
+    // the extra cells into one shuffle changes no sum), keeping the fit
+    // bit-identical. Only the d-probe head() above touches data besides
+    // this aggregation — asserted in OperatorsSpec's job-count test.
+    val cells = v.select(explode(expr(
+        s"""concat(
+           |  array(struct(0 AS i, 0 AS j, cast(1.0 AS double) AS p)),
+           |  transform(sequence(1, ${d}), j -> struct(0 AS i, j AS j,
+           |    element_at(v, j) AS p)),
+           |  flatten(transform(sequence(1, ${d}), i ->
+           |    transform(sequence(i, ${d}), j ->
+           |      struct(i AS i, j AS j,
+           |        element_at(v, i) * element_at(v, j) AS p)))))""".stripMargin)).as("t"))
       .groupBy(col("t.i"), col("t.j")).agg(sum(dec(col("t.p"))).as("s"))
       .collect()
-    val mu = {
-      val rows = v.select(posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("i").agg(sum(dec(col("x"))).as("s")).collect()
-      val m = new Array[Double](d)
-      rows.foreach(r => m(r.getInt(0)) = r.getDecimal(1).doubleValue / n)
-      m
+    val n = cells.find(r => r.getInt(0) == 0 && r.getInt(1) == 0)
+      .get.getDecimal(2).doubleValue
+    require(n >= 2, "PCA needs at least two vectors")
+    val mu = new Array[Double](d)
+    cells.foreach { r =>
+      if (r.getInt(0) == 0 && r.getInt(1) > 0)
+        mu(r.getInt(1) - 1) = r.getDecimal(2).doubleValue / n
     }
     val cov = Array.ofDim[Double](d, d)
-    tri.foreach { r =>
-      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
-      val c = r.getDecimal(2).doubleValue / n - mu(i) * mu(j)
-      cov(i)(j) = c; cov(j)(i) = c
+    cells.foreach { r =>
+      if (r.getInt(0) > 0) {
+        val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
+        val c = r.getDecimal(2).doubleValue / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
     }
     val (evals, evecs) = jacobiEigen(cov)
     val order = evals.indices.sortBy(i => (-evals(i), i))
@@ -1710,8 +1726,14 @@ object Similarity {
 
   /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues, column
     * eigenvectors). Deterministic: fixed (p, q) sweep order, rotation
-    * until the off-diagonal Frobenius mass drops below 1e-12 or 64
-    * sweeps. Textbook two-sided rotations (Golub & Van Loan §8.5).
+    * until the off-diagonal Frobenius mass drops below a RELATIVE
+    * tolerance (1e-24 x the input's squared Frobenius norm — Jacobi
+    * converges quadratically, so 64 sweeps is far past sufficient for
+    * any d=64 input) or 64 sweeps; non-convergence fails LOUDLY rather
+    * than baking drifted eigenpairs into committed oracle literals
+    * (advice r13: an absolute 1e-12 cutoff silently under-converges when
+    * covariance entries are large). Textbook two-sided rotations (Golub
+    * & Van Loan §8.5).
     */
   private[graft] def jacobiEigen(
       a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
@@ -1723,8 +1745,17 @@ object Similarity {
       for (i <- 0 until d; j <- 0 until d if i != j) s += a(i)(j) * a(i)(j)
       s
     }
+    // relative threshold: ||offdiag||_F^2 <= 1e-24 * ||A||_F^2, with the
+    // old absolute 1e-12 as the floor so all-zero/tiny matrices still
+    // terminate immediately
+    val fro2 = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d) s += a0(i)(j) * a0(i)(j)
+      s
+    }
+    val tol = math.max(1e-24 * fro2, 1e-12)
     var sweep = 0
-    while (off() > 1e-12 && sweep < 64) {
+    while (off() > tol && sweep < 64) {
       for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-300) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
         val t = math.signum(theta) match {
@@ -1751,6 +1782,8 @@ object Similarity {
       }
       sweep += 1
     }
+    require(off() <= tol,
+      s"jacobiEigen did not converge in $sweep sweeps: off=${off()} > tol=$tol")
     (Array.tabulate(d)(i => a(i)(i)), vv)
   }
 
@@ -1788,22 +1821,124 @@ object Similarity {
     * oracle-verifiable; the recall-vs-exact property is spec-asserted.
     * Composes with IVF at scale: project first, bucket the projected
     * space — the scan here is the in-cell kernel's cheaper inner loop.
+    * That composition is shipped as [[buildPcaIvfIndex]] /
+    * [[pcaIvfTopKIndexed]] (r14); this flat scan remains the exact-refine
+    * baseline, mirroring `bruteForceTopK` vs the IVF family.
     */
-  def pcaTopK(emb: DataFrame, mean: Array[Double], comps: Array[Array[Double]],
-      nQueries: Int = 5, k: Int = 5, overFetch: Int = 3): DataFrame = {
+  /** (vec_id, v, nrm, p): the original vectors plus their round-6 PCA
+    * coordinates — the shared per-row projection every reduced-dim
+    * consumer (flat scan, bucketed index build, in-memory twin) runs, so
+    * all of them see bit-identical `p` by construction.
+    */
+  private def withProj(emb: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]]): DataFrame = {
     val meanLit = array(mean.map(lit(_)): _*)
-    val proj = withNorm(emb)
+    withNorm(emb)
       .withColumn("dv", zip_with(col("v"), meanLit, (a, b) => a - b))
       .withColumn("p", array(comps.map(c =>
         round(graft.functions.VectorDot(col("dv"),
           array(c.map(lit(_)): _*)), 6)).toIndexedSeq: _*))
       .drop("dv")
+  }
+
+  def pcaTopK(emb: DataFrame, mean: Array[Double], comps: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, overFetch: Int = 3): DataFrame = {
+    val proj = withProj(emb, mean, comps)
     val q = proj.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("p").as("qp"),
         col("v").as("qv"), col("nrm").as("qn"))
     val c = proj.select(col("vec_id").as("n_id"), col("p").as("cp"),
       col("v").as("nv"), col("nrm").as("nn"))
     val cand = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("pd", zip_with(col("qp"), col("cp"), (a, b) => a - b))
+      .withColumn("d2", round(graft.functions.VectorDot(col("pd"), col("pd")), 6))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    val refined = cand.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= k * overFetch)
+      .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    refined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** k-means centroids fitted in the PROJECTED coordinates — the codebook
+    * for the PCA-bucketed IVF index. Same deterministic fit as
+    * `fitCentroids` (hash-gated sample, ordered sums), run over the
+    * round-6 projections, so the centroids export as literals and the
+    * oracle reproduces every cell assignment exactly. Assignment cost per
+    * row is k x nCells multiplies instead of d x nCells — the d/k saving
+    * the projection buys, paid on every index build AND every query.
+    */
+  def fitCentroidsPca(emb: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]], nCentroids: Int = 16, iters: Int = 8,
+      sampleMod: Int = 2): Array[Array[Double]] =
+    fitCentroids(
+      withProj(emb, mean, comps).select(col("vec_id"), col("p").as("embedding")),
+      nCentroids, iters, sampleMod)
+
+  /** Persist the PCA-bucketed IVF index (verdict r13 item 2 — the
+    * composition `pcaTopK`'s scaladoc promises): rows carry the original
+    * vector + norm (for the exact refine), the round-6 projected
+    * coordinates (the cheap candidate metric), and the cell assigned in
+    * the PROJECTED space, written BUCKETED BY cell like `buildIvfIndex`
+    * so serves never shuffle the index side. Storage adds k doubles/row
+    * next to the d-dim vector; at a 64->8 reduction that is +12.5%,
+    * bought back on the first probe (every in-cell candidate costs k
+    * multiplies instead of d).
+    */
+  def buildPcaIvfIndex(emb: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]], projCentroids: Array[Array[Double]],
+      table: String, buckets: Int = 8): Unit =
+    withProj(emb, mean, comps)
+      .withColumn("scores", graft.functions.CellScores(col("p"), projCentroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("vec_id", "v", "nrm", "p", "cell")
+      .write.bucketBy(buckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(table)
+
+  /** Serve reduced-dim ANN from the persisted PCA-bucketed index: probe
+    * cells come from the query's PROJECTED coordinates against the same
+    * projected-space centroid literals; the index side streams straight
+    * out of its buckets (no exchange — plan-asserted in ScaleSpec); the
+    * in-cell candidate scan ranks by L2^2 in the k-dim projected space
+    * (d/k cheaper per pair than the flat IVF's exact in-cell cosine);
+    * the over-fetched survivors are refined by exact cosine on the
+    * original vectors, so every emitted cosine is bit-equal to brute
+    * force. The whole pipeline is cross-engine exact: round-6
+    * projections, literal centroids, round-6 candidate distances, id
+    * tie-breaks — `pcaIvfSqlFor` replays it in DuckDB.
+    */
+  def pcaIvfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, projCentroids: Array[Array[Double]], nQueries: Int = 5,
+      k: Int = 5, nProbe: Int = 2, overFetch: Int = 3): DataFrame =
+    pcaIvfServe(spark.table(table), projCentroids, nQueries, k, nProbe, overFetch)
+
+  /** In-memory twin of the indexed serve (the differential spec's anchor:
+    * indexed == in-memory == oracle over the same fit/centroids).
+    */
+  def pcaIvfTopK(emb: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]], projCentroids: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2,
+      overFetch: Int = 3): DataFrame = {
+    val assigned = withProj(emb, mean, comps)
+      .withColumn("scores", graft.functions.CellScores(col("p"), projCentroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("vec_id", "v", "nrm", "p", "cell")
+    pcaIvfServe(assigned, projCentroids, nQueries, k, nProbe, overFetch)
+  }
+
+  private def pcaIvfServe(idx: DataFrame, projCentroids: Array[Array[Double]],
+      nQueries: Int, k: Int, nProbe: Int, overFetch: Int): DataFrame = {
+    val q = idx.filter(col("vec_id") < nQueries)
+      .withColumn("scores", graft.functions.CellScores(col("p"), projCentroids))
+      .withColumn("probe", explode(probeArr(nProbe)))
+      .select(col("vec_id").as("q_id"), col("p").as("qp"),
+        col("v").as("qv"), col("nrm").as("qn"), col("probe"))
+    val cc = idx.select(col("vec_id").as("n_id"), col("p").as("cp"),
+      col("v").as("nv"), col("nrm").as("nn"), col("cell").as("n_cell"))
+    val cand = q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id"))
       .withColumn("pd", zip_with(col("qp"), col("cp"), (a, b) => a - b))
       .withColumn("d2", round(graft.functions.VectorDot(col("pd"), col("pd")), 6))
     val wc = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))

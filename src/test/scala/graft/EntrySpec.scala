@@ -164,6 +164,7 @@ class EntrySpec extends AnyFunSuite {
     "emb_pca" -> 500L,
     "emb_pca_report" -> 8L,
     "ann_pca_topk" -> 25L,
+    "ann_pca_ivf_indexed" -> 25L,
     "pipeline_quality_rel" -> 251L,
     "q_events_ohlc" -> 868L,
     "q_events_corr" -> 10L,
@@ -217,13 +218,12 @@ class EntrySpec extends AnyFunSuite {
     *    across engines/partitionings; only the superset + error-bound
     *    guarantees are portable. Spec: both guarantees asserted
     *    (OperatorsSpec "Misra-Gries sketch honors").
-    *  - text_bpe_merges: the merge FIXPOINT is deterministic but the SQL
-    *    spelling of an iterative merge loop isn't expressible in one
-    *    DuckDB query; spec holds a single-threaded differential
-    *    (OperatorsSpec BPE fixpoint tests).
+    *  (text_bpe_merges graduated in r14: its dynamic oracle replays the
+    *  training trajectory — DuckDB recounts each rank's pair table and
+    *  recomputes the argmax; see bpeMergesSqlFor.)
     */
   private val noOracle = Set("q_events_daily_active_approx", "q_order_percentiles_approx",
-    "text_heavyhitters_sketch", "text_bpe_merges")
+    "text_heavyhitters_sketch")
 
   /** Queries whose oracle is data-dependent (fitted centroids exported as
     * literals) and therefore generated per sf dir by `oracleSqlDynamic`,
@@ -237,8 +237,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",
     "emb_contrastive", "emb_margin_pairs", "pipeline_quality_model",
     "pipeline_quality_model_ngram", "pipeline_quality_scores_ngram",
-    "emb_pca", "emb_pca_report", "ann_pca_topk",
-    "dedup_embedding", "emb_drift", "pipeline_pack_report")
+    "emb_pca", "emb_pca_report", "ann_pca_topk", "ann_pca_ivf_indexed",
+    "dedup_embedding", "emb_drift", "pipeline_pack_report", "text_bpe_merges")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

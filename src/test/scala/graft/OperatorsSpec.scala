@@ -2027,6 +2027,30 @@ class OperatorsSpec extends AnyFunSuite {
       assert(math.abs(mu(i) - rows.map(_(i)).sum / n) < 1e-9)
   }
 
+  test("pcaModel: count+mean+moments ride ONE corpus aggregation (job count)") {
+    import graft.operators.Similarity
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.write.format("noop").mode("overwrite").save() // warm the scan
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (mu, evals, comps) = try {
+      val fit = Similarity.pcaModel(emb, k = 4)
+      Thread.sleep(300) // listener bus is async; let the last event land
+      fit
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // limit-1 dimensionality probe (1 job) + the single moment
+    // aggregation (collect; <= 3 jobs under AQE's staged materialization).
+    // The former spelling ran two EXTRA corpus scans (count + mean agg).
+    assert(jobs.get() >= 2 && jobs.get() <= 4,
+      s"pcaModel launched ${jobs.get()} jobs; expected probe + one aggregation (2..4)")
+    assert(mu.length === 64 && comps.length === 4 && evals.length === 64)
+  }
+
   test("pcaProject: bit-equal to a sequential-fold reference; projections carry the eigenvalues") {
     import graft.operators.Similarity
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -163,6 +163,48 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("PCA-bucketed IVF index: projected cells, bucket-served, indexed == in-memory") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (mu, _, comps) = Similarity.pcaModel(emb, k = 8)
+    val cents = Similarity.fitCentroidsPca(emb, mu, comps, nCentroids = 8)
+    try {
+      // projected-space centroids live in k dims, not d
+      assert(cents.forall(_.length === comps.length))
+      Similarity.buildPcaIvfIndex(emb, mu, comps, cents, "pcaivf_idx", buckets = 4)
+      // the index carries the original vector (exact refine), its norm,
+      // the k-dim projection (cheap candidate metric), and the cell
+      assert(spark.table("pcaivf_idx").columns.toSet ===
+        Set("vec_id", "v", "nrm", "p", "cell"))
+      // indexed serve == in-memory twin over the same fit/centroids
+      val fromIndex = Similarity.pcaIvfTopKIndexed(spark, "pcaivf_idx", cents)
+      val inMemory = Similarity.pcaIvfTopK(emb, mu, comps, cents)
+      val got = fromIndex.collect().toSeq
+      assert(got === inMemory.collect().toSeq)
+      assert(got.nonEmpty)
+      // every emitted cosine is the EXACT cosine: wherever (q, n) also
+      // appears in brute-force top-k, the rounded cosines agree
+      val brute = Similarity.bruteForceTopK(emb)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      for (r <- got; exact <- brute.get((r.getLong(0), r.getLong(2))))
+        assert(r.getDouble(3) === exact)
+      // the index side is consumed AS BUCKETED: no exchange of its own
+      val idx = spark.table("pcaivf_idx")
+        .select(col("vec_id").as("n_id"), col("p").as("cp"), col("cell").as("n_cell"))
+      val probes = spark.table("pcaivf_idx").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("cell").as("probe"))
+      val joined = probes.hint("merge").join(idx, col("probe") === col("n_cell"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"index side must not re-shuffle (expected <=1 exchange for the probe side):\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pcaivf_idx")
+    }
+  }
+
   test("persisted set-sim index: bucketed postings/sets serve without index-side exchange") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, dir, "documents")
