@@ -380,13 +380,15 @@ object SparkEntry {
     // PCA-bucketed IVF (verdict r13 item 2): vectors projected onto the
     // kept components, k-means cells fitted IN the projected space, the
     // index persisted bucketed by cell (no serve-side index exchange —
-    // plan-asserted in ScaleSpec). Probes and the in-cell candidate scan
-    // run in the k-dim projected coordinates (d/k cheaper per pair);
-    // over-fetched survivors refine by exact cosine on the original
-    // vectors. Dynamic oracle replays the whole pipeline from the
+    // plan-asserted in ScaleSpec). Served through the CellQueryTopKPca
+    // whole-cell kernel: the in-cell candidate scan ranks by projected
+    // L2² at k multiplies per pair (d/k cheaper), and only each query's
+    // top-m survivors pay the exact d-dim cosine — in-kernel, no second
+    // join. Join+window spelling is the differential twin (ScaleSpec);
+    // dynamic oracle replays the whole pipeline from the
     // mean/component/centroid literals.
     "ann_pca_ivf_indexed" -> ((s, d) =>
-      Similarity.pcaIvfTopKIndexed(s, ensurePcaIvfIndex(s, d),
+      Similarity.pcaIvfTopKIndexedKernel(s, ensurePcaIvfIndex(s, d),
         pcaIvfCentroids(s, d))),
     "emb_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
     // Embedding snapshot drift monitor: two overlapping corpus versions
@@ -2505,12 +2507,13 @@ object SparkEntry {
        |           THEN acc[1:len(acc)-1] || [m.l || m.r]
        |           ELSE acc || x END)
        |  FROM enc e JOIN m ON m.rank = e.rank),
-       |pc AS (SELECT e.rank, p.a, p.b, CAST(SUM(wc.n) AS BIGINT) AS cnt
-       |  FROM enc e JOIN wc USING (w),
-       |    LATERAL (SELECT unnest(list_transform(generate_series(1, len(e.toks) - 1),
-       |      i -> {'a': e.toks[i], 'b': e.toks[i + 1]}), recursive := true)) AS p
-       |  WHERE e.rank < ${ms.length} AND len(e.toks) >= 2
-       |  GROUP BY 1, 2, 3),
+       |px AS (SELECT e.rank AS rank, wc.n AS n,
+       |    unnest(list_transform(generate_series(1, len(e.toks) - 1),
+       |      i -> {'a': e.toks[i], 'b': e.toks[i + 1]})) AS p
+       |  FROM enc e JOIN wc USING (w)
+       |  WHERE e.rank < ${ms.length} AND len(e.toks) >= 2),
+       |pc AS (SELECT rank, p.a AS a, p.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM px GROUP BY 1, 2, 3),
        |am AS (SELECT rank, a, b, cnt,
        |    row_number() OVER (PARTITION BY rank ORDER BY cnt DESC, a, b) AS rn
        |  FROM pc)

@@ -217,6 +217,93 @@ object CellPairs {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** PCA-accelerated in-cell candidate scan with in-kernel exact refine
+    * (the r14 PCA-bucketed IVF serving kernel): queries and members carry
+    * BOTH the original vector (v, nrm) and the k-dim rounded projection
+    * (p). The inner loop ranks every member by rounded projected L2²
+    * (d2 asc, id asc) — k multiplies per pair instead of d, the whole
+    * point of projecting — keeps each query's top-m, and only THEN
+    * computes the exact d-dim cosine for those m survivors. Arithmetic
+    * per (query, cell): |cell|·k + m·d multiplies, vs |cell|·d for the
+    * raw kernel — the d/k saving is real here because the loop runs on
+    * primitive arrays where multiply count IS the cost (the join
+    * spelling's row overhead buries it; measured in ANNEVAL_r14).
+    *
+    * Struct layouts: queries (q_id, qv, qn, qp), members (id, v, nrm, p).
+    * Emits (q_id, n_id, d2, cos) for each query's per-cell top-m; the
+    * caller applies the same global (d2, id) cutoff and (cos desc, id)
+    * rank as the join spelling — per-cell top-m is a superset of the
+    * global top-m, so the result is bit-identical (OperatorsSpec twin).
+    * d2 folds (a_i-b_i)² left-to-right like VectorDot-over-zip_with;
+    * cosines round through round6 — the oracle contract unchanged.
+    */
+  def queryTopKPca(queries: ArrayData, members: ArrayData, m: Int): ArrayData = {
+    val q = decodeProj(queries)
+    val c = decodeProj(members)
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    val topD2 = new Array[Double](m)
+    val topIdx = new Array[Int](m)
+    def closer(d1: Double, id1: Long, d2: Double, id2: Long): Boolean =
+      d1 < d2 || (d1 == d2 && id1 < id2)
+    var qi = 0
+    while (qi < q.n) {
+      var len = 0
+      var j = 0
+      while (j < c.n) {
+        if (c.ids(j) != q.ids(qi)) {
+          val qp = q.projs(qi); val cp = c.projs(j)
+          val nd = math.min(qp.length, cp.length)
+          var acc = 0.0
+          var i = 0
+          while (i < nd) { val d = qp(i) - cp(i); acc += d * d; i += 1 }
+          val d2 = round6(acc)
+          val id = c.ids(j)
+          if (len < m || closer(d2, id, topD2(len - 1), c.ids(topIdx(len - 1)))) {
+            var pos = if (len == m) m - 1 else { len += 1; len - 1 }
+            while (pos > 0 && closer(d2, id, topD2(pos - 1), c.ids(topIdx(pos - 1)))) {
+              topD2(pos) = topD2(pos - 1); topIdx(pos) = topIdx(pos - 1); pos -= 1
+            }
+            topD2(pos) = d2; topIdx(pos) = j
+          }
+        }
+        j += 1
+      }
+      var r = 0
+      while (r < len) {
+        val j2 = topIdx(r)
+        val cos = round6(dot(q.vecs(qi), c.vecs(j2)) / (q.nrms(qi) * c.nrms(j2)))
+        out += new GenericInternalRow(Array[Any](q.ids(qi), c.ids(j2), topD2(r), cos))
+        r += 1
+      }
+      qi += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Decoded members WITH projections: struct (id, v, nrm, p). */
+  private final class ProjMembers(val n: Int, val ids: Array[Long],
+    val vecs: Array[Array[Double]], val nrms: Array[Double],
+    val projs: Array[Array[Double]])
+
+  private def decodeProj(members: ArrayData): ProjMembers = {
+    val n = members.numElements()
+    checkOccupancy(n)
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val nrms = new Array[Double](n)
+    val projs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 4)
+      ids(i) = row.getLong(0)
+      vecs(i) = row.getArray(1).toDoubleArray()
+      nrms(i) = row.getDouble(2)
+      projs(i) = row.getArray(3).toDoubleArray()
+      i += 1
+    }
+    new ProjMembers(n, ids, vecs, nrms, projs)
+  }
+
   /** Every member's hardest in-cell positive (same label) and negative
     * (different label) by (rounded cos desc, id asc), as
     * (vec_id, label, pos_id, pos_cos, neg_id, neg_cos) with the -1/-2
@@ -323,6 +410,32 @@ object CellQueryTopK {
   def apply(qs: Column, ms: Column, k: Int): Column =
     ColumnBridge.column(CellQueryTopK(
       ColumnBridge.expression(qs), ColumnBridge.expression(ms), k))
+}
+
+/** (array<struct<q_id,qv,qn,qp>>, array<struct<id,v,nrm,p>>) →
+  * array<struct<q_id,n_id,d2,cos>>: each query's per-cell top-m by
+  * rounded projected L2² with in-kernel exact-cosine refine of the
+  * survivors — see [[CellPairs.queryTopKPca]].
+  */
+case class CellQueryTopKPca(left: Expression, right: Expression, m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  require(m >= 1, s"m=$m must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q_id", LongType, nullable = false),
+    StructField("n_id", LongType, nullable = false),
+    StructField("d2", DoubleType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(qs: Any, ms: Any): Any =
+    CellPairs.queryTopKPca(qs.asInstanceOf[ArrayData], ms.asInstanceOf[ArrayData], m)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellQueryTopKPca =
+    copy(left = newLeft, right = newRight)
+}
+
+object CellQueryTopKPca {
+  def apply(qs: Column, ms: Column, m: Int): Column =
+    ColumnBridge.column(CellQueryTopKPca(
+      ColumnBridge.expression(qs), ColumnBridge.expression(ms), m))
 }
 
 /** array<struct<id,label,v,nrm>> → array<struct<vec_id,label,pos_id,

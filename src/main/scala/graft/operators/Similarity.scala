@@ -1297,11 +1297,18 @@ object Similarity {
     *
     * Cost: ≤ ceil(k/accepted-per-scan) + 1 linear scans — in practice
     * ~k/batch + 1 jobs instead of k (measured: k=256 on the 100× corpus
-    * takes 9 scans at batch=32) — each scan shuffle-free native
+    * takes 9 scans at batch=32; k=2048 at batch=256 the SAME 8 scans /
+    * 42 Spark jobs, CORESET_r14 — job count tracks k/batch, not k, with
+    * a ~5 jobs/scan exchange constant) — each scan shuffle-free native
     * `CellScores` + one TakeOrdered of `batch` rows. The selected set
     * stays k-bounded on the driver (same bounded-collect discipline as
     * the centroid fits), and the already-picked exclusion is a broadcast
     * anti-join on a k-row frame, not a growing `isin` literal predicate.
+    * Driver-memory ceiling: the center table is k × d doubles (k=2048,
+    * d=64 → 1 MiB) plus the per-scan batch of batch × d — both far
+    * inside the 2 GiB envelope up to k ~ 10^6; the per-row CellScores
+    * assignment cost k × d is the real reason to stop growing k before
+    * memory ever matters.
     * Distances round through `round6` BEFORE the argmax (ties to the
     * lower vec_id) so the greedy trajectory is engine-portable; round6's
     * monotonicity makes min-of-rounded equal rounded-min, which is what
@@ -1927,6 +1934,58 @@ object Similarity {
       .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
       .select("vec_id", "v", "nrm", "p", "cell")
     pcaIvfServe(assigned, projCentroids, nQueries, k, nProbe, overFetch)
+  }
+
+  /** The kernel spelling of the PCA-bucketed serve — the SHIPPED path:
+    * queries grouped by probed cell, one [[graft.functions.CellQueryTopKPca]]
+    * evaluation per (probe-cell, its queries) ranking the cell's members
+    * by projected L2² in a k-multiplies-per-pair primitive loop and
+    * refining only each query's top-m by exact d-dim cosine, then the
+    * SAME global (d2, id) cutoff and (cos desc, id) rank as the join
+    * spelling — per-cell top-m is a superset of the global top-m, so the
+    * result is bit-identical ([[pcaIvfTopKIndexed]] is the differential
+    * twin; they share the oracle). On the bucketed index table the
+    * groupBy(cell) rides the bucket layout with no exchange.
+    */
+  def pcaIvfTopKIndexedKernel(spark: org.apache.spark.sql.SparkSession,
+      table: String, projCentroids: Array[Array[Double]], nQueries: Int = 5,
+      k: Int = 5, nProbe: Int = 2, overFetch: Int = 3): DataFrame =
+    pcaIvfServeKernel(spark.table(table), projCentroids, nQueries, k, nProbe, overFetch)
+
+  /** In-memory kernel twin (assignment inline; the AnnEval sweep shape). */
+  def pcaIvfTopKKernel(emb: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]], projCentroids: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2,
+      overFetch: Int = 3): DataFrame = {
+    val assigned = withProj(emb, mean, comps)
+      .withColumn("scores", graft.functions.CellScores(col("p"), projCentroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("vec_id", "v", "nrm", "p", "cell")
+    pcaIvfServeKernel(assigned, projCentroids, nQueries, k, nProbe, overFetch)
+  }
+
+  private def pcaIvfServeKernel(idx: DataFrame,
+      projCentroids: Array[Array[Double]], nQueries: Int, k: Int,
+      nProbe: Int, overFetch: Int): DataFrame = {
+    val m = k * overFetch
+    val member = struct(col("vec_id"), col("v"), col("nrm"), col("p"))
+    val q = idx.filter(col("vec_id") < nQueries)
+      .withColumn("scores", graft.functions.CellScores(col("p"), projCentroids))
+      .withColumn("probe", explode(probeArr(nProbe)))
+      .groupBy("probe").agg(collect_list(member).as("qs"))
+    val cells = idx.groupBy("cell").agg(collect_list(member).as("ms"))
+    val local = q.join(cells, col("probe") === col("cell"))
+      .select(explode(graft.functions.CellQueryTopKPca(col("qs"), col("ms"), m)).as("c"))
+      .select(col("c.q_id").as("q_id"), col("c.n_id").as("n_id"),
+        col("c.d2").as("d2"), col("c.cos").as("cos"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    local.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= m)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
   }
 
   private def pcaIvfServe(idx: DataFrame, projCentroids: Array[Array[Double]],

@@ -21,6 +21,12 @@ object CoresetBench {
     val dir = args(1)
     val k = if (args.length > 2) args(2).toInt else 256
     val batch = if (args.length > 3) args(3).toInt else 32
+    // Jobs-per-round is a ~5x constant (broadcast-exchange
+    // materialization + TakeOrdered + anti-join stages), NOT AQE
+    // staging: measured 41 jobs with AQE off vs 42 on at k=2048/m=256 —
+    // and AQE off costs 5x the wall time (103 s vs 21 s), so it stays
+    // on. The claim under measurement is that TOTAL jobs track k/m (scan
+    // rounds), not k: k=256 and k=2048 at the same k/m=8 both measure 42.
     val spark = graft.Tables.configure(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,8 +55,12 @@ object CoresetBench {
     val radii = traj.drop(1).map(_.getDouble(2))
     require(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b },
       "coverage radius must be non-increasing along the trajectory")
+    // scan rounds = the k/m term of the job bound; jobs/round is the
+    // fixed exchange constant measured above
+    val rounds = math.ceil((k - 1).toDouble / batch).toInt
     val json =
       s"""{"metric":"coreset_kcenter","k":$k,"batch":$batch,"n_vectors":$nVec,""" +
+      s""""scan_rounds":$rounds,""" +
       s""""sec":${math.round(sec * 1000) / 1000.0},"spark_jobs":${jobs.get()},""" +
       s""""serial_jobs_would_be":$k,"final_radius":${radii.lastOption.getOrElse(0.0)},""" +
       s""""dir":"$dir"}"""

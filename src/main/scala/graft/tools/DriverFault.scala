@@ -58,16 +58,26 @@ object DriverFault {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
       "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    // Inherit the parent's classpath and working directory (advice r13:
+    // hardcoding target/classes + /root/repo made the child die at
+    // startup when launched from an assembled jar or another checkout,
+    // surfacing only as a 120s poll timeout).
     val cmd = Seq("java") ++ opens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
+      "-cp", System.getProperty("java.class.path"),
       "graft.tools.StreamFaultChild",
       inDir.toString, ckpt.toString, outDir.toString, stopMarker.toString)
-    new ProcessBuilder(cmd: _*)
-      .directory(new java.io.File("/root/repo"))
+    val child = new ProcessBuilder(cmd: _*)
+      .directory(new java.io.File(System.getProperty("user.dir")))
       .redirectErrorStream(true)
       .redirectOutput(ProcessBuilder.Redirect.to(inDir.resolveSibling("child.log").toFile))
       .start()
+    // fail fast on a dead-at-startup child instead of the poll timeout
+    Thread.sleep(2000)
+    require(child.isAlive,
+      s"child JVM exited at startup (code ${child.exitValue()}); " +
+        s"see ${inDir.resolveSibling("child.log")}")
+    child
   }
 
   def run(base: Path, spark: SparkSession): Result = {

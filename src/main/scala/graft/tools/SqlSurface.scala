@@ -119,8 +119,11 @@ object SqlSurface {
     // bare VARCHAR cast target (DuckDB's canonical string type name);
     // Spark's parser only accepts VARCHAR with a length — STRING is the
     // same unbounded type. Scalar casts only; the typed-array pass above
-    // already consumed VARCHAR[] forms.
-    s = """\bAS\s+VARCHAR\b""".r.replaceAllIn(s, "AS STRING")
+    // already consumed VARCHAR[] forms, and the lookahead leaves sized
+    // casts (AS VARCHAR(10)) alone (advice r13 — STRING(10) would not
+    // parse). Caveat: like the struct-literal rewrite, this is textual
+    // and would also touch an occurrence inside a string literal.
+    s = """\bAS\s+VARCHAR\b(?!\s*\()""".r.replaceAllIn(s, "AS STRING")
     // DuckDB's byte-walking Jaro-Winkler is what the engine's native
     // kernel replicates bit-for-bit (FunctionsSpec differential), so the
     // graft SQL registration IS the faithful mapping.
@@ -148,6 +151,9 @@ object SqlSurface {
     // materialization), not semantics; Spark's parser has no spelling for
     // it, and Spark makes its own CTE reuse decisions.
     s = s.replace(" AS MATERIALIZED (", " AS (")
+    // UNION-distinct transitive closure (the last two r13 holdouts) →
+    // unrolled min-label propagation; see rewriteUnionClosure.
+    s = rewriteUnionClosure(s)
     s = rewriteQualify(s)
     s = rewriteBrackets(s)
     // LAST: DuckDB's bare decimal literals (0.75) are DOUBLE; Spark parses
@@ -188,6 +194,58 @@ object SqlSurface {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** The dedup_clusters / pipeline_split_safe UNION-distinct transitive
+    * closure — `reach(a, b): edges UNION reach·edges` — has no direct
+    * Spark spelling (recursive CTEs are UNION ALL-only:
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), and the naive depth-bounded
+    * UNION ALL walk enumeration explodes combinatorially on cyclic
+    * components (measured 2.0e12 walk rows at depth 5 on the 10x twin's
+    * 23k-edge pair graph). Both consumers use `reach` ONLY as
+    * `least(a, min(b)) .. GROUP BY a` — the component-min label — so the
+    * faithful terminating form is min-label propagation: unrolled
+    * rounds, each taking per node the min of its own label and its
+    * neighbors' labels — spelled so every round references the PREVIOUS
+    * level exactly ONCE (self-loop-augmented edge list, so "own label"
+    * rides the same join as the neighbors'). Single-reference rounds
+    * keep the analyzed plan LINEAR in the unroll depth; a
+    * min(self, neighbors, label-of-label) spelling references the
+    * previous level three times, and Spark's analyzer expands CTE
+    * references structurally — 3^6 copies of the candidate-pair chain
+    * aborted analysis outright (measured: 9.7 min then
+    * DeduplicateRelations recursion overflow). 9 rounds after the
+    * distance-1 seed converge for any component of diameter <= 10 —
+    * double the measured near-dup chains (diameter 5 at the 10x twin) —
+    * and rows per round are |E|, never walk-shaped (the naive bounded
+    * walk closure measures 2.0e12 rows at depth 5 on the same twin).
+    * TERMINATION is structural (fixed unroll, no recursion); an
+    * under-converged label cannot pass silently — it differs from the
+    * DataFrame result and surfaces as DIFF in the parity gate. The
+    * emitted `reach` keeps the consumed contract: one row per node with
+    * b = its component-min label, so `least(a, min(b))` is unchanged
+    * (labels include self, hence l <= a).
+    */
+  private def rewriteUnionClosure(s0: String): String = {
+    val pat = ("""reach\(a, b\) AS \(\s*SELECT a, b FROM edges\s*UNION\s*""" +
+      """SELECT r\.a, e\.b FROM reach r JOIN edges e ON r\.b = e\.a\)""").r
+    pat.findFirstMatchIn(s0) match {
+      case None => s0
+      case Some(m) =>
+        val rounds = 9
+        val chain = new StringBuilder
+        chain.append(
+          "edges2 AS (SELECT a, b FROM edges UNION ALL SELECT DISTINCT a, a FROM edges),\n")
+        chain.append(
+          "lbl0 AS (SELECT a AS v, least(a, min(b)) AS l FROM edges GROUP BY a)")
+        for (k <- 1 to rounds) {
+          chain.append(s""",
+lbl$k AS (SELECT e2.a AS v, min(x.l) AS l FROM edges2 e2 JOIN lbl${k - 1} x ON x.v = e2.b GROUP BY e2.a)""")
+        }
+        chain.append(s""",
+reach AS (SELECT v AS a, l AS b FROM lbl$rounds)""")
+        s0.substring(0, m.start) + chain.toString + s0.substring(m.end)
+    }
   }
 
   /** `string_agg(<x>, <sep> [ORDER BY <k>])` → `listagg(<x>, <sep>)
@@ -627,12 +685,18 @@ object SqlSurface {
     * DuckDB folds with the FIRST ELEMENT as the accumulator seed, which is
     * `aggregate(slice(L, 2, greatest(size(L) - 1, 0)), element_at(L, 1),
     * lam)` in Spark — same element order, same lambda, single-element
-    * lists fold to themselves. L is spliced three times, so this runs
-    * AFTER the seeded rewrite (which consumes every
-    * `list_reduce(list_prepend(...)` occurrence) and only the bare form
-    * remains. Empty-list behavior differs (DuckDB errors, Spark yields
-    * NULL) — acceptable for a parity probe whose oracles only fold
-    * non-empty lists; a divergence would surface as DIFF, not silence.
+    * lists fold to themselves. L is spliced three times (advice r13: fine
+    * for the flat list expressions today's oracles fold; a deeply NESTED
+    * seedless form would re-splice exponentially — none exists, and a
+    * future one surfaces as a visibly bloated/failed translation, not a
+    * silent wrong answer). This runs AFTER the seeded rewrite (which
+    * consumes every `list_reduce(list_prepend(...)` occurrence) and only
+    * the bare form remains. Empty-list behavior differs (DuckDB errors,
+    * Spark yields NULL) — acceptable for a parity probe whose oracles
+    * only fold non-empty lists; a divergence would surface as DIFF, not
+    * silence. A malformed later occurrence throws (advice r13) rather
+    * than silently discarding rewrites already applied in earlier
+    * iterations by returning the original input.
     */
   private def rewriteListReduceSeedless(s0: String): String = {
     val marker = "list_reduce("
@@ -641,9 +705,9 @@ object SqlSurface {
     while (idx >= 0) {
       val open = idx + "list_reduce".length
       val close = findMatch(s, open, '(', ')')
-      if (close < 0) return s0
+      require(close >= 0, s"unbalanced list_reduce at $idx: ${s.substring(idx).take(80)}")
       val comma = topLevelComma(s, open + 1, close)
-      if (comma < 0) return s0
+      require(comma >= 0, s"seedless list_reduce without a lambda at $idx")
       val list = s.substring(open + 1, comma).trim
       val lam = s.substring(comma + 1, close).trim
       s = s.substring(0, idx) +

@@ -182,6 +182,18 @@ class ScaleSpec extends AnyFunSuite {
       val got = fromIndex.collect().toSeq
       assert(got === inMemory.collect().toSeq)
       assert(got.nonEmpty)
+      // the SHIPPED kernel path (per-cell top-m by projected L2² with
+      // in-kernel exact refine) is bit-identical to the join spelling,
+      // indexed and in-memory — wider overFetch exercises the per-cell
+      // superset-of-global-top-m argument too
+      assert(Similarity.pcaIvfTopKIndexedKernel(spark, "pcaivf_idx", cents)
+        .collect().toSeq === got)
+      assert(Similarity.pcaIvfTopKKernel(emb, mu, comps, cents)
+        .collect().toSeq === got)
+      assert(Similarity.pcaIvfTopKIndexedKernel(spark, "pcaivf_idx", cents,
+          nProbe = 3, overFetch = 6).collect().toSeq ===
+        Similarity.pcaIvfTopKIndexed(spark, "pcaivf_idx", cents,
+          nProbe = 3, overFetch = 6).collect().toSeq)
       // every emitted cosine is the EXACT cosine: wherever (q, n) also
       // appears in brute-force top-k, the rounded cosines agree
       val brute = Similarity.bruteForceTopK(emb)

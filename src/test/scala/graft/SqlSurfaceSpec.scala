@@ -92,11 +92,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // fixed-step merge recursion once the seedless list_reduce maps to
     // aggregate-with-first-element-seed; the k-center chain needs only
     // the MATERIALIZED hint stripped (Spark makes its own CTE reuse
-    // decisions). The remaining two NOSQL holdouts (dedup_clusters,
-    // pipeline_split_safe) use UNION-distinct recursion for transitive
-    // closure — UNION ALL would not terminate on cyclic graphs, and
-    // Spark's recursive CTEs support only UNION ALL, so no
-    // semantics-preserving mechanical mapping exists yet.
+    // decisions).
     "pipeline_coreset", "text_bpe_encode", "text_encoding",
     "text_diversity", "pipeline_quality_scores_ngram",
     "emb_margin_pairs", "pipeline_dsir_indexed", "pipeline_dsir_weights",
@@ -106,9 +102,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // bare-VARCHAR cast mapping), PCA projection (string-cast literal
     // arrays + list_inner_product -> graft_vector_dot)
     "pipeline_ppl_tiers", "pipeline_mix_doremi", "pipeline_shuffle",
-    "emb_pca", "ann_pca_topk")
+    "emb_pca", "ann_pca_topk",
+    // r14: the LAST two holdouts close — the UNION-distinct transitive
+    // closure (Spark rCTEs are UNION ALL-only, and bounded walk
+    // enumeration explodes on cyclic components) maps to unrolled
+    // single-reference min-label propagation rounds; termination is
+    // structural (fixed unroll, converged for diameter <= 10, 2x the
+    // measured 10x-twin chains) and an under-converged label would
+    // differ from the DataFrame result, so it cannot pass silently. See
+    // SqlSurface.rewriteUnionClosure. Plus the r14 additions: the
+    // PCA-bucketed IVF serve and the BPE trainer's trajectory-replay
+    // oracle (both translate under the existing mapping).
+    "dedup_clusters", "pipeline_split_safe",
+    "ann_pca_ivf_indexed", "text_bpe_merges")
 
-  test("173 oracle queries run through spark.sql and match the DataFrame surface") {
+  test("oracle-parity sweep: every non-holdout query runs through spark.sql and matches the DataFrame surface") {
     Tables.registerAll(spark, dir)
     val all = SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, dir)
     val missing = (verbatim ++ translated).diff(all.keySet)
