@@ -390,6 +390,21 @@ object SparkEntry {
     "ann_pca_ivf_indexed" -> ((s, d) =>
       Similarity.pcaIvfTopKIndexedKernel(s, ensurePcaIvfIndex(s, d),
         pcaIvfCentroids(s, d))),
+    // recall@k of the PCA-bucketed serve vs brute force over the same
+    // persisted index — the reduced-dim proxy's quality number, itself
+    // oracle-checked (both legs deterministic; dynamic oracle replays
+    // exact + composed-approx legs from the same literals)
+    "ann_pca_ivf_recall" -> ((s, d) =>
+      Similarity.pcaIvfRecallReport(s, ensurePcaIvfIndex(s, d),
+        pcaIvfCentroids(s, d))),
+    // whitened projections: pc_j / sqrt(lambda_j) — unit-variance
+    // coordinates (kept-subspace Mahalanobis geometry, the SemDeDup /
+    // contrastive-mining space); divisors exported as literals, division
+    // on the rounded projection so the oracle is bit-exact
+    "emb_pca_whiten" -> ((s, d) => {
+      val (mu, evals, comps) = pcaFit(s, d)
+      Similarity.pcaWhiten(Tables.load(s, d, "embeddings"), mu, comps, evals)
+    }),
     "emb_outliers" -> ((s, d) => Similarity.embeddingOutliers(Tables.load(s, d, "embeddings"))),
     // Embedding snapshot drift monitor: two overlapping corpus versions
     // (vec_id % 3 carve-outs — the disjoint thirds are the churn), fixed
@@ -2170,6 +2185,10 @@ object SparkEntry {
       ("ann_pca_topk" -> pcaTopkSqlFor(pcaFit(spark, sfDir)._1, pcaFit(spark, sfDir)._3)) +
       ("ann_pca_ivf_indexed" -> pcaIvfSqlFor(pcaFit(spark, sfDir)._1,
         pcaFit(spark, sfDir)._3, pcaIvfCentroids(spark, sfDir))) +
+      ("ann_pca_ivf_recall" -> pcaIvfRecallSqlFor(pcaFit(spark, sfDir)._1,
+        pcaFit(spark, sfDir)._3, pcaIvfCentroids(spark, sfDir))) +
+      ("emb_pca_whiten" -> pcaWhitenSqlFor(pcaFit(spark, sfDir)._1,
+        pcaFit(spark, sfDir)._3, pcaFit(spark, sfDir)._2)) +
       ("ann_pq_encode" -> pqEncodeSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("ann_ivfpq_topk" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
@@ -2334,6 +2353,89 @@ object SparkEntry {
        |       FROM cr WHERE crnk <= ${k * overFetch})
        |SELECT q_id, rnk, n_id, cos FROM rf WHERE rnk <= $k
        |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** ann_pca_ivf_recall oracle: ivfRecallSqlFor's report shape with the
+    * approx leg replaced by the composed PCA-bucketed pipeline (the
+    * pcaIvfSqlFor CTE chain) — exact leg brute force, hits/exact join,
+    * rounded recall.
+    */
+  private def pcaIvfRecallSqlFor(mean: Array[Double],
+      comps: Array[Array[Double]], projCentroids: Array[Array[Double]],
+      nProbe: Int = 2, k: Int = 5, overFetch: Int = 3): String = {
+    val d = mean.length
+    def sArr(a: Array[Double]) =
+      a.map(x => s"'$x'").mkString("list_transform([", ", ", "], s -> CAST(s AS DOUBLE))")
+    val pcList = comps.map(p =>
+      s"round(list_inner_product(dv, ${sArr(p)}), 6)").mkString("[", ",\n    ", "]")
+    val scoreList = projCentroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(p, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH mu AS (SELECT ${sArr(mean)} AS m),
+       |$normCte,
+       |es AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+       |       FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+       |er AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM es),
+       |exact AS (SELECT q_id, n_id FROM er WHERE rnk <= $k),
+       |pr AS (SELECT vec_id, v, nrm,
+       |  $pcList AS p
+       |  FROM (SELECT vec_id, v, nrm,
+       |          list_transform(generate_series(1, $d), i -> v[i] - mu.m[i]) AS dv
+       |        FROM n, mu)),
+       |sc AS (SELECT vec_id, v, nrm, p, $scoreList AS scores FROM pr),
+       |wb AS (SELECT vec_id, v, nrm, p, scores,
+       |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
+       |qb AS (SELECT vec_id AS q_id, p AS qp, v AS qv, nrm AS qn,
+       |        unnest(list_distinct(list_transform(generate_series(1, $nProbe),
+       |          r -> CAST(list_position(scores, list_sort(scores)[r]) AS INT)))) AS probe
+       |      FROM wb WHERE vec_id < 5),
+       |cand AS (SELECT q.q_id, c.vec_id AS n_id,
+       |    round(list_inner_product(
+       |      list_transform(generate_series(1, ${comps.length}), i -> q.qp[i] - c.p[i]),
+       |      list_transform(generate_series(1, ${comps.length}), i -> q.qp[i] - c.p[i])), 6) AS d2,
+       |    round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+       |  FROM qb q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),
+       |cr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS crnk
+       |       FROM cand),
+       |rf AS (SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |       FROM cr WHERE crnk <= ${k * overFetch}),
+       |approx AS (SELECT q_id, n_id FROM rf WHERE rnk <= $k),
+       |h AS (SELECT e.q_id, COUNT(*) AS n_hits
+       |      FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+       |      GROUP BY 1),
+       |ex2 AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+       |SELECT ex2.q_id, ex2.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+       |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
+       |FROM ex2 LEFT JOIN h ON ex2.q_id = h.q_id
+       |ORDER BY ex2.q_id""".stripMargin
+  }
+
+  /** emb_pca_whiten oracle: emb_pca's projection chain with the
+    * per-component divisor sqrt(lambda_j) as a string-cast double
+    * literal; the division runs on the ROUNDED projection in both
+    * engines, then rounds again — bit-exact by IEEE division
+    * determinism.
+    */
+  private def pcaWhitenSqlFor(mean: Array[Double],
+      comps: Array[Array[Double]], evals: Array[Double]): String = {
+    val d = mean.length
+    def sArr(a: Array[Double]) =
+      a.map(x => s"'$x'").mkString("list_transform([", ", ", "], s -> CAST(s AS DOUBLE))")
+    val wCols = comps.zipWithIndex.map { case (p, i) =>
+      val s = math.sqrt(math.max(evals(i), 1e-12))
+      s"round(round(list_inner_product(dv, ${sArr(p)}), 6) / CAST('$s' AS DOUBLE), 6) AS w${i + 1}"
+    }.mkString(",\n  ")
+    s"""WITH mu AS (SELECT ${sArr(mean)} AS m),
+       |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dvt AS (SELECT vec_id, label,
+       |  list_transform(generate_series(1, $d), i -> v[i] - mu.m[i]) AS dv
+       |  FROM e, mu)
+       |SELECT vec_id, label,
+       |  $wCols
+       |FROM dvt ORDER BY vec_id""".stripMargin
   }
 
   /** emb_pca_report oracle: the fit's eigenvalue table as literals (the

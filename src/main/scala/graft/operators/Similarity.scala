@@ -1815,6 +1815,65 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** WHITENED PCA projection: w_j = pc_j / sqrt(lambda_j), so every kept
+    * coordinate has unit variance and Euclidean distance in the whitened
+    * space is the kept-subspace Mahalanobis distance — the space
+    * SemDeDup-style semantic clustering and contrastive mining actually
+    * operate in (a dominant component would otherwise drown the rest in
+    * every distance). One per-row kernel scan like [[pcaProject]]; the
+    * divisors sqrt(lambda_j) export as shortest-round-trip double
+    * literals, and the division runs on the ROUNDED projection
+    * (round6(round6(pc) / s)), so the oracle reproduces every value
+    * bit-for-bit. Near-zero eigenvalues are floored at 1e-12 before the
+    * sqrt so a degenerate component cannot blow the scale up.
+    */
+  def pcaWhiten(emb: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]], evals: Array[Double]): DataFrame = {
+    require(evals.length >= comps.length, "need one eigenvalue per component")
+    val meanLit = array(mean.map(lit(_)): _*)
+    val base = emb.select(col("vec_id"), col("label"),
+      zip_with(col("embedding").cast("array<double>"), meanLit,
+        (a, b) => a - b).as("dv"))
+    val ws = comps.zipWithIndex.map { case (p, i) =>
+      val s = math.sqrt(math.max(evals(i), 1e-12))
+      round(round(graft.functions.VectorDot(col("dv"),
+        array(p.map(lit(_)): _*)), 6) / lit(s), 6).as(s"w${i + 1}")
+    }
+    base.select(col("vec_id") +: col("label") +: ws.toIndexedSeq: _*)
+      .orderBy("vec_id")
+  }
+
+  /** Recall@k of the PCA-bucketed kernel serve vs exact brute force over
+    * the SAME persisted index — `ivfRecallReport`'s shape for the
+    * composed path, and like it fully oracle-checkable (both legs
+    * deterministic: rounded cosines, id tie-breaks). This is the number
+    * a deployment reads before trusting the reduced-dim candidate
+    * metric: on spectrally-decaying corpora it tracks the flat serve; on
+    * isotropic ones it exposes the proxy's failure (ANNEVAL_r14) —
+    * which is exactly why the EVALUATION ships as a first-class query.
+    */
+  def pcaIvfRecallReport(spark: org.apache.spark.sql.SparkSession,
+      table: String, projCentroids: Array[Array[Double]], nQueries: Int = 5,
+      k: Int = 5, nProbe: Int = 2, overFetch: Int = 3): DataFrame = {
+    val idx = spark.table(table)
+    val q = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = idx.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val exact = rank(q.join(c, col("q_id") =!= col("n_id")), k)
+      .select("q_id", "n_id")
+    val approx = pcaIvfServeKernel(idx, projCentroids, nQueries, k, nProbe, overFetch)
+      .select("q_id", "n_id")
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_exact"), 6))
+      .orderBy("q_id")
+  }
+
   /** Reduced-dimension ANN over the PCA space: the candidate scan ranks
     * by L2² in the k-dim PROJECTED coordinates (d/k times fewer
     * multiplies per pair than the raw scan — the reason embeddings get

@@ -165,6 +165,8 @@ class EntrySpec extends AnyFunSuite {
     "emb_pca_report" -> 8L,
     "ann_pca_topk" -> 25L,
     "ann_pca_ivf_indexed" -> 25L,
+    "ann_pca_ivf_recall" -> 5L,
+    "emb_pca_whiten" -> 500L,
     "pipeline_quality_rel" -> 251L,
     "q_events_ohlc" -> 868L,
     "q_events_corr" -> 10L,
@@ -238,6 +240,7 @@ class EntrySpec extends AnyFunSuite {
     "emb_contrastive", "emb_margin_pairs", "pipeline_quality_model",
     "pipeline_quality_model_ngram", "pipeline_quality_scores_ngram",
     "emb_pca", "emb_pca_report", "ann_pca_topk", "ann_pca_ivf_indexed",
+    "ann_pca_ivf_recall", "emb_pca_whiten",
     "dedup_embedding", "emb_drift", "pipeline_pack_report", "text_bpe_merges")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {

@@ -2081,6 +2081,57 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaWhiten: unit variance per coordinate; values = rounded pc / sqrt(eigenvalue)") {
+    import graft.operators.Similarity
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (mu, evals, comps) = Similarity.pcaModel(emb, k = 4)
+    val w = Similarity.pcaWhiten(emb, mu, comps.take(4), evals)
+      .collect().map(r => r.getLong(0) -> (2 until 6).map(r.getDouble)).toMap
+    val pc = Similarity.pcaProject(emb, mu, comps.take(4))
+      .collect().map(r => r.getLong(0) -> (2 until 6).map(r.getDouble)).toMap
+    // value relation: w_j = round6(pc_j / sqrt(lambda_j)) on the rounded pc
+    for ((id, ws) <- w; j <- 0 until 4) {
+      val want = BigDecimal(pc(id)(j) / math.sqrt(math.max(evals(j), 1e-12)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ws(j) === want, s"w${j + 1} of vec $id")
+    }
+    // whitened coordinates have ~unit biased variance (rounding noise only)
+    val n = w.size.toDouble
+    for (j <- 0 until 4) {
+      val xs = w.values.map(_(j)).toSeq
+      val m = xs.sum / n
+      val va = xs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(va - 1.0) < 0.01, s"var(w${j + 1}) = $va != 1")
+    }
+  }
+
+  test("pcaIvfRecallReport: recall equals the serve/brute set intersection") {
+    import graft.operators.Similarity
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (mu, _, comps) = Similarity.pcaModel(emb, k = 8)
+    val cents = Similarity.fitCentroidsPca(emb, mu, comps, nCentroids = 8)
+    try {
+      Similarity.buildPcaIvfIndex(emb, mu, comps, cents, "pcaivf_rr", buckets = 4)
+      val rep = Similarity.pcaIvfRecallReport(spark, "pcaivf_rr", cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rep.length === 5)
+      val exact = Similarity.bruteForceTopK(emb).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val approx = Similarity.pcaIvfTopKIndexedKernel(spark, "pcaivf_rr", cents)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      for ((q, nExact, nHits, recall) <- rep) {
+        assert(nExact === exact(q).size.toLong)
+        assert(nHits ===
+          (exact(q) & approx.getOrElse(q, Set.empty[Long])).size.toLong)
+        assert(recall === BigDecimal(nHits.toDouble / nExact)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(recall >= 0.0 && recall <= 1.0)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS pcaivf_rr")
+  }
+
   test("pplTiers: per-language tercile assignment is monotone and threshold-exact") {
     import graft.operators.Curation
     // two languages; 'en' is the reference slice. Scores separate docs by

@@ -114,7 +114,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // PCA-bucketed IVF serve and the BPE trainer's trajectory-replay
     // oracle (both translate under the existing mapping).
     "dedup_clusters", "pipeline_split_safe",
-    "ann_pca_ivf_indexed", "text_bpe_merges")
+    "ann_pca_ivf_indexed", "text_bpe_merges",
+    "ann_pca_ivf_recall", "emb_pca_whiten")
 
   test("oracle-parity sweep: every non-holdout query runs through spark.sql and matches the DataFrame surface") {
     Tables.registerAll(spark, dir)
