@@ -8,9 +8,89 @@ import org.apache.spark.sql.SparkSession
   * Timing methodology: each query is fully materialized through the `noop`
   * sink (a plain .count() would let Catalyst prune the expensive projections
   * out of the measured plan). A warm-up query absorbs session/codegen
-  * startup so per-query numbers reflect steady-state throughput.
+  * startup so per-query numbers reflect steady-state throughput; a per-query
+  * warm-up execution absorbs each query's own cold path (codegen compile,
+  * JIT, page-cache load) before its timed reps.
+  *
+  * Loaded-window acceptance (verdict r14 item 1): warm-up plus the min-of-
+  * reps discipline is cold-REP-proof but not loaded-WINDOW-proof — when every
+  * rep of one query lands inside the same host-load burst the reps AGREE and
+  * the 1.5x spread guard sees nothing (BENCH_r14 committed 2.1-2.3 s for two
+  * queries whose quiet-box twins pin at 0.6-1.0 s). The fix is an ABSOLUTE
+  * anchor, not more relative reps: the HostCalib cpu_mt leg (32-thread
+  * fixed-work fold, ~0.3 s idle — the leg external load actually degrades)
+  * runs between every block of SPARK_GRAFT_CALIB_EVERY queries, each query
+  * remembers the probes bracketing its block, and any query measured in a
+  * window whose probe exceeds 1.3x the committed idle anchor
+  * (HOSTCALIB_r*.json) is RE-QUEUED: the bench waits for a quiet probe and
+  * re-measures, keeping the min. A second, independent net cross-checks each
+  * committed number against the newest LOCALBENCH_r*.json twin and re-runs
+  * any query >1.5x its twin. Queries that never see a quiet window are
+  * reported in "still_loaded" rather than silently committed.
   */
 object Bench {
+  private def fmtRoot(pat: String, xs: Double*): String =
+    String.format(java.util.Locale.ROOT, pat, xs.map(Double.box): _*)
+
+  /** Adaptive-precision seconds for the bounded headline line: 3 decimals
+    * below 10 s, 2 below 100 s, 1 above — keeps a 182-value array well
+    * under the driver's 2000-char stdout tail even on the 100x dir.
+    */
+  private def fq(v: Double): String =
+    if (v < 0) "-1"
+    else if (v >= 100) fmtRoot("%.1f", v)
+    else if (v >= 10) fmtRoot("%.2f", v)
+    else fmtRoot("%.3f", v)
+
+  /** Newest committed file matching `prefix` + "_r<N>" + `suffix` in cwd
+    * (e.g. HOSTCALIB_r14.json), by round number.
+    */
+  private def newestRound(prefix: String, suffix: String): Option[java.io.File] = {
+    val dir = new java.io.File(".")
+    val pat = (java.util.regex.Pattern.quote(prefix) + "_r(\\d+)" +
+      java.util.regex.Pattern.quote(suffix)).r
+    Option(dir.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      f.getName match {
+        case pat(n) => Some((n.toInt, f))
+        case _ => None
+      }
+    }.sortBy(-_._1).headOption.map(_._2)
+  }
+
+  /** cpu_mt idle anchor from the committed HOSTCALIB artifact (env
+    * SPARK_GRAFT_CALIB_ANCHOR overrides the path). The anchor file is this
+    * repo's own single-line JSON; a one-regex parse keeps the bench
+    * dependency-free.
+    */
+  private def anchorCpuMt(): Option[Double] = {
+    val f = sys.env.get("SPARK_GRAFT_CALIB_ANCHOR").map(new java.io.File(_))
+      .orElse(newestRound("HOSTCALIB", ".json"))
+    f.filter(_.isFile).flatMap { file =>
+      val txt = new String(java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
+      """"anchor":\{"cpu_st":[0-9.]+,"cpu_mt":([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    }
+  }
+
+  /** Per-query quiet-box twin times from the newest LOCALBENCH_r*.json
+    * (env SPARK_GRAFT_BENCH_TWIN overrides). Regex-parsed from the flat
+    * `"queries":{...}` object of this repo's own artifact format.
+    */
+  private def twinTimes(): Map[String, Double] = {
+    val f = sys.env.get("SPARK_GRAFT_BENCH_TWIN").map(new java.io.File(_))
+      .orElse(newestRound("LOCALBENCH", ".json"))
+    f.filter(_.isFile).map { file =>
+      val txt = new String(java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
+      val qi = txt.indexOf("\"queries\":{")
+      if (qi < 0) Map.empty[String, Double]
+      else {
+        val body = txt.substring(qi + "\"queries\":{".length, txt.indexOf('}', qi))
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -75,131 +155,195 @@ object Bench {
     // 1x base (verdict r9 item 6).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // PER-QUERY warm-up execution before the timed reps (verdict r13
-    // item 1): the global warm-up above absorbs session startup, but each
-    // query still pays ITS OWN first-execution transients — codegen
-    // compile, HotSpot JIT of the generated methods, index/page-cache
-    // load — and with back-to-back reps a mid-sweep load burst can hit
-    // every rep of one query while the spread guard sees nothing
-    // (BENCH_r13 committed four numbers 2.5–9× their steady state; judge
-    // re-timing pinned all four sub-second). One untimed execution per
-    // query puts every timed rep in steady state. Disable (e.g. for the
-    // cold-path study) with SPARK_GRAFT_BENCH_WARMUP=0.
+    // item 1): one untimed execution per query puts every timed rep in
+    // steady state (codegen compile, HotSpot JIT, page-cache load).
+    // Disable (e.g. for the cold-path study) with SPARK_GRAFT_BENCH_WARMUP=0.
     val perQueryWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
-    // A transient failure (GC stall, page-cache eviction mid-sweep — the
-    // r10 gen100x incident) must not zero a query out of the committed
-    // curve: keep the best SUCCESSFUL rep, and only mark a query failed
-    // when every rep (plus one final retry) throws.
-    // A >1.5x spread between WARMED reps of the SAME query means a load
-    // stall polluted the sweep (verdict r10 item 5; tightened from 2x in
-    // r14 now that warm-up removes the legitimate cold-rep spread) — take
-    // one extra rep so the committed min is a quiet-machine number, and
-    // record which queries needed it.
+
+    // ---- absolute load-window instrumentation (verdict r14 item 1) ----
+    val anchorMt = anchorCpuMt()
+    val calibEvery = sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "8").toInt
+    val loadedFactor = sys.env.getOrElse("SPARK_GRAFT_CALIB_FACTOR", "1.3").toDouble
+    val probeLog = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Confirm-on-hot: a single cpu_mt reading right after a query block can
+    // catch the block's own GC tail (replica run: quiet-box probes 0.27-0.35
+    // with sporadic 0.4-0.54 spikes → 40 false re-queues). A spike that IS
+    // external load survives a back-to-back second probe; a GC transient
+    // does not — so a hot first reading is confirmed by a second, min kept.
+    def probeMt(): Double = {
+      // Provisional bar while probing: the committed anchor when present,
+      // else this run's own quietest probe so far (self-calibrating).
+      val b = loadedFactor * anchorMt.getOrElse(
+        if (probeLog.isEmpty) Double.MaxValue / 4 else probeLog.min)
+      val v0 = graft.tools.HostCalib.cpuMt()
+      val v = if (v0 > b) math.min(v0, graft.tools.HostCalib.cpuMt()) else v0
+      probeLog += v
+      v
+    }
+
     val respread = scala.collection.mutable.ArrayBuffer.empty[String]
     val repLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+
+    def measure(n: String): Double = {
       if (perQueryWarmup) runOnce(n) // untimed: absorbs this query's cold path
       val runs = (1 to reps).map(_ => runOnce(n))
       val ok = runs.filter(_ >= 0)
       val (v, all) =
         if (ok.isEmpty) (-1.0, runs)
         else if (reps > 1 && ok.max > 1.5 * ok.min && ok.min > 0.3) {
+          // >1.5x spread between WARMED reps = transient stall (verdict
+          // r10 item 5, tightened r14); one extra rep, keep the min.
           respread += n
           System.err.println(f"[bench] $n spread ${ok.max}%.2f/${ok.min}%.2f > 1.5x; extra rep")
           val extra = runOnce(n)
           if (extra >= 0) (math.min(ok.min, extra), runs :+ extra) else (ok.min, runs)
         } else (ok.min, runs)
-      repLog(n) = all
-      n -> v
+      repLog(n) = repLog.getOrElse(n, Seq.empty) ++ all
+      v
     }
-    val results = firstPass.map { case (n, v) =>
-      if (v >= 0) n -> v
-      else { System.err.println(s"[bench] retrying $n after all-rep failure"); n -> runOnce(n) }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Probe-bracketed measurement blocks: probes(i) precedes block i; a
+    // closing probe follows the last block, so every query has probes on
+    // BOTH sides of its measurement window.
+    val windowPeak = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val blocks = names.grouped(calibEvery).toSeq
+    var prevProbe = probeMt()
+    blocks.foreach { block =>
+      val before = prevProbe
+      block.foreach(n => results(n) = measure(n))
+      val after = probeMt()
+      prevProbe = after
+      block.foreach(n => windowPeak(n) = math.max(before, after))
     }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.collect { case (k, v) if v < 0 => k }
+    // All-rep failures get one final retry (the r10 gen100x incident):
+    // a transient must not zero a query out of the committed curve.
+    results.toSeq.collect { case (n, v) if v < 0 => n }.foreach { n =>
+      System.err.println(s"[bench] retrying $n after all-rep failure")
+      results(n) = runOnce(n)
+    }
+
+    // ---- re-queue pass 1: queries measured inside a hot calib window ----
+    // The loaded bar is ABSOLUTE: loadedFactor x the committed idle anchor.
+    // Without a committed anchor (fresh checkout) fall back to this run's
+    // own quietest probe — degraded but still catches within-run bursts.
+    val bar = loadedFactor * anchorMt.getOrElse(probeLog.min)
+    val maxRequeue = sys.env.getOrElse("SPARK_GRAFT_REQUEUE_MAX", "48").toInt
+    val loadedQs = names.filter(n => windowPeak(n) > bar).take(maxRequeue)
+    val requeued = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stillLoaded = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Global budget for the whole re-queue pass: on a host that stays hot,
+    // per-query quiet-waits must not stack into minutes of probing — once
+    // the budget is spent, remaining flagged queries go straight to
+    // still_loaded (honest disclosure beats a long stall).
+    val requeueDeadline = System.nanoTime() +
+      sys.env.getOrElse("SPARK_GRAFT_REQUEUE_BUDGET_S", "240").toLong * 1000000000L
+    loadedQs.foreach { n =>
+      // Wait (bounded) for a quiet probe, then re-measure; keep the min so
+      // a re-queue can only improve the committed number.
+      var attempt = 0
+      var quiet = false
+      while (attempt < 3 && !quiet && System.nanoTime() < requeueDeadline) {
+        if (probeMt() <= bar) quiet = true
+        else { Thread.sleep(2000); attempt += 1 }
+      }
+      if (quiet) {
+        val before = probeLog.last // the probe that opened this quiet window
+        val v = measure(n)
+        val after = probeMt()
+        if (v >= 0 && after <= bar) {
+          requeued += n
+          if (results(n) < 0 || v < results(n)) results(n) = v
+          windowPeak(n) = math.min(windowPeak(n), math.max(before, after))
+        } else if (v >= 0) { // window went hot again mid-re-measure
+          stillLoaded += n
+          if (results(n) < 0 || v < results(n)) results(n) = v
+        }
+      } else stillLoaded += n
+      ()
+    }
+
+    // ---- re-queue pass 2: cross-check against the quiet-box twin ----
+    // Independent of the calib net: any committed number >1.5x its newest
+    // LOCALBENCH twin gets one more warmed measurement, min kept. Catches
+    // bursts shorter than the probe spacing.
+    val twin = twinTimes()
+    val twinFlagged = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (twin.nonEmpty) {
+      names.filter { n =>
+        val t = twin.getOrElse(n, -1.0)
+        t > 0 && results(n) > 1.5 * t && results(n) > 0.3
+      }.take(maxRequeue).foreach { n =>
+        twinFlagged += n
+        val v = measure(n)
+        if (v >= 0 && v < results(n)) results(n) = v
+      }
+    }
+
+    val ordered = names.map(n => n -> results(n))
+    val total = ordered.map(_._2).filter(_ >= 0).sum
+    val failed = ordered.collect { case (k, v) if v < 0 => k }
 
     def fmt(pairs: Seq[(String, Double)]): String =
-      pairs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    // Full per-query timings go to a file: the driver's stdout capture keeps
-    // only a bounded tail, so the stdout line must stay comfortably under
-    // ~2000 chars. The headline subset below (~one per operator family)
-    // fits; the full 100+-query map does not.
-    // Machine-load stamp (verdict r10 item 5): the committed curve must
-    // carry the conditions it ran under so a load-stall run is visibly
-    // suspect rather than silently slow. Both BEFORE and AFTER samples are
-    // recorded (advice r11): the before stamp captures external load at
-    // sweep start; the after stamp is dominated by the bench's own 32
-    // threads and only matters when it is LOWER than expected (machine
-    // drained mid-sweep).
+      pairs.map { case (k, v) => s""""$k":${fmtRoot("%.3f", v)}""" }.mkString("{", ",", "}")
     val loadAvg = readLoadAvg()
     val memAvailKb = readMemAvailKb()
     val calibAfter = graft.tools.HostCalib.run(spark)
     import graft.tools.HostCalib.{compact, verbose}
-    // Per-query rep evidence (verdict r13 item 1): every timed rep of
-    // every query lands in the full artifact, so an outlier committed as
-    // a query's number is visible IN the evidence (reps all-high = load
-    // window; reps spread = transient caught by the min) without an
-    // out-of-band re-timing.
+    // Per-query rep evidence (verdict r13 item 1) + per-query window-peak
+    // probes (r14 item 1): an outlier committed as a query's number is
+    // visible IN the evidence, with the host-load context it ran under.
     val repsJson = repLog.map { case (n, rs) =>
-      s""""$n":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}"""
+      s""""$n":${rs.map(r => fmtRoot("%.3f", r)).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+    val peaksJson = names.map(n => s""""$n":${fmtRoot("%.3f", windowPeak(n))}""")
+      .mkString("{", ",", "}")
+    def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ordered.size},""" +
+      s""""failed":${strArr(failed)},""" +
       s""""warmup_per_query":$perQueryWarmup,"reps_per_query":$reps,""" +
       s""""loadavg_before":"$loadAvgBefore","mem_available_before_kb":$memAvailBeforeKb,""" +
       s""""loadavg":"$loadAvg","mem_available_kb":$memAvailKb,""" +
       s""""calib_before":${verbose(calibBefore)},"calib_after":${verbose(calibAfter)},""" +
-      s""""respread":${respread.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""rep_times":$repsJson,""" +
-      s""""queries":${fmt(results)},"sf":"$sfDir"}"""
+      s""""calib_anchor_mt":${anchorMt.map(a => fmtRoot("%.3f", a)).getOrElse("null")},""" +
+      s""""calib_bar":${fmtRoot("%.3f", bar)},"calib_every":$calibEvery,""" +
+      s""""window_probes_mt":${probeLog.map(p => fmtRoot("%.3f", p)).mkString("[", ",", "]")},""" +
+      s""""requeued":${strArr(requeued.toSeq)},"still_loaded":${strArr(stillLoaded.toSeq)},""" +
+      s""""twin_flagged":${strArr(twinFlagged.toSeq)},""" +
+      s""""respread":${strArr(respread.toSeq)},""" +
+      s""""rep_times":$repsJson,"window_peaks_mt":$peaksJson,""" +
+      s""""queries":${fmt(ordered)},"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
     if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
+    // Repo-root copy for the per-round commit (verdict r14 item 2): the
+    // bounded stdout line cannot carry 182 names + rep evidence, so the
+    // committed tree carries the FULL artifact and the stdout line binds
+    // to it cryptographically via full_sha below.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCHFULL_latest.json"), full.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val fullSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(full.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-    // One query per operator family PLUS the full top-12 by 100x-scale
-    // cost of the committed r9 curve — the queries where scale
-    // regressions actually live: q18_large_orders, text_lm_bigram,
-    // q21_waiting_suppliers, q7_nation_volume, q_events_session_overlap,
-    // text_oov, text_fuzzy_apply, text_tfidf, q_events_asof_tolerance,
-    // text_lm_score, q8_market_share, q10_returned_items (re-synced per
-    // r8 verdict item 3; re-check against each round's committed curve).
-    val headline = Seq(
-      "wordcount", "wordcount_windowed",
-      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-      "q7_nation_volume", "q8_market_share", "q9_product_profit",
-      "q10_returned_items", "q18_large_orders",
-      "q21_waiting_suppliers", "q_running_total", "q_order_percentiles",
-      "q_events_hourly", "q_events_sessions", "q_events_incident_window",
-      "q_events_trailing_hour", "q_events_asof_next",
-      "q_events_asof_tolerance",
-      "q_events_session_overlap", "dedup_exact", "dedup_minhash_sig",
-      "dedup_minhash_pairs", "dedup_clusters", "dedup_semantic",
-      "dedup_spans", "dedup_setsim_lookup", "dedup_apply_near",
-      "dedup_ngram_jaccard", "dedup_drop_near_indexed", "ann_topk",
-      "ann_ivf_kmeans", "ann_quantized_topk", "ann_ivfpq_topk",
-      "ann_knn_graph", "emb_contrastive", "emb_top_pairs", "emb_drift",
-      "text_tfidf",
-      "text_tokens", "text_inverted_index", "text_bpe_encode", "text_oov",
-      "text_boilerplate", "text_lm_bigram", "text_lm_kn", "text_lm_score",
-      "text_fuzzy_apply", "text_fuzzy_jw", "text_search_hybrid",
-      "text_winnow", "dedup_winnow_pairs", "ann_ivf_adaptive",
-      "ann_ivf_indexed_adaptive", "pipeline_source_kl",
-      "pipeline_curation", "pipeline_quality_scores",
-      "pipeline_pack", "pipeline_contamination", "pipeline_decontaminate",
-      "pipeline_split_safe", "pipeline_dedup_report", "mm_features")
-    val byName = results.toMap
-    val head = headline.flatMap(n => byName.get(n).map(n -> _))
-    // Compact calib stamp on the headline line too (the bounded-stdout
-    // artifact the driver actually keeps): [cpu_st, cpu_mt, shuf] seconds,
-    // before ("b") and after ("a") the sweep.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,""" +
-      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+    // Compact full-pack vector for the bounded stdout line (verdict r14
+    // item 2): values for ALL queries in sorted-name order — the names are
+    // exactly sorted(SparkEntry.queries.keys), so the (name -> time) dict
+    // is recoverable from the binary alone, and cross-round per-query
+    // diffs no longer depend on an out-of-band artifact. Adaptive
+    // precision keeps 182 values inside the 2000-char stdout tail.
+    val qv = ordered.map { case (_, v) => fq(v) }.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmtRoot("%.3f", total)},"unit":"sec",""" +
+      s""""n_queries":${ordered.size},"failed":${strArr(failed)},""" +
       s""""calib":{"b":${compact(calibBefore)},"a":${compact(calibAfter)}},""" +
+      s""""anchor_mt":${anchorMt.map(a => fmtRoot("%.2f", a)).getOrElse("null")},""" +
+      s""""probe_max":${fmtRoot("%.2f", probeLog.max)},""" +
       s""""warm":${if (perQueryWarmup) 1 else 0},"n_spread":${respread.size},""" +
-      s""""spread_flagged":${
-        respread.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""queries":${fmt(head)},"sf":"$sfDir"}"""
+      s""""n_requeued":${requeued.size},"still_loaded":${strArr(stillLoaded.take(6).toSeq)},""" +
+      s""""full_sha":"${fullSha.take(16)}",""" +
+      s""""qv":$qv,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing: executor/shutdown log lines must not land
     // after the headline JSON — the driver json-parses the LAST non-empty
     // stdout line (sbt decoration is disabled via run/outputStrategy +
@@ -208,9 +352,9 @@ object Bench {
     // Fail LOUDLY if the headline line ever outgrows the driver's bounded
     // stdout-tail capture (the BENCH_r06 "parsed:null" failure mode) —
     // a too-long line must break the bench here, not silently truncate
-    // downstream. Trim the headline list above if this trips.
+    // downstream.
     require(line.length < 2000,
-      s"bench headline line is ${line.length} chars (>= 2000): trim the headline subset")
+      s"bench headline line is ${line.length} chars (>= 2000): raise qv precision thresholds")
     println(line)
   }
 }

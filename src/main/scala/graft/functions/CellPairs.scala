@@ -252,7 +252,13 @@ object CellPairs {
       while (j < c.n) {
         if (c.ids(j) != q.ids(qi)) {
           val qp = q.projs(qi); val cp = c.projs(j)
-          val nd = math.min(qp.length, cp.length)
+          // A length mismatch means the index was built with a different
+          // PCA k than the serve side — fail loudly instead of silently
+          // ranking over a prefix (ADVICE r14).
+          require(qp.length == cp.length,
+            s"PCA projection length mismatch: query ${qp.length} vs " +
+              s"member ${cp.length} — index built with a different k?")
+          val nd = qp.length
           var acc = 0.0
           var i = 0
           while (i < nd) { val d = qp(i) - cp(i); acc += d * d; i += 1 }

@@ -1702,8 +1702,10 @@ object Similarity {
            |        element_at(v, i) * element_at(v, j) AS p)))))""".stripMargin)).as("t"))
       .groupBy(col("t.i"), col("t.j")).agg(sum(dec(col("t.p"))).as("s"))
       .collect()
+    // An empty corpus yields zero cells; surface that as the clear
+    // pre-r14 message, not a NoSuchElementException (ADVICE r14).
     val n = cells.find(r => r.getInt(0) == 0 && r.getInt(1) == 0)
-      .get.getDecimal(2).doubleValue
+      .map(_.getDecimal(2).doubleValue).getOrElse(0.0)
     require(n >= 2, "PCA needs at least two vectors")
     val mu = new Array[Double](d)
     cells.foreach { r =>

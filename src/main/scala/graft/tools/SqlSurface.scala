@@ -214,14 +214,18 @@ object SqlSurface {
     * previous level three times, and Spark's analyzer expands CTE
     * references structurally — 3^6 copies of the candidate-pair chain
     * aborted analysis outright (measured: 9.7 min then
-    * DeduplicateRelations recursion overflow). 9 rounds after the
-    * distance-1 seed converge for any component of diameter <= 10 —
-    * double the measured near-dup chains (diameter 5 at the 10x twin) —
-    * and rows per round are |E|, never walk-shaped (the naive bounded
-    * walk closure measures 2.0e12 rows at depth 5 on the same twin).
-    * TERMINATION is structural (fixed unroll, no recursion); an
-    * under-converged label cannot pass silently — it differs from the
-    * DataFrame result and surfaces as DIFF in the parity gate. The
+    * DeduplicateRelations recursion overflow). The unroll depth R
+    * defaults to 9 (env `GRAFT_CC_UNROLL` overrides): R rounds after
+    * the distance-1 seed converge for any component of diameter <= R+1
+    * — the default doubles the measured near-dup chains (diameter 5 at
+    * the 10x twin) — and rows per round are |E|, never walk-shaped (the
+    * naive bounded walk closure measures 2.0e12 rows at depth 5 on the
+    * same twin). TERMINATION is structural (fixed unroll, no
+    * recursion); an under-converged label cannot pass silently — the
+    * final round doubles as a convergence sentinel (raise_error when
+    * any label moved between rounds R-1 and R), so a longer-diameter
+    * production corpus fails LOUDLY at runtime rather than relying on
+    * the test-time DIFF parity gate. The
     * emitted `reach` keeps the consumed contract: one row per node with
     * b = its component-min label, so `least(a, min(b))` is unchanged
     * (labels include self, hence l <= a).
@@ -232,7 +236,14 @@ object SqlSurface {
     pat.findFirstMatchIn(s0) match {
       case None => s0
       case Some(m) =>
-        val rounds = 9
+        // Unroll depth is env-tunable (ADVICE r14): depth R converges for
+        // component diameter <= R, and the final round doubles as a
+        // convergence sentinel — if ANY label still moved between round
+        // R-1 and round R the query raise_errors at runtime instead of
+        // returning silently wrong cluster labels on a longer-chained
+        // corpus than the parity gate ever ran.
+        val rounds = sys.env.get("GRAFT_CC_UNROLL").map(_.toInt).getOrElse(9)
+        require(rounds >= 2, s"GRAFT_CC_UNROLL=$rounds must be >= 2")
         val chain = new StringBuilder
         chain.append(
           "edges2 AS (SELECT a, b FROM edges UNION ALL SELECT DISTINCT a, a FROM edges),\n")
@@ -243,7 +254,11 @@ object SqlSurface {
 lbl$k AS (SELECT e2.a AS v, min(x.l) AS l FROM edges2 e2 JOIN lbl${k - 1} x ON x.v = e2.b GROUP BY e2.a)""")
         }
         chain.append(s""",
-reach AS (SELECT v AS a, l AS b FROM lbl$rounds)""")
+reach AS (SELECT x.v AS a,
+  if(x.l = y.l, x.l,
+     raise_error(concat('union-closure under-converged at unroll depth ',
+       '$rounds', ' (component diameter too large; raise GRAFT_CC_UNROLL)'))) AS b
+  FROM lbl$rounds x JOIN lbl${rounds - 1} y ON x.v = y.v)""")
         s0.substring(0, m.start) + chain.toString + s0.substring(m.end)
     }
   }

@@ -24,7 +24,19 @@ except Exception as e:
     print("PARSE FAILED:", e)
     print("last line was:", repr(last[:300]))
     sys.exit(1)
-assert parsed.get("metric") == "total" and "queries" in parsed, parsed
-print("PARSED OK:", json.dumps({k: parsed[k] for k in ("metric", "value", "n_queries", "failed")}))
+assert parsed.get("metric") == "total" and "qv" in parsed, parsed
+assert len(parsed["qv"]) == parsed["n_queries"], (len(parsed["qv"]), parsed["n_queries"])
+full = json.load(open("/tmp/bench_replica_full.json"))
+# The headline's qv vector must be the full file's queries dict in
+# sorted-name order (that ordering is the recoverability contract), and
+# the truncated full_sha must bind the stdout line to the full artifact.
+names = sorted(full["queries"])
+for nm, v in zip(names, parsed["qv"]):
+    assert abs(full["queries"][nm] - v) < 0.51 * 10 ** -(len(str(v).split(".")[-1]) - 1) + 1e-9, (nm, v, full["queries"][nm])
+import hashlib
+sha = hashlib.sha256(open("/tmp/bench_replica_full.json", "rb").read()).hexdigest()
+assert parsed["full_sha"] == sha[:16], (parsed["full_sha"], sha[:16])
+print("PARSED OK:", json.dumps({k: parsed[k] for k in ("metric", "value", "n_queries", "failed", "n_requeued", "anchor_mt")}))
+print("qv recoverability + full_sha binding OK over", len(names), "queries")
 print("line length:", len(last))
 EOF
