@@ -326,6 +326,15 @@ object SparkEntry {
     // centroid-count-sized output (dynamic oracle, centroid literals)
     "ann_cluster_report" -> ((s, d) =>
       Similarity.clusterReport(Tables.load(s, d, "embeddings"), kmeansCentroids(s, d))),
+    // index-lifecycle REBUILD decision (verdict r14 item 5): build 3/4
+    // of the corpus + stats snapshot, append a deterministically shifted
+    // far-distribution batch, then one-row health report — occupancy vs
+    // the kernel cap, skew, cohesion drop and margin decay since build,
+    // and a boolean recommendation from fixed thresholds; dynamic oracle
+    // replays the full lifecycle from the centroid literals
+    "ann_index_health" -> ((s, d) =>
+      Similarity.indexHealthReport(s, ensureIvfHealthIndex(s, d),
+        kmeansCentroids(s, d), ensureIvfHealthIndex(s, d) + "_stats")),
     // recall@k of the IVF serve vs exact brute force — the index-quality
     // eval; both legs deterministic, so even the EVALUATION is
     // oracle-checked (dynamic: fitted centroids as literals)
@@ -390,6 +399,15 @@ object SparkEntry {
     "ann_pca_ivf_indexed" -> ((s, d) =>
       Similarity.pcaIvfTopKIndexedKernel(s, ensurePcaIvfIndex(s, d),
         pcaIvfCentroids(s, d))),
+    // margin-adaptive probing on the PCA-bucketed persisted index
+    // (verdict r14 item 3): the alpha rule runs over the PROJECTED-space
+    // centroid scores, so the boundary queries where the fixed-nProbe
+    // PCA serve's recall_min floored at 0.0-0.4 (ANNEVAL_r14) widen
+    // their probe sets automatically; dynamic oracle replays the margin
+    // rule + composition from the same literals
+    "ann_pca_ivf_adaptive" -> ((s, d) =>
+      Similarity.pcaIvfTopKIndexedKernelAdaptive(s, ensurePcaIvfIndex(s, d),
+        pcaIvfCentroids(s, d), 5, 5, 0.6)),
     // recall@k of the PCA-bucketed serve vs brute force over the same
     // persisted index — the reduced-dim proxy's quality number, itself
     // oracle-checked (both legs deterministic; dynamic oracle replays
@@ -1492,6 +1510,34 @@ object SparkEntry {
     name
   }
 
+  /** Build-once guard for the index-health lifecycle scenario (verdict
+    * r14 item 5): an IVF index built over 3/4 of the corpus with its
+    * build-time stats snapshot persisted alongside, then an APPENDED
+    * batch drawn from a deterministically SHIFTED distribution (every
+    * coordinate +0.5 — far from the fitted centroids), so the health
+    * report's drift columns are exercised for real: cohesion drops and
+    * margins decay exactly as a production index drifts after appends.
+    * Everything derives from the embeddings table + centroid literals,
+    * so the whole lifecycle is DuckDB-replayable.
+    */
+  private def ensureIvfHealthIndex(s: SparkSession, d: String): String = synchronized {
+    val name = "graft_ivfh_" + indexKey(d, "embeddings")
+    if (!s.catalog.tableExists(name)) {
+      Tables.dropManagedTable(s, name)
+      Tables.dropManagedTable(s, name + "_stats")
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = kmeansCentroids(s, d)
+      val base = emb.filter("vec_id % 4 <> 0")
+      Similarity.buildIvfIndex(base, cents, name)
+      Similarity.persistIndexStats(base, cents, name + "_stats")
+      val drifted = emb.filter("vec_id % 4 = 0").withColumn("embedding",
+        org.apache.spark.sql.functions.expr(
+          "transform(cast(embedding as array<double>), x -> x + 0.5D)"))
+      Similarity.ivfIndexAppend(drifted, cents, name)
+    }
+    name
+  }
+
   private def ensurePcaIvfIndex(s: SparkSession, d: String): String = synchronized {
     val name = "graft_pcaivf_" + indexKey(d, "embeddings")
     if (!s.catalog.tableExists(name)) {
@@ -1646,6 +1692,91 @@ object SparkEntry {
        |      FROM q JOIN wb c ON q.probe = c.cell AND q.q_id <> c.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
        |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** ann_index_health oracle: the whole lifecycle replayed from literals
+    * — base corpus (vec_id % 4 <> 0) stats at "build time", the shifted
+    * append batch (+0.5 per coordinate, norms recomputed post-shift,
+    * exactly as ivfIndexAppend's withNorm does), current stats over the
+    * union, then the same member-weighted cell-ordered folds, round-6
+    * derived columns, and fixed-threshold boolean as
+    * `Similarity.indexHealthReport`. Per-cell stats replicate
+    * clusterReportSqlFor's two-level ordered-fold chain twice.
+    */
+  private def indexHealthSqlFor(centroids: Array[Array[Double]],
+      cap: Int = graft.functions.CellPairs.MaxCellMembers): String = {
+    val nCells = centroids.length
+    val scoreList = centroids.map { c =>
+      val vec = c.map(_.toString).mkString("[", ", ", "]")
+      s"${Similarity.norm2(c)} - 2 * list_inner_product(v, CAST($vec AS DOUBLE[]))"
+    }.mkString("[", ",\n      ", "]")
+    val cn2List = centroids.map(c => Similarity.norm2(c).toString)
+      .mkString("CAST([", ", ", "] AS DOUBLE[])")
+    def statsCtes(tag: String, src: String): String =
+      s"""sc_$tag AS (SELECT vec_id, nrm, $scoreList AS scores FROM $src),
+         |wb_$tag AS (SELECT vec_id, nrm,
+         |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell,
+         |        list_sort(scores)[1] AS s1, list_sort(scores)[2] AS s2 FROM sc_$tag),
+         |m_$tag AS (SELECT vec_id, cell,
+         |        (($cn2List)[cell] - s1) / 2.0 / (nrm * sqrt(($cn2List)[cell])) AS cosc,
+         |        s2 - s1 AS margin FROM wb_$tag),
+         |l1_$tag AS (SELECT cell, vec_id // 1024 AS bucket, COUNT(*) AS n,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cosc ORDER BY vec_id)),
+         |           (a, b) -> a + b) AS sc1,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(margin ORDER BY vec_id)),
+         |           (a, b) -> a + b) AS sm1
+         |       FROM m_$tag GROUP BY 1, 2),
+         |l2_$tag AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_members,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sc1 ORDER BY bucket)),
+         |           (a, b) -> a + b) AS sc2,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sm1 ORDER BY bucket)),
+         |           (a, b) -> a + b) AS sm2
+         |       FROM l1_$tag GROUP BY cell),
+         |st_$tag AS (SELECT cell, n_members,
+         |         round(sc2 / n_members, 6) AS coh, round(sm2 / n_members, 6) AS mar
+         |       FROM l2_$tag)""".stripMargin
+    s"""WITH $normCte,
+       |base AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 4 <> 0),
+       |dv AS (SELECT vec_id, list_transform(v, x -> x + 0.5) AS v FROM n WHERE vec_id % 4 = 0),
+       |drift AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM dv),
+       |cur AS (SELECT * FROM base UNION ALL SELECT * FROM drift),
+       |${statsCtes("b", "base")},
+       |${statsCtes("c", "cur")},
+       |gb AS (SELECT CAST(SUM(n_members) AS BIGINT) AS n_members_build,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(coh * n_members ORDER BY cell)),
+       |           (a, b) -> a + b) AS cohw0,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(mar * n_members ORDER BY cell)),
+       |           (a, b) -> a + b) AS marw0
+       |       FROM st_b),
+       |gc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_occupied,
+       |         CAST(SUM(n_members) AS BIGINT) AS n_members,
+       |         CAST(MAX(n_members) AS BIGINT) AS max_cell,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(coh * n_members ORDER BY cell)),
+       |           (a, b) -> a + b) AS cohw,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(mar * n_members ORDER BY cell)),
+       |           (a, b) -> a + b) AS marw
+       |       FROM st_c),
+       |f AS (SELECT gc.n_cells_occupied, gc.n_members, gb.n_members_build,
+       |        round(CAST(gc.n_members - gb.n_members_build AS DOUBLE) / gb.n_members_build, 6) AS growth_frac,
+       |        round(CAST(gc.max_cell AS DOUBLE) / $cap, 6) AS max_occupancy_frac,
+       |        round(CAST(gc.max_cell AS DOUBLE) * $nCells / gc.n_members, 6) AS skew_ratio,
+       |        round(gb.cohw0 / gb.n_members_build, 6) AS cohesion_build,
+       |        round(gc.cohw / gc.n_members, 6) AS cohesion_cur,
+       |        round(gb.marw0 / gb.n_members_build, 6) AS margin_build,
+       |        round(gc.marw / gc.n_members, 6) AS margin_cur
+       |      FROM gc, gb)
+       |SELECT n_cells_occupied, n_members, n_members_build, growth_frac,
+       |  max_occupancy_frac, skew_ratio, cohesion_build, cohesion_cur,
+       |  round(cohesion_build - cohesion_cur, 6) AS cohesion_drop,
+       |  margin_build, margin_cur,
+       |  CASE WHEN margin_build = 0.0 THEN 0.0
+       |       ELSE round((margin_build - margin_cur) / margin_build, 6) END AS margin_decay_frac,
+       |  (max_occupancy_frac > 0.9 OR skew_ratio > 4.0
+       |    OR round(cohesion_build - cohesion_cur, 6) > 0.1
+       |    OR (CASE WHEN margin_build = 0.0 THEN 0.0
+       |             ELSE round((margin_build - margin_cur) / margin_build, 6) END) > 0.5)
+       |    AS rebuild_recommended
+       |FROM f""".stripMargin
   }
 
   /** ann_ivf_adaptive oracle: ivfKmeansSqlFor's shape with the
@@ -2185,6 +2316,9 @@ object SparkEntry {
       ("ann_pca_topk" -> pcaTopkSqlFor(pcaFit(spark, sfDir)._1, pcaFit(spark, sfDir)._3)) +
       ("ann_pca_ivf_indexed" -> pcaIvfSqlFor(pcaFit(spark, sfDir)._1,
         pcaFit(spark, sfDir)._3, pcaIvfCentroids(spark, sfDir))) +
+      ("ann_pca_ivf_adaptive" -> pcaIvfSqlFor(pcaFit(spark, sfDir)._1,
+        pcaFit(spark, sfDir)._3, pcaIvfCentroids(spark, sfDir),
+        alpha = Some(0.6))) +
       ("ann_pca_ivf_recall" -> pcaIvfRecallSqlFor(pcaFit(spark, sfDir)._1,
         pcaFit(spark, sfDir)._3, pcaIvfCentroids(spark, sfDir))) +
       ("emb_pca_whiten" -> pcaWhitenSqlFor(pcaFit(spark, sfDir)._1,
@@ -2198,6 +2332,7 @@ object SparkEntry {
       // indexed serves must reproduce the in-memory answers exactly
       ("ann_ivf_indexed" -> ivfKmeansSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_ivf_indexed_adaptive" -> ivfAdaptiveSqlFor(kmeansCentroids(spark, sfDir), 0.6)) +
+      ("ann_index_health" -> indexHealthSqlFor(kmeansCentroids(spark, sfDir))) +
       ("ann_ivfpq_indexed" -> ivfPqSqlFor(kmeansCentroids(spark, sfDir),
         pqBooks(spark, sfDir))) +
       ("dedup_semantic" -> semanticSqlFor(kmeansCentroids(spark, sfDir,
@@ -2316,7 +2451,7 @@ object SparkEntry {
     */
   private def pcaIvfSqlFor(mean: Array[Double], comps: Array[Array[Double]],
       projCentroids: Array[Array[Double]], nProbe: Int = 2,
-      k: Int = 5, overFetch: Int = 3): String = {
+      k: Int = 5, overFetch: Int = 3, alpha: Option[Double] = None): String = {
     val d = mean.length
     def sArr(a: Array[Double]) =
       a.map(x => s"'$x'").mkString("list_transform([", ", ", "], s -> CAST(s AS DOUBLE))")
@@ -2337,8 +2472,7 @@ object SparkEntry {
        |wb AS (SELECT vec_id, v, nrm, p, scores,
        |        CAST(list_position(scores, list_min(scores)) AS INT) AS cell FROM sc),
        |q AS (SELECT vec_id AS q_id, p AS qp, v AS qv, nrm AS qn,
-       |        unnest(list_distinct(list_transform(generate_series(1, $nProbe),
-       |          r -> CAST(list_position(scores, list_sort(scores)[r]) AS INT)))) AS probe
+       |        unnest(${probeSqlFor(nProbe, alpha)}) AS probe
        |      FROM wb WHERE vec_id < 5),
        |cand AS (SELECT q.q_id, c.vec_id AS n_id,
        |    round(list_inner_product(
@@ -2354,6 +2488,23 @@ object SparkEntry {
        |SELECT q_id, rnk, n_id, cos FROM rf WHERE rnk <= $k
        |ORDER BY q_id, rnk""".stripMargin
   }
+
+  /** The probe-set list for the PCA-IVF oracles: fixed top-nProbe ranks,
+    * or — when alpha is set — the margin-adaptive rule over the same
+    * projected-space scores (ivfAdaptiveSqlFor's rule; lambda var `z`
+    * because `p` names the projection column in these CTEs).
+    */
+  private def probeSqlFor(nProbe: Int, alpha: Option[Double]): String =
+    alpha match {
+      case Some(a) =>
+        s"""list_filter(list_transform(generate_series(1, len(scores)),
+           |          j -> CASE WHEN scores[j] - list_min(scores) <= $a * (list_max(scores) - list_min(scores))
+           |                    THEN CAST(j AS INT) ELSE NULL END),
+           |          z -> z IS NOT NULL)""".stripMargin
+      case None =>
+        s"""list_distinct(list_transform(generate_series(1, $nProbe),
+           |          r -> CAST(list_position(scores, list_sort(scores)[r]) AS INT)))""".stripMargin
+    }
 
   /** ann_pca_ivf_recall oracle: ivfRecallSqlFor's report shape with the
     * approx leg replaced by the composed PCA-bucketed pipeline (the

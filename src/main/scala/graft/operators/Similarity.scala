@@ -634,6 +634,95 @@ object Similarity {
       .write.bucketBy(buckets, "cell").sortBy("cell")
       .mode("append").saveAsTable(table)
 
+  /** Build-time per-cell stats snapshot for a persisted IVF index — the
+    * reference the health audit drifts against. One `clusterReport` pass
+    * over the indexed corpus (population, cohesion, boundary margin per
+    * cell), persisted as a tiny centroid-count-sized table next to the
+    * index. Write this at build time; [[indexHealthReport]] reads it.
+    */
+  def persistIndexStats(emb: DataFrame, centroids: Array[Array[Double]],
+      table: String): Unit =
+    clusterReport(emb, centroids).write.mode("overwrite").saveAsTable(table)
+
+  /** Rebuild-decision report — closes the index lifecycle loop (verdict
+    * r14 item 5): build ([[buildIvfIndex]]) → append ([[ivfIndexAppend]])
+    * → monitor ([[clusterReport]]/[[snapshotDrift]]) → THIS: one row
+    * that says whether the appended-to index still serves well, with a
+    * boolean recommendation derived from FIXED thresholds:
+    *
+    *   - `max_occupancy_frac > 0.9`: a cell is near the whole-cell
+    *     kernel cap (`CellPairs.MaxCellMembers`) — the next append can
+    *     make the cell unservable;
+    *   - `skew_ratio > 4`: the largest cell holds >4x the mean — probe
+    *     cost concentrates and the centroid layout no longer balances;
+    *   - `cohesion_drop > 0.1`: member→centroid cosine fell vs build —
+    *     the appended distribution isn't the fitted one;
+    *   - `margin_decay_frac > 0.5`: best-vs-second-best margins halved —
+    *     assignments flap and fixed-probe recall decays (the regime the
+    *     adaptive alpha rule widens on, but past this point the
+    *     centroids themselves are stale).
+    *
+    * Exactness contract: per-cell means come from [[clusterReport]]'s
+    * round-6 two-level ordered folds; the global member-weighted means
+    * fold the ROUNDED per-cell values in cell order, so every emitted
+    * double (and the boolean derived from them) is reproducible
+    * cross-engine from the centroid literals. Scale: two
+    * centroid-count-sized inputs (current stats recomputed in one index
+    * scan; build stats read from [[persistIndexStats]]'s table), one-row
+    * output, no joins wider than #cells.
+    */
+  def indexHealthReport(spark: org.apache.spark.sql.SparkSession,
+      table: String, centroids: Array[Array[Double]], statsTable: String,
+      cap: Int = graft.functions.CellPairs.MaxCellMembers): DataFrame = {
+    val nCells = centroids.length
+    val cur = clusterReport(
+      spark.table(table).select(col("vec_id"), lit(0).as("label"),
+        col("v").as("embedding")), centroids)
+      .select(col("cell"), col("n_members").as("n"),
+        col("mean_cos_to_centroid").as("coh"), col("mean_margin").as("mar"))
+    val b0 = spark.table(statsTable)
+      .select(col("cell"), col("n_members").as("n0"),
+        col("mean_cos_to_centroid").as("coh0"), col("mean_margin").as("mar0"))
+    def foldCells(n: String, x: String): Column =
+      expr(s"aggregate(array_sort(collect_list(struct(cell, $n, $x))), " +
+        s"cast(0.0 as double), (a, s) -> a + s.$x * s.$n)")
+    val curAgg = cur.agg(
+      count(lit(1)).as("n_cells_occupied"),
+      sum(col("n")).cast("long").as("n_members"),
+      max(col("n")).cast("long").as("max_cell"),
+      foldCells("n", "coh").as("cohw"),
+      foldCells("n", "mar").as("marw"))
+    val b0Agg = b0.agg(
+      sum(col("n0")).cast("long").as("n_members_build"),
+      foldCells("n0", "coh0").as("cohw0"),
+      foldCells("n0", "mar0").as("marw0"))
+    curAgg.crossJoin(b0Agg)
+      .withColumn("growth_frac", round(
+        (col("n_members") - col("n_members_build")).cast("double") /
+          col("n_members_build"), 6))
+      .withColumn("max_occupancy_frac",
+        round(col("max_cell").cast("double") / lit(cap), 6))
+      .withColumn("skew_ratio", round(
+        col("max_cell").cast("double") * lit(nCells) / col("n_members"), 6))
+      .withColumn("cohesion_build", round(col("cohw0") / col("n_members_build"), 6))
+      .withColumn("cohesion_cur", round(col("cohw") / col("n_members"), 6))
+      .withColumn("cohesion_drop",
+        round(col("cohesion_build") - col("cohesion_cur"), 6))
+      .withColumn("margin_build", round(col("marw0") / col("n_members_build"), 6))
+      .withColumn("margin_cur", round(col("marw") / col("n_members"), 6))
+      .withColumn("margin_decay_frac", when(col("margin_build") === 0.0, 0.0)
+        .otherwise(round((col("margin_build") - col("margin_cur")) /
+          col("margin_build"), 6)))
+      .withColumn("rebuild_recommended",
+        col("max_occupancy_frac") > 0.9 || col("skew_ratio") > 4.0 ||
+          col("cohesion_drop") > 0.1 || col("margin_decay_frac") > 0.5)
+      .select("n_cells_occupied", "n_members", "n_members_build",
+        "growth_frac", "max_occupancy_frac", "skew_ratio",
+        "cohesion_build", "cohesion_cur", "cohesion_drop",
+        "margin_build", "margin_cur", "margin_decay_frac",
+        "rebuild_recommended")
+  }
+
   /** Serve top-k from a persisted index. The query batch recomputes its
     * probe cells from the same centroid literals (tiny side); the index
     * side streams straight out of its buckets. Results are identical to
@@ -2025,14 +2114,52 @@ object Similarity {
     pcaIvfServeKernel(assigned, projCentroids, nQueries, k, nProbe, overFetch)
   }
 
+  /** Margin-adaptive probing on the PCA-bucketed persisted index
+    * (verdict r14 item 3): the alpha rule [[probeArrAdaptive]] runs over
+    * the PROJECTED-space centroid scores — the same margins the cell
+    * assignment itself used, so boundary queries (near-tie projected
+    * margins, exactly where the fixed-nProbe PCA serve's recall_min
+    * floored at 0.0-0.4 in ANNEVAL_r14) widen their probe sets
+    * automatically while deep-in-cell queries stay cheap. Serve path and
+    * output contract identical to [[pcaIvfTopKIndexedKernel]]; only the
+    * probe-set rule differs.
+    */
+  def pcaIvfTopKIndexedKernelAdaptive(spark: org.apache.spark.sql.SparkSession,
+      table: String, projCentroids: Array[Array[Double]], nQueries: Int = 5,
+      k: Int = 5, alpha: Double = 0.6, overFetch: Int = 3): DataFrame =
+    pcaIvfServeKernel(spark.table(table), projCentroids, nQueries, k,
+      nProbe = 0, overFetch, alpha = Some(alpha))
+
+  /** Join+window spelling of the adaptive PCA serve — the differential
+    * twin (bit-identical result; shares the oracle).
+    */
+  def pcaIvfTopKIndexedAdaptive(spark: org.apache.spark.sql.SparkSession,
+      table: String, projCentroids: Array[Array[Double]], nQueries: Int = 5,
+      k: Int = 5, alpha: Double = 0.6, overFetch: Int = 3): DataFrame =
+    pcaIvfServe(spark.table(table), projCentroids, nQueries, k,
+      nProbe = 0, overFetch, alpha = Some(alpha))
+
+  /** In-memory adaptive kernel twin (the AnnEval sweep shape). */
+  def pcaIvfTopKKernelAdaptive(emb: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]], projCentroids: Array[Array[Double]],
+      nQueries: Int = 5, k: Int = 5, alpha: Double = 0.6,
+      overFetch: Int = 3): DataFrame = {
+    val assigned = withProj(emb, mean, comps)
+      .withColumn("scores", graft.functions.CellScores(col("p"), projCentroids))
+      .withColumn("cell", expr("cast(array_position(scores, array_min(scores)) as int)"))
+      .select("vec_id", "v", "nrm", "p", "cell")
+    pcaIvfServeKernel(assigned, projCentroids, nQueries, k, nProbe = 0,
+      overFetch, alpha = Some(alpha))
+  }
+
   private def pcaIvfServeKernel(idx: DataFrame,
       projCentroids: Array[Array[Double]], nQueries: Int, k: Int,
-      nProbe: Int, overFetch: Int): DataFrame = {
+      nProbe: Int, overFetch: Int, alpha: Option[Double] = None): DataFrame = {
     val m = k * overFetch
     val member = struct(col("vec_id"), col("v"), col("nrm"), col("p"))
     val q = idx.filter(col("vec_id") < nQueries)
       .withColumn("scores", graft.functions.CellScores(col("p"), projCentroids))
-      .withColumn("probe", explode(probeArr(nProbe)))
+      .withColumn("probe", explode(alpha.map(probeArrAdaptive).getOrElse(probeArr(nProbe))))
       .groupBy("probe").agg(collect_list(member).as("qs"))
     val cells = idx.groupBy("cell").agg(collect_list(member).as("ms"))
     val local = q.join(cells, col("probe") === col("cell"))
@@ -2050,10 +2177,11 @@ object Similarity {
   }
 
   private def pcaIvfServe(idx: DataFrame, projCentroids: Array[Array[Double]],
-      nQueries: Int, k: Int, nProbe: Int, overFetch: Int): DataFrame = {
+      nQueries: Int, k: Int, nProbe: Int, overFetch: Int,
+      alpha: Option[Double] = None): DataFrame = {
     val q = idx.filter(col("vec_id") < nQueries)
       .withColumn("scores", graft.functions.CellScores(col("p"), projCentroids))
-      .withColumn("probe", explode(probeArr(nProbe)))
+      .withColumn("probe", explode(alpha.map(probeArrAdaptive).getOrElse(probeArr(nProbe))))
       .select(col("vec_id").as("q_id"), col("p").as("qp"),
         col("v").as("qv"), col("nrm").as("qn"), col("probe"))
     val cc = idx.select(col("vec_id").as("n_id"), col("p").as("cp"),

@@ -107,8 +107,15 @@ object AnnEval {
         (ap.getOrElse(q, Set.empty[Long]) & s).size.toDouble / s.size }
       (per.sum / per.size, per.min)
     }
-    def pcaSection(tag: String, corpus: DataFrame): String = {
-      val (mu, evals, comps) = Similarity.pcaModel(corpus, k = 8)
+    def pcaSection(tag: String, corpus: DataFrame, fitMod: Int = 1): String = {
+      // fitMod > 1 fits the PCA moment pass on a deterministic 1/fitMod
+      // id-gated sample — the 100 TB shape for wide embeddings, where the
+      // exact d x d moment matrix is the build-time cost lever (the d=768
+      // section uses 10; the d=64 sections keep the exact full-corpus fit
+      // the oracle-checked queries use). Projections still cover ALL rows.
+      val fitCorpus =
+        if (fitMod <= 1) corpus else corpus.filter(col("vec_id") % fitMod === 0)
+      val (mu, evals, comps) = Similarity.pcaModel(fitCorpus, k = 8)
       val varShare = evals.take(8).sum / evals.sum
       val pCents = Similarity.fitCentroidsPca(corpus, mu, comps)
       val fCents = Similarity.fitCentroids(corpus)
@@ -139,16 +146,51 @@ object AnnEval {
           Similarity.pcaIvfTopKKernel(corpus, mu, comps, pCents, panel, k, nProbe, m))
         f"""{"nProbe":$nProbe,"overFetch":$m,"sec":$sec%.3f,"recall_mean":$mean%.4f,"recall_min":$min%.4f}"""
       }
+      // margin-adaptive probing on the PCA serve (verdict r14 item 3):
+      // probe widths follow each query's PROJECTED-space score margins,
+      // so the boundary queries that floor fixed-nProbe recall_min widen
+      // automatically — measured against the fixed-nProbe rows above at
+      // matched wall
+      val pcaAd = Seq((0.3, 20), (0.5, 20), (0.5, 50), (0.7, 50)).map { case (alpha, m) =>
+        val sec = time(noop(Similarity.pcaIvfTopKKernelAdaptive(
+          corpus, mu, comps, pCents, panel, k, alpha, m)))
+        val (mean, min) = recallOf(exact, Similarity.pcaIvfTopKKernelAdaptive(
+          corpus, mu, comps, pCents, panel, k, alpha, m))
+        f"""{"alpha":$alpha%.1f,"overFetch":$m,"sec":$sec%.3f,"recall_mean":$mean%.4f,"recall_min":$min%.4f}"""
+      }
       f""""$tag":{"var_share_8":$varShare%.4f,"exact_sec":$exSec%.3f,""" +
         f""""flat_ivf":[${flat.mkString(",")}],""" +
         f""""flat_ivf_kernel":[${flatKernel.mkString(",")}],""" +
-        f""""pca_ivf_kernel":[${pca.mkString(",")}]}"""
+        f""""pca_ivf_kernel":[${pca.mkString(",")}],""" +
+        f""""pca_ivf_kernel_adaptive":[${pcaAd.mkString(",")}]}"""
     }
     val decay = array((0 until 64).map(j => lit(math.exp(-j / 8.0))): _*)
     val aniso = emb.withColumn("embedding",
       zip_with(col("embedding").cast("array<double>"), decay, (x, s) => x * s))
+    // ---- d=768 point (verdict r14 item 2) ------------------------------
+    // The one r14 performance claim made without a committed measurement:
+    // PLANS.md argues the PCA kernel "wins by construction" at real
+    // embedding widths because the in-cell pair loop (d multiplies/pair
+    // flat vs 8 projected) dominates the serve there. Measure it: a
+    // DETERMINISTIC d=768 twin with the same exp(-j/8) per-coordinate
+    // spectrum as pca_ivf_aniso (Murmur3 hash(vec_id, j) noise -> the
+    // corpus is bit-reproducible run to run), same panel/k, PCA fit on a
+    // deterministic 10% id-gated sample (the wide-d build-cost shape; at
+    // d=768 the exact moment matrix is d(d+1)/2 = 295k cells/row).
+    // Persisted before timing so every leg measures the SERVE, not the
+    // column generation.
+    import org.apache.spark.sql.functions.expr
+    val d768 = 768
+    val gen768 = spark.range(nVec).select(col("id").as("vec_id"),
+      expr("cast(pmod(hash(id), 16) as int)").as("label"),
+      expr(s"transform(sequence(0, ${d768 - 1}), j -> " +
+        "(cast(hash(id, j) as double) / 2147483647.0D) * " +
+        "exp(-cast(j as double) / 8.0D))").as("embedding"))
+      .persist()
+    gen768.count()
     val pcaJson = pcaSection("pca_ivf_raw", emb) + "," +
-      pcaSection("pca_ivf_aniso", aniso)
+      pcaSection("pca_ivf_aniso", aniso) + "," +
+      pcaSection("pca_ivf_d768", gen768, fitMod = 10)
 
     val json =
       f"""{"dataset":"$dir","n_vectors":$nVec,"dim":64,"panel":$panel,"k":$k,""" +

@@ -165,6 +165,8 @@ class EntrySpec extends AnyFunSuite {
     "emb_pca_report" -> 8L,
     "ann_pca_topk" -> 25L,
     "ann_pca_ivf_indexed" -> 25L,
+    "ann_pca_ivf_adaptive" -> 25L,
+    "ann_index_health" -> 1L,
     "ann_pca_ivf_recall" -> 5L,
     "emb_pca_whiten" -> 500L,
     "pipeline_quality_rel" -> 251L,
@@ -235,12 +237,12 @@ class EntrySpec extends AnyFunSuite {
     "ann_lsh_multiprobe", "dedup_semantic",
     "pipeline_quality_scores", "text_bpe_encode", "ann_pq_encode", "ann_ivfpq_topk",
     "ann_ivfpq_refine", "ann_ivf_indexed", "ann_ivf_indexed_adaptive",
-    "ann_ivfpq_indexed", "ann_mips_lsh",
+    "ann_ivfpq_indexed", "ann_mips_lsh", "ann_index_health",
     "ann_ivf2_topk", "text_topics", "ann_knn_graph",
     "emb_contrastive", "emb_margin_pairs", "pipeline_quality_model",
     "pipeline_quality_model_ngram", "pipeline_quality_scores_ngram",
     "emb_pca", "emb_pca_report", "ann_pca_topk", "ann_pca_ivf_indexed",
-    "ann_pca_ivf_recall", "emb_pca_whiten",
+    "ann_pca_ivf_adaptive", "ann_pca_ivf_recall", "emb_pca_whiten",
     "dedup_embedding", "emb_drift", "pipeline_pack_report", "text_bpe_merges")
 
   test("every oracle key has a query; only declared sketch queries lack an oracle") {

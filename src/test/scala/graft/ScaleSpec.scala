@@ -163,6 +163,42 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("index health report: clean build stays green, degraded append flips rebuild_recommended") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.fitCentroids(emb)
+    try {
+      Seq("ivfh_idx", "ivfh_idx_stats").foreach(t => Tables.dropManagedTable(spark, t))
+      Similarity.buildIvfIndex(emb, cents, "ivfh_idx")
+      Similarity.persistIndexStats(emb, cents, "ivfh_idx_stats")
+      // freshly built, nothing appended: every drift column must be
+      // exactly zero (current stats ARE the build stats) and the
+      // recommendation false — a healthy index must not cry rebuild
+      val clean = Similarity.indexHealthReport(
+        spark, "ivfh_idx", cents, "ivfh_idx_stats").collect().head
+      assert(clean.getAs[Double]("growth_frac") === 0.0)
+      assert(clean.getAs[Double]("cohesion_drop") === 0.0)
+      assert(clean.getAs[Double]("margin_decay_frac") === 0.0)
+      assert(!clean.getAs[Boolean]("rebuild_recommended"))
+      // append a deliberately-degraded batch (far-distribution shift):
+      // the report must FLIP — that is the lifecycle decision the
+      // thresholds exist for (verdict r14 item 5)
+      val far = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+        .withColumn("embedding",
+          expr("transform(cast(embedding as array<double>), x -> x + 2.0D)"))
+      Similarity.ivfIndexAppend(far, cents, "ivfh_idx")
+      val degraded = Similarity.indexHealthReport(
+        spark, "ivfh_idx", cents, "ivfh_idx_stats").collect().head
+      assert(degraded.getAs[Long]("n_members") === 2 * clean.getAs[Long]("n_members"))
+      assert(degraded.getAs[Double]("cohesion_drop") > 0.0)
+      assert(degraded.getAs[Boolean]("rebuild_recommended"),
+        s"degraded index must recommend rebuild: $degraded")
+    } finally {
+      Seq("ivfh_idx", "ivfh_idx_stats").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("PCA-bucketed IVF index: projected cells, bucket-served, indexed == in-memory") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, dir, "embeddings")
@@ -194,6 +230,18 @@ class ScaleSpec extends AnyFunSuite {
           nProbe = 3, overFetch = 6).collect().toSeq ===
         Similarity.pcaIvfTopKIndexed(spark, "pcaivf_idx", cents,
           nProbe = 3, overFetch = 6).collect().toSeq)
+      // margin-adaptive probing on the PCA index (verdict r14 item 3):
+      // kernel == join spelling == in-memory twin at the shipped alpha,
+      // and widening alpha can only widen probe sets — at alpha=1 every
+      // cell is probed, so the result must equal exhaustive in-cell
+      // search with the same over-fetch/refine contract
+      val adOnIdx = Similarity.pcaIvfTopKIndexedKernelAdaptive(
+        spark, "pcaivf_idx", cents, alpha = 0.6).collect().toSeq
+      assert(adOnIdx === Similarity.pcaIvfTopKIndexedAdaptive(
+        spark, "pcaivf_idx", cents, alpha = 0.6).collect().toSeq)
+      assert(adOnIdx === Similarity.pcaIvfTopKKernelAdaptive(
+        emb, mu, comps, cents, alpha = 0.6).collect().toSeq)
+      assert(adOnIdx.nonEmpty)
       // every emitted cosine is the EXACT cosine: wherever (q, n) also
       // appears in brute-force top-k, the rounded cosines agree
       val brute = Similarity.bruteForceTopK(emb)
