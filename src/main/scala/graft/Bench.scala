@@ -74,15 +74,20 @@ object Bench {
 
   /** Per-query quiet-box twin times from the newest LOCALBENCH_r*.json
     * (env SPARK_GRAFT_BENCH_TWIN overrides). Regex-parsed from the flat
-    * `"queries":{...}` object of this repo's own artifact format.
+    * `"queries":{...}` object of this repo's own artifact format. A twin
+    * taken at a DIFFERENT sf dir is rejected — the scale-curve runs at
+    * gen1x/gen100x must not be cross-checked against an sf0.1 twin
+    * (every query would false-flag at 100x and re-run pointlessly).
     */
-  private def twinTimes(): Map[String, Double] = {
+  private def twinTimes(sfDir: String): Map[String, Double] = {
     val f = sys.env.get("SPARK_GRAFT_BENCH_TWIN").map(new java.io.File(_))
       .orElse(newestRound("LOCALBENCH", ".json"))
     f.filter(_.isFile).map { file =>
       val txt = new String(java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
+      val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
       val qi = txt.indexOf("\"queries\":{")
-      if (qi < 0) Map.empty[String, Double]
+      if (qi < 0 || !sfOk) Map.empty[String, Double]
       else {
         val body = txt.substring(qi + "\"queries\":{".length, txt.indexOf('}', qi))
         """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
@@ -268,7 +273,7 @@ object Bench {
     // Independent of the calib net: any committed number >1.5x its newest
     // LOCALBENCH twin gets one more warmed measurement, min kept. Catches
     // bursts shorter than the probe spacing.
-    val twin = twinTimes()
+    val twin = twinTimes(sfDir)
     val twinFlagged = scala.collection.mutable.ArrayBuffer.empty[String]
     if (twin.nonEmpty) {
       names.filter { n =>

@@ -767,6 +767,37 @@ object Similarity {
     rank(q.join(cc, col("probe") === col("n_cell") && col("q_id") =!= col("n_id")), k)
   }
 
+  /** Kernel spelling of the margin-adaptive persisted-index serve (r15):
+    * [[ivfTopKIndexedAdaptive]]'s result through the whole-cell
+    * `CellQueryTopK` kernel — queries grouped by probed cell, one kernel
+    * evaluation per (cell, its queries) scoring the cell's members in a
+    * tight primitive loop, then the global rank. The cell assignments
+    * come FROM the index (no per-serve corpus re-scoring — the property
+    * the in-memory kernel path cannot have), so this is the
+    * lowest-latency batch serve off the flat index: bucketed scan →
+    * grouped members → kernel. Bit-identical to the join spelling
+    * (ScaleSpec twin).
+    */
+  def ivfTopKIndexedKernelAdaptive(spark: org.apache.spark.sql.SparkSession,
+      table: String, centroids: Array[Array[Double]], nQueries: Int = 5,
+      k: Int = 5, alpha: Double = 0.5): DataFrame = {
+    val idx = spark.table(table)
+    val member = struct(col("vec_id"), col("v"), col("nrm"))
+    val q = idx.filter(col("vec_id") < nQueries)
+      .withColumn("scores", cellScores(centroids))
+      .withColumn("probe", explode(probeArrAdaptive(alpha)))
+      .groupBy("probe").agg(collect_list(member).as("qs"))
+    val cells = idx.groupBy("cell").agg(collect_list(member).as("ms"))
+    val local = q.join(cells, col("probe") === col("cell"))
+      .select(explode(graft.functions.CellQueryTopK(col("qs"), col("ms"), k)).as("c"))
+      .select(col("c.q_id").as("q_id"), col("c.n_id").as("n_id"), col("c.cos").as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    local.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Serve one EXTERNAL query batch against a persisted/loaded IVF index:
     * queries carry their own id space (`q_id`, `qv: array<float>`) and are
     * NOT excluded from matching any index vector — unlike `ivfTopKIndexed`
@@ -2171,6 +2202,52 @@ object Similarity {
     local.withColumn("crnk", row_number().over(wc))
       .filter(col("crnk") <= m)
       .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** External-batch serve off the PCA-bucketed index — the
+    * per-micro-batch kernel behind `StreamAnnServe.servePca` (the online
+    * retrieval shape for the reduced-dim index). The INCOMING query batch
+    * is projected with the same mean/component literals the index was
+    * built with (round-6, `withProj`'s arithmetic), scored against the
+    * projected-space centroids, probed (fixed nProbe, or the
+    * margin-adaptive alpha rule when set), ranked by projected L2^2 in
+    * the candidate stage, and refined by exact cosine on the original
+    * vectors — identical output contract to [[pcaIvfServe]] except that
+    * external queries are not index members, so there is no
+    * self-exclusion. Per-batch cost is O(batch x probed-cell occupancy)
+    * with the index side streaming out of its buckets, independent of
+    * index size.
+    */
+  def pcaIvfServeBatch(queryBatch: DataFrame, index: DataFrame,
+      mean: Array[Double], comps: Array[Array[Double]],
+      projCentroids: Array[Array[Double]], k: Int = 5, nProbe: Int = 2,
+      overFetch: Int = 3, alpha: Option[Double] = None): DataFrame = {
+    val meanLit = array(mean.map(lit(_)): _*)
+    val q = queryBatch
+      .select(col("q_id"), col("qv").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot("v", "v")))
+      .withColumn("dv", zip_with(col("v"), meanLit, (a, b) => a - b))
+      .withColumn("p", array(comps.map(c =>
+        round(graft.functions.VectorDot(col("dv"),
+          array(c.map(lit(_)): _*)), 6)).toIndexedSeq: _*))
+      .withColumn("scores", graft.functions.CellScores(col("p"), projCentroids))
+      .withColumn("probe", explode(alpha.map(probeArrAdaptive).getOrElse(probeArr(nProbe))))
+      .select(col("q_id"), col("p").as("qp"), col("v").as("qv"),
+        col("nrm").as("qn"), col("probe"))
+    val cc = index.select(col("vec_id").as("n_id"), col("p").as("cp"),
+      col("v").as("nv"), col("nrm").as("nn"), col("cell").as("n_cell"))
+    val cand = q.join(cc, col("probe") === col("n_cell"))
+      .withColumn("pd", zip_with(col("qp"), col("cp"), (a, b) => a - b))
+      .withColumn("d2", round(graft.functions.VectorDot(col("pd"), col("pd")), 6))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    val refined = cand.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= k * overFetch)
+      .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    refined.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "n_id", "cos")
       .orderBy("q_id", "rnk")

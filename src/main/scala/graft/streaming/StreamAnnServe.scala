@@ -60,4 +60,23 @@ object StreamAnnServe {
           batchId)
       }
       .start()
+
+  /** Start serving off the PCA-BUCKETED index (r15): incoming query
+    * vectors are projected per micro-batch with the same mean/component
+    * literals the index was built with, probed in the projected space
+    * (margin-adaptive by default — the r15 `ann_pca_ivf_adaptive`
+    * composition on the serving path), candidate-ranked at k
+    * multiplies/pair, and exact-refined. The reduced-dim serve for real
+    * embedding widths, online.
+    */
+  def servePca(queries: DataFrame, index: () => DataFrame,
+      mean: Array[Double], comps: Array[Array[Double]],
+      projCentroids: Array[Array[Double]], k: Int = 5, alpha: Double = 0.5)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Similarity.pcaIvfServeBatch(batch, index(), mean, comps,
+          projCentroids, k, alpha = Some(alpha)), batchId)
+      }
+      .start()
 }

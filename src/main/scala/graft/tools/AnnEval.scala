@@ -192,12 +192,132 @@ object AnnEval {
       pcaSection("pca_ivf_aniso", aniso) + "," +
       pcaSection("pca_ivf_d768", gen768, fitMod = 10)
 
+    // ---- WIDE-panel d=768 block: the pair-loop-dominated regime --------
+    // At panel=100 the serve cost is member DECODE (each probed cell's
+    // ~1.2k members x 768 doubles deserialize once per serve) and the
+    // flat kernel wins at any width — measured above, disclosed. The
+    // 8-vs-768 multiplies-per-pair lever only dominates when the query
+    // batch is large enough that pair-loop work (queries/cell x members
+    // x d) swamps the one-time decode — the kNN-graph / batch-scoring
+    // shape. panel=2000 at d=768: flat pair work ~2000 x nProbe x 1.2k x
+    // 768 ≈ 4G multiplies/serve vs PCA's 8/768th + top-m exact refine.
+    // Serves run INDEXED on both sides: the deployed shape reads cells
+    // and projections from the persisted bucketed index, so neither side
+    // pays per-serve corpus re-scoring (the in-memory sweep above makes
+    // the PCA side re-project the whole corpus every serve — a build
+    // cost, not a serve cost, and it buried the pair-loop comparison).
+    val wide = 2000
+    val fitW = gen768.filter(col("vec_id") % 10 === 0)
+    val (muW, _, compsW) = Similarity.pcaModel(fitW, k = 8)
+    val pCentsW = Similarity.fitCentroidsPca(gen768, muW, compsW)
+    val fCentsW = Similarity.fitCentroids(gen768)
+    Similarity.buildIvfIndex(gen768, fCentsW, "anneval_768_flat", buckets = 8)
+    Similarity.buildPcaIvfIndex(gen768, muW, compsW, pCentsW,
+      "anneval_768_pca", buckets = 8)
+    noop(Similarity.ivfTopKIndexedKernelAdaptive(
+      spark, "anneval_768_flat", fCentsW, wide, k, 0.6)) // warm
+    val tEx0 = System.nanoTime()
+    val exactW = Similarity.bruteForceTopK(gen768, wide, k)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactWSec = (System.nanoTime() - tEx0) / 1e9
+    def widePoint(name: String, df: => org.apache.spark.sql.DataFrame): String = {
+      val sec = time(noop(df))
+      val (mean, min) = recallOf(exactW, df)
+      f"""{"name":"$name","sec":$sec%.3f,"recall_mean":$mean%.4f,"recall_min":$min%.4f}"""
+    }
+    val widePoints = Seq(
+      widePoint("flat_indexed_kernel_a0.6",
+        Similarity.ivfTopKIndexedKernelAdaptive(
+          spark, "anneval_768_flat", fCentsW, wide, k, 0.6)),
+      widePoint("flat_indexed_kernel_a0.5",
+        Similarity.ivfTopKIndexedKernelAdaptive(
+          spark, "anneval_768_flat", fCentsW, wide, k, 0.5)),
+      widePoint("flat_indexed_join_p2",
+        Similarity.ivfTopKIndexed(spark, "anneval_768_flat", fCentsW, wide, k, 2)),
+      widePoint("pca_indexed_kernel_p4_m50",
+        Similarity.pcaIvfTopKIndexedKernel(
+          spark, "anneval_768_pca", pCentsW, wide, k, 4, 50)),
+      widePoint("pca_indexed_kernel_adaptive_a0.5_m50",
+        Similarity.pcaIvfTopKIndexedKernelAdaptive(
+          spark, "anneval_768_pca", pCentsW, wide, k, 0.5, 50))
+    ).mkString("[", ",", "]")
+    spark.sql("DROP TABLE IF EXISTS anneval_768_flat")
+    spark.sql("DROP TABLE IF EXISTS anneval_768_pca")
+    val wideJson = f""""d768_wide_panel":{"panel":$wide,"dim":768,""" +
+      f""""exact_sec":$exactWSec%.3f,"points":$widePoints}"""
+
+    // ---- crossover locator: d=768 at 100k vectors ----------------------
+    // At 20k vectors (cells of ~1.2k) the flat pair loop is ~5G multiplies
+    // and shared decode/window overheads bury the 8-vs-768 lever — flat
+    // wins, disclosed above. Cells of ~6k members push flat pair work to
+    // ~24G multiplies per serve while the PCA candidate loop stays at
+    // 1/96th of it: this block measures WHERE the composition's win
+    // actually starts, indexed on both sides, same spectrum.
+    val big = 100000L
+    val gen768b = spark.range(big).select(col("id").as("vec_id"),
+      expr("cast(pmod(hash(id), 16) as int)").as("label"),
+      expr(s"transform(sequence(0, ${d768 - 1}), j -> " +
+        "(cast(hash(id, j) as double) / 2147483647.0D) * " +
+        "exp(-cast(j as double) / 8.0D))").as("embedding"))
+      .persist()
+    gen768b.count()
+    val fitB = gen768b.filter(col("vec_id") % 50 === 0)
+    val (muB, _, compsB) = Similarity.pcaModel(fitB, k = 8)
+    val pCentsB = Similarity.fitCentroidsPca(gen768b, muB, compsB)
+    val fCentsB = Similarity.fitCentroids(gen768b)
+    Similarity.buildIvfIndex(gen768b, fCentsB, "anneval_768b_flat", buckets = 8)
+    Similarity.buildPcaIvfIndex(gen768b, muB, compsB, pCentsB,
+      "anneval_768b_pca", buckets = 8)
+    val bigPanel = 500
+    noop(Similarity.ivfTopKIndexedKernelAdaptive(
+      spark, "anneval_768b_flat", fCentsB, bigPanel, k, 0.5)) // warm
+    val tExB = System.nanoTime()
+    val exactB = Similarity.bruteForceTopK(gen768b, bigPanel, k)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactBSec = (System.nanoTime() - tExB) / 1e9
+    def bigPoint(name: String, df: => org.apache.spark.sql.DataFrame): String = {
+      val sec = time(noop(df))
+      val ex = exactB.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ap = df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val per = ex.toSeq.map { case (q, s) =>
+        (ap.getOrElse(q, Set.empty[Long]) & s).size.toDouble / s.size }
+      f"""{"name":"$name","sec":$sec%.3f,"recall_mean":${per.sum / per.size}%.4f,""" +
+        f""""recall_min":${per.min}%.4f}"""
+    }
+    val bigPoints = Seq(
+      bigPoint("flat_indexed_kernel_a0.5",
+        Similarity.ivfTopKIndexedKernelAdaptive(
+          spark, "anneval_768b_flat", fCentsB, bigPanel, k, 0.5)),
+      bigPoint("flat_indexed_kernel_a0.6",
+        Similarity.ivfTopKIndexedKernelAdaptive(
+          spark, "anneval_768b_flat", fCentsB, bigPanel, k, 0.6)),
+      bigPoint("pca_indexed_kernel_p4_m50",
+        Similarity.pcaIvfTopKIndexedKernel(
+          spark, "anneval_768b_pca", pCentsB, bigPanel, k, 4, 50)),
+      bigPoint("pca_indexed_kernel_p8_m100",
+        Similarity.pcaIvfTopKIndexedKernel(
+          spark, "anneval_768b_pca", pCentsB, bigPanel, k, 8, 100)),
+      bigPoint("pca_indexed_kernel_adaptive_a0.5_m50",
+        Similarity.pcaIvfTopKIndexedKernelAdaptive(
+          spark, "anneval_768b_pca", pCentsB, bigPanel, k, 0.5, 50)),
+      bigPoint("pca_indexed_kernel_adaptive_a0.7_m100",
+        Similarity.pcaIvfTopKIndexedKernelAdaptive(
+          spark, "anneval_768b_pca", pCentsB, bigPanel, k, 0.7, 100))
+    ).mkString("[", ",", "]")
+    spark.sql("DROP TABLE IF EXISTS anneval_768b_flat")
+    spark.sql("DROP TABLE IF EXISTS anneval_768b_pca")
+    gen768b.unpersist(blocking = false)
+    val bigJson = f""""d768_100k_panel":{"n_vectors":$big,"panel":$bigPanel,""" +
+      f""""dim":768,"exact_sec":$exactBSec%.3f,"points":$bigPoints}"""
+
     val json =
       f"""{"dataset":"$dir","n_vectors":$nVec,"dim":64,"panel":$panel,"k":$k,""" +
         f""""n_centroids":${centroids.length},"reps":$reps,""" +
         f""""exact_sec":$exactSec%.3f,"points":[${points.mkString(",")}],""" +
         f""""adaptive":[${adaptive.mkString(",")}],""" +
-        pcaJson + "}"
+        pcaJson + "," + wideJson + "," + bigJson + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     println(json)
     spark.stop()

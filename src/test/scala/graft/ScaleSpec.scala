@@ -128,6 +128,12 @@ class ScaleSpec extends AnyFunSuite {
         spark, "ivf_idx", centroids, alpha = 0.6)
       val inMemoryAdaptive = Similarity.ivfTopKAdaptive(emb, centroids, alpha = 0.6)
       assert(fromIndexAdaptive.collect().toSeq === inMemoryAdaptive.collect().toSeq)
+      // the r15 kernel spelling of the indexed adaptive serve (whole-cell
+      // CellQueryTopK over index-stored cells) is bit-identical to the
+      // join spelling — the lowest-latency flat batch serve
+      assert(Similarity.ivfTopKIndexedKernelAdaptive(
+          spark, "ivf_idx", centroids, alpha = 0.6).collect().toSeq ===
+        fromIndexAdaptive.collect().toSeq)
       // and the external-batch adaptive kernel (StreamAnnServe's
       // per-micro-batch shape): at alpha=1 every cell is probed, so the
       // answer must equal the fixed-probe serve with nProbe = all cells

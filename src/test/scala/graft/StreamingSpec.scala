@@ -517,6 +517,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_adapt_idx")
   }
 
+  test("streaming PCA-IVF serving projects, probes adaptively, and equals its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.streaming.StreamAnnServe
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (mu, _, comps) = Similarity.pcaModel(emb, k = 8)
+    val pCents = Similarity.fitCentroidsPca(emb, mu, comps, nCentroids = 8)
+    try {
+      Similarity.buildPcaIvfIndex(emb, mu, comps, pCents, "pcaivf_serve_idx", buckets = 4)
+      // external ids: corpus vectors under fresh ids — each query's top
+      // answer must be its own identical vector (cos = 1.0), anchoring
+      // the serve beyond streaming==static parity
+      val qvecs = emb.filter(col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+        .map { case (id, v) => (1000L + id, v) }
+
+      val input = MemoryStream[(Long, Array[Float])]
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      val q = StreamAnnServe.servePca(
+        input.toDF().toDF("q_id", "qv"),
+        () => spark.table("pcaivf_serve_idx"), mu, comps, pCents,
+        k = 3, alpha = 0.6) {
+        (answers, _) =>
+          results ++= answers.as[(Long, Int, Long, Double)].collect()
+      }
+      try {
+        input.addData(qvecs.take(2).toSeq)
+        q.processAllAvailable()
+        input.addData(qvecs.drop(2).toSeq)
+        q.processAllAvailable()
+        assert(results.size === 12, s"4 queries x k=3 expected, got ${results.size}")
+        // self-retrieval anchor: rank 1 of query 1000+i is vector i at cos 1.0
+        results.filter(_._2 == 1).foreach { case (qid, _, nid, cos) =>
+          assert(nid === qid - 1000L && cos === 1.0,
+            s"query $qid rank-1 was ($nid, $cos), expected (${qid - 1000L}, 1.0)")
+        }
+        // batch twin: one static pcaIvfServeBatch over the same queries
+        val twin = Similarity.pcaIvfServeBatch(qvecs.toSeq.toDF("q_id", "qv"),
+            spark.table("pcaivf_serve_idx"), mu, comps, pCents,
+            k = 3, alpha = Some(0.6))
+          .as[(Long, Int, Long, Double)].collect().toSet
+        assert(results.toSet === twin)
+      } finally q.stop()
+    } finally spark.sql("DROP TABLE IF EXISTS pcaivf_serve_idx")
+  }
+
   test("streaming BM25 serving answers each query batch from the persisted index, equal to the indexed twin") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.TextAnalysis
