@@ -19,10 +19,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "est"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
 
-  private def stopHits(lang: String): Column = {
-    val set = Stopwords(lang).map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(tokens, t -> array_contains(array($set), t)))")
-  }
+  // Native one-pass membership count (r15): the filter+array_contains
+  // spelling paid an interpreted lambda per token × 4 languages on the
+  // language-ID scan. Counting is identical, oracle unchanged.
+  private def stopHits(lang: String): Column =
+    graft.functions.StopHits(col("tokens"), Stopwords(lang))
 
   /** Add language-ID signal columns (s_en..s_de, pred_lang) to a frame
     * that already carries a `tokens` array column. Pure per-row
@@ -65,7 +66,7 @@ object TextAnalysis {
       .withColumn("digit_cnt", CharClassCounts.digit(col("cc_packed")))
       .drop("cc_packed")
       .withColumn("stop_cnt",
-        expr("size(filter(tokens, t -> array_contains(array('the','a','of','and','to','in','is'), t)))"))
+        graft.functions.StopHits(col("tokens"), Stopwords("en")))
       .withColumn("avg_token_len",
         length(concat_ws("", col("tokens"))).cast("double") / greatest(col("n_tokens"), lit(1)))
       .withColumn("punct_ratio", col("punct_cnt").cast("double") / greatest(col("n_chars_txt"), lit(1)))
@@ -285,30 +286,22 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame): DataFrame = {
     // Every statistic here is a function of ONE document's token array,
-    // so the whole computation stays in the row: the top-bigram count is
-    // the longest equal run of the doc's SORTED bigram list (a fold, no
-    // per-(doc, bigram) shuffle, no join back). Values are integer-exact,
-    // so the grouped-aggregation oracle is unchanged. The '' run
-    // sentinel can't collide: whitespace tokens are non-empty, so every
-    // bigram has length >= 3.
+    // so the whole computation stays in the row — and since r15 it stays
+    // in ONE native pass ([[graft.functions.RepetitionStats]]): the old
+    // interpreted spelling paid a bigram concat allocation, an
+    // O(n log n) interpreted string sort, and a boxed named_struct per
+    // fold step on the hottest scan. Values are integer-exact and
+    // provably equal to the HOF spelling (max pair multiplicity == the
+    // sorted bigram list's longest run; the native twin is differential-
+    // tested in OperatorsSpec), so the grouped-aggregation oracle is
+    // unchanged.
     docs
       .select(col("doc_id"), WordCount.tokens(col("text")).as("tokens"))
       .filter(size(col("tokens")) >= 2)
-      .withColumn("bgs", expr("array_sort(transform(sequence(1, size(tokens) - 1), " +
-        "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1))))"))
-      .select(col("doc_id"),
-        size(col("tokens")).cast("long").as("n_tokens"),
-        size(array_distinct(col("tokens"))).cast("long").as("n_uniq"),
-        expr("aggregate(bgs, " +
-          "named_struct('prev', '', 'cur', cast(0 as bigint), 'best', cast(0 as bigint)), " +
-          "(a, x) -> named_struct('prev', x, " +
-          "  'cur', if(x = a.prev, a.cur + 1, cast(1 as bigint)), " +
-          "  'best', greatest(a.best, if(x = a.prev, a.cur + 1, cast(1 as bigint)))), " +
-          "a -> a.best)").as("top_c"),
-        (size(col("tokens")) - 1).cast("long").as("n_bigrams"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_token_ratio"),
-        round(col("top_c").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"))
+      .select(col("doc_id"), graft.functions.RepetitionStats(col("tokens")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        round(col("r.n_uniq").cast("double") / col("r.n_tokens"), 6).as("uniq_token_ratio"),
+        round(col("r.top_c").cast("double") / (col("r.n_tokens") - 1), 6).as("top_bigram_frac"))
       .orderBy("doc_id")
   }
 
@@ -417,21 +410,39 @@ object TextAnalysis {
     * discipline as `sourceUnigramKl`'s marginals.
     */
   def sourceDiversity(docs: DataFrame): DataFrame = {
+    // ONE tokenize scan for both gram orders (r15, guide §2.3/§2.4): the
+    // two-branch spelling tokenized the corpus twice (unigram and trigram
+    // sides each re-ran the scan); tagging each gram with its order n and
+    // aggregating by (source, n, gram) shares the scan and the exchange,
+    // then the per-source/per-order marginals regroup the bounded count
+    // table. Counts are exact integers, so the per-order type/token
+    // totals are identical to the two-branch spelling.
+    // No per-gram tag is needed to share the scan: whitespace tokens can
+    // never contain ' ', trigram strings always do — the namespaces are
+    // disjoint, so one plain-string explode covers both orders and each
+    // DISTINCT gram is classified once at the (bounded) count table.
     val toks = docs.select(col("source"), WordCount.tokens(col("text")).as("ts"))
-    val uni = toks.select(col("source"), explode(col("ts")).as("g"))
+    val grams = toks.select(col("source"), explode(concat(col("ts"),
+        when(size(col("ts")) >= 3, expr(
+          "transform(sequence(1, size(ts) - 2), i -> concat(" +
+            "element_at(ts, i), ' ', element_at(ts, i + 1), ' ', " +
+            "element_at(ts, i + 2)))"))
+          .otherwise(expr("array()").cast("array<string>"))))
+        .as("g"))
       .groupBy("source", "g").agg(count(lit(1)).as("c"))
+      .groupBy(col("source"),
+        when(instr(col("g"), " ") > 0, lit(3)).otherwise(lit(1)).as("n"))
+      .agg(count(lit(1)).as("types"), sum(col("c")).cast("long").as("total"))
+      // conditional-max pivot over the 2-row-per-source frame — no
+      // self-join (every source with tokens has an n=1 row; a source
+      // without trigrams simply lacks the n=3 row → zero-fill, exactly
+      // the old left join's semantics)
       .groupBy("source")
-      .agg(count(lit(1)).as("n_types"), sum(col("c")).cast("long").as("n_tokens"))
-    val tri = toks.filter(size(col("ts")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(ts) - 2), i -> concat(" +
-          "element_at(ts, i), ' ', element_at(ts, i + 1), ' ', " +
-          "element_at(ts, i + 2)))")).as("g"))
-      .groupBy("source", "g").agg(count(lit(1)).as("c"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_3gram_types"), sum(col("c")).cast("long").as("n_3grams"))
-    uni.join(tri, Seq("source"), "left")
-      .na.fill(0L, Seq("n_3gram_types", "n_3grams"))
+      .agg(coalesce(max(when(col("n") === 1, col("types"))), lit(0L)).as("n_types"),
+        max(when(col("n") === 1, col("total"))).as("n_tokens"),
+        coalesce(max(when(col("n") === 3, col("types"))), lit(0L)).as("n_3gram_types"),
+        coalesce(max(when(col("n") === 3, col("total"))), lit(0L)).as("n_3grams"))
+    grams
       .select(col("source"), col("n_tokens"), col("n_types"),
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
         col("n_3grams"), col("n_3gram_types"),

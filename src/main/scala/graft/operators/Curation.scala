@@ -146,8 +146,12 @@ object Curation {
   def temperatureMix(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
     val masses = docs.groupBy("lang").agg(sum(col("n_chars")).as("mass"))
-    val minMass = masses.agg(min(col("mass")).as("min_mass"))
-    val rates = masses.crossJoin(broadcast(minMass))
+    // min mass via an unpartitioned window over the ≤|langs| frame — the
+    // scalar-agg spelling re-ran the corpus groupBy for one number (r15,
+    // guide §2.4); same exact long min, same rates.
+    val rates = masses
+      .withColumn("min_mass", min(col("mass")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("keep_pct", floor(round(
         lit(100.0) * pow(col("min_mass").cast("double") / col("mass").cast("double"),
           lit(1.0 - alpha)), 6)))
@@ -178,10 +182,16 @@ object Curation {
       alpha: Double = 0.5): DataFrame = {
     val masses = docs.groupBy("source").agg(sum(col("n_chars")).as("mass"))
       .withColumn("wraw", pow(col("mass").cast("double"), lit(alpha)))
-    val tot = masses.agg(
-      expr("aggregate(array_sort(collect_list(struct(source, wraw))), " +
-        "cast(0.0 as double), (a, s) -> a + s.wraw)").as("tot"))
-    masses.crossJoin(broadcast(tot))
+    // Weight denominator as an unpartitioned window over the ≤|sources|
+    // frame (r15, guide §2.4): the scalar-agg spelling re-ran the corpus
+    // groupBy to fold source-count doubles. Same sorted struct set, same
+    // fold order, bit-identical tot.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    masses
+      .withColumn("tlist",
+        collect_list(struct(col("source"), col("wraw"))).over(wAll))
+      .withColumn("tot", expr("aggregate(array_sort(tlist), " +
+        "cast(0.0 as double), (a, s) -> a + s.wraw)"))
       .withColumn("weight", round(col("wraw") / col("tot"), 6))
       .withColumn("target_chars",
         floor(lit(budget.toDouble) * (col("wraw") / col("tot"))).cast("long"))
@@ -556,8 +566,15 @@ object Curation {
     * inner-join semantics, same as text_lm_cross.
     */
   def pplTiers(docs: DataFrame): DataFrame = {
+    // Materialized ONCE per execution (lazy localCheckpoint, computed
+    // inside the timed action): the tercile thresholds and the final
+    // tier labels both consume the score frame, and without the cut the
+    // whole collected-model scoring scan (tokenize + fold over every
+    // document) ran twice (r15, guide §2.4/§5). The score frame is four
+    // narrow columns per doc — far cheaper to hold than to recompute.
     val scores = TextAnalysis.lmScoreCross(docs.filter(col("lang") === "en"), docs)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .localCheckpoint(false)
     val counts = scores.groupBy("lang", "mean_logp").agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("mean_logp").desc)
@@ -623,11 +640,20 @@ object Curation {
           "cast(0.0 as double), (a, s) -> a + s.term)").as("ce_sum"))
       .withColumn("ce", col("ce_sum") / col("n_tokens"))
       .withColumn("e", exp(col("ce") * lit(lr)))
-    val z = ce.agg(
-      expr("aggregate(array_sort(collect_list(struct(source, e))), " +
-        "cast(0.0 as double), (a, s) -> a + s.e)").as("z"),
-      count(lit(1)).as("k"))
-    ce.crossJoin(broadcast(z))
+    // Softmax normalizer as an UNPARTITIONED WINDOW over the
+    // source-cardinality frame, not a scalar agg cross-joined back: the
+    // scalar spelling re-executed the whole per-source CE subtree (two
+    // corpus scans per side) to produce one number — the dsirModel
+    // window-totals discipline applies identically here (r15, guide
+    // §2.4). Same sorted fold over the same struct set, so z and the
+    // emitted weights are bit-identical to the scalar spelling.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cez = ce
+      .withColumn("zlist", collect_list(struct(col("source"), col("e"))).over(w))
+      .withColumn("z", expr("aggregate(array_sort(zlist), " +
+        "cast(0.0 as double), (a, s) -> a + s.e)"))
+      .withColumn("k", count(lit(1)).over(w))
+    cez
       .select(col("source"), col("n_tokens"), col("n_terms"),
         round(col("ce"), 6).as("ce"),
         round(lit(1.0 - eps) * (col("e") / col("z")) +
@@ -680,8 +706,15 @@ object Curation {
         least(floor(col("quality") * nBands), lit(nBands - 1)).cast("int"))
     val agg = signals.groupBy("source", "band")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-    val total = signals.agg(count(lit(1)).as("total_docs"))
-    agg.crossJoin(broadcast(total))
+    // Corpus total as an unpartitioned window over the (source × band)-
+    // bounded agg frame, not a scalar re-aggregation of `signals` (r15,
+    // guide §2.4): the scalar spelling re-ran the whole quality-signal
+    // corpus scan to count rows the grouped frame already counts —
+    // Σ n_docs over the groups IS count(*) over signals, exactly, in
+    // integers.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    agg
+      .withColumn("total_docs", sum(col("n_docs")).over(w))
       .withColumn("share", col("n_docs").cast("double") / col("total_docs"))
       .select("source", "band", "n_docs", "sum_tokens", "share")
       .orderBy("source", "band")

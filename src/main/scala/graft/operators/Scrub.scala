@@ -30,16 +30,24 @@ object Scrub {
   val PhoneRe = "\\+?([0-9][()./ -]{0,2}){6,14}[0-9]"
 
   def scrub(docs: DataFrame): DataFrame = {
-    val noUrl = regexp_replace(col("text"), UrlRe, "<URL>")
-    val noEmail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
-    // The repeated subtrees (noUrl, noEmail) are evaluated once per row:
-    // ProjectExec's common-subexpression elimination folds them.
-    docs.select(
-      col("doc_id"),
-      regexp_replace(noEmail, PhoneRe, "<PHONE>").as("clean_text"),
-      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
-      size(regexp_extract_all(noUrl, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(noEmail, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+    // Three FUSED replace+count passes ([[graft.functions.ScrubPass]],
+    // r15): the built-in spelling ran each automaton twice per row — once
+    // for regexp_replace, once for size(regexp_extract_all) — plus a
+    // throwaway match array per count; fusing halves the regex work on
+    // this pure-scan operator (guide §1.2 step 2). Same java.util.regex
+    // automata, same left-to-right non-overlapping walk, same stage
+    // ordering (URL, then email on the URL-scrubbed text, then phone), so
+    // every count and the final text are identical to the built-in
+    // spelling and the DuckDB oracle is unchanged.
+    docs
+      .select(col("doc_id"),
+        graft.functions.ScrubPass(col("text"), UrlRe, "<URL>").as("u"))
+      .select(col("doc_id"), col("u.n").as("n_urls"),
+        graft.functions.ScrubPass(col("u.clean"), EmailRe, "<EMAIL>").as("e"))
+      .select(col("doc_id"), col("n_urls"), col("e.n").as("n_emails"),
+        graft.functions.ScrubPass(col("e.clean"), PhoneRe, "<PHONE>").as("p"))
+      .select(col("doc_id"), col("p.clean").as("clean_text"),
+        col("n_urls"), col("n_emails"), col("p.n").as("n_phones"))
       .orderBy("doc_id")
   }
 }

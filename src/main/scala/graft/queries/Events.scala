@@ -56,22 +56,48 @@ object Events {
     val ev = Tables.load(spark, dir, "events")
       .select((unix_millis(date_trunc("minute", col("ts"))) / lit(60000L))
         .cast("long").as("m"), col("event_type"))
+    // Materialized ONCE per execution (lazy localCheckpoint, computed
+    // inside the timed action): five consumers below (span, per-kind
+    // moments, both self-join sides, kind list) each prune different
+    // columns, so without the cut Catalyst plans five distinct
+    // scan+aggregate subtrees over events. The count table is
+    // span×|kinds|-bounded (the incident-grid argument), never
+    // event-volume-bounded — cheap to hold, and events is scanned once.
     val cnt = ev.groupBy("m", "event_type").agg(count(lit(1)).as("c"))
-    val span = cnt.agg(min("m").as("m_min"), max("m").as("m_max"))
-    val kinds = cnt.select("event_type").distinct()
-    val dense = span.select(explode(sequence(col("m_min"), col("m_max"))).as("m"))
-      .crossJoin(broadcast(kinds))
-      .join(cnt, Seq("m", "event_type"), "left")
-      .select(col("m"), col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
-    val a = dense.select(col("m"), col("event_type").as("kind_a"), col("c").as("x"))
-    val b = dense.select(col("m"), col("event_type").as("kind_b"), col("c").as("y"))
-    val mom = a.join(b, Seq("m")).filter(col("kind_a") < col("kind_b"))
+      .localCheckpoint(false)
+    // The dense zero-filled grid NEVER needs materializing (r15, guide
+    // §2.3 "shuffle fewer bytes" / first-principles pass count): a minute
+    // where a kind is absent contributes 0 to Σx, Σx² and to every
+    // product c_a(m)·c_b(m), so (a) the per-kind marginal moments REGROUP
+    // exactly from the observed (m, kind) count table, (b) the joint
+    // moment Σxy is an INNER self-join over observed minutes only, and
+    // (c) n_minutes is the global span length m_max−m_min+1, identical
+    // for every pair. All moments stay exact integers in Decimal(38,0),
+    // so r's one fixed IEEE expression is bit-identical to the dense
+    // spelling — the old plan materialized span×|kinds| zero-filled rows
+    // TWICE (self-join) through 9 scans of events; this one scans events
+    // once and shuffles only observed counts.
+    val span = cnt.agg(
+      (max("m") - min("m") + lit(1L)).cast("long").as("n_minutes"))
+    val perKind = cnt.groupBy("event_type")
+      .agg(sum(col("c").cast(dec)).as("s"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
+    val a = cnt.select(col("m"), col("event_type").as("kind_a"), col("c").as("x"))
+    val b = cnt.select(col("m"), col("event_type").as("kind_b"), col("c").as("y"))
+    val sxyTab = a.join(b, Seq("m")).filter(col("kind_a") < col("kind_b"))
       .groupBy("kind_a", "kind_b")
-      .agg(count(lit(1)).as("n_minutes"),
-        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
-        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
-        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
-        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+      .agg(sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy_obs"))
+    val kinds = cnt.select("event_type").distinct()
+    val mom = kinds.select(col("event_type").as("kind_a"))
+      .crossJoin(kinds.select(col("event_type").as("kind_b")))
+      .filter(col("kind_a") < col("kind_b"))
+      .join(broadcast(perKind.select(col("event_type").as("kind_a"),
+        col("s").as("sx"), col("s2").as("sxx"))), Seq("kind_a"))
+      .join(broadcast(perKind.select(col("event_type").as("kind_b"),
+        col("s").as("sy"), col("s2").as("syy"))), Seq("kind_b"))
+      .join(sxyTab, Seq("kind_a", "kind_b"), "left")
+      .withColumn("sxy", coalesce(col("sxy_obs"), lit(0L).cast(dec)))
+      .crossJoin(broadcast(span))
     val n = col("n_minutes").cast(dec)
     val (num, dx, dy) = (n * col("sxy") - col("sx") * col("sy"),
       n * col("sxx") - col("sx") * col("sx"),
@@ -633,6 +659,15 @@ object Events {
       .groupBy("user_id", "sess_id")
       .agg(min(col("ms")).as("start_ms"),
         (max(col("ms")) + 1).as("end_ms")) // half-open: an instant session still covers its ms
+      // Materialized ONCE per execution (lazy localCheckpoint, computed
+      // inside the timed action): the rank decomposition consumes the
+      // session frame on two branches (the bin-count aggregate and the
+      // probe-merge union), and without the cut both branches re-ran the
+      // per-user window sort over the full event stream — the most
+      // expensive pass in the query (r15, guide §2.4/§5). The session
+      // frame itself is events-compressed (one row per user-session), so
+      // the materialization is far cheaper than the second sort.
+      .localCheckpoint(false)
     val incidents = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"), col("ms").as("i_start"))
       .withColumn("i_end", col("i_start") + windowMs)

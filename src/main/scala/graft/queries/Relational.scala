@@ -693,13 +693,16 @@ object Relational {
       .join(bdim(reg), col("n_regionkey") === col("r_regionkey"))
       .select("l_partkey", "l_suppkey", "l_extendedprice")
       .distinct()
-    val minCost = supply.groupBy("l_partkey")
-      .agg(min(col("l_extendedprice")).as("mn"))
+    // Per-part minimum as a WINDOW over the deduplicated supply rows, not
+    // a grouped aggregate self-joined back (r15, guide §2.4): the join
+    // spelling re-executed the whole lineitem⋈supplier⋈nation⋈region
+    // subtree to build its other side. The window rides one hash exchange
+    // on l_partkey and keeps exactly the same rows — every (part,
+    // supplier) row whose price equals the part minimum, ties included.
     supply
-      .join(minCost,
-        supply("l_partkey") === minCost("l_partkey") &&
-        col("l_extendedprice") === col("mn"))
-      .drop(minCost("l_partkey"))
+      .withColumn("mn", min(col("l_extendedprice"))
+        .over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("l_extendedprice") === col("mn"))
       .join(bdim(part), col("l_partkey") === col("p_partkey"))
       .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
       .join(bdim(nat), col("s_nationkey") === col("n_nationkey"))
@@ -928,14 +931,24 @@ object Relational {
     val supply = li
       .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
       .join(bdim(nat), col("s_nationkey") === col("n_nationkey"))
-    val perPart = supply.groupBy("l_partkey")
-      .agg(sum2(col("l_extendedprice") * col("l_quantity")).as("value"))
-    // exact decimal total over the RAW rows (summing the per-part doubles
-    // would be order-dependent), one deterministic division for the mean
-    val threshold = supply.agg(
-      (lit(meanMultiple) * sum(dec2(col("l_extendedprice") * col("l_quantity")))
-        .cast("double") / count_distinct(col("l_partkey"))).as("cutoff"))
-    perPart.crossJoin(broadcast(threshold))
+    // ONE grouped aggregation feeds both the per-part values and the
+    // global threshold (r15, guide §2.4): the old spelling aggregated the
+    // raw `supply` rows a second time for the scalar, re-executing the
+    // whole lineitem⋈supplier⋈nation subtree; deriving the scalar from
+    // the per-part DECIMAL sums shares the grouped exchange (ReuseExchange
+    // serves both branches from one scan). Exactness is unchanged: decimal
+    // addition is associative, so Σ_parts(Σ_part) ≡ Σ_rows exactly, the
+    // distinct-part count is the grouped row count, and the cutoff remains
+    // one IEEE division of the same exact operands. The scalar stays a
+    // 1-row broadcast — a window here would funnel the corpus-proportional
+    // part frame through one task at scale.
+    val perPartDec = supply.groupBy("l_partkey")
+      .agg(sum(dec2(col("l_extendedprice") * col("l_quantity"))).as("dec_value"))
+    val threshold = perPartDec.agg(
+      (lit(meanMultiple) * sum(col("dec_value"))
+        .cast("double") / count(lit(1))).as("cutoff"))
+    perPartDec.withColumn("value", col("dec_value").cast("double"))
+      .crossJoin(broadcast(threshold))
       .filter(col("value") > col("cutoff"))
       .select("l_partkey", "value")
       .orderBy(col("value").desc, col("l_partkey"))
