@@ -32,9 +32,8 @@ object Bench {
   private def fmtRoot(pat: String, xs: Double*): String =
     String.format(java.util.Locale.ROOT, pat, xs.map(Double.box): _*)
 
-  /** Adaptive-precision seconds for the bounded headline line: 3 decimals
-    * below 10 s, 2 below 100 s, 1 above — keeps a 182-value array well
-    * under the driver's 2000-char stdout tail even on the 100x dir.
+  /** Adaptive-precision seconds for the full artifact's qv vector: 3
+    * decimals below 10 s, 2 below 100 s, 1 above.
     */
   private def fq(v: Double): String =
     if (v < 0) "-1"
@@ -289,6 +288,23 @@ object Bench {
     val ordered = names.map(n => n -> results(n))
     val total = ordered.map(_._2).filter(_ >= 0).sum
     val failed = ordered.collect { case (k, v) if v < 0 => k }
+    // Scale-honesty stamp (verdict r15 item 6): at sf0.1 153/184 queries
+    // gain nothing from 32 vs 8 cores because the suite is scheduler/
+    // overhead-bound — a scaling ratio computed at such a point measures
+    // fixed overhead, not parallelism. The median per-query time makes
+    // that visible IN the artifact: a median under ~0.5 s means per-query
+    // times are dominated by driver round-trips (AQE stage jobs,
+    // broadcast builds), and the low/high-core pair should run at the
+    // gen10x dir (tools/scale_curve.sh) to be informative.
+    val medQ = {
+      val xs = ordered.map(_._2).filter(_ >= 0).sorted
+      if (xs.isEmpty) -1.0 else xs(xs.size / 2)
+    }
+    val scaleNote =
+      if (medQ >= 0 && medQ < 0.5)
+        "median per-query time is overhead-dominated at this SF; core-count " +
+          "scaling ratios are uninformative here - run the scaling pair at gen10x"
+      else ""
 
     def fmt(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => s""""$k":${fmtRoot("%.3f", v)}""" }.mkString("{", ",", "}")
@@ -318,6 +334,8 @@ object Bench {
       s""""twin_flagged":${strArr(twinFlagged.toSeq)},""" +
       s""""respread":${strArr(respread.toSeq)},""" +
       s""""rep_times":$repsJson,"window_peaks_mt":$peaksJson,""" +
+      s""""median_q":${fmtRoot("%.3f", medQ)},"scale_note":"$scaleNote",""" +
+      s""""qv":${ordered.map { case (_, v) => fq(v) }.mkString("[", ",", "]")},""" +
       s""""queries":${fmt(ordered)},"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
@@ -333,22 +351,51 @@ object Bench {
     val fullSha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(full.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-    // Compact full-pack vector for the bounded stdout line (verdict r14
-    // item 2): values for ALL queries in sorted-name order — the names are
-    // exactly sorted(SparkEntry.queries.keys), so the (name -> time) dict
-    // is recoverable from the binary alone, and cross-round per-query
-    // diffs no longer depend on an out-of-band artifact. Adaptive
-    // precision keeps 182 values inside the 2000-char stdout tail.
-    val qv = ordered.map { case (_, v) => fq(v) }.mkString("[", ",", "]")
+    // NAMED headline subset for the bounded stdout line (verdict r15 item
+    // 1): round 15 replaced this map with an anonymous sorted-order "qv"
+    // vector, which the DRIVER's per-query comparison cannot parse
+    // (PERF_r15: n_common 0, 63 dropped_from_bench, empty scaling block).
+    // The named map is the driver contract; the full 184-query named dict
+    // plus the qv vector live in the committed full artifact
+    // (BENCHFULL_latest.json), sha-bound to this line via full_sha.
+    // Subset = the rounds-1..14 list (one per operator family + the
+    // top-12 by 100x-scale cost) so cross-round diffs stay continuous.
+    val headline = Seq(
+      "wordcount", "wordcount_windowed",
+      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+      "q7_nation_volume", "q8_market_share", "q9_product_profit",
+      "q10_returned_items", "q18_large_orders",
+      "q21_waiting_suppliers", "q_running_total", "q_order_percentiles",
+      "q_events_hourly", "q_events_sessions", "q_events_incident_window",
+      "q_events_trailing_hour", "q_events_asof_next",
+      "q_events_asof_tolerance",
+      "q_events_session_overlap", "dedup_exact", "dedup_minhash_sig",
+      "dedup_minhash_pairs", "dedup_clusters", "dedup_semantic",
+      "dedup_spans", "dedup_setsim_lookup", "dedup_apply_near",
+      "dedup_ngram_jaccard", "dedup_drop_near_indexed", "ann_topk",
+      "ann_ivf_kmeans", "ann_quantized_topk", "ann_ivfpq_topk",
+      "ann_knn_graph", "emb_contrastive", "emb_top_pairs", "emb_drift",
+      "text_tfidf",
+      "text_tokens", "text_inverted_index", "text_bpe_encode", "text_oov",
+      "text_boilerplate", "text_lm_bigram", "text_lm_kn", "text_lm_score",
+      "text_fuzzy_apply", "text_fuzzy_jw", "text_search_hybrid",
+      "text_winnow", "dedup_winnow_pairs", "ann_ivf_adaptive",
+      "ann_ivf_indexed_adaptive", "pipeline_source_kl",
+      "pipeline_curation", "pipeline_quality_scores",
+      "pipeline_pack", "pipeline_contamination", "pipeline_decontaminate",
+      "pipeline_split_safe", "pipeline_dedup_report", "mm_features")
+    val byName = results.toMap
+    val head = headline.flatMap(n => byName.get(n).map(n -> _))
     val line = s"""{"metric":"total","value":${fmtRoot("%.3f", total)},"unit":"sec",""" +
       s""""n_queries":${ordered.size},"failed":${strArr(failed)},""" +
       s""""calib":{"b":${compact(calibBefore)},"a":${compact(calibAfter)}},""" +
       s""""anchor_mt":${anchorMt.map(a => fmtRoot("%.2f", a)).getOrElse("null")},""" +
       s""""probe_max":${fmtRoot("%.2f", probeLog.max)},""" +
       s""""warm":${if (perQueryWarmup) 1 else 0},"n_spread":${respread.size},""" +
-      s""""n_requeued":${requeued.size},"still_loaded":${strArr(stillLoaded.take(6).toSeq)},""" +
+      s""""n_requeued":${requeued.size},"still_loaded":${strArr(stillLoaded.take(4).toSeq)},""" +
+      s""""med_q":${fmtRoot("%.2f", medQ)},""" +
       s""""full_sha":"${fullSha.take(16)}",""" +
-      s""""qv":$qv,"sf":"$sfDir"}"""
+      s""""queries":${fmt(head)},"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing: executor/shutdown log lines must not land
     // after the headline JSON — the driver json-parses the LAST non-empty
     // stdout line (sbt decoration is disabled via run/outputStrategy +
@@ -359,7 +406,7 @@ object Bench {
     // a too-long line must break the bench here, not silently truncate
     // downstream.
     require(line.length < 2000,
-      s"bench headline line is ${line.length} chars (>= 2000): raise qv precision thresholds")
+      s"bench headline line is ${line.length} chars (>= 2000): trim the headline subset")
     println(line)
   }
 }

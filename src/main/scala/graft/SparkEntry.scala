@@ -132,11 +132,12 @@ object SparkEntry {
       functions.TextAnalysis.sourceDiversity(Tables.load(s, d, "documents"))),
     // DSIR per-document importance weights: target = the en slice (same
     // carve-out convention as text_lm_cross), raw = the whole corpus
-    "pipeline_dsir_weights" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      Curation.dsirWeights(
-        docs.filter(org.apache.spark.sql.functions.col("lang") === "en"), docs)
-    }),
+    // carve-out spelling (r16): the target IS the en slice of the same
+    // frame, so one conditional-count scan fits both bucket models —
+    // identical integers, identical doubles (CurationSpec differential)
+    "pipeline_dsir_weights" -> ((s, d) =>
+      Curation.dsirWeightsCarveOut(Tables.load(s, d, "documents"),
+        org.apache.spark.sql.functions.col("lang") === "en")),
     // the persisted-model serve: fit once (registry), score the corpus as
     // an ingest batch — must reproduce pipeline_dsir_weights exactly, so
     // it shares that oracle spelling

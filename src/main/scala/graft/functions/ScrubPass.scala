@@ -28,6 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ScrubPass(child: Expression, pattern: String, repl: String)
     extends UnaryExpression {
 
+  // Literal-replacement precondition, enforced rather than assumed (r15
+  // ADVICE): appendReplacement interprets '$'/'\' as group references —
+  // a caller passing one would silently diverge from regexp_replace's
+  // literal contract (or throw on a dangling '$').
+  require(!repl.contains('$') && !repl.contains('\\'),
+    s"ScrubPass repl must be literal (no '$$' or '\\'): $repl")
+
   override def dataType: DataType = StructType(Seq(
     StructField("clean", StringType, nullable = false),
     StructField("n", LongType, nullable = false)))

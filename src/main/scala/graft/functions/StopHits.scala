@@ -20,7 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical to the filter+size spelling, so every downstream signal and
   * the DuckDB oracle are unchanged.
   */
-case class StopHits(child: Expression, words: Array[String])
+// `words` is a Seq, not an Array (r15 ADVICE): Array equality is
+// reference identity, which made two semantically identical StopHits
+// expressions never compare equal — defeating Catalyst canonicalization
+// and common-subexpression elimination across repeated stopHits columns.
+case class StopHits(child: Expression, words: Seq[String])
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -42,9 +46,9 @@ case class StopHits(child: Expression, words: Array[String])
 object StopHits {
 
   def apply(tokens: Column, words: Seq[String]): Column =
-    ColumnBridge.column(StopHits(ColumnBridge.expression(tokens), words.toArray))
+    ColumnBridge.column(StopHits(ColumnBridge.expression(tokens), words.toList))
 
-  def buildSet(words: Array[String]): java.util.HashSet[UTF8String] = {
+  def buildSet(words: Seq[String]): java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.length * 2)
     words.foreach(w => s.add(UTF8String.fromString(w)))
     s

@@ -467,11 +467,28 @@ object TextAnalysis {
     * Bit-identical to lmScoreCrossJoin (OperatorsSpec differential).
     */
   def lmScoreCross(modelDocs: DataFrame, scoreDocs: DataFrame): DataFrame = {
-    val plog = uniProbTable(modelDocs)
-    val rows = plog.limit(MaxCollectedGrams + 1).collect()
+    // Fast path, restructured r16 (guide §2.4): collect the unigram
+    // COUNT table (same gate — the model has one row per vocabulary
+    // word), total the counts on the driver (exact long), and evaluate
+    // log(n1/t1) through [[uniLogp]] over a one-job LocalRelation — the
+    // SAME Column expression over the SAME integers the crossJoin
+    // spelling fed it (a long literal casts to double exactly like the
+    // 1-row total column), hence bit-identical doubles (OperatorsSpec
+    // asserts frame equality against lmScoreCrossJoin) without the
+    // total-aggregate subtree, its broadcast build, or the join.
+    val cnt = modelDocs
+      .select(explode(WordCount.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n1"))
+    val rows = cnt.limit(MaxCollectedGrams + 1).collect()
     if (rows.length <= MaxCollectedGrams) {
-      val keys = rows.map(_.getString(0))
-      val vals = rows.map(_.getDouble(1))
+      var t1 = 0L
+      rows.foreach(t1 += _.getLong(1))
+      val spark = modelDocs.sparkSession
+      val mrows = uniLogp(spark.createDataFrame(
+        rows.toSeq.map(r => UniCountRow(r.getString(0), r.getLong(1))) ), t1)
+        .collect()
+      val keys = mrows.map(_.getString(0))
+      val vals = mrows.map(_.getDouble(1))
       scoreDocs.withColumn("tokens", WordCount.tokens(col("text")))
         .select(col("doc_id"),
           graft.functions.LmUnigramFold(col("tokens"), keys, vals).as("s"))
@@ -481,6 +498,18 @@ object TextAnalysis {
         .orderBy("doc_id")
     } else lmScoreCrossJoin(modelDocs, scoreDocs)
   }
+
+  /** The unigram log-probability expression over a (w, n1) frame with
+    * the total as a long literal — `cast(lit(t1) as double)` is the same
+    * conversion the crossJoin spelling's 1-row total column goes
+    * through, so the doubles are the same expression tree's output.
+    */
+  private def uniLogp(counts: DataFrame, t1: Long): DataFrame =
+    counts.select(col("w"),
+      log(col("n1").cast("double") / lit(t1)).as("logp"))
+
+  /** Driver-local count row for the unigram fast path. */
+  private[graft] case class UniCountRow(w: String, n1: Long)
 
   /** Unigram log-probability table (w, logp); shared by both lmScore
     * paths so their doubles are the same expression tree's output.
@@ -543,17 +572,65 @@ object TextAnalysis {
     * and once past the count tables. No quadratic term.
     */
   def lmScoreBigram(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
-    val plog = interpProbTable(docs, lambda)
-    // Same measured-count gate + shuffle-free scoring pass as
-    // lmScoreKneserNey (verdict r10 item 4); the join spelling is the
-    // huge-vocab path and the bit-exactness twin (OperatorsSpec).
-    val rows = plog.limit(MaxCollectedGrams + 1).collect()
-    if (rows.length <= MaxCollectedGrams)
+    // Fast path (verdict r10 item 4, restructured r16 per guide §2.3):
+    // unigram and bigram counts come from ONE fused gram scan — tokens
+    // and "v w" bigram strings live in disjoint namespaces (whitespace
+    // tokens cannot contain ' ', so the concatenation is injective on
+    // pairs; the text_diversity argument), so a single explode + one
+    // hash aggregation counts both orders where the old fit tokenized
+    // the corpus twice (tok for `uni`, bigramInstances for `big`). The
+    // interpolation marginals (nv = c(v), n1 = c(w), t1 = Σ tokens) are
+    // then exact integers from the collected count table, and the model
+    // doubles come from the SAME Column expression via [[interpLogp]]
+    // over a one-job LocalRelation — bit-identical to the join chain
+    // (OperatorsSpec asserts frame equality against lmScoreBigramJoin).
+    // Gate: fast path iff the distinct-BIGRAM count fits the model gate
+    // (exactly the old plog-row bound) and the combined gram table fits
+    // the collect bound; above it, the join spelling carries the query.
+    val grams = docs
+      .withColumn("tokens", WordCount.tokens(col("text")))
+      .select(explode(concat(
+        col("tokens"),
+        when(size(col("tokens")) >= 2, expr(
+          "transform(sequence(1, size(tokens) - 1)," +
+            " i -> concat(tokens[i-1], ' ', tokens[i]))"))
+          .otherwise(array().cast("array<string>")))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    val rows = grams.limit(2 * MaxCollectedGrams + 2).collect()
+    val (bigRows, uniRows) = rows.partition(_.getString(0).contains(' '))
+    if (bigRows.length <= MaxCollectedGrams &&
+        rows.length <= 2 * MaxCollectedGrams + 1) {
+      val n1 = new java.util.HashMap[String, Long]()
+      var t1 = 0L
+      uniRows.foreach { r =>
+        n1.put(r.getString(0), r.getLong(1)); t1 += r.getLong(1)
+      }
+      val marg = bigRows.toSeq.map { r =>
+        val g = r.getString(0)
+        val sp = g.indexOf(' ')
+        val (v, w) = (g.substring(0, sp), g.substring(sp + 1))
+        InterpMarginalRow(v, w, r.getLong(1), n1.get(v), n1.get(w), t1)
+      }
+      val spark = docs.sparkSession
+      val mrows = interpLogp(spark.createDataFrame(marg), lambda).collect()
       scoreWithCollectedModel(docs,
-        rows.map(r => r.getString(0) + " " + r.getString(1)),
-        rows.map(_.getDouble(2)))
-    else lmScoreBigramJoin(docs, lambda)
+        mrows.map(r => r.getString(0) + " " + r.getString(1)),
+        mrows.map(_.getDouble(2)))
+    } else lmScoreBigramJoin(docs, lambda)
   }
+
+  /** The interpolated-probability expression over a (v, w, n2, nv, n1,
+    * t1) frame — shared by the local fast path and the distributed join
+    * chain so both produce the same expression tree's doubles.
+    */
+  private def interpLogp(counts: DataFrame, lambda: Double): DataFrame =
+    counts.select(col("v"), col("w"), log(
+      lit(lambda) * col("n2") / col("nv") +
+        lit(1.0 - lambda) * col("n1") / col("t1")).as("logp"))
+
+  /** Driver-local marginal row for the interpolated-bigram fast path. */
+  private[graft] case class InterpMarginalRow(v: String, w: String, n2: Long,
+    nv: Long, n1: Long, t1: Long)
 
   /** Distinct-bigram interpolated log-probability table (v, w, logp);
     * shared by both lmScoreBigram paths.
@@ -564,13 +641,10 @@ object TextAnalysis {
     val uni = tok.groupBy("w").agg(count(lit(1)).as("n1"))
     val total = uni.agg(sum(col("n1")).as("t1"))
     val big = bigramInstances(docs).groupBy("v", "w").agg(count(lit(1)).as("n2"))
-    big
+    interpLogp(big
       .join(uni.select(col("w").as("v"), col("n1").as("nv")), "v")
       .join(uni, "w")
-      .crossJoin(broadcast(total))
-      .select(col("v"), col("w"), log(
-        lit(lambda) * col("n2") / col("nv") +
-          lit(1.0 - lambda) * col("n1") / col("t1")).as("logp"))
+      .crossJoin(broadcast(total)), lambda)
   }
 
   /** The retired join spelling — huge-vocab scale path + differential
@@ -612,24 +686,54 @@ object TextAnalysis {
     * once past them, no quadratic term.
     */
   def lmScoreKneserNey(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    val plog = knProbTable(docs, discount)
-    // Fast path (verdict r10 item 4): the probability table is
-    // vocabulary-bounded; when a MEASURED count confirms it fits (same
-    // gate pattern as Dedup's edge-count gates), collect the
-    // Spark-computed doubles and score the corpus in ONE shuffle-free
-    // pass via the native fold — bit-identical to the join spelling
-    // (same values, same pos-ascending addition order; OperatorsSpec
-    // asserts frame equality against lmScoreKneserNeyJoin). The join
-    // spelling below remains the huge-vocab scale path: at 100x the
-    // instance exchange + per-doc collect_list it needs cost 11.6 s vs
-    // ~2 s for this scan.
-    val rows = plog.limit(MaxCollectedGrams + 1).collect()
-    if (rows.length <= MaxCollectedGrams)
+    // Fast path (verdict r10 item 4, restructured r16 per guide §2.4):
+    // collect the distinct-bigram COUNT table (same MaxCollectedGrams
+    // gate — the model has exactly one row per distinct bigram), derive
+    // the KN marginals (c(v·), N1+(v,·), N1+(·,w), |bigrams|) as exact
+    // integers on the driver, and evaluate the model's double expression
+    // through a one-job LocalRelation via [[knLogp]] — the SAME Column
+    // expression over the SAME integers the distributed join chain fed
+    // it, hence bit-identical doubles (OperatorsSpec asserts frame
+    // equality against lmScoreKneserNeyJoin), with none of the chain's
+    // three vocab-table joins, window exchanges, or broadcast builds
+    // (JobProfile: 15 -> ~6 jobs per execution at sf0.1). Scoring is one
+    // shuffle-free corpus pass via the native fold. The join spelling
+    // below remains the huge-vocab scale path: at 100x the instance
+    // exchange + per-doc collect_list it needs cost 11.6 s vs ~2 s for
+    // this scan.
+    val big = bigramInstances(docs).groupBy("v", "w").agg(count(lit(1)).as("n2"))
+    val rows = big.limit(MaxCollectedGrams + 1).collect()
+    if (rows.length <= MaxCollectedGrams) {
+      val cv = new java.util.HashMap[String, Long]()
+      val fv = new java.util.HashMap[String, Long]()
+      val pw = new java.util.HashMap[String, Long]()
+      rows.foreach { r =>
+        val (v, w, n2) = (r.getString(0), r.getString(1), r.getLong(2))
+        cv.merge(v, n2, (a, b) => a + b)
+        fv.merge(v, 1L, (a, b) => a + b)
+        pw.merge(w, 1L, (a, b) => a + b)
+      }
+      val nb = rows.length.toLong
+      val marg = rows.toSeq.map { r =>
+        val (v, w) = (r.getString(0), r.getString(1))
+        KnMarginalRow(v, w, r.getLong(2), cv.get(v), fv.get(v), pw.get(w), nb)
+      }
+      val spark = docs.sparkSession
+      val mrows = knLogp(spark.createDataFrame(marg), discount).collect()
       scoreWithCollectedModel(docs,
-        rows.map(r => r.getString(0) + " " + r.getString(1)),
-        rows.map(_.getDouble(2)))
-    else lmScoreKneserNeyJoin(docs, discount)
+        mrows.map(r => r.getString(0) + " " + r.getString(1)),
+        mrows.map(_.getDouble(2)))
+    } else lmScoreKneserNeyJoin(docs, discount)
   }
+
+  /** The KN probability expression over a (v, w, n2, cv, fv, pw, nb)
+    * frame — shared by the local fast path and the distributed join
+    * chain so both produce the same expression tree's doubles.
+    */
+  private def knLogp(counts: DataFrame, discount: Double): DataFrame =
+    counts.select(col("v"), col("w"), log(
+      greatest(col("n2") - lit(discount), lit(0.0)) / col("cv") +
+        lit(discount) * col("fv") / col("cv") * col("pw") / col("nb")).as("logp"))
 
   /** Distinct-bigram count tables → fused KN log-probability table
     * (v, w, logp); shared by both lmScoreKneserNey paths so their doubles
@@ -642,14 +746,15 @@ object TextAnalysis {
       .agg(sum(col("n2")).as("cv"), count(lit(1)).as("fv"))
     val cont = big.groupBy("w").agg(count(lit(1)).as("pw")) // N1+(·,w)
     val nb = big.agg(count(lit(1)).as("nb"))
-    big
-      .join(ctx, Seq("v"))
-      .join(cont, Seq("w"))
-      .crossJoin(broadcast(nb))
-      .select(col("v"), col("w"), log(
-        greatest(col("n2") - lit(discount), lit(0.0)) / col("cv") +
-          lit(discount) * col("fv") / col("cv") * col("pw") / col("nb")).as("logp"))
+    knLogp(big.join(ctx, Seq("v")).join(cont, Seq("w")).crossJoin(broadcast(nb)),
+      discount)
   }
+
+  /** Driver-local marginal row for the KN fast path — all counts exact
+    * integers derived from the collected distinct-bigram table.
+    */
+  private[graft] case class KnMarginalRow(v: String, w: String, n2: Long,
+    cv: Long, fv: Long, pw: Long, nb: Long)
 
   /** (doc_id, pos, v, w) bigram instance stream. Adjacency is row-local
     * in the token array: build (pos, v, w) by index instead of a lag
@@ -982,12 +1087,28 @@ object TextAnalysis {
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one term")
-    val tk = docs.select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
-    val dlen = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // ONE tokenize scan for every corpus statistic (r16, guide §2.3/§2.4):
+    // the four derived frames (doc lengths, their average, per-doc query-
+    // term tfs, per-term dfs) previously each re-planned the tokenize +
+    // explode subtree — four corpus scans per execution. Tagging each
+    // token with its query term (or NULL for the rest of the vocabulary)
+    // and aggregating by (doc_id, tag) yields a ≤ (|terms|+1)-rows-per-doc
+    // intermediate that all four regroup from exactly: sum of tag counts
+    // per doc IS the token count, the non-null tags ARE the per-doc tfs,
+    // and df counts tf>0 docs — same integers, so the decimal/IEEE score
+    // arithmetic below is unchanged (indexed-serve parity holds).
+    // Materialized once per execution via lazy persist (resilient
+    // spelling, verdict r15 #3); the frame is two longs + a short tag per
+    // doc-term, far cheaper to hold than a second corpus tokenize.
+    val grand = graft.core.FreshPersist(docs
+      .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
+      .withColumn("tag", when(col("term").isin(terms: _*), col("term")))
+      .groupBy("doc_id", "tag").agg(count(lit(1)).as("c")))
+    val dlen = grand.groupBy("doc_id").agg(sum(col("c")).as("len"))
     val avg = dlen.agg(
       (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
-    val perDoc = tk.filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val perDoc = grand.filter(col("tag").isNotNull)
+      .select(col("doc_id"), col("tag").as("term"), col("c").as("tf"))
     val dfT = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     bm25Score(perDoc, dfT, dlen, n.crossJoin(avg), k, k1, b)

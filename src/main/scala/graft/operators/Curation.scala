@@ -566,15 +566,17 @@ object Curation {
     * inner-join semantics, same as text_lm_cross.
     */
   def pplTiers(docs: DataFrame): DataFrame = {
-    // Materialized ONCE per execution (lazy localCheckpoint, computed
-    // inside the timed action): the tercile thresholds and the final
-    // tier labels both consume the score frame, and without the cut the
-    // whole collected-model scoring scan (tokenize + fold over every
-    // document) ran twice (r15, guide §2.4/§5). The score frame is four
-    // narrow columns per doc — far cheaper to hold than to recompute.
-    val scores = TextAnalysis.lmScoreCross(docs.filter(col("lang") === "en"), docs)
-      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      .localCheckpoint(false)
+    // Materialized ONCE per execution (lazy persist, computed inside the
+    // timed action): the tercile thresholds and the final tier labels
+    // both consume the score frame, and without the cut the whole
+    // collected-model scoring scan (tokenize + fold over every document)
+    // ran twice (r15, guide §2.4/§5). The score frame is four narrow
+    // columns per doc — far cheaper to hold than to recompute.
+    // persist(MEMORY_AND_DISK), not localCheckpoint (r16, verdict r15
+    // #3): keeps lineage recoverable under executor loss at scale.
+    val scores = graft.core.FreshPersist(
+      TextAnalysis.lmScoreCross(docs.filter(col("lang") === "en"), docs)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id")))
     val counts = scores.groupBy("lang", "mean_logp").agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("mean_logp").desc)
@@ -754,8 +756,29 @@ object Curation {
   def dsirWeights(target: DataFrame, raw: DataFrame,
       nBuckets: Int = 4096): DataFrame =
     if (nBuckets <= MaxFoldBuckets)
-      dsirScoreFold(raw, collectRatios(dsirModel(target, raw, nBuckets), nBuckets))
+      dsirScoreFold(raw,
+        collectRatios(dsirModelMarginal(target, raw, nBuckets), nBuckets))
     else dsirWeightsJoin(target, raw, nBuckets)
+
+  /** One-scan spelling of [[dsirWeights]] for the common case where the
+    * target is a predicate CARVE-OUT of the raw corpus itself (the CCNet
+    * trusted-slice convention — `pipeline_dsir_weights` targets the `en`
+    * slice of the same documents frame): both bucket marginals come from
+    * a SINGLE feature scan with a conditional count (n_t counts only the
+    * carve-out docs' features), instead of tokenizing the target subset
+    * and the raw corpus separately (r16, guide §2.3 — same integers:
+    * count of target features per bucket == conditional count over raw
+    * features, and target-only buckets cannot exist under a carve-out,
+    * so the two-scan model's full_outer edge cases are vacuous here).
+    * Scoring and output contract identical to [[dsirWeights]].
+    */
+  def dsirWeightsCarveOut(raw: DataFrame,
+      targetCond: org.apache.spark.sql.Column,
+      nBuckets: Int = 4096): DataFrame =
+    if (nBuckets <= MaxFoldBuckets)
+      dsirScoreFold(raw,
+        collectRatios(dsirModelCarveOut(raw, targetCond, nBuckets), nBuckets))
+    else dsirWeightsJoin(raw.filter(targetCond), raw, nBuckets)
 
   /** Join spelling of [[dsirWeights]] — the huge-`nBuckets` scale path
     * and the differential twin of the collected-model fold (bit parity
@@ -818,18 +841,24 @@ object Curation {
     * subtree IDENTICAL on the scoring and model branches, which is what
     * lets ReuseExchange serve both from one scan of the raw corpus.
     */
-  private def dsirFeats(docs: DataFrame, nBuckets: Int): DataFrame = {
-    val b = lit(nBuckets.toLong)
+  private def dsirFeats(docs: DataFrame, nBuckets: Int): DataFrame =
     docs
       .select(col("doc_id"), WordCount.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), explode(concat(
-        transform(col("ts"), t => PolyHash(t) % b),
-        when(size(col("ts")) >= 2,
-          transform(sequence(lit(0), size(col("ts")) - 2), i =>
-            PolyHash(concat(element_at(col("ts"), i + 1), lit(" "),
-              element_at(col("ts"), i + 2))) % b))
-          .otherwise(array().cast("array<bigint>")))).as("b0"))
+      .select(col("doc_id"), explode(dsirBucketArr(nBuckets)).as("b0"))
       .select(col("doc_id"), coalesce(col("b0"), lit(-1L)).as("b"))
+
+  /** The hashed unigram+bigram bucket array over a `ts` token column —
+    * the shared feature expression of every dsir spelling.
+    */
+  private def dsirBucketArr(nBuckets: Int): org.apache.spark.sql.Column = {
+    val b = lit(nBuckets.toLong)
+    concat(
+      transform(col("ts"), t => PolyHash(t) % b),
+      when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2), i =>
+          PolyHash(concat(element_at(col("ts"), i + 1), lit(" "),
+            element_at(col("ts"), i + 2))) % b))
+        .otherwise(array().cast("array<bigint>")))
   }
 
   /** Per-document bucket counts — the shared substrate of model fitting
@@ -853,9 +882,61 @@ object Curation {
     */
   def dsirModel(target: DataFrame, raw: DataFrame,
       nBuckets: Int = 4096): DataFrame = {
-    val b = lit(nBuckets.toLong)
     val tCnt = dsirFeats(target, nBuckets).groupBy("b").agg(count(lit(1)).as("n_t"))
     val rCnt = dsirDocBuckets(raw, nBuckets).groupBy("b").agg(sum(col("cnt")).as("n_r"))
+    dsirModelFrom(tCnt, rCnt, nBuckets)
+  }
+
+  /** [[dsirModel]] with the raw marginals aggregated DIRECTLY to buckets
+    * (one map-side-combining hash agg to ≤ nBuckets rows) instead of
+    * through the (doc_id, bucket) pre-aggregation: that corpus-sized
+    * exchange exists to be SHARED with the join spelling's scoring
+    * branch via ReuseExchange — the collected-fold paths score through
+    * [[graft.functions.DsirFold]] with no scoring-side exchange at all,
+    * so for them the per-doc step was a pure extra shuffle of
+    * corpus-sized keys (r16, guide §2.3). Sum of per-doc counts per
+    * bucket == total count per bucket, exactly, in integers — the model
+    * doubles are unchanged.
+    */
+  private def dsirModelMarginal(target: DataFrame, raw: DataFrame,
+      nBuckets: Int): DataFrame = {
+    val tCnt = dsirFeats(target, nBuckets).groupBy("b").agg(count(lit(1)).as("n_t"))
+    val rCnt = dsirFeats(raw, nBuckets).groupBy("b").agg(count(lit(1)).as("n_r"))
+    dsirModelFrom(tCnt, rCnt, nBuckets)
+  }
+
+  /** Single-scan model for the carve-out case (target = raw rows
+    * satisfying `targetCond`): one feature scan, n_r counts every
+    * feature, n_t conditionally counts the carve-out docs' features.
+    * Buckets present only in the target cannot exist (target ⊆ raw), so
+    * the two-frame spelling's full_outer + fill is vacuous and the
+    * totals/smoothing arithmetic below is term-for-term the same
+    * expression over the same integers.
+    */
+  private[graft] def dsirModelCarveOut(raw: DataFrame,
+      targetCond: org.apache.spark.sql.Column, nBuckets: Int): DataFrame = {
+    val b = lit(nBuckets.toLong)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    raw
+      .select(targetCond.as("is_t"), WordCount.tokens(col("text")).as("ts"))
+      .select(col("is_t"), explode(dsirBucketArr(nBuckets)).as("b0"))
+      .select(col("is_t"), coalesce(col("b0"), lit(-1L)).as("b"))
+      .groupBy("b")
+      .agg(count(when(col("is_t"), 1)).as("n_t"), count(lit(1)).as("n_r"))
+      .withColumn("t_t", sum(col("n_t")).over(w))
+      .withColumn("t_r", sum(col("n_r")).over(w))
+      .filter(col("n_r") > 0)
+      .select(col("b"),
+        (log((col("n_t") + 1).cast("double") / (col("t_t") + b)) -
+         log((col("n_r") + 1).cast("double") / (col("t_r") + b))).as("ratio"))
+  }
+
+  /** The shared model arithmetic over (b, n_t) / (b, n_r) marginal
+    * frames: add-1 smoothing, window totals, absent-side fill.
+    */
+  private def dsirModelFrom(tCnt: DataFrame, rCnt: DataFrame,
+      nBuckets: Int): DataFrame = {
+    val b = lit(nBuckets.toLong)
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     rCnt.join(tCnt, Seq("b"), "full_outer")
       .na.fill(0L, Seq("n_t", "n_r"))
@@ -885,7 +966,9 @@ object Curation {
     */
   def buildDsirModel(target: DataFrame, raw: DataFrame, table: String,
       nBuckets: Int = 4096): Unit =
-    dsirModel(target, raw, nBuckets)
+    // marginal spelling: a build has no scoring branch to share the
+    // (doc_id, bucket) exchange with, so aggregate straight to buckets
+    dsirModelMarginal(target, raw, nBuckets)
       .write.mode("overwrite").saveAsTable(s"${table}_dsir")
 
   /** Score an ingest batch against the persisted model: one scan of the

@@ -94,8 +94,8 @@ object Dedup {
     // once and the suspects' anti-join reuses the cache instead of paying
     // the normalize+md5 corpus pass again (2.4 -> 0.9 s at sf0.1). The
     // ContextCleaner releases the cache when the returned frame dies.
-    val ledger = corpus.select(normHash.as("__h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ledger = graft.core.FreshPersist(
+      corpus.select(normHash.as("__h")).distinct())
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
     val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(

@@ -81,10 +81,18 @@ object Topics {
     */
   def assignTopics(docs: DataFrame, centroids: Array[Array[Double]],
       dim: Int = 16): DataFrame = {
-    val assigned = hashedTfVectors(docs, dim)
+    // Materialized ONCE per execution (lazy persist, computed inside the
+    // timed action; r16, guide §2.4/§5): the per-topic size aggregate and
+    // the final join both consume the assignment frame, and without the
+    // cut each branch re-ran the whole tokenize + explode + two-level
+    // hash-aggregation vectorization pipeline — the expensive pass of the
+    // query. The assignment frame is two ints per doc, far cheaper to
+    // hold than to recompute; MEMORY_AND_DISK keeps lineage recoverable
+    // under executor loss (the resilient spelling, verdict r15 #3).
+    val assigned = graft.core.FreshPersist(hashedTfVectors(docs, dim)
       .withColumn("scores", graft.functions.CellScores(col("v"), centroids))
       .withColumn("topic", expr("cast(array_position(scores, array_min(scores)) as int)"))
-      .select("doc_id", "topic")
+      .select("doc_id", "topic"))
     val sizes = assigned.groupBy("topic").agg(count(lit(1)).as("topic_docs"))
     assigned.join(broadcast(sizes), Seq("topic"))
       .select("doc_id", "topic", "topic_docs")

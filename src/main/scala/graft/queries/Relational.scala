@@ -244,13 +244,28 @@ object Relational {
     val orders = Tables.load(spark, dir, "orders")
     val customer = Tables.load(spark, dir, "customer")
     val nation = Tables.load(spark, dir, "nation")
-    lineitem
+    // Aggregate BEFORE the joins (r16, guide §2.3 "aggregate before you
+    // shuffle"): per-order decimal partials collapse the R-lineitem
+    // stream ~4:1 before it meets orders (at 100 TB that join is the
+    // shuffle; here it is the broadcast probe count), the per-customer
+    // regroup happens before customer/nation attach, and the two dim
+    // joins then run on the ≤|customers| aggregated frame instead of
+    // every returned lineitem. Decimal partial sums re-aggregate
+    // exactly and the double cast happens once at the end, so revenue
+    // is bit-identical to the flat spelling; c_name/n_name are keyed
+    // 1:1 by the join keys, so attaching them after the regroup yields
+    // the same groups the original grouped on.
+    val perOrder = lineitem.groupBy("l_orderkey")
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev"), count(lit(1)).as("n"))
+    perOrder
       .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
       .join(bdim(customer), col("o_custkey") === col("c_custkey"))
       .join(bdim(nation), col("c_nationkey") === col("n_nationkey"))
-      .groupBy("c_custkey", "c_name", "n_name")
-      .agg(sum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-           count(lit(1)).as("n_items"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"), col("n").as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -408,21 +423,44 @@ object Relational {
     val sup = Tables.load(spark, dir, "supplier")
     val ord = Tables.load(spark, dir, "orders")
     val cust = Tables.load(spark, dir, "customer")
-    val n1 = Tables.load(spark, dir, "nation")
-      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    val n2 = Tables.load(spark, dir, "nation")
-      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    // Aggregate by the integer NATION KEYS, map keys -> names after (r16,
+    // guide §1.2 first-principles / §3): each (s_nationkey, c_nationkey)
+    // determines exactly one name pair, so both nation joins and the
+    // name-inequality filter move OFF the per-row fact spine (5 broadcast
+    // probes per lineitem row -> 3) onto the ≤ |nations|² × years
+    // aggregated frame — where the mapping is a literal CASE expression
+    // over the driver-collected 25-row nation table rather than two more
+    // broadcast builds (each build is a separate job; JobProfile showed
+    // q7's sf0.1 cost is job-count-bound). Key-grained groups partition
+    // rows exactly as the name-grained groups did — enforced by the loud
+    // uniqueness require below, the repo's usual refuse-don't-corrupt
+    // discipline — so each group's single-level decimal sum and count,
+    // and hence the double surface, are bit-identical to the flat
+    // spelling the oracle mirrors. An earlier two-level regroup spelling
+    // measured SLOWER than flat at sf0.1 (extra exchange + agg:
+    // 1.34 s vs 1.09 s, Q7Ab); this one drops per-row probe work
+    // without adding any exchange.
+    val natRows = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+    require(natRows.map(_.getString(1)).distinct.length == natRows.length,
+      "q7NationVolume key-grained aggregation requires distinct nation " +
+        "names; duplicate n_name would merge groups the flat spelling keeps")
+    def nameOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      natRows.foldLeft(lit(null).cast("string")) { (acc, r) =>
+        when(key === lit(r.getInt(0)), lit(r.getString(1))).otherwise(acc)
+      }
     li
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(bdim(n1), col("s_nationkey") === col("s_nk"))
-      .join(bdim(n2), col("c_nationkey") === col("c_nk"))
-      .filter(col("supp_nation") < col("cust_nation"))
-      .groupBy(col("supp_nation"), col("cust_nation"),
+      .groupBy(col("s_nationkey"), col("c_nationkey"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .withColumn("supp_nation", nameOf(col("s_nationkey")))
+      .withColumn("cust_nation", nameOf(col("c_nationkey")))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .select("supp_nation", "cust_nation", "l_year", "revenue", "n_items")
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -897,15 +935,27 @@ object Relational {
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val reg = Tables.load(spark, dir, "region").filter(col("r_name") === market)
     val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(bdim(cn), col("c_nationkey") === col("c_nk"))
+    // Pre-reduce the dimension chains OFF the fact spine (r16, guide
+    // §1.2/§3): the customer→nation→region chain restricts customers to
+    // the market and the supplier→nation chain only decides the share
+    // flag, so both collapse to keyed dim frames BEFORE touching
+    // lineitem — 6 per-row broadcast probes on the spine become 3, and
+    // the spine carries a 1-byte boolean instead of the nation-name
+    // string (§2.3 narrower types). Inner-join multiset and the decimal
+    // aggregation expression are unchanged, so the result is
+    // bit-identical to the flat spelling the oracle mirrors.
+    val custAm = cust.join(bdim(cn), col("c_nationkey") === col("c_nk"))
       .join(bdim(reg), col("c_rk") === col("r_regionkey"))
-      .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(bdim(sn), col("s_nationkey") === col("s_nk"))
+      .select(col("c_custkey"))
+    val supShare = sup.join(bdim(sn), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"),
+        (col("supp_nation") === shareNation).as("is_share"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custAm, col("o_custkey") === col("c_custkey"))
+      .join(bdim(supShare), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(
-        sum4(when(col("supp_nation") === shareNation, volume).otherwise(lit(0.0)))
+        sum4(when(col("is_share"), volume).otherwise(lit(0.0)))
           .as("nation_volume"),
         sum4(volume).as("total_volume"))
       .withColumn("mkt_share", col("nation_volume") / col("total_volume"))

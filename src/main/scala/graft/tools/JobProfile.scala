@@ -27,17 +27,22 @@ object JobProfile {
     spark.sparkContext.setLogLevel("ERROR")
     graft.Tuning.configureForInput(spark, sfDir)
 
-    @volatile var jobs = 0
-    @volatile var stages = 0
-    @volatile var tasks = 0
-    @volatile var shufWrite = 0L
-    @volatile var shufRead = 0L
-    @volatile var inputBytes = 0L
+    // ONE lock object shared by the listener-bus updates and main's
+    // reset/read (r15 ADVICE: the previous spelling locked the listener
+    // instance on one side and the JobProfile object on the other —
+    // different monitors — while '+=' on @volatile vars is not atomic)
+    val lock = new Object
+    var jobs = 0
+    var stages = 0
+    var tasks = 0
+    var shufWrite = 0L
+    var shufRead = 0L
+    var inputBytes = 0L
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        lock.synchronized { jobs += 1 }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        synchronized {
+        lock.synchronized {
           stages += 1
           tasks += sc.stageInfo.numTasks
           shufWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
@@ -62,10 +67,12 @@ object JobProfile {
     for (n <- names) {
       runOnce(n) // warm: index builds, codegen, page cache
       Thread.sleep(150) // let the listener bus drain
-      synchronized { jobs = 0; stages = 0; tasks = 0; shufWrite = 0L; shufRead = 0L; inputBytes = 0L }
+      lock.synchronized { jobs = 0; stages = 0; tasks = 0; shufWrite = 0L; shufRead = 0L; inputBytes = 0L }
       val t = runOnce(n)
       Thread.sleep(150)
-      out += P(n, t, jobs, stages, tasks, shufWrite / 1e6, shufRead / 1e6, inputBytes / 1e6)
+      out += lock.synchronized {
+        P(n, t, jobs, stages, tasks, shufWrite / 1e6, shufRead / 1e6, inputBytes / 1e6)
+      }
     }
     println(f"${"query"}%-34s  sec     jobs stages tasks  shufW_MB shufR_MB  in_MB")
     out.sortBy(-_.sec).foreach { p =>

@@ -1653,6 +1653,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("RepetitionStats: native pass equals an independent host reimplementation on random token arrays") {
+    // r15 ADVICE: the native twin's claimed differential coverage. Host
+    // expectation recomputes each statistic independently (distinct via
+    // Set, top bigram via pair-multiset max), so any divergence in the
+    // index-sort run-length trick or the hash-set distinct shows up here.
+    val rnd = new scala.util.Random(20260819L)
+    val vocab = Vector("a", "b", "ab", "ba", "aa", "x", "yy", "z", "éé", "日本")
+    val rows: Seq[(Long, Seq[String])] = (0 until 300).map { i =>
+      val n = rnd.nextInt(14) // includes 0- and 1-token arrays
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val got = rows.toDF("id", "tokens")
+      .select(col("id"), graft.functions.RepetitionStats(col("tokens")).as("r"))
+      .select(col("id"), col("r.n_tokens"), col("r.n_uniq"), col("r.top_c"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    rows.foreach { case (id, ts) =>
+      val top =
+        if (ts.length < 2) 0L
+        else ts.sliding(2).toSeq.groupBy(identity).values.map(_.size).max.toLong
+      assert(got(id) === ((ts.length.toLong, ts.distinct.length.toLong, top)),
+        s"doc $id tokens=$ts")
+    }
+  }
+
   test("semantic near-dup pairs only within a k-means cell") {
     import graft.operators.Similarity
     def unit(axis: Int, scale: Float): Array[Float] =
@@ -3162,6 +3186,12 @@ class OperatorsSpec extends AnyFunSuite {
     val f2 = Curation.dsirWeights(t2, docs).collect().toSeq
     val j2 = Curation.dsirWeightsJoin(t2, docs).collect().toSeq
     assert(f2 === j2)
+    // r16: the single-scan carve-out spelling (one conditional-count
+    // feature scan fits both bucket models) is row-for-row identical to
+    // the two-frame spelling — the shipped pipeline_dsir_weights path
+    val c2 = Curation.dsirWeightsCarveOut(docs, col("lang") === "en")
+      .collect().toSeq
+    assert(c2 === f2)
   }
 
   test("dsirScoreIndexed: persisted-model serve equals the inline run; O(batch) ingest reproduces rows") {
