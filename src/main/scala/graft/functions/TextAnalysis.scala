@@ -1087,28 +1087,25 @@ object TextAnalysis {
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one term")
-    // ONE tokenize scan for every corpus statistic (r16, guide §2.3/§2.4):
-    // the four derived frames (doc lengths, their average, per-doc query-
-    // term tfs, per-term dfs) previously each re-planned the tokenize +
-    // explode subtree — four corpus scans per execution. Tagging each
-    // token with its query term (or NULL for the rest of the vocabulary)
-    // and aggregating by (doc_id, tag) yields a ≤ (|terms|+1)-rows-per-doc
-    // intermediate that all four regroup from exactly: sum of tag counts
-    // per doc IS the token count, the non-null tags ARE the per-doc tfs,
-    // and df counts tf>0 docs — same integers, so the decimal/IEEE score
-    // arithmetic below is unchanged (indexed-serve parity holds).
-    // Materialized once per execution via lazy persist (resilient
-    // spelling, verdict r15 #3); the frame is two longs + a short tag per
-    // doc-term, far cheaper to hold than a second corpus tokenize.
-    val grand = graft.core.FreshPersist(docs
-      .select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
-      .withColumn("tag", when(col("term").isin(terms: _*), col("term")))
-      .groupBy("doc_id", "tag").agg(count(lit(1)).as("c")))
-    val dlen = grand.groupBy("doc_id").agg(sum(col("c")).as("len"))
+    // Kept the four-subtree spelling DELIBERATELY (r16, guide §1.1's
+    // "the ideal plan is usually slower at first" clause, measured in
+    // tools/Bm25Ab): a single tagged-token scan feeding all four derived
+    // frames was tried two ways and lost both — persisted intermediate
+    // (cache build + InMemoryRelation overhead): 1.01 s vs 0.52 s at
+    // sf0.1, 1.38 vs 1.07 at gen10x; un-persisted shared subtree (AQE
+    // plans the diamond as four copies, no static ReuseExchange):
+    // 0.48 vs 0.44 at sf0.1, 1.28 vs 1.07 at gen10x. The seemingly
+    // redundant tokenize subtrees are cheap pipelined scans, while the
+    // shared-intermediate shapes serialize the plan behind one exchange.
+    // The corpus-proportional cost at 100 TB lives in buildBm25Index /
+    // searchBm25Indexed (one tokenize at build, postings-bounded
+    // serves), not here.
+    val tk = docs.select(col("doc_id"), explode(WordCount.tokens(col("text"))).as("term"))
+    val dlen = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val avg = dlen.agg(
       (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
-    val perDoc = grand.filter(col("tag").isNotNull)
-      .select(col("doc_id"), col("tag").as("term"), col("c").as("tf"))
+    val perDoc = tk.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     bm25Score(perDoc, dfT, dlen, n.crossJoin(avg), k, k1, b)

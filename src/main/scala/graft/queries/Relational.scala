@@ -870,24 +870,38 @@ object Relational {
     val ordF = Tables.load(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
     val sup = Tables.load(spark, dir, "supplier")
-    val late = li
-      .join(ordF, col("l_orderkey") === col("o_orderkey") &&
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      .select("l_orderkey", "l_suppkey")
-    val siblings = li.select(col("l_orderkey").as("s_orderkey"),
-      col("l_suppkey").as("sib_suppkey"))
-    val lateSiblings = late.select(col("l_orderkey").as("s_orderkey"),
-      col("l_suppkey").as("sib_suppkey"))
-    late
-      .join(siblings,
-        col("l_orderkey") === col("s_orderkey") &&
-        col("sib_suppkey") =!= col("l_suppkey"), "left_semi")
-      .join(lateSiblings,
-        col("l_orderkey") === col("s_orderkey") &&
-        col("sib_suppkey") =!= col("l_suppkey"), "left_anti")
+    // Single-scan dual-mark aggregation (r16, guide §1.2/§2.3/§2.4): the
+    // EXISTS/NOT-EXISTS pair used to run as a semi join against all
+    // lineitems plus an anti join against a RECOMPUTED late frame —
+    // three lineitem scans and three fact-scale join shuffles. Both
+    // marks are per-order set predicates: a late (order, supplier) row
+    // qualifies iff the order has ≥2 distinct suppliers (some other
+    // supplier exists) and exactly 1 late supplier (itself — no OTHER
+    // late one). So: flag lateness per lineitem, ONE exchange by
+    // orderkey serves the (order, supplier) rollup, the per-order
+    // supplier counts, AND their join (ReuseExchange; the regroups stay
+    // partitioned by orderkey, so no further fact-scale exchange).
+    // numwait = Σ late-lineitem counts over qualifying (order, supplier)
+    // — the same late-row multiset the semi/anti spelling counted, in
+    // exact integers; the oracle's EXISTS spelling is untouched.
+    val flagged = li
+      .join(ordF.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          1L).otherwise(0L).as("is_late"))
+      .repartition(col("l_orderkey"))
+    val perOS = flagged.groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(col("is_late")).as("cnt_late"))
+    val perO = perOS.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        count(when(col("cnt_late") > 0, 1)).as("n_late_supp"))
+    perOS.filter(col("cnt_late") > 0)
+      .join(perO, Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(bdim(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("cnt_late")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }
