@@ -392,7 +392,8 @@ object Bench {
       s""""anchor_mt":${anchorMt.map(a => fmtRoot("%.2f", a)).getOrElse("null")},""" +
       s""""probe_max":${fmtRoot("%.2f", probeLog.max)},""" +
       s""""warm":${if (perQueryWarmup) 1 else 0},"n_spread":${respread.size},""" +
-      s""""n_requeued":${requeued.size},"still_loaded":${strArr(stillLoaded.take(4).toSeq)},""" +
+      s""""n_still_loaded":${stillLoaded.size},""" +
+      s""""n_requeued":${requeued.size},"still_loaded":${strArr(stillLoaded.take(2).toSeq)},""" +
       s""""med_q":${fmtRoot("%.2f", medQ)},""" +
       s""""full_sha":"${fullSha.take(16)}",""" +
       s""""queries":${fmt(head)},"sf":"$sfDir"}"""

@@ -4,27 +4,45 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
 /** Multi-consumer materialization cut for query-internal intermediates —
-  * the resilient replacement for `localCheckpoint(false)` (r16, verdict
-  * r15 #3): `persist(MEMORY_AND_DISK)` keeps lineage, so on a real
-  * cluster an executor loss mid-query recomputes the lost partitions
-  * instead of failing the job (localCheckpoint truncates lineage and the
-  * bench tail WARNed about it).
+  * the deployment-aware successor to the bare `localCheckpoint(false)`
+  * cuts (r16, verdict r15 #3).
   *
-  * The unpersist-first twist is what keeps the swap HONEST under the
-  * bench's rep discipline: Spark's CacheManager matches cache entries by
-  * canonicalized PLAN, so a fresh construction of the same query would
-  * silently reuse the previous rep's cached intermediate ("Asked to cache
-  * already cached data") — timed reps would then measure a cache read,
-  * not the computation, which is exactly the cross-run result caching the
-  * bench bans. Dropping any stale entry for this plan before registering
-  * the new one makes every construction recompute from the inputs, while
-  * the cut still serves all consumers within one execution from one
-  * materialization. (localCheckpoint never had the problem — RDD-level
-  * state is per-construction — which this preserves at plan level.)
+  * OFF-local (any real cluster master), the cut is
+  * `persist(MEMORY_AND_DISK)`: lineage is preserved, so an executor loss
+  * mid-query recomputes the lost partitions instead of failing the job —
+  * routine under dynamic allocation / spot executors, which is exactly
+  * the scenario the r15 verdict flagged against localCheckpoint's
+  * truncated lineage.
+  *
+  * ON local masters, the cut stays `localCheckpoint(false)`: in local
+  * mode the executor IS the driver JVM, so the executor-loss scenario
+  * lineage would protect against cannot occur (losing the "executor"
+  * loses the driver and the job with it), while the persist spelling
+  * pays a real InMemoryRelation columnar-cache build on every execution
+  * — measured 1.74 s vs 1.55 s (min-of-6, alternating, tools/PersistAb)
+  * on q_events_session_overlap at sf0.1. Paying ~12% per execution for
+  * a resilience that is unreachable by construction is waste, so the
+  * choice keys off `SparkContext.isLocal`, overridable either way with
+  * `spark.graft.resilientCut` (documented; set true to force the
+  * cluster spelling locally, e.g. to measure its cost).
+  *
+  * The persist branch drops any stale cache entry for the same plan
+  * first: Spark's CacheManager matches entries by canonicalized plan, so
+  * a repeated construction of the same query would otherwise silently
+  * reuse the previous run's cached intermediate ("Asked to cache already
+  * cached data") — timed reps would measure a cache read, which is the
+  * cross-run result caching the bench bans. localCheckpoint state is
+  * per-RDD, i.e. per-construction, and never had the problem.
   */
 object FreshPersist {
   def apply(df: DataFrame): DataFrame = {
-    df.unpersist(blocking = false)
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    val sc = df.sparkSession.sparkContext
+    val resilient = df.sparkSession.conf
+      .getOption("spark.graft.resilientCut").map(_.toBoolean)
+      .getOrElse(!sc.isLocal)
+    if (resilient) {
+      df.unpersist(blocking = false)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    } else df.localCheckpoint(false)
   }
 }

@@ -578,15 +578,44 @@ object Curation {
       TextAnalysis.lmScoreCross(docs.filter(col("lang") === "en"), docs)
         .join(docs.select("doc_id", "lang"), Seq("doc_id")))
     val counts = scores.groupBy("lang", "mean_logp").agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("mean_logp").desc)
-    val cum = counts.withColumn("cum", sum(col("c")).over(w))
-    val n = counts.groupBy("lang").agg(sum(col("c")).as("n"))
-    val thr = cum.join(n, Seq("lang"))
-      .groupBy("lang")
-      .agg(
-        max(when(col("cum") >= expr("(n + 2) div 3"), col("mean_logp"))).as("t_hi"),
-        max(when(col("cum") >= expr("(n * 2 + 2) div 3"), col("mean_logp"))).as("t_lo"))
+    // Threshold fast path (r16, guide §2.4 / the lm collected-count
+    // discipline): the per-(lang, round-6 score) count table is score-
+    // grid-bounded; when a MEASURED count confirms it fits, collect it
+    // and take the two exact order statistics per language on the driver
+    // — pure integer rank selection over the Spark-computed score doubles
+    // (no new float arithmetic), bit-identical to the running-count
+    // window by construction — then broadcast the ≤|langs|-row threshold
+    // frame back as a LocalRelation. Drops the window sort exchange, the
+    // per-lang total aggregate, and their join from every execution.
+    // Above the gate, the window spelling carries the query unchanged.
+    val rows = counts.limit(MaxThresholdRows + 1).collect()
+    val thr: DataFrame =
+      if (rows.length <= MaxThresholdRows) {
+        val trows = rows.groupBy(r => Option(r.getString(0))).map {
+          case (langOpt, rs) =>
+            val sorted = rs.sortBy(-_.getDouble(1))
+            val n = rs.map(_.getLong(2)).sum
+            val (hiBar, loBar) = ((n + 2) / 3, (n * 2 + 2) / 3)
+            var (cum, tHi, tLo) = (0L, Double.NaN, Double.NaN)
+            sorted.foreach { r =>
+              cum += r.getLong(2)
+              if (tHi.isNaN && cum >= hiBar) tHi = r.getDouble(1)
+              if (tLo.isNaN && cum >= loBar) tLo = r.getDouble(1)
+            }
+            TierThresholdRow(langOpt.orNull, tHi, tLo)
+        }.toSeq
+        docs.sparkSession.createDataFrame(trows)
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("mean_logp").desc)
+        val cum = counts.withColumn("cum", sum(col("c")).over(w))
+        val n = counts.groupBy("lang").agg(sum(col("c")).as("n"))
+        cum.join(n, Seq("lang"))
+          .groupBy("lang")
+          .agg(
+            max(when(col("cum") >= expr("(n + 2) div 3"), col("mean_logp"))).as("t_hi"),
+            max(when(col("cum") >= expr("(n * 2 + 2) div 3"), col("mean_logp"))).as("t_lo"))
+      }
     scores.join(broadcast(thr), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("mean_logp"),
         when(col("mean_logp") >= col("t_hi"), "head")
@@ -594,6 +623,19 @@ object Curation {
           .otherwise("tail").as("tier"))
       .orderBy("doc_id")
   }
+
+  /** Collected-count gate for the tercile fast path: distinct
+    * (lang, round-6 score) rows are score-grid-bounded, not corpus-
+    * bounded, but only a measured count proves it — same convention as
+    * the LM MaxCollectedGrams gates.
+    */
+  private val MaxThresholdRows = 1 << 21
+
+  /** Driver-local per-language tercile thresholds (exact order
+    * statistics selected from Spark-computed score doubles).
+    */
+  private[graft] case class TierThresholdRow(lang: String, t_hi: Double,
+    t_lo: Double)
 
   /** DoReMi-style domain reweighting, static-loss form (Xie et al. 2023,
     * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
